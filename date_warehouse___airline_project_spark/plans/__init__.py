@@ -1,0 +1,9 @@
+from .registry import REGISTRY, Query, query  # noqa: F401
+
+
+def load_all() -> None:
+    """Import every plan module so their @query decorators register."""
+    from . import relational  # noqa: F401
+    from . import cleaning_queries  # noqa: F401
+    from . import text  # noqa: F401
+    from . import similarity  # noqa: F401
