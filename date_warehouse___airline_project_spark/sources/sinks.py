@@ -1,0 +1,72 @@
+"""Sinks (SURVEY §2.1 S3/S4/S5/S12).
+
+``write_quarantine_csv`` mirrors the reference's quarantine export
+(cleaning.py:771-779): nulls as empty strings, header always written even
+for zero rows.
+
+``safe_upsert`` reproduces the upsert→insert→skip fallback ladder
+(cleaning.py:165-199) against parquet paths (no Delta jars in this image;
+with Delta this is a single ``MERGE INTO``). Upsert = key-based anti-join
+merge: last write wins per key.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_quarantine_csv(df: DataFrame, path: str) -> None:
+    """Single-CSV quarantine export with header, nulls → ''.
+
+    coalesce(1) is intentional: quarantine sets are small by contract
+    (they're the anomaly tail); the clean side never funnels through one
+    partition.
+    """
+    out = df.na.fill("").coalesce(1)
+    out.write.mode("overwrite").option("header", True).csv(path + ".tmp")
+    # promote the single part file to a stable filename
+    part = next(
+        f for f in os.listdir(path + ".tmp") if f.startswith("part-") and f.endswith(".csv")
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    shutil.move(os.path.join(path + ".tmp", part), path)
+    shutil.rmtree(path + ".tmp")
+
+
+def append_log(spark: SparkSession, path: str, rows: list[dict]) -> None:
+    """Append-only log-table write (etl_file_logs / etl_process_logs /
+    pipeline_run_log shape, cleaning.py:88-121)."""
+    if not rows:
+        return
+    spark.createDataFrame(rows).write.mode("append").parquet(path)
+
+
+def safe_upsert(df: DataFrame, path: str, key: list[str]) -> str:
+    """Upsert df into the parquet table at ``path`` on ``key``.
+
+    Returns the outcome tag ('upserted' | 'inserted') mirroring the
+    reference's fallback ladder. New data wins on key collision.
+    """
+    spark = df.sparkSession
+    if not os.path.exists(path):
+        df.write.mode("overwrite").parquet(path)
+        return "inserted"
+    try:
+        existing = spark.read.parquet(path)
+        merged = existing.join(df.select(key).dropDuplicates(key), key, "left_anti").unionByName(
+            df, allowMissingColumns=True
+        )
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        shutil.move(tmp, path)
+        return "upserted"
+    except Exception:
+        # fallback: plain append (reference's insert-on-upsert-failure)
+        df.write.mode("append").parquet(path)
+        return "inserted"

@@ -1,0 +1,116 @@
+"""Unit tests for the reusable operators (split/dedup/order/fuzzy/scd2/topk)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from date_warehouse___airline_project_spark.operators import (
+    dedup_keep_first,
+    duplicate_groups,
+    ffill_repair_ids,
+    fuzzy_correct,
+    latest_per_key,
+    scd2_merge,
+    validity_split,
+    with_ingest_order,
+)
+from date_warehouse___airline_project_spark.operators.scd2 import scd2_init
+
+
+def test_validity_split_partitions_input(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("b", None), ("c", 3)], ["k", "v"]
+    )
+    clean, quar = validity_split(df, F.col("v").isNotNull(), F.lit("null_v"))
+    assert {r["k"] for r in clean.collect()} == {"a", "c"}
+    q = quar.collect()
+    assert [r["k"] for r in q] == ["b"]
+    assert q[0]["quarantine_reason"] == "null_v"
+
+
+def test_dedup_keep_first_in_ingest_order(spark):
+    df = with_ingest_order(
+        spark.createDataFrame(
+            [("k1", "first"), ("k1", "second"), ("k2", "only")], ["k", "tag"]
+        ).coalesce(1)
+    )
+    kept, dupes = dedup_keep_first(df, ["k"])
+    assert {(r["k"], r["tag"]) for r in kept.collect()} == {("k1", "first"), ("k2", "only")}
+    assert [(r["k"], r["tag"]) for r in dupes.collect()] == [("k1", "second")]
+
+
+def test_duplicate_groups(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], ["k", "id"]
+    )
+    got = duplicate_groups(df, ["k"], "id").collect()
+    assert len(got) == 1 and got[0]["k"] == "a" and got[0]["ids"] == [1, 2]
+
+
+def test_ffill_repair_ids_matches_reference_semantics(spark):
+    # 40001, BAD→40002, 40007, BAD→40008, BAD→40008 (consecutive invalids
+    # share the carried id+1, pandas ffill semantics)
+    rows = [("40001",), ("4AN",), ("40007",), ("4G4",), ("4GW",)]
+    df = spark.createDataFrame(rows, ["transactionid"]).coalesce(1)
+    got = [r["transactionid"] for r in
+           ffill_repair_ids(df, "transactionid").orderBy("_ingest_order").collect()]
+    assert got == ["40001", "40002", "40007", "40008", "40008"]
+
+
+def test_ffill_repair_crosses_partitions(spark):
+    rows = [(str(40000 + i),) for i in range(1, 9)]
+    rows[6] = ("XXX",)  # row 7 invalid → previous valid is 40006 → 40007
+    df = spark.createDataFrame(rows, ["transactionid"]).repartition(4)
+    df = df.orderBy("transactionid")  # deterministic-ish spread
+    out = ffill_repair_ids(df, "transactionid")
+    vals = [r["transactionid"] for r in out.collect()]
+    assert "XXX" not in vals
+    assert all(v is not None and v.isdigit() for v in vals)
+
+
+def test_fuzzy_correct(spark):
+    dim = spark.createDataFrame([("JFK",), ("LAX",), ("SFO",)], ["airportkey"])
+    df = spark.createDataFrame([("JFX",), ("LAX",), ("ZZZ",)], ["code"])
+    out = {r["code"] for r in fuzzy_correct(df, "code", dim, "airportkey", 60).collect()}
+    assert "JFK" in out      # JFX → JFK (score 66.7 ≥ 60)
+    assert "LAX" in out      # exact kept
+    assert "ZZZ" in out      # nothing close enough → unchanged
+
+
+def test_latest_per_key(spark):
+    df = spark.createDataFrame(
+        [("f1", 1, "old"), ("f1", 2, "new"), ("f2", 5, "only")], ["k", "ts", "tag"]
+    )
+    got = {(r["k"], r["tag"]) for r in latest_per_key(df, ["k"], [F.desc("ts")]).collect()}
+    assert got == {("f1", "new"), ("f2", "only")}
+
+
+def test_scd2_merge_invariants(spark):
+    b1 = spark.createDataFrame(
+        [("BK1", "confirmed", 100.0), ("BK2", "pending", 50.0)],
+        ["booking_reference", "status", "amount"],
+    )
+    dim = scd2_init(b1, "2026-01-01 00:00:00")
+
+    # re-running the same batch is a no-op
+    again = scd2_merge(dim, b1, ["booking_reference"], ["status", "amount"],
+                       "2026-01-02 00:00:00")
+    assert again.count() == 2
+    assert again.filter(F.col("_is_current")).count() == 2
+
+    # changed attribute closes old version and opens a new one
+    b2 = spark.createDataFrame(
+        [("BK1", "cancelled", 100.0), ("BK3", "confirmed", 75.0)],
+        ["booking_reference", "status", "amount"],
+    )
+    merged = scd2_merge(dim, b2, ["booking_reference"], ["status", "amount"],
+                        "2026-02-01 00:00:00")
+    assert merged.count() == 4  # BK1 old+new, BK2, BK3
+    cur = merged.filter(F.col("_is_current"))
+    assert cur.count() == 3
+    bk1 = merged.filter(F.col("booking_reference") == "BK1").orderBy("_valid_from").collect()
+    assert [r["_is_current"] for r in bk1] == [False, True]
+    assert bk1[0]["_valid_to"] is not None and bk1[1]["_valid_to"] is None
+    # at most one current row per key
+    per_key = cur.groupBy("booking_reference").count().agg(F.max("count")).first()[0]
+    assert per_key == 1
