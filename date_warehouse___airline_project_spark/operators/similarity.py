@@ -1,0 +1,155 @@
+"""Approximate-nearest-neighbor operators over an embedding column.
+
+Brute-force cosine top-k (plans/similarity.py::emb_cosine_topk) is the
+correctness baseline; these are the scale paths:
+
+  ivf_assign / ivf_topk     inverted-file (IVF) index: every vector is
+                            assigned to its nearest centroid; a query
+                            probes only the ``nprobe`` closest centroid
+                            partitions. At 100 TB the assignment is one
+                            broadcast join (centroid set is tiny) and a
+                            search touches nprobe/ncentroids of the data.
+  sign_lsh_bucket /         axis-aligned random-hyperplane LSH: the bucket
+  neardup_pairs_bucketed    key is the sign pattern of the first ``nplanes``
+                            dimensions. Near-dup candidates are generated
+                            per-bucket (equi-join on the key — shuffle is
+                            proportional to bucket sizes, never all-pairs),
+                            then verified with exact cosine.
+
+Determinism: centroids are the vectors whose id ≡ 0 (mod ``centroid_mod``)
+— a fixed, data-derived codebook (a production system would train k-means
+offline; the index structure and query path are identical). No RNG
+anywhere, so the DuckDB oracle replicates the full algorithm, bucketing
+included, and results match exactly.
+
+Ties everywhere break on the lower id, making top-k cuts stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double fold — matches DuckDB list_dot_product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def ivf_assign(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", centroid_mod: int = 25
+) -> DataFrame:
+    """Attach ``centroid_id``: the id of the nearest (by cosine) centroid.
+
+    Centroids are rows with id % centroid_mod == 0. The assignment plan is
+    data × broadcast(centroids) → per-row argmax — a map-side-only pass.
+    """
+    cents = emb.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "_cos_c", cosine(F.col(vec_col), F.col("_cvec"))
+    )
+    # argmax with lower-id tiebreak: max_by on (cos, -cid)
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by("_cid", F.struct(F.col("_cos_c"), (-F.col("_cid")).alias("_nc"))).alias(
+                "centroid_id"
+            )
+        )
+        .join(emb, id_col)
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 25,
+) -> DataFrame:
+    """IVF search: probe the ``nprobe`` centroids nearest the query vector,
+    exact cosine top-k within their partitions (query row excluded).
+
+    Returns (vec_id, label?, cos_sim rounded 6dp) ordered desc, id-tiebreak.
+    """
+    assigned = ivf_assign(emb, id_col, vec_col, centroid_mod)
+    qvec = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qv"))
+
+    cents = emb.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(qvec))
+        .withColumn("_cos_q", cosine(F.col("_cvec"), F.col("_qv")))
+        .orderBy(F.desc("_cos_q"), F.asc("_cid"))
+        .limit(nprobe)
+        .select(F.col("_cid").alias("centroid_id"))
+    )
+
+    other_cols = [c for c in emb.columns if c not in (id_col, vec_col)]
+    return (
+        assigned.join(F.broadcast(probe), "centroid_id", "left_semi")
+        .filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            id_col,
+            *other_cols,
+            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def sign_lsh_bucket(vec_col: Column, nplanes: int = 8) -> Column:
+    """LSH bucket key: sign bits of the first ``nplanes`` dimensions.
+
+    For ~isotropic embeddings, axis-aligned hyperplanes are an unbiased
+    hyperplane family; being data-independent they need no stored model.
+    """
+    bits = [
+        F.when(F.element_at(vec_col, d + 1).cast("double") >= 0, F.lit(1)).otherwise(F.lit(0))
+        for d in range(nplanes)
+    ]
+    return F.concat_ws("", *[b.cast("string") for b in bits])
+
+
+def neardup_pairs_bucketed(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    nplanes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs: same LSH bucket AND exact cosine ≥ threshold.
+
+    Recall is bounded by the bucketing (two near-dups split by a hyperplane
+    are missed — the standard LSH trade; multiple bucket tables would raise
+    recall). Pair verification cost is Σ bucket² instead of n².
+    """
+    b = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        sign_lsh_bucket(F.col(vec_col), nplanes).alias("_bucket"),
+    )
+    left = b.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_bucket")
+    right = b.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_bucket")
+    return (
+        left.join(right, "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

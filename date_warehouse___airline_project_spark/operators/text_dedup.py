@@ -1,0 +1,254 @@
+"""Near-duplicate detection operators for large-scale text corpora.
+
+The reference's dedup surface is exact keep-first dedup (cleaning.py:594-595
+— see operators/dedup.py); a training-data pipeline at 100 TB needs the
+*near*-dup family as well. Three scale-path algorithms, all pure Column
+expressions / relational plans (no Python in the hot path):
+
+  minhash_lsh_pairs   shingle → K minhashes → banded LSH buckets →
+                      candidate pairs → exact-jaccard verify.
+                      Cost: one shuffle on band hash (candidate join) +
+                      one broadcast-free pair verify. At 100 TB the band
+                      join touches only colliding docs, never all pairs.
+  simhash_pairs       per-token hash → bitwise majority signature →
+                      byte-band blocking → hamming-distance verify.
+                      Signature build is one explode + one groupBy (map-side
+                      partial agg); blocking keeps the pair space near-linear.
+  ngram_jaccard_pairs exact jaccard via inverted shingle index (explode →
+                      self-join on shingle → per-pair intersection counts).
+                      A document-frequency cap drops stop-shingles, the
+                      classic skew guard for inverted-index joins.
+
+Hash function: every hash is ``md5`` of a seed-prefixed string, compared /
+minimized as lowercase hex VARCHAR. This is engine-portable (identical in
+Spark and DuckDB), so the correctness oracle replicates the *whole*
+algorithm, LSH candidate generation included, and results are exactly
+reproducible — no RNG, no seed state, no platform-dependent hashing.
+
+SimHash bit extraction from hex: bit ``b`` of a token's 32-bit hash is
+``(strpos('0123456789abcdef', substr(md5, 1 + b/4, 1)) - 1) >> (b%4) & 1``
+— nibble-indexed so the same expression exists in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Lower-cased alphanumeric tokens (array<string>)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), F.lit(0))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; empty array when < n tokens."""
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature(shingles: Column, k: int = 16) -> list[Column]:
+    """K minhash values: lexicographic min of md5('<i>:' || shingle).
+
+    Min over hex strings is order-isomorphic to min over the underlying
+    128-bit integers, so this is a true minhash family without any
+    hex→int conversion (which engines disagree on).
+    """
+    return [
+        F.array_min(F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
+        for i in range(k)
+    ]
+
+
+def lsh_band_hashes(signature: list[Column], bands: int) -> list[Column]:
+    """Hash each band of ``len(signature)/bands`` rows to one bucket key."""
+    rows = len(signature) // bands
+    return [
+        F.md5(F.concat(*signature[b * rows : (b + 1) * rows])) for b in range(bands)
+    ]
+
+
+def _jaccard(sh_a: Column, sh_b: Column) -> Column:
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    return inter / (F.size(sh_a) + F.size(sh_b) - inter)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs by MinHash LSH with exact-jaccard verification.
+
+    Returns (doc_a, doc_b, jaccard) for candidate pairs (≥1 shared LSH
+    band) whose true shingle jaccard ≥ threshold, doc_a < doc_b.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+    )
+    sig = minhash_signature(F.col("_sh"), k)
+    band_cols = lsh_band_hashes(sig, bands)
+    banded = sh.select(
+        "_id",
+        "_sh",
+        F.posexplode(F.array(*band_cols)).alias("_band_idx", "_band_hash"),
+    )
+
+    left = banded.select(
+        F.col("_id").alias("doc_a"), F.col("_sh").alias("_sh_a"), "_band_idx", "_band_hash"
+    )
+    right = banded.select(
+        F.col("_id").alias("doc_b"), F.col("_sh").alias("_sh_b"), "_band_idx", "_band_hash"
+    )
+    cand = (
+        left.join(right, ["_band_idx", "_band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_sh_a", "_sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("jaccard", _jaccard(F.col("_sh_a"), F.col("_sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _hash_int(md5_col: Column, nbits: int) -> Column:
+    """First ``nbits``/4 hex chars of an md5 as an integer (bigint).
+
+    nbits must be ≤ 56 so the value fits a signed 64-bit long.
+    """
+    return F.conv(F.substring(md5_col, 1, nbits // 4), 16, 10).cast("bigint")
+
+
+def _hash_bit(h: Column, bit: int) -> Column:
+    """Bit ``bit`` (0 = least significant) of an integer hash value."""
+    return F.shiftright(h, bit).bitwiseAND(F.lit(1))
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, nbits: int = 48) -> DataFrame:
+    """Per-document SimHash signature as a ``bigint`` (``nbits`` wide).
+
+    Plan: explode tokens (with multiplicity — repeated tokens weigh more,
+    standard SimHash) → per-bit ±1 partial sums in ONE groupBy (map-side
+    combine keeps the shuffle at nbits longs per doc) → majority bit.
+    """
+    tok = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok")
+    ).withColumn("_h", _hash_int(F.md5(F.col("_tok")), nbits))
+    sums = tok.groupBy("_id").agg(
+        *[
+            F.sum(_hash_bit(F.col("_h"), b) * 2 - 1).alias(f"_s{b}")
+            for b in range(nbits)
+        ]
+    )
+    sig = F.lit(0).cast("bigint")
+    for b in range(nbits):
+        sig = sig + F.when(F.col(f"_s{b}") > 0, F.lit(2 ** b).cast("bigint")).otherwise(0)
+    return sums.select(F.col("_id").alias(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    nbits: int = 48,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    Blocking: two docs within hamming d of each other on ``nbits`` bits
+    must agree exactly on ≥1 of (d+1) disjoint bit-blocks (pigeonhole), so
+    candidates are generated by equi-joining on each 8-bit byte block —
+    never by an all-pairs scan.
+    """
+    sig = simhash(df, id_col, text_col, nbits)
+    nblocks = nbits // 8
+    blocked = sig.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255))
+                    for i in range(nblocks)
+                ]
+            )
+        ).alias("_block_idx", "_block_val"),
+    )
+    left = blocked.select(
+        F.col("_id").alias("doc_a"), F.col("simhash").alias("_sig_a"), "_block_idx", "_block_val"
+    )
+    right = blocked.select(
+        F.col("_id").alias("doc_b"), F.col("simhash").alias("_sig_b"), "_block_idx", "_block_val"
+    )
+    return (
+        left.join(right, ["_block_idx", "_block_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", F.bit_count(F.col("_sig_a").bitwiseXOR(F.col("_sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 100,
+) -> DataFrame:
+    """Exact n-gram-jaccard pairs via an inverted shingle index.
+
+    ``max_doc_freq`` drops shingles appearing in more than that many docs
+    before the self-join — the skew guard that keeps the index join from
+    exploding on boilerplate shingles (at 100 TB this is the difference
+    between a linear and a quadratic candidate stage). Dropping a shingle
+    shared by >F docs can only *lower* a pair's computed jaccard, so with
+    F ≫ 1/threshold the high-similarity pairs this operator reports are
+    unaffected in practice; exactness over the kept vocabulary is exact.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+    )
+    sizes = sh.select("_id", F.size("_sh").alias("_n"))
+    inv = sh.select("_id", F.explode("_sh").alias("_g"))
+    if max_doc_freq is not None:
+        df_counts = inv.groupBy("_g").agg(F.count("*").alias("_df"))
+        inv = inv.join(
+            df_counts.filter(F.col("_df") <= max_doc_freq).select("_g"), "_g", "left_semi"
+        )
+    shared = (
+        inv.select(F.col("_id").alias("doc_a"), "_g")
+        .join(inv.select(F.col("_id").alias("doc_b"), "_g"), "_g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        shared.join(sizes.select(F.col("_id").alias("doc_a"), F.col("_n").alias("_na")), "doc_a")
+        .join(sizes.select(F.col("_id").alias("doc_b"), F.col("_n").alias("_nb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -7,3 +7,4 @@ def load_all() -> None:
     from . import cleaning_queries  # noqa: F401
     from . import text  # noqa: F401
     from . import similarity  # noqa: F401
+    from . import dedup  # noqa: F401

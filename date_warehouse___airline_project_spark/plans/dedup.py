@@ -1,0 +1,179 @@
+"""Near-duplicate detection queries over ``documents`` (the training-data
+dedup suite: MinHash+LSH, SimHash, exact n-gram jaccard) and their DuckDB
+oracles.
+
+The oracles replicate the ENTIRE algorithm — shingling, md5-hex minhashing,
+band hashing, candidate generation, verification — not just the final
+filter, so the comparison certifies the LSH pipeline end-to-end. All hashes
+are md5-hex (identical across engines); minhash minimization is
+lexicographic on hex strings (order-isomorphic to the 128-bit integers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text_dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
+from ..sources.catalog import load_table
+from .registry import query
+
+TOKEN_RE = "[a-z0-9]+"
+
+# ---------------------------------------------------------------------------
+# shared oracle fragments
+# ---------------------------------------------------------------------------
+
+# distinct word-3-gram shingles per doc (docs with <3 tokens excluded)
+_SHINGLES_CTE = f"""
+    d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(toks) - 2, 0)),
+                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS sh
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3)
+"""
+
+_K, _BANDS = 16, 4
+_MH_EXPRS = ",\n             ".join(
+    f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh{i}" for i in range(_K)
+)
+_ROWS = _K // _BANDS
+_BAND_SELECTS = "\n      UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_idx, md5({concat}) AS h FROM sig".format(
+        b=b, concat=" || ".join(f"mh{b * _ROWS + r}" for r in range(_ROWS))
+    )
+    for b in range(_BANDS)
+)
+
+_MINHASH_ORACLE = f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id, sh,
+             {_MH_EXPRS}
+      FROM d),
+    bands AS (
+      {_BAND_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.h = b.h AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+               / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) AS j
+      FROM cand c
+      JOIN d da ON da.doc_id = c.doc_a
+      JOIN d db ON db.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard
+    FROM pairs WHERE j >= 0.5
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "minhash_lsh_dupes",
+    oracle=_MINHASH_ORACLE,
+    doc="MinHash(16)+LSH(4 bands) near-dup pairs with exact-jaccard verify "
+    "(threshold 0.5). The oracle replicates shingling, minhashing, banding "
+    "and candidate generation — full-algorithm certification.",
+)
+def minhash_lsh_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        minhash_lsh_pairs(d, "doc_id", "text", n=3, k=_K, bands=_BANDS, threshold=0.5)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# SimHash oracle: 48-bit signature. Spark computes the token hash as
+# conv(substr(md5,1,12),16,10); the oracle decodes the same bits per hex
+# nibble: bit b lives in nibble char position 12 - b//4 (big-endian hex),
+# at in-nibble offset b%4.
+_NBITS = 48
+_BIT_SUMS = ",\n             ".join(
+    "SUM(2 * ((strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1) >> {o} & 1) - 1) AS s{b}".format(
+        p=_NBITS // 4 - b // 4, o=b % 4, b=b
+    )
+    for b in range(_NBITS)
+)
+_SIG_EXPR = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_NBITS))
+_BLOCK_SELECTS = "\n      UNION ALL ".join(
+    f"SELECT doc_id, sig, {i} AS block_idx, (sig >> {8 * i}) & 255 AS block_val FROM sigs"
+    for i in range(_NBITS // 8)
+)
+
+_SIMHASH_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS t
+      FROM documents),
+    h AS (SELECT doc_id, md5(t) AS hx FROM tok),
+    sums AS (
+      SELECT doc_id,
+             {_BIT_SUMS}
+      FROM h GROUP BY doc_id),
+    sigs AS (
+      SELECT doc_id, CAST({_SIG_EXPR} AS BIGINT) AS sig FROM sums),
+    blocks AS (
+      {_BLOCK_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.sig AS sig_a, b.doc_id AS doc_b, b.sig AS sig_b
+      FROM blocks a JOIN blocks b
+        ON a.block_idx = b.block_idx AND a.block_val = b.block_val AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "simhash_dupes",
+    oracle=_SIMHASH_ORACLE,
+    doc="SimHash(48-bit) near-dup pairs, byte-block LSH candidates, "
+    "hamming ≤ 3. Oracle replicates the bit-majority signature exactly.",
+)
+def simhash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        simhash_pairs(d, "doc_id", "text", nbits=_NBITS, max_hamming=3)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_NGRAM_ORACLE = f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, len(sh) AS n FROM d),
+    inv0 AS (SELECT doc_id, unnest(sh) AS g FROM d),
+    kept AS (SELECT g FROM inv0 GROUP BY g HAVING COUNT(*) <= 100),
+    inv AS (SELECT inv0.doc_id, inv0.g FROM inv0 JOIN kept USING (g)),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT s.doc_a, s.doc_b,
+           ROUND(CAST(s.inter AS DOUBLE) / (na.n + nb.n - s.inter), 6) AS jaccard
+    FROM shared s
+    JOIN sizes na ON na.doc_id = s.doc_a
+    JOIN sizes nb ON nb.doc_id = s.doc_b
+    WHERE CAST(s.inter AS DOUBLE) / (na.n + nb.n - s.inter) >= 0.5
+    ORDER BY s.doc_a, s.doc_b
+"""
+
+
+@query(
+    "ngram_jaccard_dupes",
+    oracle=_NGRAM_ORACLE,
+    doc="Exact word-3-gram jaccard pairs ≥ 0.5 via inverted shingle index "
+    "with document-frequency cap 100 (the skew guard).",
+)
+def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=100)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -65,6 +65,88 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared oracle fragment: cosine of two DOUBLE[] lists (sequential fold —
+# bit-identical to the Spark aggregate fold above).
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        f" / (SQRT(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+        f" * SQRT(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+    )
+
+
+_IVF_ORACLE = f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 25 = 0),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label, e.embedding, c.cid,
+             {_cos_sql('e.embedding', 'c.cvec')} AS cos_c
+      FROM embeddings e, cents c),
+    assigned AS (
+      SELECT vec_id, label, embedding, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_c DESC, cid) AS rn
+        FROM scored)
+      WHERE rn = 1),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c.cid, {_cos_sql('c.cvec', 'q.qv')} AS cos_q
+        FROM cents c, q
+        ORDER BY cos_q DESC, cid LIMIT 2)),
+    hits AS (
+      SELECT a.vec_id, a.label,
+             ROUND({_cos_sql('a.embedding', 'q.qv')}, 6) AS cos_sim
+      FROM assigned a JOIN probe p ON a.cid = p.cid, q
+      WHERE a.vec_id <> 0)
+    SELECT vec_id, label, cos_sim FROM hits
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+@query(
+    "emb_ivf_topk",
+    oracle=_IVF_ORACLE,
+    doc="IVF approximate top-k: nearest-centroid partitioning (centroids = "
+    "vec_id % 25 == 0), nprobe=2 probe, exact cosine within probed cells. "
+    "The oracle replicates assignment + probing, certifying the index path.",
+)
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, query_id=0, k=10, nprobe=2, centroid_mod=25)
+
+
+_NEARDUP_BUCKET_SQL = "||".join(
+    f"(CASE WHEN embedding[{d + 1}] >= 0 THEN '1' ELSE '0' END)" for d in range(4)
+)
+
+_NEARDUP_ORACLE = f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_NEARDUP_BUCKET_SQL} AS bucket
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           ROUND({_cos_sql('a.embedding', 'c.embedding')}, 6) AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE ROUND({_cos_sql('a.embedding', 'c.embedding')}, 6) >= 0.4
+    ORDER BY id_a, id_b
+"""
+
+
+@query(
+    "emb_neardup_bucketed",
+    oracle=_NEARDUP_ORACLE,
+    doc="Embedding near-dup pairs: sign-LSH bucket (4 hyperplanes) candidate "
+    "generation + exact cosine ≥ 0.4 verify. Pair cost Σ bucket², not n².",
+)
+def emb_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import neardup_pairs_bucketed
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return neardup_pairs_bucketed(e, threshold=0.4, nplanes=4).orderBy("id_a", "id_b")
+
+
 @query(
     "emb_norm_stats_per_label",
     oracle="""

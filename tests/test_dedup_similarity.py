@@ -1,0 +1,119 @@
+"""Unit tests for near-dup text dedup and ANN operators on planted fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from date_warehouse___airline_project_spark.operators.similarity import (
+    cosine,
+    ivf_topk,
+    neardup_pairs_bucketed,
+)
+from date_warehouse___airline_project_spark.operators.text_dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+    word_shingles,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the old river bank today"
+NEAR = BASE.replace("today", "tonight")  # one-token edit → high jaccard
+OTHER = "completely different content about spark shuffles and partition pruning"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, OTHER), (4, BASE)], ["doc_id", "text"]
+    )
+
+
+def test_word_shingles_count_and_short_doc(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b")], ["doc_id", "text"])
+    rows = {r.doc_id: r.sh for r in df.select("doc_id", word_shingles("text", 3).alias("sh")).collect()}
+    assert rows[1] == ["a b c", "b c d"]
+    assert rows[2] == []
+
+
+def test_minhash_lsh_finds_planted_pairs(docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in
+             minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0  # near dup
+    assert all(3 not in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_identical_docs_zero_hamming(docs):
+    sigs = {r.doc_id: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[4]
+    assert 0 <= sigs[1] < 2**48
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in
+             simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()}
+    assert pairs[(1, 4)] == 0
+    assert (1, 2) in pairs  # one-token edit stays within hamming 3 here
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc1: shingles {a b c, b c d}; doc2: {a b c}; jaccard = 1/2
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b c")], ["doc_id", "text"])
+    rows = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.1, max_doc_freq=None).collect()
+    assert len(rows) == 1
+    assert rows[0].doc_a == 1 and rows[0].doc_b == 2
+    assert rows[0].jaccard == pytest.approx(0.5)
+
+
+def test_ngram_doc_freq_cap_drops_stop_shingles(spark):
+    # the shared shingle appears in 3 docs; cap=2 removes it → no pairs
+    df = spark.createDataFrame(
+        [(i, "x y z unique%d" % i) for i in range(3)], ["doc_id", "text"]
+    )
+    assert ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.01, max_doc_freq=2).count() == 0
+    assert ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.01, max_doc_freq=None).count() == 3
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import math
+
+    # 8-dim ring vectors: vec i at angle i*2π/40 in the (0,1) plane, plus a
+    # planted exact duplicate of vec 1 at id 100.
+    rows = []
+    for i in range(40):
+        a = 2 * math.pi * i / 40
+        v = [math.cos(a), math.sin(a)] + [0.0] * 6
+        rows.append((i, v, i % 4))
+    rows.append((100, rows[1][1], 99))
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_ivf_topk_matches_bruteforce_when_probing_everything(emb):
+    # nprobe ≥ #centroids → IVF degenerates to exact search
+    ivf = ivf_topk(emb, query_id=0, k=5, nprobe=100, centroid_mod=10)
+    got = [(r.vec_id, r.cos_sim) for r in ivf.collect()]
+
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    brute = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(5)
+    )
+    want = [(r.vec_id, r.cos_sim) for r in brute.collect()]
+    assert got == want
+    assert got[0][0] in (1, 39)  # ring neighbors of vec 0
+
+
+def test_ivf_topk_probed_subset(emb):
+    # with nprobe=1 every hit must come from the single probed cell
+    got = ivf_topk(emb, query_id=0, k=5, nprobe=1, centroid_mod=10).collect()
+    assert 0 < len(got) <= 5
+    assert all(r.cos_sim <= 1.0 for r in got)
+
+
+def test_neardup_bucketed_finds_exact_dup(emb):
+    pairs = {(r.id_a, r.id_b): r.cos_sim for r in
+             neardup_pairs_bucketed(emb, threshold=0.99, nplanes=4).collect()}
+    assert pairs == {(1, 100): 1.0}
