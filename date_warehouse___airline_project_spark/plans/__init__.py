@@ -8,3 +8,4 @@ def load_all() -> None:
     from . import text  # noqa: F401
     from . import similarity  # noqa: F401
     from . import dedup  # noqa: F401
+    from . import event_windows  # noqa: F401

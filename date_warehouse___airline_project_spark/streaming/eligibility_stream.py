@@ -1,0 +1,128 @@
+"""Streaming insurance-eligibility pipeline.
+
+Reference dataflow (SURVEY §3.3): INSERT on ``outbox`` → Realtime watcher
+(supabaseWatcher.js:36-63) → Kafka producer → consumer worker
+(kafkaworker.js:41-150) which audit-logs every message, dispatches on
+``type == 'eligibility_check'``, looks up the latest flight row, computes
+delay/eligibility with a six-value reasons enum, and appends
+``eligibility_results``.
+
+Spark-first collapse: ONE streaming query.
+
+  readStream (text lines = Kafka values)
+    → from_json with raw-string fallback (kafkaworker.js:47-52 JSON.parse
+      try/catch re-expressed as a null-check coalesce — F-J2)
+    → foreachBatch:
+        audit append        (every message, kafka_messages shape — ST2/ST5)
+        filter type → stream-static join vs flights → verdicts
+        results append      (eligibility_results shape)
+
+foreachBatch is used (rather than two independent sinks) because the
+reference's worker performs BOTH side effects per message batch; the
+checkpoint makes replay idempotent-at-batch granularity — an uplift over
+the reference's at-least-once consumer.
+
+The verdict logic is ``pipelines.eligibility.check_eligibility`` — the
+exact same lazy plan serves batch and streaming (stream-static joins are
+natively supported), so correctness tests on the batch form certify the
+streaming form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..pipelines.eligibility import check_eligibility
+
+# kafkaworker.js:67-70 message envelope: {type, payload:{passengerId,
+# firstName, lastName, flightNumber}, requested_at}
+MESSAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("type", T.StringType()),
+        T.StructField(
+            "payload",
+            T.StructType(
+                [
+                    T.StructField("passengerId", T.StringType()),
+                    T.StructField("firstName", T.StringType()),
+                    T.StructField("lastName", T.StringType()),
+                    T.StructField("flightNumber", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField("requested_at", T.StringType()),
+    ]
+)
+
+
+def parse_messages(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """JSON parse with raw fallback: unparseable payloads survive as
+    ``raw`` with null type (they are audited but never dispatched)."""
+    parsed = F.from_json(F.col(value_col), MESSAGE_SCHEMA)
+    return raw.select(
+        F.col(value_col).alias("raw_value"),
+        # from_json yields a null struct on malformed input → type stays null
+        parsed.alias("msg"),
+    ).select(
+        "raw_value",
+        F.col("msg.type").alias("type"),
+        F.col("msg.payload.passengerId").alias("passenger_id"),
+        F.col("msg.payload.firstName").alias("first_name"),
+        F.col("msg.payload.lastName").alias("last_name"),
+        F.col("msg.payload.flightNumber").alias("flight_number"),
+        F.col("msg.requested_at").alias("requested_at"),
+    )
+
+
+def eligibility_requests(messages: DataFrame) -> DataFrame:
+    """Dispatch: only eligibility_check messages become requests (F-J4)."""
+    return messages.filter(F.col("type") == "eligibility_check").select(
+        "passenger_id", "first_name", "last_name", "flight_number", "requested_at"
+    )
+
+
+def run_eligibility_stream(
+    spark: SparkSession,
+    input_dir: str,
+    flights: DataFrame,
+    audit_dir: str,
+    results_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Start the collapsed watcher+worker query over a line-JSON drop dir.
+
+    ``input_dir`` stands in for the Kafka topic (swap the source for
+    ``format("kafka")`` + the same ``parse_messages`` on ``CAST(value AS
+    STRING)`` in a cluster deployment; the rest of the plan is unchanged).
+    Returns the StreamingQuery handle.
+    """
+    raw = spark.readStream.format("text").load(input_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        msgs = parse_messages(batch_df, "value").persist()
+        try:
+            # ST2/ST5: audit-append every message before dispatch
+            (
+                msgs.withColumn("batch_id", F.lit(batch_id))
+                .withColumn("processed_at", F.current_timestamp())
+                .select("batch_id", "raw_value", "type", "processed_at")
+                .write.mode("append")
+                .parquet(audit_dir)
+            )
+            requests = eligibility_requests(msgs)
+            verdicts = check_eligibility(requests, flights)
+            verdicts.write.mode("append").parquet(results_dir)
+        finally:
+            msgs.unpersist()
+
+    writer = (
+        raw.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("eligibility_stream")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,148 @@
+"""Streaming tests: eligibility pipeline end-to-end through a file-source
+stream (availableNow), watermarked windows vs their batch equivalents, and
+CSV drop-dir ingest through a cleaning pipeline."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from date_warehouse___airline_project_spark.streaming import (
+    run_eligibility_stream,
+    stream_csv_dir,
+    windowed_event_counts,
+)
+
+FLIGHTS = [
+    # (flight_number, scheduled, actual) — delay 180 min → eligible
+    ("AA100", "2026-01-01 10:00:00", "2026-01-01 13:00:00"),
+    # older row for AA100: must be ignored (latest-by-scheduled wins)
+    ("AA100", "2025-12-01 10:00:00", "2025-12-01 10:05:00"),
+    # delay 30 min → not eligible
+    ("BB200", "2026-01-01 09:00:00", "2026-01-01 09:30:00"),
+    # unparseable actual → invalid_time_format
+    ("CC300", "2026-01-01 08:00:00", "not-a-time"),
+    # missing actual → missing_time_data
+    ("DD400", "2026-01-01 07:00:00", None),
+]
+
+
+def _msg(ptype: str, pid: str, flight: str) -> str:
+    return json.dumps(
+        {
+            "type": ptype,
+            "payload": {
+                "passengerId": pid,
+                "firstName": "Ada",
+                "lastName": "Lovelace",
+                "flightNumber": flight,
+            },
+            "requested_at": "2026-01-02T00:00:00Z",
+        }
+    )
+
+
+@pytest.fixture()
+def flights_df(spark):
+    return spark.createDataFrame(
+        FLIGHTS, ["flight_number", "scheduled_departure", "actual_departure"]
+    )
+
+
+def test_eligibility_stream_end_to_end(spark, tmp_path, flights_df):
+    input_dir, audit, results, ckpt = (
+        str(tmp_path / d) for d in ("in", "audit", "results", "ckpt")
+    )
+    (tmp_path / "in").mkdir()
+    lines = [
+        _msg("eligibility_check", "P1", "AA100"),
+        _msg("eligibility_check", "P2", "BB200"),
+        _msg("eligibility_check", "P3", "CC300"),
+        _msg("eligibility_check", "P4", "DD400"),
+        _msg("eligibility_check", "P5", "ZZ999"),  # flight_not_found
+        _msg("other_event", "P6", "AA100"),  # audited, not dispatched
+        "{not json",  # raw fallback, audited only
+    ]
+    (tmp_path / "in" / "batch1.txt").write_text("\n".join(lines))
+
+    q = run_eligibility_stream(spark, input_dir, flights_df, audit, results, ckpt)
+    q.awaitTermination(120)
+
+    audit_rows = spark.read.parquet(audit)
+    assert audit_rows.count() == 7  # every line audited, including malformed
+    assert audit_rows.filter(F.col("type").isNull()).count() == 1
+
+    res = {r.passenger_id: r for r in spark.read.parquet(results).collect()}
+    assert len(res) == 5
+    assert res["P1"].eligible and res["P1"].reason == "delay_threshold_met"
+    assert res["P1"].delay_minutes == 180
+    assert not res["P2"].eligible and res["P2"].reason == "delay_below_threshold"
+    assert res["P2"].delay_minutes == 30
+    assert res["P3"].reason == "invalid_time_format"
+    assert res["P4"].reason == "missing_time_data"
+    assert res["P5"].reason == "flight_not_found"
+
+    # replay with the same checkpoint: no new rows (exactly-once per batch)
+    q2 = run_eligibility_stream(spark, input_dir, flights_df, audit, results, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(results).count() == 5
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path):
+    from date_warehouse___airline_project_spark.sources.catalog import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "events_src")
+    events.limit(400).write.parquet(src)
+
+    batch = windowed_event_counts(spark.read.parquet(src))
+    stream = windowed_event_counts(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("win_counts").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_csv_drop_dir_ingest_cleans_per_batch(spark, tmp_path):
+    from date_warehouse___airline_project_spark.pipelines.cleaners import clean_airlinesales
+
+    (tmp_path / "drop").mkdir()
+    (tmp_path / "drop" / "f1.csv").write_text(
+        "TransactionId,TicketPrice\n10001,$1,540.00\n,\n10001,$99.00\n"
+    )
+    out: dict[str, int] = {}
+
+    def process(batch_df, batch_id):
+        clean, quar = clean_airlinesales(batch_df)
+        out["clean"] = clean.count()
+        out["quar"] = quar.count()
+
+    q = stream_csv_dir(
+        spark,
+        str(tmp_path / "drop"),
+        ["TransactionId", "TicketPrice"],
+        process,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    # row 1 clean; row 2 missing id → quarantine; row 3 duplicate id → quarantine
+    assert out == {"clean": 1, "quar": 2}
