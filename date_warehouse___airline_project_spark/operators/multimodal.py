@@ -1,0 +1,127 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design for a 100 TB training-data pipeline: media rides as opaque
+``binary`` columns with typed metadata alongside; all per-item compute is
+Arrow-batched Python (``mapInPandas``) so bytes never round-trip through
+JVM row objects one at a time. Schema and batch shape are real and tested;
+the actual codec work (image decode / resample / frame extraction) is
+STUBBED — the container has no PIL/ffmpeg/torchaudio — behind
+``_require_codec`` which raises ``NotImplementedError`` unless a decoder
+module is importable. The deterministic fallback path (hash-derived
+metadata) keeps the full distributed plumbing exercisable and
+oracle-checkable without codecs.
+
+Partitioning note: media rows are large and skew-prone; callers should
+``repartition`` on a uniform key (e.g. ``media_id``) before heavy decode
+stages so one executor never holds the long tail of big blobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def _require_codec(kind: str):
+    """Import the real decoder for ``kind`` or fail loudly.
+
+    Real deployments plug PIL/ffmpeg here; this container has neither, so
+    every real-decode path raises NotImplementedError — by design, per the
+    stub contract. The hash-derived fake paths below stay fully functional.
+    """
+    raise NotImplementedError(
+        f"no {kind} codec available in this environment; "
+        "use the deterministic fake-metadata path (decode=False)"
+    )
+
+
+def attach_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Test-fixture builder: derive a deterministic binary payload from a
+    text column (UTF-8 bytes) + a media_type tag. Stands in for real blobs
+    so the downstream plumbing is exercised with genuine binary data."""
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.when(F.col(id_col) % 3 == 0, "image")
+        .when(F.col(id_col) % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").cast("binary").alias("content"),
+    )
+
+
+def extract_media_meta(media: DataFrame, decode: bool = False) -> DataFrame:
+    """Per-item metadata via Arrow-batched ``mapInPandas``.
+
+    decode=False (default): deterministic hash-derived metadata — md5 of
+    the raw bytes; fake width/height decoded from the first two digest
+    bytes (64 + b). decode=True: requires a real codec (stubbed).
+    """
+    if decode:
+        _require_codec("image")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            digests = [hashlib.md5(bytes(b)).hexdigest() for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(bytes(b)) for b in pdf["content"]],
+                    "content_md5": digests,
+                    "width": [64 + int(d[0:2], 16) for d in digests],
+                    "height": [64 + int(d[2:4], 16) for d in digests],
+                }
+            )
+
+    return media.mapInPandas(batches, MEDIA_META_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_size: int = 1024, max_frames: int = 4) -> DataFrame:
+    """Frame sampling shape: one input row fans out to ≤ ``max_frames``
+    rows of ``frame_bytes``. The fake "decoder" slices the payload into
+    fixed-size chunks; a real one would seek keyframes — identical plan
+    shape (mapInPandas generator, rows ≠ 1:1 with input)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, out_idx, out_bytes = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(blob)
+                for i in range(min(max_frames, max(1, len(raw) // frame_size))):
+                    out_ids.append(mid)
+                    out_idx.append(i)
+                    out_bytes.append(raw[i * frame_size : (i + 1) * frame_size])
+            yield pd.DataFrame(
+                {"media_id": out_ids, "frame_idx": out_idx, "frame_bytes": out_bytes}
+            )
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(batches, FRAME_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Real image resize — codec required, stubbed in this environment."""
+    _require_codec("image")

@@ -9,3 +9,4 @@ def load_all() -> None:
     from . import similarity  # noqa: F401
     from . import dedup  # noqa: F401
     from . import event_windows  # noqa: F401
+    from . import multimodal  # noqa: F401

@@ -107,6 +107,110 @@ def doc_fingerprint_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LEXICONS = {
+    "en": ["the", "and", "of", "to", "in", "is", "on", "for", "a", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "les", "et", "est", "une", "dans", "pour", "que", "ne", "pas"],
+    "es": ["el", "los", "y", "es", "un", "una", "en", "para", "por", "como"],
+}
+_LANG_ORDER = list(LEXICONS)
+
+
+def _langid_hits_sql() -> str:
+    return ",\n           ".join(
+        "len(list_filter(toks, t -> list_contains({lex}, t))) AS h_{lang}".format(
+            lex="[" + ", ".join(f"'{w}'" for w in ws) + "]", lang=lang
+        )
+        for lang, ws in LEXICONS.items()
+    )
+
+
+_LANGID_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+    h AS (
+      SELECT doc_id, lang,
+           {_langid_hits_sql()},
+           greatest(h_en, h_de, h_fr, h_es) AS g
+      FROM t)
+    SELECT doc_id,
+           CASE WHEN g = 0 THEN 'und'
+                WHEN h_en = g THEN 'en'
+                WHEN h_de = g THEN 'de'
+                WHEN h_fr = g THEN 'fr'
+                ELSE 'es' END AS predicted_lang,
+           lang AS declared_lang,
+           CAST(h_en AS BIGINT) AS h_en, CAST(h_de AS BIGINT) AS h_de,
+           CAST(h_fr AS BIGINT) AS h_fr, CAST(h_es AS BIGINT) AS h_es
+    FROM h
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "doc_langid_heuristic",
+    oracle=_LANGID_ORACLE,
+    doc="Language-ID n-gram/stopword heuristic: per-language lexicon hit "
+    "counts, argmax with fixed tie order (en,de,fr,es), 'und' when no hits. "
+    "(The synthetic corpus text is English-ish regardless of the declared "
+    "lang column — the operator is judged on its computation.)",
+)
+def doc_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+    d = d.select("doc_id", F.col("lang").alias("declared_lang"), toks.alias("_toks"))
+    for lang, ws in LEXICONS.items():
+        lex = F.array(*[F.lit(w) for w in ws])
+        d = d.withColumn(
+            f"h_{lang}",
+            F.size(F.filter("_toks", lambda t: F.array_contains(lex, t))).cast("bigint"),
+        )
+    g = F.greatest(*[F.col(f"h_{lang}") for lang in _LANG_ORDER])
+    pred = F.when(g == 0, "und")
+    for lang in _LANG_ORDER[:-1]:
+        pred = pred.when(F.col(f"h_{lang}") == g, lang)
+    pred = pred.otherwise(_LANG_ORDER[-1])
+    return d.select(
+        "doc_id",
+        pred.alias("predicted_lang"),
+        "declared_lang",
+        *[f"h_{lang}" for lang in _LANG_ORDER],
+    ).orderBy("doc_id")
+
+
+# GPT-2-style pre-tokenizer shape: contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs, residual whitespace. Both
+# engines compile it the same way (no lookarounds).
+_BPE_RE = "'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+
+
+@query(
+    "doc_bpe_token_estimate",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}')) AS BIGINT)
+               AS n_bpe_pieces,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="BPE-ish token estimate: GPT-2-style pre-tokenizer regex piece count "
+    "next to whitespace token count (training-data token accounting).",
+)
+def doc_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))).cast("bigint").alias(
+            "n_bpe_pieces"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0))).cast("bigint").alias(
+            "n_ws_tokens"
+        ),
+    ).orderBy("doc_id")
+
+
 @query(
     "doc_lang_distribution",
     oracle="""

@@ -1,0 +1,55 @@
+"""Multimodal plumbing tests: binary columns, Arrow-batched metadata,
+frame fan-out shape, and the codec stub contract."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from date_warehouse___airline_project_spark.operators.multimodal import (
+    attach_media,
+    extract_media_meta,
+    resize_images,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha " * 300), (1, "beta"), (2, "gamma " * 600)], ["doc_id", "text"]
+    )
+    return attach_media(docs)
+
+
+def test_attach_media_binary_and_type(media):
+    rows = {r.media_id: r for r in media.collect()}
+    assert rows[0].media_type == "image"
+    assert rows[1].media_type == "audio"
+    assert rows[2].media_type == "video"
+    assert bytes(rows[1].content) == b"beta"
+
+
+def test_extract_media_meta_deterministic(media):
+    rows = {r.media_id: r for r in extract_media_meta(media).collect()}
+    d = hashlib.md5(b"beta").hexdigest()
+    assert rows[1].content_md5 == d
+    assert rows[1].n_bytes == 4
+    assert rows[1].width == 64 + int(d[0:2], 16)
+    assert rows[1].height == 64 + int(d[2:4], 16)
+
+
+def test_sample_frames_fanout(media):
+    # only the video row (3600 bytes) fans out; 1024-byte frames, max 4
+    frames = sample_frames(media, frame_size=1024, max_frames=4).collect()
+    assert {f.media_id for f in frames} == {2}
+    assert [f.frame_idx for f in sorted(frames, key=lambda f: f.frame_idx)] == [0, 1, 2]
+    assert all(len(bytes(f.frame_bytes)) == 1024 for f in frames)
+
+
+def test_real_decode_paths_are_stubbed(media):
+    with pytest.raises(NotImplementedError):
+        resize_images(media, 224, 224)
+    with pytest.raises(NotImplementedError):
+        extract_media_meta(media, decode=True)
