@@ -10,3 +10,4 @@ def load_all() -> None:
     from . import dedup  # noqa: F401
     from . import event_windows  # noqa: F401
     from . import multimodal  # noqa: F401
+    from . import warehouse_queries  # noqa: F401

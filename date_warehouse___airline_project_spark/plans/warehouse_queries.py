@@ -1,0 +1,87 @@
+"""SCD2 warehouse query: a two-batch dimension merge expressed as a pure
+function of the ``customer`` table, with a full SQL oracle replicating the
+effective-dating semantics (close-old / open-new / insert-new / no-op).
+
+Batches are derived deterministically:
+  batch1 (t1) — every customer with their market segment
+  batch2 (t2) — segment forced to MACHINERY for custkey % 7 == 0 (an
+                update for those not already MACHINERY), plus synthetic
+                new keys custkey + 10,000,000 for custkey % 97 == 0
+                (exercising the insert path)
+
+Expected final dim (what both engines compute independently):
+  changed keys    → a closed row [t1, t2) + an open row [t2, ∞)
+  unchanged keys  → one open row [t1, ∞)
+  new keys        → one open row [t2, ∞)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.scd2 import scd2_init, scd2_merge
+from ..sources.catalog import load_table
+from .registry import query
+
+T1, T2 = "2026-01-01 00:00:00", "2026-02-01 00:00:00"
+
+_SCD2_ORACLE = f"""
+    WITH b1 AS (
+      SELECT c_custkey AS custkey, c_mktsegment AS segment FROM customer),
+    b2 AS (
+      SELECT c_custkey AS custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN 'MACHINERY' ELSE c_mktsegment END AS segment
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 10000000, 'NEWSEGMENT' FROM customer WHERE c_custkey % 97 = 0),
+    changed AS (
+      SELECT b2.custkey, b2.segment AS new_seg, b1.segment AS old_seg
+      FROM b2 JOIN b1 USING (custkey) WHERE b1.segment <> b2.segment),
+    new_keys AS (
+      SELECT b2.custkey, b2.segment FROM b2
+      WHERE custkey NOT IN (SELECT custkey FROM b1))
+    SELECT custkey, old_seg AS segment,
+           '{T1}' AS valid_from, '{T2}' AS valid_to, FALSE AS is_current
+    FROM changed
+    UNION ALL
+    SELECT custkey, new_seg, '{T2}', NULL, TRUE FROM changed
+    UNION ALL
+    SELECT b1.custkey, b1.segment, '{T1}', NULL, TRUE
+    FROM b1 WHERE b1.custkey NOT IN (SELECT custkey FROM changed)
+    UNION ALL
+    SELECT custkey, segment, '{T2}', NULL, TRUE FROM new_keys
+    ORDER BY custkey, valid_from
+"""
+
+
+@query(
+    "scd2_dim_two_batches",
+    oracle=_SCD2_ORACLE,
+    doc="SCD Type 2 merge over two deterministic batches: close-old/open-new "
+    "on change, insert on new key, no-op otherwise (SURVEY §2.3 J4; "
+    "table_configs.json scdType 2 semantics).",
+)
+def scd2_dim_two_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    b1 = c.select(F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment"))
+    b2 = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.when(F.col("c_custkey") % 7 == 0, "MACHINERY")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 97 == 0).select(
+            (F.col("c_custkey") + 10_000_000).alias("custkey"),
+            F.lit("NEWSEGMENT").alias("segment"),
+        )
+    )
+    dim = scd2_init(b1, T1)
+    dim = scd2_merge(dim, b2, ["custkey"], ["segment"], T2)
+    return dim.select(
+        "custkey",
+        "segment",
+        F.date_format("_valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("_valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        F.col("_is_current").alias("is_current"),
+    ).orderBy("custkey", "valid_from")

@@ -1,0 +1,113 @@
+"""Warehouse-layer tests: typing/dedup into prefact, SCD2 invariants
+(rerun no-op, change closes+opens, one current row per key), surrogate-key
+stability, and fact SK resolution."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from date_warehouse___airline_project_spark.pipelines.warehouse import (
+    WarehouseConfig,
+    dim_to_fact,
+    run_batch,
+    stage_to_prefact,
+)
+
+CFG = WarehouseConfig(
+    subject="booking",
+    natural_key=("booking_reference",),
+    tracked=("channel", "status"),
+    measures=("amount",),
+    type_map={"amount": "decimal(10,2)"},
+)
+
+BATCH1 = [
+    ("B001", "web", "confirmed", "100.50"),
+    ("B002", "agency", "pending", "200.00"),
+    ("B001", "web", "DUPLICATE", "999.99"),  # keep-first drops this
+]
+BATCH2 = [
+    ("B001", "web", "cancelled", "100.50"),  # status change → new version
+    ("B002", "agency", "pending", "250.00"),  # tracked attrs same → no-op
+    ("B003", "mobile", "confirmed", "300.00"),  # new key
+]
+COLS = ["booking_reference", "channel", "status", "amount"]
+
+
+@pytest.fixture(scope="module")
+def dims(spark):
+    s1 = spark.createDataFrame(BATCH1, COLS)
+    s2 = spark.createDataFrame(BATCH2, COLS)
+    _, dim1, fact1 = run_batch(s1, None, CFG, "2026-01-01 00:00:00")
+    dim1 = dim1.cache()
+    _, dim2, fact2 = run_batch(s2, dim1, CFG, "2026-02-01 00:00:00")
+    return dim1, dim2.cache(), fact1, fact2
+
+
+def test_prefact_types_and_dedups(spark):
+    pf = stage_to_prefact(spark.createDataFrame(BATCH1, COLS), CFG)
+    rows = {r.booking_reference: r for r in pf.collect()}
+    assert len(rows) == 2
+    assert rows["B001"].status == "confirmed"  # first occurrence won
+    assert str(rows["B001"].amount) == "100.50"
+    assert dict(pf.dtypes)["amount"] == "decimal(10,2)"
+
+
+def test_scd2_change_closes_and_opens(dims):
+    _, dim2, _, _ = dims
+    b1 = sorted(
+        dim2.filter(F.col("booking_reference") == "B001").collect(),
+        key=lambda r: r._valid_from,
+    )
+    assert len(b1) == 2
+    closed, opened = b1
+    assert not closed._is_current and str(closed._valid_to) == "2026-02-01 00:00:00"
+    assert closed.status == "confirmed"
+    assert opened._is_current and opened._valid_to is None
+    assert opened.status == "cancelled"
+
+
+def test_scd2_noop_and_insert(dims):
+    _, dim2, _, _ = dims
+    b2 = dim2.filter(F.col("booking_reference") == "B002").collect()
+    assert len(b2) == 1 and b2[0]._is_current
+    assert str(b2[0]._valid_from) == "2026-01-01 00:00:00"  # untouched
+    b3 = dim2.filter(F.col("booking_reference") == "B003").collect()
+    assert len(b3) == 1 and b3[0]._is_current
+    assert str(b3[0]._valid_from) == "2026-02-01 00:00:00"
+
+
+def test_scd2_rerun_is_noop(spark, dims):
+    _, dim2, _, _ = dims
+    s2 = spark.createDataFrame(BATCH2, COLS)
+    _, dim3, _ = run_batch(s2, dim2, CFG, "2026-03-01 00:00:00")
+    a = sorted(map(tuple, dim2.collect()))
+    b = sorted(map(tuple, dim3.collect()))
+    assert a == b
+
+
+def test_one_current_row_per_key(dims):
+    _, dim2, _, _ = dims
+    bad = (
+        dim2.filter(F.col("_is_current"))
+        .groupBy("booking_reference")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_surrogate_keys_stable_and_fact_resolution(dims):
+    dim1, dim2, fact1, fact2 = dims
+    sk1 = {r.booking_reference: r.booking_sk for r in dim1.filter(F.col("_is_current")).collect()}
+    # B002 never changed: its surrogate survives the second merge unchanged
+    sk2 = {r.booking_reference: r.booking_sk for r in dim2.filter(F.col("_is_current")).collect()}
+    assert sk1["B002"] == sk2["B002"]
+    assert sk1["B001"] != sk2["B001"]  # new version → new surrogate
+
+    f2 = {r.booking_reference: r for r in fact2.collect()}
+    assert f2["B001"].booking_sk == sk2["B001"]
+    assert str(f2["B002"].amount) == "250.00"
+    assert all(r.booking_sk is not None for r in f2.values())
