@@ -83,6 +83,11 @@ def extract_media_meta(media: DataFrame, decode: bool = False) -> DataFrame:
     if decode:
         _require_codec("image")
 
+    # rebalance before the Python stage: a single-file scan is ONE partition,
+    # which would serialize the Arrow-batched work (and at scale, decode
+    # cost is per-item, not per-byte — round-robin beats split inheritance)
+    media = media.repartition(media.sparkSession.sparkContext.defaultParallelism)
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             digests = [hashlib.md5(bytes(b)).hexdigest() for b in pdf["content"]]

@@ -55,7 +55,10 @@ def ivf_assign(
     cents = emb.filter(F.col(id_col) % centroid_mod == 0).select(
         F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
     )
-    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+    # rebalance the data side before the O(n × centroids) scoring pass —
+    # a single-file scan would otherwise run it in one task
+    data = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    scored = data.crossJoin(F.broadcast(cents)).withColumn(
         "_cos_c", cosine(F.col(vec_col), F.col("_cvec"))
     )
     # argmax with lower-id tiebreak: max_by on (cos, -cid)
@@ -139,7 +142,7 @@ def neardup_pairs_bucketed(
     are missed — the standard LSH trade; multiple bucket tables would raise
     recall). Pair verification cost is Σ bucket² instead of n².
     """
-    b = emb.select(
+    b = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         sign_lsh_bucket(F.col(vec_col), nplanes).alias("_bucket"),

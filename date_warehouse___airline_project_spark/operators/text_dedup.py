@@ -32,10 +32,19 @@ SimHash bit extraction from hex: bit ``b`` of a token's 32-bit hash is
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 TOKEN_RE = "[a-z0-9]+"
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's default parallelism before CPU-heavy
+    per-row work (hashing, shingling). Input splits bound scan parallelism,
+    not compute parallelism: a single small parquet file arrives as ONE
+    partition, which would serialize the whole signature computation; at
+    cluster scale the same round-robin exchange rebalances skewed splits."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def tokens(col: Column | str) -> Column:
@@ -45,7 +54,13 @@ def tokens(col: Column | str) -> Column:
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles; empty array when < n tokens."""
+    """Distinct word n-gram shingles as an array; empty when < n tokens.
+
+    Array form for small/composable use. The hot path below uses
+    ``shingle_index`` instead: higher-order array lambdas run on Spark's
+    interpreted expression path (no whole-stage codegen), which is an
+    order of magnitude slower per element.
+    """
     toks = tokens(col)
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
@@ -56,30 +71,61 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, k: int = 16) -> list[Column]:
-    """K minhash values: lexicographic min of md5('<i>:' || shingle).
+def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct (``_id``, ``_g``) word-n-gram rows — the inverted-index form.
 
-    Min over hex strings is order-isomorphic to min over the underlying
-    128-bit integers, so this is a true minhash family without any
-    hex→int conversion (which engines disagree on).
+    Fully codegen'd relational plan: posexplode tokens → window ``lead`` to
+    form n-grams → distinct. One shuffle on the doc id (window) + one on
+    (id, shingle) (distinct); no interpreted array lambdas. Produces the
+    same shingle SET as ``word_shingles`` for every doc with ≥ n tokens.
     """
-    return [
-        F.array_min(F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
-        for i in range(k)
-    ]
+    tok = spread(df).select(
+        F.col(id_col).alias("_id"), F.posexplode(tokens(text_col)).alias("_pos", "_tok")
+    )
+    w = W.partitionBy("_id").orderBy("_pos")
+    leads = [F.lead("_tok", j).over(w) for j in range(1, n)]
+    return (
+        tok.select(
+            "_id",
+            F.concat_ws(" ", F.col("_tok"), *leads).alias("_g"),
+            leads[-1].alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .select("_id", "_g")
+        .distinct()
+    )
 
 
-def lsh_band_hashes(signature: list[Column], bands: int) -> list[Column]:
-    """Hash each band of ``len(signature)/bands`` rows to one bucket key."""
-    rows = len(signature) // bands
-    return [
-        F.md5(F.concat(*signature[b * rows : (b + 1) * rows])) for b in range(bands)
-    ]
-
-
-def _jaccard(sh_a: Column, sh_b: Column) -> Column:
-    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
-    return inter / (F.size(sh_a) + F.size(sh_b) - inter)
+def _verify_jaccard(
+    cand: DataFrame, inv: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact jaccard for candidate (doc_a, doc_b) pairs from the inverted
+    index: intersection = count of co-occurring shingles (index join
+    restricted to candidate docs), union = |A| + |B| − intersection.
+    All relational — no array materialization, no interpreted lambdas."""
+    sizes = inv.groupBy("_id").agg(F.count("*").alias("_n"))
+    inv_a = inv.join(
+        cand.select(F.col("doc_a").alias("_id")).distinct(), "_id", "left_semi"
+    ).select(F.col("_id").alias("doc_a"), "_g")
+    inv_b = inv.join(
+        cand.select(F.col("doc_b").alias("_id")).distinct(), "_id", "left_semi"
+    ).select(F.col("_id").alias("doc_b"), "_g")
+    inter = (
+        cand.join(inv_a, "doc_a")
+        .join(inv_b, ["doc_b", "_g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("_id").alias("doc_a"), F.col("_n").alias("_na")), "doc_a")
+        .join(sizes.select(F.col("_id").alias("doc_b"), F.col("_n").alias("_nb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def minhash_lsh_pairs(
@@ -95,36 +141,40 @@ def minhash_lsh_pairs(
 
     Returns (doc_a, doc_b, jaccard) for candidate pairs (≥1 shared LSH
     band) whose true shingle jaccard ≥ threshold, doc_a < doc_b.
+
+    Hashing cost is ONE pass over the shingle index: each shingle gets two
+    56-bit md5-derived values (a, b) and the K minhash functions are the
+    Kirsch–Mitzenmacher family ``h_i = a + i·b`` (no overflow:
+    a + 15b < 2^60), minimized by a map-side-combined groupBy — K plain
+    ``min`` aggregates over precomputed longs instead of K md5 sweeps.
     """
-    sh = (
-        df.select(F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh"))
-        .filter(F.size("_sh") > 0)
+    inv = shingle_index(df, id_col, text_col, n)
+    ex = inv.withColumn(
+        "_ha", _hash_int(F.md5(F.concat(F.lit("a:"), F.col("_g"))), 56)
+    ).withColumn("_hb", _hash_int(F.md5(F.concat(F.lit("b:"), F.col("_g"))), 56))
+    sig = ex.groupBy("_id").agg(
+        *[F.min(F.col("_ha") + i * F.col("_hb")).alias(f"_mh{i}") for i in range(k)]
     )
-    sig = minhash_signature(F.col("_sh"), k)
-    band_cols = lsh_band_hashes(sig, bands)
-    banded = sh.select(
-        "_id",
-        "_sh",
-        F.posexplode(F.array(*band_cols)).alias("_band_idx", "_band_hash"),
+    rows = k // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(",", *[F.col(f"_mh{b * rows + r}").cast("string") for r in range(rows)])
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "_id", F.posexplode(F.array(*band_cols)).alias("_band_idx", "_band_hash")
     )
 
-    left = banded.select(
-        F.col("_id").alias("doc_a"), F.col("_sh").alias("_sh_a"), "_band_idx", "_band_hash"
-    )
-    right = banded.select(
-        F.col("_id").alias("doc_b"), F.col("_sh").alias("_sh_b"), "_band_idx", "_band_hash"
-    )
+    left = banded.select(F.col("_id").alias("doc_a"), "_band_idx", "_band_hash")
+    right = banded.select(F.col("_id").alias("doc_b"), "_band_idx", "_band_hash")
     cand = (
         left.join(right, ["_band_idx", "_band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "_sh_a", "_sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return (
-        cand.withColumn("jaccard", _jaccard(F.col("_sh_a"), F.col("_sh_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _verify_jaccard(cand, inv, threshold)
 
 
 def _hash_int(md5_col: Column, nbits: int) -> Column:
@@ -147,7 +197,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, nbits: int = 48) -> DataF
     standard SimHash) → per-bit ±1 partial sums in ONE groupBy (map-side
     combine keeps the shuffle at nbits longs per doc) → majority bit.
     """
-    tok = df.select(
+    tok = spread(df).select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok")
     ).withColumn("_h", _hash_int(F.md5(F.col("_tok")), nbits))
     sums = tok.groupBy("_id").agg(
@@ -212,29 +262,25 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = 100,
+    max_doc_freq: int | None = 20,
 ) -> DataFrame:
     """Exact n-gram-jaccard pairs via an inverted shingle index.
 
     ``max_doc_freq`` drops shingles appearing in more than that many docs
-    before the self-join — the skew guard that keeps the index join from
-    exploding on boilerplate shingles (at 100 TB this is the difference
-    between a linear and a quadratic candidate stage). Dropping a shingle
-    shared by >F docs can only *lower* a pair's computed jaccard, so with
-    F ≫ 1/threshold the high-similarity pairs this operator reports are
-    unaffected in practice; exactness over the kept vocabulary is exact.
+    — the skew guard that keeps the index self-join from exploding on
+    boilerplate shingles (Σ df² is the candidate cost; at 100 TB this is
+    the difference between a linear and a quadratic stage). Jaccard is
+    computed over the KEPT vocabulary (sizes counted after the cap), so
+    the semantics are exact for "similarity over discriminative shingles":
+    a shingle shared by more than F documents carries no near-dup signal.
     """
-    sh = (
-        df.select(F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh"))
-        .filter(F.size("_sh") > 0)
-    )
-    sizes = sh.select("_id", F.size("_sh").alias("_n"))
-    inv = sh.select("_id", F.explode("_sh").alias("_g"))
+    inv = shingle_index(df, id_col, text_col, n)
     if max_doc_freq is not None:
         df_counts = inv.groupBy("_g").agg(F.count("*").alias("_df"))
         inv = inv.join(
             df_counts.filter(F.col("_df") <= max_doc_freq).select("_g"), "_g", "left_semi"
         )
+    sizes = inv.groupBy("_id").agg(F.count("*").alias("_n"))
     shared = (
         inv.select(F.col("_id").alias("doc_a"), "_g")
         .join(inv.select(F.col("_id").alias("doc_b"), "_g"), "_g")

@@ -11,3 +11,4 @@ def load_all() -> None:
     from . import event_windows  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import warehouse_queries  # noqa: F401
+    from . import function_battery  # noqa: F401

@@ -35,24 +35,36 @@ _SHINGLES_CTE = f"""
       WHERE len(toks) >= 3)
 """
 
+# Kirsch–Mitzenmacher minhash family: per-shingle 56-bit values a, b from
+# two md5s; h_i = a + i·b, minimized per doc. Mirrors the Spark operator's
+# single-hash-pass + groupBy-min plan.
 _K, _BANDS = 16, 4
-_MH_EXPRS = ",\n             ".join(
-    f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh{i}" for i in range(_K)
-)
 _ROWS = _K // _BANDS
+_HEX56 = "CAST(CONCAT('0x', substr(md5({src}), 1, 14)) AS BIGINT)"
+_MH_MINS = ",\n             ".join(
+    f"MIN(ha + {i} * hb) AS mh{i}" for i in range(_K)
+)
 _BAND_SELECTS = "\n      UNION ALL ".join(
     "SELECT doc_id, {b} AS band_idx, md5({concat}) AS h FROM sig".format(
-        b=b, concat=" || ".join(f"mh{b * _ROWS + r}" for r in range(_ROWS))
+        b=b,
+        concat=" || ',' || ".join(
+            f"CAST(mh{b * _ROWS + r} AS VARCHAR)" for r in range(_ROWS)
+        ),
     )
     for b in range(_BANDS)
 )
 
 _MINHASH_ORACLE = f"""
     WITH {_SHINGLES_CTE},
+    ex AS (
+      SELECT doc_id,
+             {_HEX56.format(src="'a:' || g")} AS ha,
+             {_HEX56.format(src="'b:' || g")} AS hb
+      FROM (SELECT doc_id, unnest(sh) AS g FROM d)),
     sig AS (
-      SELECT doc_id, sh,
-             {_MH_EXPRS}
-      FROM d),
+      SELECT doc_id,
+             {_MH_MINS}
+      FROM ex GROUP BY doc_id),
     bands AS (
       {_BAND_SELECTS}),
     cand AS (
@@ -146,10 +158,10 @@ def simhash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NGRAM_ORACLE = f"""
     WITH {_SHINGLES_CTE},
-    sizes AS (SELECT doc_id, len(sh) AS n FROM d),
     inv0 AS (SELECT doc_id, unnest(sh) AS g FROM d),
-    kept AS (SELECT g FROM inv0 GROUP BY g HAVING COUNT(*) <= 100),
+    kept AS (SELECT g FROM inv0 GROUP BY g HAVING COUNT(*) <= 20),
     inv AS (SELECT inv0.doc_id, inv0.g FROM inv0 JOIN kept USING (g)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY doc_id),
     shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
       FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -167,13 +179,13 @@ _NGRAM_ORACLE = f"""
 @query(
     "ngram_jaccard_dupes",
     oracle=_NGRAM_ORACLE,
-    doc="Exact word-3-gram jaccard pairs ≥ 0.5 via inverted shingle index "
-    "with document-frequency cap 100 (the skew guard).",
+    doc="Exact word-3-gram jaccard pairs ≥ 0.5 via inverted shingle index; "
+    "document-frequency cap 20 (skew guard), jaccard over kept vocabulary.",
 )
 def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
-        ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=100)
+        ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=20)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )

@@ -1,0 +1,239 @@
+"""Scalar-function batteries covering the remaining SURVEY §2.8–2.10
+surface: PII masking + name splitting, geo/finance math (haversine,
+currency conversion, refund, range validation, age), business-day
+arithmetic, and the fuzzy-correction operator — all oracle-checked.
+
+The testdata star schema has no PII/geo columns, so inputs are synthesized
+deterministically from keys (both engines build identical inputs — the
+functions under test are the subject, not the data).
+
+Float-function parity note: sin/cos/atan2 can differ by 1 ulp between the
+JVM and libm; haversine output is rounded to 4 dp to absorb that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.strings import mask_address, mask_email, mask_phone, name_first_last
+from ..sources.catalog import load_table
+from .registry import query
+
+
+@query(
+    "pii_mask_and_name_split",
+    oracle="""
+    WITH p AS (
+      SELECT c_custkey,
+             'Cust ' || c_name AS full_name,
+             lower(replace(c_name, '#', '.')) || '@example.com' AS email,
+             '+1-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS phone,
+             c_mktsegment || ' Street ' || CAST(c_custkey AS VARCHAR) AS address
+      FROM customer)
+    SELECT c_custkey,
+           split_part(full_name, ' ', 1) AS first_name,
+           array_to_string(string_split(full_name, ' ')[2:], ' ') AS last_name,
+           substr(email, 1, 2) || '***@' || split_part(email, '@', 2) AS email_masked,
+           '***' || right(regexp_replace(phone, '[^0-9]', '', 'g'), 4) AS phone_masked,
+           substr(address, 1, 10) || '***' AS address_masked
+    FROM p
+    ORDER BY c_custkey
+    """,
+    doc="PII masking (email/phone/address) + first/last name split "
+    "(SURVEY §2.8 F-S12/F-S14; functions.py:214-250 semantics).",
+)
+def pii_mask_and_name_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    p = c.select(
+        "c_custkey",
+        F.concat(F.lit("Cust "), "c_name").alias("full_name"),
+        F.concat(
+            F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))), F.lit("@example.com")
+        ).alias("email"),
+        F.concat(
+            F.lit("+1-555-"), F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0")
+        ).alias("phone"),
+        F.concat("c_mktsegment", F.lit(" Street "), F.col("c_custkey").cast("string")).alias(
+            "address"
+        ),
+    )
+    first, last = name_first_last("full_name")
+    return p.select(
+        "c_custkey",
+        first.alias("first_name"),
+        last.alias("last_name"),
+        mask_email("email").alias("email_masked"),
+        mask_phone("phone").alias("phone_masked"),
+        mask_address("address").alias("address_masked"),
+    ).orderBy("c_custkey")
+
+
+# deterministic pseudo-coordinates per nation key
+def _lat(k: str) -> str:
+    return f"(({k} * 7) % 140) - 70"
+
+
+def _lon(k: str) -> str:
+    return f"(({k} * 13) % 360) - 180"
+
+
+_GEO_ORACLE = f"""
+    WITH g AS (
+      SELECT c_custkey, c_acctbal,
+             CAST({_lat('c_nationkey')} AS DOUBLE) AS lat1,
+             CAST({_lon('c_nationkey')} AS DOUBLE) AS lon1,
+             CAST({_lat('((c_nationkey * 3 + 7) % 25)')} AS DOUBLE) AS lat2,
+             CAST({_lon('((c_nationkey * 3 + 7) % 25)')} AS DOUBLE) AS lon2,
+             DATE '1960-01-01' + CAST(c_custkey % 15000 AS INT) AS dob,
+             DATE '2026-08-01' + CAST(c_custkey % 28 AS INT) AS start_day
+      FROM customer)
+    SELECT c_custkey,
+           ROUND(2 * 6371.0 * ATAN2(
+               SQRT(POW(SIN(RADIANS(lat2 - lat1) / 2), 2)
+                    + COS(RADIANS(lat1)) * COS(RADIANS(lat2))
+                      * POW(SIN(RADIANS(lon2 - lon1) / 2), 2)),
+               SQRT(1 - (POW(SIN(RADIANS(lat2 - lat1) / 2), 2)
+                    + COS(RADIANS(lat1)) * COS(RADIANS(lat2))
+                      * POW(SIN(RADIANS(lon2 - lon1) / 2), 2)))), 4) AS haversine_km,
+           CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2))
+                      * (CASE c_custkey % 3 WHEN 0 THEN CAST(1.00 AS DECIMAL(6,2))
+                                           WHEN 1 THEN CAST(0.92 AS DECIMAL(6,2))
+                                           ELSE CAST(0.79 AS DECIMAL(6,2)) END), 2)
+                AS DOUBLE) AS converted_amount,
+           GREATEST(0.0, CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2))
+                                    * CAST(0.75 AS DECIMAL(6,2)), 2)
+                              AS DOUBLE)) AS refund_75pct,
+           CASE WHEN c_acctbal BETWEEN 0 AND 5000 THEN 1 ELSE 0 END AS acctbal_in_range,
+           CAST(FLOOR(DATEDIFF('day', dob, DATE '2026-01-01') / 365.25) AS BIGINT) AS age_years,
+           STRFTIME(list_filter(generate_series(start_day + 1, start_day + 11,
+                                                INTERVAL 1 DAY),
+                                d -> dayofweek(d) NOT IN (0, 6))[5],
+                    '%Y-%m-%d') AS plus5_business_days
+    FROM g
+    ORDER BY c_custkey
+"""
+
+
+@query(
+    "geo_finance_battery",
+    oracle=_GEO_ORACLE,
+    doc="Haversine distance, currency conversion, refund calc, range check, "
+    "age-from-DOB, add-5-business-days (SURVEY §2.9 F-D3/F-D5, §2.10 "
+    "F-M6/F-M7/F-M9/F-M10) — native column exprs; business days via "
+    "sequence+filter, no UDF.",
+)
+def geo_finance_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_nationkey")
+    k2 = (k * 3 + 7) % 25
+    lat1, lon1 = ((k * 7) % 140 - 70).cast("double"), ((k * 13) % 360 - 180).cast("double")
+    lat2, lon2 = ((k2 * 7) % 140 - 70).cast("double"), ((k2 * 13) % 360 - 180).cast("double")
+
+    a = F.pow(F.sin(F.radians(lat2 - lat1) / 2), 2) + F.cos(F.radians(lat1)) * F.cos(
+        F.radians(lat2)
+    ) * F.pow(F.sin(F.radians(lon2 - lon1) / 2), 2)
+    haversine = 2 * 6371.0 * F.atan2(F.sqrt(a), F.sqrt(1 - a))
+
+    # exact-decimal money math: double round() half-way behavior differs
+    # between engines; decimal is exact and rounds identically
+    dec6 = "decimal(6,2)"
+    rate = (
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(1.00).cast(dec6))
+        .when(F.col("c_custkey") % 3 == 1, F.lit(0.92).cast(dec6))
+        .otherwise(F.lit(0.79).cast(dec6))
+    )
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    dob = F.date_add(F.lit("1960-01-01").cast("date"), (F.col("c_custkey") % 15000).cast("int"))
+    age = F.floor(
+        F.datediff(F.lit("2026-01-01").cast("date"), dob) / F.lit(365.25)
+    ).cast("bigint")
+    start = F.date_add(F.lit("2026-08-01").cast("date"), (F.col("c_custkey") % 28).cast("int"))
+    busdays = F.filter(
+        F.sequence(F.date_add(start, 1), F.date_add(start, 11)),
+        lambda d: ~F.dayofweek(d).isin(1, 7),  # Spark: 1=Sunday, 7=Saturday
+    )
+
+    return c.select(
+        "c_custkey",
+        F.round(haversine, 4).alias("haversine_km"),
+        F.round(bal * rate, 2).cast("double").alias("converted_amount"),
+        # clamp AFTER the exact-decimal round (greatest() would re-unify the
+        # decimal scales — and in duckdb promote to double — first)
+        F.greatest(
+            F.lit(0.0), F.round(bal * F.lit(0.75).cast(dec6), 2).cast("double")
+        ).alias("refund_75pct"),
+        F.when(F.col("c_acctbal").between(0, 5000), 1).otherwise(0).alias("acctbal_in_range"),
+        age.alias("age_years"),
+        F.date_format(F.element_at(busdays, 5), "yyyy-MM-dd").alias("plus5_business_days"),
+    ).orderBy("c_custkey")
+
+
+_FUZZY_ORACLE = """
+    WITH dims AS (SELECT DISTINCT c_mktsegment AS seg FROM customer),
+    dirty AS (
+      SELECT c_custkey,
+             substr(c_mktsegment, 1, 1 + c_custkey % (length(c_mktsegment) - 1))
+             || substr(c_mktsegment, 3 + c_custkey % (length(c_mktsegment) - 1))
+                 AS dirty_seg
+      FROM customer),
+    scored AS (
+      SELECT d.c_custkey, d.dirty_seg, m.seg,
+             100.0 * (1.0 - CAST(levenshtein(upper(trim(d.dirty_seg)), upper(trim(m.seg)))
+                                 AS DOUBLE)
+                      / greatest(length(upper(trim(d.dirty_seg))),
+                                 length(upper(trim(m.seg))), 1)) AS score
+      FROM dirty d, dims m),
+    best AS (
+      SELECT c_custkey, dirty_seg, seg, score,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey, dirty_seg
+                                ORDER BY score DESC, seg DESC) AS rn
+      FROM scored WHERE score >= 85.0)
+    SELECT d.c_custkey, d.dirty_seg,
+           COALESCE(b.seg, d.dirty_seg) AS corrected,
+           ROUND(b.score, 6) AS fuzzy_score
+    FROM dirty d
+    LEFT JOIN best b ON b.c_custkey = d.c_custkey AND b.dirty_seg = d.dirty_seg AND b.rn = 1
+    ORDER BY d.c_custkey
+"""
+
+
+@query(
+    "fuzzy_code_correction",
+    oracle=_FUZZY_ORACLE,
+    doc="Fuzzy similarity-join correction (SURVEY §2.3 J2): one char deleted "
+    "from each segment code, repaired against the dim via levenshtein ratio "
+    "≥ 85, top-1 per value. Oracle replicates corruption + scoring + tiebreak.",
+)
+def fuzzy_code_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzy import fuzzy_correct
+
+    c = load_table(spark, sf_dir, "customer")
+    seg, key = F.col("c_mktsegment"), F.col("c_custkey")
+    cut = 1 + key % (F.length(seg) - 1)  # delete char at position cut+1
+    dirty = c.select(
+        "c_custkey",
+        F.concat(
+            F.substring(seg, F.lit(1), cut), F.substring(seg, cut + 2, F.lit(100))
+        ).alias("dirty_seg"),
+    )
+    dims = c.select("c_mktsegment").distinct()
+    fixed = fuzzy_correct(dirty, "dirty_seg", dims, "c_mktsegment", threshold=85.0)
+    # fuzzy_correct overwrites the column in place; re-derive the dirty value
+    # for the report (deterministic recomputation, no extra shuffle)
+    redirty = c.select(
+        "c_custkey",
+        F.concat(
+            F.substring(seg, F.lit(1), cut), F.substring(seg, cut + 2, F.lit(100))
+        ).alias("dirty_orig"),
+    )
+    return (
+        fixed.join(redirty, "c_custkey")
+        .select(
+            "c_custkey",
+            F.col("dirty_orig").alias("dirty_seg"),
+            F.col("dirty_seg").alias("corrected"),
+            F.round("dirty_seg_fuzzy_score", 6).alias("fuzzy_score"),
+        )
+        .orderBy("c_custkey")
+    )
