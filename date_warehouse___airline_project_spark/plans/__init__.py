@@ -12,3 +12,4 @@ def load_all() -> None:
     from . import multimodal  # noqa: F401
     from . import warehouse_queries  # noqa: F401
     from . import function_battery  # noqa: F401
+    from . import sql_surface  # noqa: F401

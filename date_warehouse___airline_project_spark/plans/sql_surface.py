@@ -1,0 +1,65 @@
+"""Queries expressed through the ``spark.sql`` surface (rather than the
+DataFrame DSL) over the registered testdata views — the engine exposes
+both APIs over the same Catalyst plans (SURVEY §1: "DataFrame / Spark SQL").
+
+The SQL text runs UNCHANGED in DuckDB as its own oracle: the revenue
+forecast query is written in the ANSI-portable subset (explicit casts,
+no engine-specific functions), which is itself a statement about the
+engine's SQL compatibility surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.catalog import load_table
+from .registry import query
+
+# TPC-H Q6-shaped: portable ANSI SQL, identical text on both engines.
+_Q6_SQL = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue_delta,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@query(
+    "sql_forecast_revenue_change",
+    oracle=_Q6_SQL,
+    doc="TPC-H Q6 shape via the spark.sql surface — the SAME SQL text runs "
+    "as the DuckDB oracle (ANSI-portable subset).",
+)
+def sql_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q6_SQL)
+
+
+_CORRELATED_SQL = """
+    SELECT o_orderpriority,
+           COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1995-10-01 00:00:00'
+      AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@query(
+    "sql_priority_order_counts",
+    oracle=_CORRELATED_SQL,
+    doc="TPC-H Q4 shape: correlated EXISTS subquery (planned as a left-semi "
+    "join by Catalyst) via the spark.sql surface; identical text oracles.",
+)
+def sql_priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_CORRELATED_SQL)

@@ -122,6 +122,71 @@ def test_windowed_counts_stream_matches_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """Two micro-batches; the second delivers an event far older than the
+    advanced watermark. In append mode the event's (already emitted /
+    expired) window must NOT be re-emitted or updated — the engine's
+    late-data drop policy."""
+    import time as _time
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    schema = "ts timestamp, event_type string, value double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / ("stage_" + name))
+        )
+        import shutil, glob
+
+        part = glob.glob(str(tmp_path / ("stage_" + name) / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / (name + ".parquet")))
+
+    from datetime import datetime
+
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    # batch 1: events in windows 10:00 and 11:00; max ts 11:05 → after this
+    # batch the watermark is 11:05 − 30min = 10:35 → the 10:00–10:15 window
+    # is closed and emitted
+    write_batch("b1", [(t("2026-01-01 10:01:00"), "a", 1.0),
+                       (t("2026-01-01 10:02:00"), "a", 1.0),
+                       (t("2026-01-01 11:05:00"), "a", 1.0)])
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    from date_warehouse___airline_project_spark.streaming import windowed_event_counts
+
+    agg = windowed_event_counts(stream, window="15 minutes", watermark="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            q.processAllAvailable()
+            if spark.table("late_test").count() >= 1:
+                break
+            _time.sleep(0.5)
+        emitted1 = {
+            (str(r.window_start), r.n_events) for r in spark.table("late_test").collect()
+        }
+        assert ("2026-01-01 10:00:00", 2) in emitted1  # closed window emitted once
+
+        # batch 2: a late event for the already-closed 10:00 window
+        write_batch("b2", [(t("2026-01-01 10:03:00"), "a", 99.0)])
+        q.processAllAvailable()
+        emitted2 = {
+            (str(r.window_start), r.n_events) for r in spark.table("late_test").collect()
+        }
+        # the late event was dropped: no new/updated 10:00 window row
+        assert emitted2 == emitted1
+    finally:
+        q.stop()
+
+
 def test_csv_drop_dir_ingest_cleans_per_batch(spark, tmp_path):
     from date_warehouse___airline_project_spark.pipelines.cleaners import clean_airlinesales
 
