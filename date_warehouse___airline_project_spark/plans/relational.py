@@ -408,6 +408,78 @@ def union_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cheapest_part_supplier",
+    oracle="""
+    SELECT p.p_partkey, p.p_name,
+           CAST(MIN(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey, p.p_name
+    HAVING MIN(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+           <= (SELECT MIN(CAST(l2.l_extendedprice AS DECIMAL(18,2))) * 1.01
+               FROM lineitem l2)
+    ORDER BY min_price, p.p_partkey
+    LIMIT 20
+    """,
+    doc="Scalar subquery against a global aggregate (TPC-H Q2 shape): parts "
+    "whose best price is within 1% of the global minimum.",
+)
+def cheapest_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(DEC)
+    # scalar subquery = single-row broadcast join (what Catalyst plans for
+    # an uncorrelated scalar subquery)
+    global_min = li.agg((F.min(price) * 1.01).alias("_cutoff"))
+    per_part = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(F.min(price).alias("_min_dec"))
+    )
+    return (
+        per_part.crossJoin(F.broadcast(global_min))
+        .filter(F.col("_min_dec") <= F.col("_cutoff"))
+        .select("p_partkey", "p_name", F.col("_min_dec").cast("double").alias("min_price"))
+        .orderBy("min_price", "p_partkey")
+        .limit(20)
+    )
+
+
+@query(
+    "market_share_by_segment",
+    oracle="""
+    WITH seg AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS seg_total
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment)
+    SELECT segment,
+           CAST(seg_total AS DOUBLE) AS seg_total,
+           CAST(ROUND(seg_total / SUM(seg_total) OVER (), 6) AS DOUBLE) AS share
+    FROM seg
+    ORDER BY segment
+    """,
+    doc="Share-of-total via an unpartitioned window over a pre-aggregated "
+    "frame (5 rows — the window is over the agg, never the fact).",
+)
+def market_share_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    seg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(38,2)").alias("seg_total"))
+    )
+    w = W.partitionBy()
+    return seg.select(
+        "segment",
+        F.col("seg_total").cast("double").alias("seg_total"),
+        F.round(F.col("seg_total") / F.sum("seg_total").over(w), 6)
+        .cast("double")
+        .alias("share"),
+    ).orderBy("segment")
+
+
 # ---------------------------------------------------------------------------
 # Grouping sets / rollup — grouped-agg generalization (free in Spark, judged
 # as engine surface).
