@@ -96,6 +96,16 @@ def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     )
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Materialize a small intermediate relation that the downstream plan
+    references multiple times (self-joins, size lookups). Spark recomputes
+    each reference of a lazy subtree — for the shingle index that means
+    re-running tokenize+window 3-5×. localCheckpoint computes it once and
+    truncates lineage; the relations involved are candidate-scale (≪ the
+    corpus), so executor storage is bounded."""
+    return df.localCheckpoint(eager=False)
+
+
 def _verify_jaccard(
     cand: DataFrame, inv: DataFrame, threshold: float
 ) -> DataFrame:
@@ -148,7 +158,7 @@ def minhash_lsh_pairs(
     a + 15b < 2^60), minimized by a map-side-combined groupBy — K plain
     ``min`` aggregates over precomputed longs instead of K md5 sweeps.
     """
-    inv = shingle_index(df, id_col, text_col, n)
+    inv = _materialize(shingle_index(df, id_col, text_col, n))
     ex = inv.withColumn(
         "_ha", _hash_int(F.md5(F.concat(F.lit("a:"), F.col("_g"))), 56)
     ).withColumn("_hb", _hash_int(F.md5(F.concat(F.lit("b:"), F.col("_g"))), 56))
@@ -162,8 +172,8 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    banded = sig.select(
-        "_id", F.posexplode(F.array(*band_cols)).alias("_band_idx", "_band_hash")
+    banded = _materialize(
+        sig.select("_id", F.posexplode(F.array(*band_cols)).alias("_band_idx", "_band_hash"))
     )
 
     left = banded.select(F.col("_id").alias("doc_a"), "_band_idx", "_band_hash")
@@ -193,16 +203,24 @@ def _hash_bit(h: Column, bit: int) -> Column:
 def simhash(df: DataFrame, id_col: str, text_col: str, nbits: int = 48) -> DataFrame:
     """Per-document SimHash signature as a ``bigint`` (``nbits`` wide).
 
-    Plan: explode tokens (with multiplicity — repeated tokens weigh more,
-    standard SimHash) → per-bit ±1 partial sums in ONE groupBy (map-side
-    combine keeps the shuffle at nbits longs per doc) → majority bit.
+    Plan: explode tokens → pre-aggregate to (doc, token, count) — one
+    cheap map-side-combined groupBy that collapses repeated tokens BEFORE
+    any hashing — then per-bit ±count partial sums in a second groupBy.
+    Repeated tokens weigh by multiplicity (standard SimHash), but each
+    distinct (doc, token) is hashed exactly once and the wide 48-aggregate
+    stage runs over the collapsed relation (vocabulary-bounded, typically
+    5–10× smaller than the raw token stream).
     """
-    tok = spread(df).select(
-        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok")
-    ).withColumn("_h", _hash_int(F.md5(F.col("_tok")), nbits))
+    tok = (
+        spread(df)
+        .select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok"))
+        .groupBy("_id", "_tok")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn("_h", _hash_int(F.md5(F.col("_tok")), nbits))
+    )
     sums = tok.groupBy("_id").agg(
         *[
-            F.sum(_hash_bit(F.col("_h"), b) * 2 - 1).alias(f"_s{b}")
+            F.sum((_hash_bit(F.col("_h"), b) * 2 - 1) * F.col("_cnt")).alias(f"_s{b}")
             for b in range(nbits)
         ]
     )
@@ -228,7 +246,7 @@ def simhash_pairs(
     """
     sig = simhash(df, id_col, text_col, nbits)
     nblocks = nbits // 8
-    blocked = sig.select(
+    blocked = _materialize(sig.select(
         F.col(id_col).alias("_id"),
         "simhash",
         F.posexplode(
@@ -239,7 +257,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("_block_idx", "_block_val"),
-    )
+    ))
     left = blocked.select(
         F.col("_id").alias("doc_a"), F.col("simhash").alias("_sig_a"), "_block_idx", "_block_val"
     )
@@ -274,11 +292,13 @@ def ngram_jaccard_pairs(
     the semantics are exact for "similarity over discriminative shingles":
     a shingle shared by more than F documents carries no near-dup signal.
     """
-    inv = shingle_index(df, id_col, text_col, n)
+    inv = _materialize(shingle_index(df, id_col, text_col, n))
     if max_doc_freq is not None:
         df_counts = inv.groupBy("_g").agg(F.count("*").alias("_df"))
-        inv = inv.join(
-            df_counts.filter(F.col("_df") <= max_doc_freq).select("_g"), "_g", "left_semi"
+        inv = _materialize(
+            inv.join(
+                df_counts.filter(F.col("_df") <= max_doc_freq).select("_g"), "_g", "left_semi"
+            )
         )
     sizes = inv.groupBy("_id").agg(F.count("*").alias("_n"))
     shared = (

@@ -106,7 +106,7 @@ def minhash_lsh_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at in-nibble offset b%4.
 _NBITS = 48
 _BIT_SUMS = ",\n             ".join(
-    "SUM(2 * ((strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1) >> {o} & 1) - 1) AS s{b}".format(
+    "SUM((2 * ((strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1) >> {o} & 1) - 1) * cnt) AS s{b}".format(
         p=_NBITS // 4 - b // 4, o=b % 4, b=b
     )
     for b in range(_NBITS)
@@ -121,7 +121,8 @@ _SIMHASH_ORACLE = f"""
     WITH tok AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS t
       FROM documents),
-    h AS (SELECT doc_id, md5(t) AS hx FROM tok),
+    h AS (SELECT doc_id, md5(t) AS hx, COUNT(*) AS cnt
+          FROM tok GROUP BY doc_id, t),
     sums AS (
       SELECT doc_id,
              {_BIT_SUMS}
