@@ -26,6 +26,7 @@ from .eligibility_stream import (  # noqa: F401
     run_eligibility_stream,
 )
 from .file_ingest import stream_csv_dir  # noqa: F401
+from .stateful import running_user_totals  # noqa: F401
 from .windows import (  # noqa: F401
     sessionized_user_activity,
     windowed_event_counts,

@@ -187,6 +187,51 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
         q.stop()
 
 
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user totals must ACCUMULATE across two
+    separate micro-batches (proving GroupState persistence, not per-batch
+    aggregation)."""
+    from date_warehouse___airline_project_spark.streaming import running_user_totals
+
+    src = tmp_path / "state_src"
+    src.mkdir()
+    schema = "user_id long, value double"
+
+    def write_batch(name, rows):
+        import glob, shutil
+
+        stage = tmp_path / ("s_" + name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(stage)
+        )
+        shutil.copy(glob.glob(str(stage / "part-*.parquet"))[0], str(src / (name + ".parquet")))
+
+    write_batch("b1", [(1, 10.0), (1, 5.0), (2, 1.0)])
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("state_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "state_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch("b2", [(1, 2.5), (3, 7.0)])
+        q.processAllAvailable()
+        # last emitted row per user reflects the cumulative state
+        rows = spark.table("state_test").collect()
+        latest = {}
+        for r in rows:  # memory sink appends update-mode rows in order
+            latest[r.user_id] = (r.n_events, r.total_value)
+        assert latest[1] == (3, 17.5)  # 2 events in b1 + 1 in b2, summed
+        assert latest[2] == (1, 1.0)
+        assert latest[3] == (1, 7.0)
+    finally:
+        q.stop()
+
+
 def test_csv_drop_dir_ingest_cleans_per_batch(spark, tmp_path):
     from date_warehouse___airline_project_spark.pipelines.cleaners import clean_airlinesales
 
