@@ -409,6 +409,104 @@ def union_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "nation_pair_trade_volume",
+    oracle="""
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS volume
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2') AND n2.n_name IN ('NATION_1', 'NATION_2')
+      AND n1.n_name <> n2.n_name
+    GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l.l_shipdate)
+    ORDER BY cust_nation, supp_nation, ship_year
+    """,
+    doc="TPC-H Q7 shape: five-way join across both fact paths (customer "
+    "nation × supplier nation) with a cross-filter; dims broadcast, one "
+    "fact-fact shuffle on orderkey.",
+)
+def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation"))
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    one = F.lit(1).cast(DEC)
+    cust_side = c.join(F.broadcast(n1), c.c_nationkey == F.col("_ck")).filter(
+        F.col("cust_nation").isin("NATION_1", "NATION_2")
+    )
+    supp_side = s.join(F.broadcast(n2), s.s_nationkey == F.col("_sk")).filter(
+        F.col("supp_nation").isin("NATION_1", "NATION_2")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_side), o.o_custkey == cust_side.c_custkey)
+        .join(F.broadcast(supp_side), li.l_suppkey == supp_side.s_suppkey)
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(F.sum(price * (one - disc)).cast("double").alias("volume"))
+        .orderBy("cust_nation", "supp_nation", "ship_year")
+    )
+
+
+@query(
+    "brand_share_by_year",
+    oracle="""
+    WITH sales AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+             p.p_brand,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))) AS rev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey)
+    SELECT order_year,
+           CAST(SUM(CASE WHEN p_brand = 'Brand#1' THEN rev ELSE CAST(0 AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS brand1_rev,
+           CAST(SUM(rev) AS DOUBLE) AS total_rev,
+           CAST(ROUND(SUM(CASE WHEN p_brand = 'Brand#1' THEN rev ELSE CAST(0 AS DECIMAL(18,2)) END)
+                      / SUM(rev), 6) AS DOUBLE) AS brand1_share
+    FROM sales
+    GROUP BY order_year
+    ORDER BY order_year
+    """,
+    doc="TPC-H Q8 shape: conditional aggregation computing a market share "
+    "per year (CASE inside SUM — one pass, no self-join).",
+)
+def brand_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    one = F.lit(1).cast(DEC)
+    rev = price * (one - disc)
+    zero = F.lit(0).cast(DEC)
+    brand1 = F.when(F.col("p_brand") == "Brand#1", rev).otherwise(zero)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("order_year"))
+        .agg(
+            F.sum(brand1).cast("double").alias("brand1_rev"),
+            F.sum(rev).cast("double").alias("total_rev"),
+            F.round(F.sum(brand1) / F.sum(rev), 6).cast("double").alias("brand1_share"),
+        )
+        .orderBy("order_year")
+    )
+
+
+@query(
     "cheapest_part_supplier",
     oracle="""
     SELECT p.p_partkey, p.p_name,

@@ -1,0 +1,74 @@
+"""Bucketed-table co-located join: writing both join sides bucketed on the
+join key lets Spark plan the join WITHOUT a shuffle exchange — the
+pre-partitioning is the 100 TB strategy for repeated fact-fact joins
+(SURVEY §4: "bucketing for co-located joins")."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark):
+    # managed tables land in the session's spark-warehouse dir (static
+    # conf — can't be redirected per-test); DROP TABLE below removes them
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+    )
+    (
+        lineitem.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("b_lineitem")
+    )
+    yield spark.table("b_orders"), spark.table("b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed):
+    orders, lineitem = bucketed
+    # disable broadcast so the planner must choose a key-distributed join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count("*").alias("n"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the join itself must consume bucketed outputs directly: no
+        # exchange between the scans and the join (the only exchange is
+        # the one for the final small aggregation)
+        join_part = plan.split("HashAggregate")[-1]
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # and the result is right
+        n = joined.agg(F.sum("n")).collect()[0][0]
+        assert n == lineitem.count()  # every lineitem matched its order
+        del join_part
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_bucket_pruning_on_key_filter(spark, bucketed):
+    orders, _ = bucketed
+    # equality filter on the bucket key scans ONE bucket of 8. The planner
+    # auto-disables bucketed scans when no operator consumes the
+    # distribution, so pin it on for the pruning demonstration.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        plan = (
+            orders.filter(F.col("o_orderkey") == 42)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SelectedBucketsCount: 1 out of 8" in plan
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
