@@ -274,6 +274,51 @@ def simhash_pairs(
     )
 
 
+def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+    """Connected components over a near-dup pair graph → (doc, cluster).
+
+    ``cluster`` is the minimum doc id reachable through the pair graph —
+    the canonical representative (keep it, drop the rest). Iterative
+    min-label propagation: each round every node adopts the smallest label
+    among itself and its neighbors; rounds needed = graph diameter
+    (near-dup clusters are tiny, so a handful). Each round is one
+    broadcast-size join — the pair set is candidate-scale, ≪ corpus scale.
+    Converges by fixpoint check on an aggregate (one small action per
+    round, never a row collect).
+    """
+    edges = _materialize(
+        pairs.select(F.col(a_col).alias("_u"), F.col(b_col).alias("_v")).unionByName(
+            pairs.select(F.col(b_col).alias("_u"), F.col(a_col).alias("_v"))
+        ).distinct()
+    )
+    labels = _materialize(
+        edges.select(F.col("_u").alias("_node")).distinct().withColumn("_lbl", F.col("_node"))
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges["_v"] == labels["_node"])
+            .groupBy("_u")
+            .agg(F.min("_lbl").alias("_nlbl"))
+        )
+        new_labels = _materialize(
+            labels.join(neighbor_min, labels["_node"] == neighbor_min["_u"], "left")
+            .select(
+                "_node",
+                F.least(F.col("_lbl"), F.coalesce(F.col("_nlbl"), F.col("_lbl"))).alias("_lbl"),
+            )
+        )
+        changed = (
+            labels.alias("old")
+            .join(new_labels.alias("new"), "_node")
+            .filter(F.col("old._lbl") != F.col("new._lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("_node").alias("doc"), F.col("_lbl").alias("cluster"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

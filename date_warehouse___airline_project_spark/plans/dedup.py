@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.text_dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
+from ..operators.text_dedup import (
+    dedup_clusters,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
 from ..sources.catalog import load_table
 from .registry import query
 
@@ -155,6 +160,48 @@ def simhash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# Cluster oracle: same pair generation as minhash_lsh_dupes, then
+# connected components via a recursive min-label reachability CTE.
+_CLUSTER_ORACLE = (
+    _MINHASH_ORACLE.rsplit("SELECT doc_a", 1)[0]
+    + """,
+    verified AS (
+      SELECT doc_a, doc_b FROM pairs WHERE j >= 0.5),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM verified
+      UNION SELECT doc_b, doc_a FROM verified),
+    reach AS (
+      SELECT u AS node, u AS lbl FROM edges
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node)
+    SELECT node AS doc, MIN(lbl) AS cluster,
+           CASE WHEN node = MIN(lbl) THEN 1 ELSE 0 END AS is_representative
+    FROM reach
+    GROUP BY node
+    ORDER BY doc
+"""
+).replace("WITH ", "WITH RECURSIVE ", 1)
+
+
+@query(
+    "neardup_cluster_assignment",
+    oracle=_CLUSTER_ORACLE,
+    doc="Connected components over the MinHash-LSH near-dup graph: every "
+    "involved doc mapped to its cluster representative (min reachable id) "
+    "— the keep/drop decision of a dedup pipeline. Spark runs iterative "
+    "min-label propagation; the oracle a recursive reachability CTE.",
+)
+def neardup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", n=3, k=_K, bands=_BANDS, threshold=0.5)
+    cl = dedup_clusters(pairs)
+    return cl.select(
+        "doc",
+        "cluster",
+        F.when(F.col("doc") == F.col("cluster"), 1).otherwise(0).alias("is_representative"),
+    ).orderBy("doc")
 
 
 _NGRAM_ORACLE = f"""

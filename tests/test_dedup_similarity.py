@@ -73,6 +73,18 @@ def test_ngram_doc_freq_cap_drops_stop_shingles(spark):
     assert ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.01, max_doc_freq=None).count() == 3
 
 
+def test_dedup_clusters_transitive(spark):
+    from date_warehouse___airline_project_spark.operators.text_dedup import dedup_clusters
+
+    # chain 1–2–3 (transitive closure) + separate pair 7–9: doc 3 never
+    # directly paired with 1 but must land in cluster 1
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long"
+    )
+    got = {r.doc: r.cluster for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     import math
