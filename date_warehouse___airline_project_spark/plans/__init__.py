@@ -13,3 +13,6 @@ def load_all() -> None:
     from . import warehouse_queries  # noqa: F401
     from . import function_battery  # noqa: F401
     from . import sql_surface  # noqa: F401
+    from . import subqueries  # noqa: F401
+    from . import analytic  # noqa: F401
+    from . import temporal  # noqa: F401

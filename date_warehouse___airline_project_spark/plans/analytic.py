@@ -1,0 +1,226 @@
+"""Analytic / OLAP surface beyond the reference's four window shapes
+(SURVEY §2.5 notes the reference has only ffill, keep-first, top-1 and
+recent-N): lead/lag, ranking families, exact percentiles, CUBE with
+grouping flags, pivot, and statistical aggregates.
+
+All window partitions are keyed (never a global ORDER BY over the fact),
+so every shape here shuffles once on its partition key and scales
+linearly with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import query
+
+DEC = "decimal(18,2)"
+
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "lead_lag_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+           DATE_DIFF('day', LAG(o_orderdate) OVER w, o_orderdate) AS days_since_prev,
+           DATE_DIFF('day', o_orderdate, LEAD(o_orderdate) OVER w) AS days_until_next
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="LAG/LEAD over a keyed window: per-customer gaps between "
+    "consecutive orders (nulls at partition edges preserved).",
+)
+def lead_lag_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.datediff("o_orderdate", F.lag("o_orderdate").over(w))
+            .cast("bigint")
+            .alias("days_since_prev"),
+            F.datediff(F.lead("o_orderdate").over(w), "o_orderdate")
+            .cast("bigint")
+            .alias("days_until_next"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "ntile_rank_acctbal",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           NTILE(4) OVER w AS bal_quartile,
+           RANK() OVER w AS bal_rank,
+           DENSE_RANK() OVER w AS bal_dense_rank,
+           CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DOUBLE) AS bal_pct_rank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="Ranking family (NTILE/RANK/DENSE_RANK/PERCENT_RANK) per market "
+    "segment — partitioned windows, never a global sort.",
+)
+def ntile_rank_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.ntile(4).over(w).alias("bal_quartile"),
+            F.rank().over(w).alias("bal_rank"),
+            F.dense_rank().over(w).alias("bal_dense_rank"),
+            F.round(F.percent_rank().over(w), 6).cast("double").alias("bal_pct_rank"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "percentile_totalprice_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(ROUND(QUANTILE_CONT(o_totalprice, 0.25), 4) AS DOUBLE) AS p25,
+           CAST(ROUND(QUANTILE_CONT(o_totalprice, 0.50), 4) AS DOUBLE) AS p50,
+           CAST(ROUND(QUANTILE_CONT(o_totalprice, 0.75), 4) AS DOUBLE) AS p75,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Exact linear-interpolated percentiles per group (Spark "
+    "`percentile` ≡ DuckDB `quantile_cont`). The exact variant is the "
+    "oracle anchor; at 100 TB the same query swaps to approx_percentile.",
+)
+def percentile_totalprice_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    pct = F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(pct.alias("_p"), F.count("*").alias("n_orders"))
+        .select(
+            "o_orderpriority",
+            F.round(F.element_at("_p", 1), 4).cast("double").alias("p25"),
+            F.round(F.element_at("_p", 2), 4).cast("double").alias("p50"),
+            F.round(F.element_at("_p", 3), 4).cast("double").alias("p75"),
+            "n_orders",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "cube_returnflag_linestatus",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus, g_flag, g_status
+    """,
+    doc="CUBE over (returnflag, linestatus) with GROUPING() flags — the "
+    "full grouping-sets surface (ROLLUP is covered separately).",
+)
+def cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("total_price"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "total_price",
+            "n_items",
+        )
+        .orderBy("returnflag", "linestatus", "g_flag", "g_status")
+    )
+
+
+@query(
+    "pivot_nation_segment_counts",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           COUNT(CASE WHEN c.c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS automobile,
+           COUNT(CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 END) AS building,
+           COUNT(CASE WHEN c.c_mktsegment = 'FURNITURE' THEN 1 END) AS furniture,
+           COUNT(CASE WHEN c.c_mktsegment = 'HOUSEHOLD' THEN 1 END) AS household,
+           COUNT(CASE WHEN c.c_mktsegment = 'MACHINERY' THEN 1 END) AS machinery
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation_name
+    """,
+    doc="Pivot (long→wide) with an explicit value list — one pass, no "
+    "second scan; missing cells filled with 0 to match COUNT(CASE).",
+)
+def pivot_nation_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    wide = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .pivot("c_mktsegment", SEGMENTS)
+        .count()
+        .na.fill(0, [s for s in SEGMENTS])
+    )
+    return wide.select(
+        "nation_name", *[F.col(s).alias(s.lower()) for s in SEGMENTS]
+    ).orderBy("nation_name")
+
+
+@query(
+    "stats_quantity_battery",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(STDDEV_SAMP(CAST(l_quantity AS DOUBLE)), 6) AS DOUBLE) AS qty_stddev,
+           CAST(ROUND(VAR_SAMP(CAST(l_quantity AS DOUBLE)), 6) AS DOUBLE) AS qty_var,
+           CAST(ROUND(CORR(CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE)), 6) AS DOUBLE)
+               AS qty_disc_corr,
+           CAST(ROUND(COVAR_SAMP(CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE)), 6)
+               AS DOUBLE) AS qty_disc_covar,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Statistical aggregate family (stddev/var/corr/covar) — single "
+    "pass, partial-aggregable, rounded to absorb float merge-order noise.",
+)
+def stats_quantity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    d = F.col("l_discount").cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp(q), 6).cast("double").alias("qty_stddev"),
+            F.round(F.var_samp(q), 6).cast("double").alias("qty_var"),
+            F.round(F.corr(q, d), 6).cast("double").alias("qty_disc_corr"),
+            F.round(F.covar_samp(q, d), 6).cast("double").alias("qty_disc_covar"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -194,14 +194,16 @@ def semi_join_customers_with_big_orders(spark: SparkSession, sf_dir: str) -> Dat
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
     ORDER BY c_custkey
     """,
-    doc="Left-anti join = quarantine complement selection (SURVEY §2.7 U2).",
+    doc="Left-anti join = quarantine complement selection (SURVEY §2.7 U2): "
+    "customers with no single order above 400k (non-empty at every SF).",
 )
 def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name")

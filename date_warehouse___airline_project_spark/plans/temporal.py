@@ -1,0 +1,196 @@
+"""Temporal joins and ordered-collection surface: as-of join (backward),
+interval/range join, explode/unnest, and ordered string aggregation.
+
+None of these exist in the reference (SURVEY §2.3 notes "No theta, range,
+as-of, or interval joins"), but they are table stakes for a time-series /
+training-data warehouse, and DuckDB can oracle every one (ASOF JOIN is
+native DuckDB syntax).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join_backward
+from ..sources.catalog import load_table
+from .registry import query
+
+DEC = "decimal(18,2)"
+
+# Month-end observation points inside the data's shipdate range (1995–2001).
+MONTH_ENDS = [
+    "1996-03-31 00:00:00",
+    "1996-12-31 00:00:00",
+    "1997-06-30 00:00:00",
+    "1998-01-31 00:00:00",
+    "1999-03-31 00:00:00",
+    "2000-06-30 00:00:00",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "asof_purchase_before_error",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id, value FROM (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'error') WHERE rn = 1),
+    e AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT e.event_id, e.user_id,
+           STRFTIME(e.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           p.event_id AS prior_error_id,
+           STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS prior_error_ts,
+           p.value AS prior_error_value
+    FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+    ORDER BY e.event_id
+    """,
+    doc="Backward as-of join (operators/asof.py): each purchase matched to "
+    "the user's most recent error at-or-before it. Union-tag + keyed "
+    "window — one shuffle on user_id, sort-merge asymptotics; oracle is "
+    "DuckDB's native ASOF LEFT JOIN. Right side deduped per (user, ts) "
+    "for a deterministic tie winner on both engines.",
+)
+def asof_purchase_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    wdd = W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .withColumn("_rn", F.row_number().over(wdd))
+        .filter(F.col("_rn") == 1)
+        .select("event_id", "ts", "user_id", "value")
+    )
+    joined = asof_join_backward(
+        left=purchases,
+        right=errors,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["event_id", "ts", "value"],
+        right_tiebreak=["event_id"],
+    )
+    return (
+        joined.select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.col("event_id_matched").alias("prior_error_id"),
+            F.date_format("ts_matched", "yyyy-MM-dd HH:mm:ss").alias("prior_error_ts"),
+            F.col("value_matched").alias("prior_error_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "range_join_inflight_shipments",
+    oracle=f"""
+    SELECT STRFTIME(m.month_end, '%Y-%m-%d') AS month_end,
+           COUNT(*) AS in_flight,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_in_flight
+    FROM (VALUES {", ".join(f"(TIMESTAMP '{d}')" for d in MONTH_ENDS)}) m(month_end)
+    JOIN lineitem l
+      ON m.month_end >= l.l_shipdate
+     AND m.month_end < l.l_shipdate + INTERVAL 30 DAY
+    GROUP BY m.month_end
+    ORDER BY month_end
+    """,
+    doc="Interval/range join: observation timestamps against [shipdate, "
+    "shipdate+30d) delivery windows. The tiny side broadcasts, so the "
+    "inequality join is a broadcast nested-loop over the fact — the "
+    "correct physical plan at any fact scale (never a cross shuffle).",
+)
+def range_join_inflight_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    m = spark.createDataFrame([(d,) for d in MONTH_ENDS], ["month_end_s"]).select(
+        F.col("month_end_s").cast("timestamp").alias("month_end")
+    )
+    cond = (F.col("month_end") >= F.col("l_shipdate")) & (
+        F.col("month_end") < F.col("l_shipdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        li.join(F.broadcast(m), cond)
+        .groupBy("month_end")
+        .agg(
+            F.count("*").alias("in_flight"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("qty_in_flight"),
+        )
+        .select(
+            F.date_format("month_end", "yyyy-MM-dd").alias("month_end"),
+            "in_flight",
+            "qty_in_flight",
+        )
+        .orderBy("month_end")
+    )
+
+
+@query(
+    "doc_top_words",
+    oracle="""
+    SELECT w AS word, COUNT(*) AS cnt
+    FROM (SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w FROM documents)
+    WHERE w <> ''
+    GROUP BY w
+    ORDER BY cnt DESC, word
+    LIMIT 25
+    """,
+    doc="Explode/unnest surface: tokenize → flatten → count. Partial "
+    "aggregation absorbs the token blow-up before the shuffle.",
+)
+def doc_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(25)
+    )
+
+
+@query(
+    "user_event_sequences",
+    oracle="""
+    SELECT user_id,
+           STRING_AGG(event_type, ',' ORDER BY ts, event_id) AS seq,
+           COUNT(*) AS n_events
+    FROM (SELECT user_id, ts, event_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events)
+    WHERE rn <= 10
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Ordered string aggregation: each user's first-10 event-type "
+    "sequence. collect_list is order-nondeterministic under shuffle, so "
+    "the order key travels inside the collected structs and the sort "
+    "happens per-group after collection — deterministic at any "
+    "parallelism.",
+)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    first10 = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    return (
+        first10.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ",",
+            ).alias("seq"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -114,3 +114,41 @@ def test_scd2_merge_invariants(spark):
     # at most one current row per key
     per_key = cur.groupBy("booking_reference").count().agg(F.max("count")).first()[0]
     assert per_key == 1
+
+
+def test_asof_join_backward(spark):
+    from date_warehouse___airline_project_spark.operators.asof import asof_join_backward
+    from datetime import datetime
+
+    def t(s):
+        return datetime.fromisoformat(s)
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, t("2020-01-05 00:00:00")),   # after two right rows → latest wins
+            (2, 10, t("2020-01-02 00:00:00")),   # exact-ts tie → match taken (>= semantics)
+            (3, 10, t("2020-01-01 00:00:00")),   # before any right row → null
+            (4, 99, t("2020-06-01 00:00:00")),   # key with no right rows → null
+        ],
+        ["id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, t("2020-01-02 00:00:00"), "a"),
+            (101, 10, t("2020-01-04 00:00:00"), "b"),
+        ],
+        ["rid", "k", "rts", "tag"],
+    )
+    out = asof_join_backward(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        payload_cols=["rid", "tag"], right_tiebreak=["rid"],
+    )
+    got = {r["id"]: (r["rid_matched"], r["tag_matched"]) for r in out.collect()}
+    assert got == {
+        1: (101, "b"),
+        2: (100, "a"),
+        3: (None, None),
+        4: (None, None),
+    }
+    # every left row survives exactly once (LEFT asof semantics)
+    assert out.count() == 4
