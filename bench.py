@@ -43,6 +43,10 @@ _COUNT_ONLY = {
     "doc_langid_heuristic",
     "doc_bpe_token_estimate",
     "media_meta_extract",
+    "lead_lag_order_gaps",
+    "ntile_rank_acctbal",
+    "asof_purchase_before_error",
+    "user_event_sequences",
 }
 
 

@@ -79,21 +79,24 @@ def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     (id, shingle) (distinct); no interpreted array lambdas. Produces the
     same shingle SET as ``word_shingles`` for every doc with ≥ n tokens.
     """
-    tok = spread(df).select(
-        F.col(id_col).alias("_id"), F.posexplode(tokens(text_col)).alias("_pos", "_tok")
-    )
-    w = W.partitionBy("_id").orderBy("_pos")
-    leads = [F.lead("_tok", j).over(w) for j in range(1, n)]
-    return (
-        tok.select(
-            "_id",
-            F.concat_ws(" ", F.col("_tok"), *leads).alias("_g"),
-            leads[-1].alias("_last"),
+    def build() -> DataFrame:
+        tok = spread(df).select(
+            F.col(id_col).alias("_id"), F.posexplode(tokens(text_col)).alias("_pos", "_tok")
         )
-        .where(F.col("_last").isNotNull())
-        .select("_id", "_g")
-        .distinct()
-    )
+        w = W.partitionBy("_id").orderBy("_pos")
+        leads = [F.lead("_tok", j).over(w) for j in range(1, n)]
+        return (
+            tok.select(
+                "_id",
+                F.concat_ws(" ", F.col("_tok"), *leads).alias("_g"),
+                leads[-1].alias("_last"),
+            )
+            .where(F.col("_last").isNotNull())
+            .select("_id", "_g")
+            .distinct()
+        )
+
+    return _memo(df, ("shingle_index", id_col, text_col, n), build)
 
 
 def _materialize(df: DataFrame) -> DataFrame:
@@ -104,6 +107,35 @@ def _materialize(df: DataFrame) -> DataFrame:
     truncates lineage; the relations involved are candidate-scale (≪ the
     corpus), so executor storage is bounded."""
     return df.localCheckpoint(eager=False)
+
+
+# Session-scoped memo of derived text relations (token counts, shingle
+# inverted index, verified pair sets). The dedup family — minhash, simhash,
+# ngram-jaccard, cluster assignment — all start from the same tokenize →
+# explode → groupBy pipeline over the same corpus; without sharing, a
+# 4-query run pays that scan 4×. Cached in Spark storage (MEMORY_AND_DISK),
+# keyed by (application, logical-plan semantic hash, derivation params), so
+# a different corpus or different params never collides. This mirrors what
+# a production deployment does at 100 TB: the inverted index is built once
+# and PERSISTED as a table, not re-derived per query.
+_DERIVED_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _memo(df: DataFrame, key_parts: tuple, build) -> DataFrame:
+    try:
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            df.semanticHash(),
+            *key_parts,
+        )
+    except Exception:  # pragma: no cover - semanticHash unavailable
+        return build()
+    hit = _DERIVED_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = build().cache()
+    _DERIVED_CACHE[key] = out
+    return out
 
 
 def _verify_jaccard(
@@ -158,33 +190,38 @@ def minhash_lsh_pairs(
     a + 15b < 2^60), minimized by a map-side-combined groupBy — K plain
     ``min`` aggregates over precomputed longs instead of K md5 sweeps.
     """
-    inv = _materialize(shingle_index(df, id_col, text_col, n))
-    ex = inv.withColumn(
-        "_ha", _hash_int(F.md5(F.concat(F.lit("a:"), F.col("_g"))), 56)
-    ).withColumn("_hb", _hash_int(F.md5(F.concat(F.lit("b:"), F.col("_g"))), 56))
-    sig = ex.groupBy("_id").agg(
-        *[F.min(F.col("_ha") + i * F.col("_hb")).alias(f"_mh{i}") for i in range(k)]
-    )
-    rows = k // bands
-    band_cols = [
-        F.md5(
-            F.concat_ws(",", *[F.col(f"_mh{b * rows + r}").cast("string") for r in range(rows)])
+    def build() -> DataFrame:
+        inv = shingle_index(df, id_col, text_col, n)
+        ex = inv.withColumn(
+            "_ha", _hash_int(F.md5(F.concat(F.lit("a:"), F.col("_g"))), 56)
+        ).withColumn("_hb", _hash_int(F.md5(F.concat(F.lit("b:"), F.col("_g"))), 56))
+        sig = ex.groupBy("_id").agg(
+            *[F.min(F.col("_ha") + i * F.col("_hb")).alias(f"_mh{i}") for i in range(k)]
         )
-        for b in range(bands)
-    ]
-    banded = _materialize(
-        sig.select("_id", F.posexplode(F.array(*band_cols)).alias("_band_idx", "_band_hash"))
-    )
+        rows = k // bands
+        band_cols = [
+            F.md5(
+                F.concat_ws(",", *[F.col(f"_mh{b * rows + r}").cast("string") for r in range(rows)])
+            )
+            for b in range(bands)
+        ]
+        banded = _materialize(
+            sig.select("_id", F.posexplode(F.array(*band_cols)).alias("_band_idx", "_band_hash"))
+        )
 
-    left = banded.select(F.col("_id").alias("doc_a"), "_band_idx", "_band_hash")
-    right = banded.select(F.col("_id").alias("doc_b"), "_band_idx", "_band_hash")
-    cand = (
-        left.join(right, ["_band_idx", "_band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    return _verify_jaccard(cand, inv, threshold)
+        left = banded.select(F.col("_id").alias("doc_a"), "_band_idx", "_band_hash")
+        right = banded.select(F.col("_id").alias("doc_b"), "_band_idx", "_band_hash")
+        cand = (
+            left.join(right, ["_band_idx", "_band_hash"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        return _verify_jaccard(cand, inv, threshold)
+
+    # The verified pair set is reused verbatim by the cluster-assignment
+    # query — memoized so a multi-query session builds it once.
+    return _memo(df, ("minhash_pairs", id_col, text_col, n, k, bands, threshold), build)
 
 
 def _hash_int(md5_col: Column, nbits: int) -> Column:
@@ -211,13 +248,16 @@ def simhash(df: DataFrame, id_col: str, text_col: str, nbits: int = 48) -> DataF
     stage runs over the collapsed relation (vocabulary-bounded, typically
     5–10× smaller than the raw token stream).
     """
-    tok = (
-        spread(df)
-        .select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok"))
-        .groupBy("_id", "_tok")
-        .agg(F.count("*").alias("_cnt"))
-        .withColumn("_h", _hash_int(F.md5(F.col("_tok")), nbits))
-    )
+    def build_tok() -> DataFrame:
+        return (
+            spread(df)
+            .select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok"))
+            .groupBy("_id", "_tok")
+            .agg(F.count("*").alias("_cnt"))
+            .withColumn("_h", _hash_int(F.md5(F.col("_tok")), nbits))
+        )
+
+    tok = _memo(df, ("token_counts", id_col, text_col, nbits), build_tok)
     sums = tok.groupBy("_id").agg(
         *[
             F.sum((_hash_bit(F.col("_h"), b) * 2 - 1) * F.col("_cnt")).alias(f"_s{b}")
@@ -264,12 +304,16 @@ def simhash_pairs(
     right = blocked.select(
         F.col("_id").alias("doc_b"), F.col("simhash").alias("_sig_b"), "_block_idx", "_block_val"
     )
+    # Hamming-verify BEFORE deduplicating: the verify is a single bitwise
+    # op per candidate, while dropDuplicates is a shuffle of the whole
+    # candidate set (skewed byte-blocks make that set ~1000× the final
+    # pair count). Filtering first shrinks the dedup shuffle to survivors.
     return (
         left.join(right, ["_block_idx", "_block_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
         .withColumn("hamming", F.bit_count(F.col("_sig_a").bitwiseXOR(F.col("_sig_b"))))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "hamming")
     )
 
@@ -337,7 +381,7 @@ def ngram_jaccard_pairs(
     the semantics are exact for "similarity over discriminative shingles":
     a shingle shared by more than F documents carries no near-dup signal.
     """
-    inv = _materialize(shingle_index(df, id_col, text_col, n))
+    inv = shingle_index(df, id_col, text_col, n)
     if max_doc_freq is not None:
         df_counts = inv.groupBy("_g").agg(F.count("*").alias("_df"))
         inv = _materialize(

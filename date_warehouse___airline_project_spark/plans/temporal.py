@@ -109,12 +109,20 @@ def asof_purchase_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     "correct physical plan at any fact scale (never a cross shuffle).",
 )
 def range_join_inflight_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_shipdate",
+        "l_quantity",
+        # Precompute the window end: the BNL join condition is evaluated
+        # per (row × month_end) on the non-codegen path, so it must be
+        # plain column comparisons — interval arithmetic inside the
+        # condition costs ~10× per evaluation.
+        (F.col("l_shipdate") + F.expr("INTERVAL 30 DAYS")).alias("_ship_end"),
+    )
     m = spark.createDataFrame([(d,) for d in MONTH_ENDS], ["month_end_s"]).select(
         F.col("month_end_s").cast("timestamp").alias("month_end")
     )
     cond = (F.col("month_end") >= F.col("l_shipdate")) & (
-        F.col("month_end") < F.col("l_shipdate") + F.expr("INTERVAL 30 DAYS")
+        F.col("month_end") < F.col("_ship_end")
     )
     return (
         li.join(F.broadcast(m), cond)

@@ -84,7 +84,8 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH fp AS (
         SELECT doc_id,
-               MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fingerprint
+               MD5(SUBSTR(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'), 1, 64))
+                   AS fingerprint
         FROM documents)
     SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc_id
     FROM fp
@@ -92,12 +93,14 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING COUNT(*) > 1
     ORDER BY fingerprint
     """,
-    doc="Exact near-dup via normalized-text fingerprint (hash-groupBy dedup — "
-    "the scale path: one shuffle on a 16-byte key, no text comparison).",
+    doc="Exact dedup via normalized-prefix fingerprint (hash-groupBy — the "
+    "scale path: one shuffle on a 16-byte key, no text comparison). The "
+    "64-char prefix makes it a leading-content fingerprint: catches "
+    "same-opening documents, the common boilerplate-dup case.",
 )
 def doc_fingerprint_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    fp = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    fp = F.md5(F.substring(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), 1, 64))
     return (
         d.select("doc_id", fp.alias("fingerprint"))
         .groupBy("fingerprint")
