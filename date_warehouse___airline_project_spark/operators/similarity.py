@@ -116,6 +116,124 @@ def ivf_topk(
     )
 
 
+def assign_to_centroids(
+    data: DataFrame, cents: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid (cosine) assignment against an explicit centroid set
+    ``cents(_cid, _cvec)``. Broadcast centroids × data — map-side only; ties
+    break to the lower centroid id (max_by on (cos, -cid))."""
+    scored = data.crossJoin(F.broadcast(cents)).withColumn(
+        "_cos_c", cosine(F.col(vec_col), F.col("_cvec"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by("_cid", F.struct(F.col("_cos_c"), (-F.col("_cid")).alias("_nc"))).alias(
+                "centroid_id"
+            )
+        )
+        .join(data, id_col)
+    )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 25,
+    sample_mod: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic Lloyd-trained centroids ``(_cid, _cvec)``.
+
+    Init: the fixed data-derived codebook (id % centroid_mod == 0).
+    Train: ``iters`` rounds of assign → mean over a deterministic sample
+    (id % sample_mod == 0) — training on a sample is the standard IVF
+    practice and bounds the scoring cost at any corpus size.
+
+    Cross-engine exactness: the per-dimension mean is computed as an exact
+    DECIMAL(27,10) sum divided (in double space) by the count — decimal
+    addition is associative, so the result is identical under ANY Spark
+    partitioning/merge order and equals DuckDB's. Centroid components
+    therefore match bit-for-bit and downstream cosine argmaxes never
+    diverge. A float SUM here would drift with partition order and flip
+    boundary assignments.
+
+    Plan shape per iteration: one broadcast-scoring pass over the sample +
+    one posexplode/groupBy((cid, dim)) mean + one per-cid re-pack. All
+    relational, no driver-side vectors.
+    """
+    cents = emb.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    )
+    sample = emb.filter(F.col(id_col) % sample_mod == 0).repartition(
+        emb.sparkSession.sparkContext.defaultParallelism
+    )
+    for _ in range(iters):
+        assigned = assign_to_centroids(sample, cents, id_col, vec_col)
+        comps = (
+            assigned.select(
+                F.col("centroid_id").alias("_cid"),
+                F.posexplode(F.col(vec_col)).alias("_pos", "_val"),
+            )
+            .groupBy("_cid", "_pos")
+            .agg(
+                (
+                    F.sum(F.col("_val").cast("double").cast("decimal(27,10)")).cast("double")
+                    / F.count("*")
+                ).alias("_comp")
+            )
+        )
+        cents = comps.groupBy("_cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_comp"))), lambda s: s["_comp"]
+            ).alias("_cvec")
+        )
+    return cents
+
+
+def ivf_topk_trained(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 25,
+    sample_mod: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF search over Lloyd-trained centroids (see ``kmeans_lloyd``)."""
+    cents = kmeans_lloyd(emb, id_col, vec_col, centroid_mod, sample_mod, iters)
+    # Trained centroids are referenced by three consumers (full assignment,
+    # probe selection) — materialize once; the codebook is tiny.
+    cents = cents.localCheckpoint(eager=False)
+    assigned = assign_to_centroids(
+        emb.repartition(emb.sparkSession.sparkContext.defaultParallelism), cents, id_col, vec_col
+    )
+    qvec = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qv"))
+    probe = (
+        cents.crossJoin(F.broadcast(qvec))
+        .withColumn("_cos_q", cosine(F.col("_cvec"), F.col("_qv")))
+        .orderBy(F.desc("_cos_q"), F.asc("_cid"))
+        .limit(nprobe)
+        .select(F.col("_cid").alias("centroid_id"))
+    )
+    other_cols = [c for c in emb.columns if c not in (id_col, vec_col)]
+    return (
+        assigned.join(F.broadcast(probe), "centroid_id", "left_semi")
+        .filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            id_col,
+            *other_cols,
+            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def sign_lsh_bucket(vec_col: Column, nplanes: int = 8) -> Column:
     """LSH bucket key: sign bits of the first ``nplanes`` dimensions.
 

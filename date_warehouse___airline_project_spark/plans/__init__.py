@@ -16,3 +16,4 @@ def load_all() -> None:
     from . import subqueries  # noqa: F401
     from . import analytic  # noqa: F401
     from . import temporal  # noqa: F401
+    from . import agg_battery  # noqa: F401

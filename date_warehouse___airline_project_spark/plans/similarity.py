@@ -118,6 +118,67 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, query_id=0, k=10, nprobe=2, centroid_mod=25)
 
 
+def _iter_sql(i: int, prev_cents: str) -> str:
+    """One Lloyd iteration as CTEs: assign sample to ``prev_cents`` →
+    exact-decimal per-dimension means → re-packed centroid list."""
+    return f"""
+    a{i} AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT s.vec_id, s.emb, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {_cos_sql('s.emb', 'c.cvec')} DESC, c.cid) AS rn
+        FROM samp s, {prev_cents} c) WHERE rn = 1),
+    u{i} AS (
+      SELECT cid, pos,
+             CAST(SUM(CAST(emb[pos] AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS comp
+      FROM a{i}, UNNEST(GENERATE_SERIES(1, 64)) AS t(pos)
+      GROUP BY cid, pos),
+    c{i} AS (SELECT cid, LIST(comp ORDER BY pos) AS cvec FROM u{i} GROUP BY cid)"""
+
+
+_IVF_TRAINED_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id % 25 = 0),
+    samp AS (SELECT vec_id, emb FROM e WHERE vec_id % 4 = 0),
+    {_iter_sql(1, 'c0')},
+    {_iter_sql(2, 'c1')},
+    q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c.cid, {_cos_sql('c.cvec', 'q.qv')} AS cq
+        FROM c2 c, q ORDER BY cq DESC, cid LIMIT 2)),
+    af AS (
+      SELECT vec_id, label, emb, cid FROM (
+        SELECT e.vec_id, e.label, e.emb, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.emb', 'c.cvec')} DESC, c.cid) AS rn
+        FROM e, c2 c) WHERE rn = 1)
+    SELECT af.vec_id, af.label, ROUND({_cos_sql('af.emb', 'q.qv')}, 6) AS cos_sim
+    FROM af JOIN probe p ON af.cid = p.cid, q
+    WHERE af.vec_id <> 0
+    ORDER BY cos_sim DESC, af.vec_id LIMIT 10
+"""
+
+
+@query(
+    "emb_ivf_trained_topk",
+    oracle=_IVF_TRAINED_ORACLE,
+    doc="IVF top-k over Lloyd-TRAINED centroids: 2 k-means iterations on a "
+    "deterministic sample (id % 4), init = the fixed codebook (id % 25), "
+    "then nprobe=2 search. Per-dimension means use exact DECIMAL sums so "
+    "centroid floats are identical under any partitioning — the oracle "
+    "replicates the whole training loop (operators/similarity.py::"
+    "kmeans_lloyd / ivf_topk_trained).",
+)
+def emb_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk_trained
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_trained(
+        e, query_id=0, k=10, nprobe=2, centroid_mod=25, sample_mod=4, iters=2
+    )
+
+
 _NEARDUP_BUCKET_SQL = "||".join(
     f"(CASE WHEN embedding[{d + 1}] >= 0 THEN '1' ELSE '0' END)" for d in range(4)
 )
