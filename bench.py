@@ -47,6 +47,7 @@ _COUNT_ONLY = {
     "ntile_rank_acctbal",
     "asof_purchase_before_error",
     "user_event_sequences",
+    "followup_error_after_purchase",
 }
 
 

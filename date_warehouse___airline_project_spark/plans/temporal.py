@@ -141,6 +141,46 @@ def range_join_inflight_shipments(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "followup_error_after_purchase",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id,
+           STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           e.event_id AS error_id,
+           STRFTIME(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id
+     AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 DAY
+    ORDER BY purchase_id, error_id
+    """,
+    doc="Event-interval follow-up join (batch form of streaming/windows.py::"
+    "stream_stream_followup_join — same logical plan runs as a watermarked "
+    "stream-stream join): errors within 1 day after a same-user purchase. "
+    "Equi-join on user_id with the range as a join filter — sort-merge "
+    "shape, never a cross product.",
+)
+def followup_error_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import stream_stream_followup_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    errors = ev.filter(F.col("event_type") == "error")
+    joined = stream_stream_followup_join(purchases, errors, max_lag_minutes=1440)
+    return (
+        joined.select(
+            "user_id",
+            "purchase_id",
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            "error_id",
+            F.date_format("e_ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+            "purchase_value",
+        )
+        .orderBy("purchase_id", "error_id")
+    )
+
+
+@query(
     "doc_top_words",
     oracle="""
     SELECT w AS word, COUNT(*) AS cnt

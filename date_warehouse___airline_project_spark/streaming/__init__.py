@@ -29,5 +29,6 @@ from .file_ingest import stream_csv_dir  # noqa: F401
 from .stateful import running_user_totals  # noqa: F401
 from .windows import (  # noqa: F401
     sessionized_user_activity,
+    stream_stream_followup_join,
     windowed_event_counts,
 )

@@ -47,6 +47,44 @@ def windowed_event_counts(
     )
 
 
+def stream_stream_followup_join(
+    purchases: DataFrame,
+    errors: DataFrame,
+    watermark: str = "30 minutes",
+    max_lag_minutes: int = 15,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to same-user
+    errors occurring within ``max_lag_minutes`` AFTER it.
+
+    The reference has no stream-stream joins at all (SURVEY §2.12 gap);
+    this is the canonical Structured Streaming form: watermarks on BOTH
+    sides plus a bounded event-time range condition, which lets the engine
+    expire join state — state size is (events within the lag window), not
+    the unbounded stream. Works identically in batch mode (watermarks
+    no-op), so the batch form is oracle-checkable.
+    """
+    p = purchases.withWatermark(ts_col, watermark).select(
+        F.col("user_id"),
+        F.col(ts_col).alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    e = errors.withWatermark(ts_col, watermark).select(
+        F.col("user_id").alias("_e_user"),
+        F.col(ts_col).alias("e_ts"),
+        F.col("event_id").alias("error_id"),
+    )
+    cond = (
+        (p.user_id == e._e_user)
+        & (e.e_ts >= p.p_ts)
+        & (e.e_ts <= p.p_ts + F.expr(f"INTERVAL {max_lag_minutes} MINUTES"))
+    )
+    return p.join(e, cond, "inner").select(
+        "user_id", "purchase_id", "p_ts", "error_id", "e_ts", "purchase_value"
+    )
+
+
 def sessionized_user_activity(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -256,3 +256,42 @@ def test_csv_drop_dir_ingest_cleans_per_batch(spark, tmp_path):
     q.awaitTermination(120)
     # row 1 clean; row 2 missing id → quarantine; row 3 duplicate id → quarantine
     assert out == {"clean": 1, "quar": 2}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (watermarks both sides + bounded range
+    condition) over a file-source stream must equal the batch-mode join of
+    the same inputs — certifying the join arithmetic; streaming mode adds
+    only state-expiry mechanics."""
+    from date_warehouse___airline_project_spark.sources.catalog import load_table
+    from date_warehouse___airline_project_spark.streaming import (
+        stream_stream_followup_join,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "ev_src")
+    events.limit(500).write.parquet(src)
+
+    def sides(df):
+        return (
+            df.filter(F.col("event_type") == "purchase"),
+            df.filter(F.col("event_type") == "error"),
+        )
+
+    batch = stream_stream_followup_join(*sides(spark.read.parquet(src)), max_lag_minutes=1440)
+    schema = spark.read.parquet(src).schema
+    sp, se = sides(spark.readStream.schema(schema).parquet(src))
+    stream = stream_stream_followup_join(sp, se, max_lag_minutes=1440)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {(r.purchase_id, r.error_id) for r in spark.table("ss_join").collect()}
+    want = {(r.purchase_id, r.error_id) for r in batch.collect()}
+    assert got == want and len(want) > 0
