@@ -17,3 +17,4 @@ def load_all() -> None:
     from . import analytic  # noqa: F401
     from . import temporal  # noqa: F401
     from . import agg_battery  # noqa: F401
+    from . import sampling  # noqa: F401
