@@ -18,3 +18,4 @@ def load_all() -> None:
     from . import temporal  # noqa: F401
     from . import agg_battery  # noqa: F401
     from . import sampling  # noqa: F401
+    from . import profiling  # noqa: F401

@@ -63,3 +63,57 @@ def sql_priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_CORRELATED_SQL)
+
+
+_EXISTS_PAIR_SQL = """
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_late
+    FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+                    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l.l_orderkey AND l2.l_suppkey <> l.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l.l_orderkey
+                        AND l3.l_suppkey <> l.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY n_late DESC, s.s_suppkey
+    LIMIT 20
+"""
+
+
+@query(
+    "sql_exists_notexists_text",
+    oracle=_EXISTS_PAIR_SQL,
+    doc="TPC-H Q21 shape as LITERAL portable SQL through spark.sql — "
+    "Catalyst performs the EXISTS/NOT-EXISTS decorrelation itself (vs the "
+    "hand-planned aggregate rewrite in q21_sole_late_supplier); the SAME "
+    "text is the DuckDB oracle.",
+)
+def sql_exists_notexists_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("supplier", "lineitem", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_EXISTS_PAIR_SQL)
+
+
+_CORRELATED_SCALAR_SQL = """
+    SELECT COUNT(*) AS n_small,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#2'
+      AND l.l_quantity < (SELECT 0.5 * AVG(CAST(l2.l_quantity AS DOUBLE))
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@query(
+    "sql_correlated_scalar_text",
+    oracle=_CORRELATED_SCALAR_SQL,
+    doc="TPC-H Q17 shape as literal portable SQL: correlated scalar AVG "
+    "subquery decorrelated by Catalyst itself; identical text oracles.",
+)
+def sql_correlated_scalar_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_CORRELATED_SCALAR_SQL)
