@@ -295,3 +295,38 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     got = {(r.purchase_id, r.error_id) for r in spark.table("ss_join").collect()}
     want = {(r.purchase_id, r.error_id) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup on event_id under a watermark — the
+    at-least-once → effectively-once uplift (SURVEY ST5): replayed events
+    inside the watermark horizon are dropped; state expires with the
+    watermark instead of growing with the stream."""
+    from date_warehouse___airline_project_spark.sources.catalog import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(200)
+    src = str(tmp_path / "dedup_src")
+    # write the batch TWICE — a full replay of every event
+    events.write.parquet(src)
+    events.write.mode("append").parquet(src)
+    assert spark.read.parquet(src).count() == 400
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = [r.event_id for r in spark.table("dedup_stream").collect()]
+    assert len(got) == len(set(got)) == 200
