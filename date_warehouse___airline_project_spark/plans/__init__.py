@@ -19,3 +19,4 @@ def load_all() -> None:
     from . import agg_battery  # noqa: F401
     from . import sampling  # noqa: F401
     from . import profiling  # noqa: F401
+    from . import tpch_more  # noqa: F401

@@ -224,3 +224,101 @@ def stats_quantity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — the general form rollup/cube specialize. One shuffle;
+# Spark expands the sets map-side (Expand operator) so partial aggregation
+# still absorbs the fan-out before the exchange.
+# ---------------------------------------------------------------------------
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT COALESCE(c.c_mktsegment, 'ALL') AS seg,
+           COALESCE(o.o_orderpriority, 'ALL') AS prio,
+           CAST(GROUPING(c.c_mktsegment) AS INT) AS g_seg,
+           CAST(GROUPING(o.o_orderpriority) AS INT) AS g_prio,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY GROUPING SETS ((c.c_mktsegment, o.o_orderpriority),
+                            (c.c_mktsegment), ())
+    ORDER BY g_seg, g_prio, seg, prio
+    """,
+    doc="GROUPING SETS (the general form of rollup/cube) with GROUPING() "
+    "disambiguation flags — Spark's Expand operator fans the sets out "
+    "map-side, so partial agg still precedes the single shuffle.",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (
+        j.groupingSets(
+            [[F.col("c_mktsegment"), F.col("o_orderpriority")], [F.col("c_mktsegment")], []],
+            F.col("c_mktsegment"),
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+            F.grouping("c_mktsegment").cast("int").alias("g_seg"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        )
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("seg"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("prio"),
+            "g_seg",
+            "g_prio",
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("g_seg", "g_prio", "seg", "prio")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval RANGE frame — trailing 30-day spend per customer. Spark range
+# frames need a numeric order key, so the date becomes a day number
+# (unix_date); DuckDB's native INTERVAL frame over the timestamp defines
+# the identical row set (all timestamps are midnight-aligned).
+# ---------------------------------------------------------------------------
+@query(
+    "trailing_30d_customer_spend",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate
+                RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_30d_spend
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 500
+    """,
+    doc="Time-interval RANGE window frame: trailing 30-day spend per "
+    "customer (rangeBetween over a day-number order key ≡ DuckDB's "
+    "INTERVAL frame). Exact decimal sum inside the frame, double at the "
+    "edge.",
+)
+def trailing_30d_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.col("o_orderdate").cast("date")))
+        .rangeBetween(-30, 0)
+    )
+    return (
+        o.withColumn(
+            "trailing_30d_spend",
+            F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double"),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "trailing_30d_spend",
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )

@@ -241,3 +241,69 @@ def doc_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "doc_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM tok WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               CAST(tf.tf AS DOUBLE)
+                   * (CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tf, df, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS term_rank
+        FROM scored
+    )
+    SELECT doc_id, term_rank, term, tf, df, score
+    FROM ranked WHERE term_rank <= 3
+    ORDER BY doc_id, term_rank
+    LIMIT 300
+    """,
+    doc="Corpus-wide TF-IDF top-3 terms per document. IDF is the RATIO "
+    "variant n_docs/df (log-free): IEEE divide/multiply are exactly "
+    "rounded, so Spark and DuckDB produce bit-identical doubles — a "
+    "transcendental log() would not. Plan: explode → two hash aggs "
+    "(partial agg absorbs the token blow-up), df side re-joined on term, "
+    "1-row corpus count cross-joined (broadcast), per-doc window top-3.",
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= 3)
+        .select("doc_id", "term_rank", "term", "tf", "df", "score")
+        .orderBy("doc_id", "term_rank")
+        .limit(300)
+    )

@@ -72,3 +72,29 @@ def test_bucket_pruning_on_key_filter(spark, bucketed):
         assert "SelectedBucketsCount: 1 out of 8" in plan
     finally:
         spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+
+
+def test_partitioned_parquet_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitionBy(year) layout: a year-filtered read must prune
+    to that partition's files at PLANNING time (PartitionFilters, not a
+    post-scan filter) — the 100 TB strategy for date-ranged fact scans."""
+    path = str(tmp_path / "orders_by_year")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    (
+        orders.withColumn("o_year", F.year("o_orderdate"))
+        .write.partitionBy("o_year")
+        .parquet(path)
+    )
+
+    rd = spark.read.parquet(path).filter(F.col("o_year") == 1996)
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_year" in plan.split("PartitionFilters", 1)[1][:200]
+
+    expect = orders.filter(F.year("o_orderdate") == 1996).count()
+    assert rd.count() == expect
+
+    # Pruned scan reads only the one partition directory.
+    import glob
+    all_files = glob.glob(f"{path}/o_year=*/*.parquet")
+    files_1996 = glob.glob(f"{path}/o_year=1996/*.parquet")
+    assert len(files_1996) > 0 and len(files_1996) < len(all_files)

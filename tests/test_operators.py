@@ -152,3 +152,47 @@ def test_asof_join_backward(spark):
     }
     # every left row survives exactly once (LEFT asof semantics)
     assert out.count() == 4
+
+
+def test_salted_join_matches_plain_join(spark):
+    from date_warehouse___airline_project_spark.operators.skew import salted_join
+    from pyspark.sql import functions as F
+
+    # Heavily skewed big side: 900 rows of key 1, a few of keys 2..4.
+    big = spark.createDataFrame(
+        [(1, i) for i in range(900)] + [(k, i) for k in (2, 3, 4) for i in range(5)],
+        "k int, v int",
+    )
+    small = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, tag string")
+
+    salted = salted_join(big, small, on=["k"], n_salts=4, salt_src=F.col("v"))
+    plain = big.join(small, on=["k"])
+
+    assert salted.columns == plain.columns
+    got = sorted(tuple(r) for r in salted.collect())
+    want = sorted(tuple(r) for r in plain.collect())
+    assert got == want
+
+    # The physical plan must join on (k, salt) with the exploded small side.
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan or "explode" in plan.lower()
+
+    # Salt spreads the hot key across all 4 buckets.
+    spread = (
+        big.withColumn("__salt", F.pmod(F.col("v"), F.lit(4)))
+        .filter(F.col("k") == 1)
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert spread == 4
+
+
+def test_salted_join_left_outer_keeps_unmatched(spark):
+    from date_warehouse___airline_project_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, 1), (9, 2)], "k int, v int")
+    small = spark.createDataFrame([(1, "a")], "k int, tag string")
+    out = salted_join(big, small, on=["k"], n_salts=3, how="left")
+    rows = {(r.k, r.v, r.tag) for r in out.collect()}
+    assert rows == {(1, 1, "a"), (9, 2, None)}

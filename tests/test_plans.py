@@ -68,3 +68,20 @@ def test_two_phase_distinct_has_partial_agg(spark):
     # aggregation before its exchange — the skew absorber
     assert plan.count("HashAggregate") >= 4
     assert "Exchange" in plan
+
+
+def test_approx_sketches_within_tolerance(spark):
+    """Sketch surface: approx_count_distinct (HLL++) and approx_percentile
+    (GK) — approximations have no exact oracle, so the gate is relative
+    error against the exact answers on the same data."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    row = ev.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_users"),
+        F.countDistinct("o_custkey").alias("exact_users"),
+        F.percentile_approx(F.col("o_totalprice").cast("double"), 0.5, 10000).alias("p50_approx"),
+        F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.5)").alias("p50_exact"),
+    ).first()
+    assert abs(row.approx_users - row.exact_users) / row.exact_users < 0.05
+    assert abs(row.p50_approx - row.p50_exact) / row.p50_exact < 0.01
