@@ -20,3 +20,4 @@ def load_all() -> None:
     from . import sampling  # noqa: F401
     from . import profiling  # noqa: F401
     from . import tpch_more  # noqa: F401
+    from . import joins_setops  # noqa: F401
