@@ -21,3 +21,4 @@ def load_all() -> None:
     from . import profiling  # noqa: F401
     from . import tpch_more  # noqa: F401
     from . import joins_setops  # noqa: F401
+    from . import modern_sql  # noqa: F401
