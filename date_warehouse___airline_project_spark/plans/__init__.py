@@ -22,3 +22,5 @@ def load_all() -> None:
     from . import tpch_more  # noqa: F401
     from . import joins_setops  # noqa: F401
     from . import modern_sql  # noqa: F401
+    from . import arrays_lambda  # noqa: F401
+    from . import timeseries  # noqa: F401

@@ -322,3 +322,39 @@ def trailing_30d_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(500)
     )
+
+
+@query(
+    "percentile_disc_cume_dist",
+    oracle="""
+    WITH w AS (
+        SELECT o_orderpriority, o_totalprice,
+               CUME_DIST() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice) AS cd
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           MIN(CASE WHEN cd >= 0.25 THEN o_totalprice END) AS p25_disc,
+           MIN(CASE WHEN cd >= 0.5 THEN o_totalprice END) AS median_disc,
+           MIN(CASE WHEN cd >= 0.9 THEN o_totalprice END) AS p90_disc,
+           COUNT(*) FILTER (WHERE cd <= 0.25) AS n_bottom_quartile
+    FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Discrete percentiles (percentile_disc WITHIN GROUP - values "
+    "drawn from the data, no interpolation) plus a cume_dist()-derived "
+    "bottom-quartile count. The oracle pins the ANSI definition "
+    "explicitly: percentile_disc(p) = MIN(x) where cume_dist >= p.",
+)
+def percentile_disc_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    cd = o.select("o_orderpriority", "o_totalprice", F.cume_dist().over(w).alias("cd"))
+    disc = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)").alias("p25_disc"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias("median_disc"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").alias("p90_disc"),
+    )
+    bottom = cd.filter(F.col("cd") <= 0.25).groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_bottom_quartile")
+    )
+    return disc.join(bottom, "o_orderpriority").orderBy("o_orderpriority")

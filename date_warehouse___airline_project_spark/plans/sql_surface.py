@@ -117,3 +117,30 @@ def sql_correlated_scalar_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "part"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_CORRELATED_SCALAR_SQL)
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o.o_orderkey, o.o_totalprice
+             FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o.o_totalprice DESC, o.o_orderkey
+             LIMIT 2) t
+    WHERE c.c_acctbal > 9900
+    ORDER BY c.c_custkey, t.o_orderkey
+"""
+
+
+@query(
+    "sql_lateral_topn_text",
+    oracle=_LATERAL_SQL,
+    doc="Correlated LATERAL subquery with per-row ORDER BY ... LIMIT 2 "
+    "(top-2 orders per rich customer) as literal portable SQL - the "
+    "lateral-join form of the top-k-per-group pattern (SURVEY W3/O1); "
+    "IDENTICAL text runs on Spark 4 and DuckDB.",
+)
+def sql_lateral_topn_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)

@@ -1,0 +1,178 @@
+"""Time-series warehouse operations over ``orders`` and ``events``:
+calendar densification with forward-fill (the scale-out generalization of
+the reference's ffill id-repair, SURVEY W1 / cleaning.py:554-570), cohort
+retention, and event-funnel staging.
+
+Gap-fill strategy: per-key ``sequence(min_day, max_day)`` + explode builds
+the dense calendar WITHOUT a driver-side loop or a global sort — each
+user's series is generated and filled inside its own hash partition, so
+the plan scales linearly with keys (the ffill window partitions by user;
+no single-task global window anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "timeseries_gapfill_ffill",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               ARG_MAX(value, event_id) AS day_value
+        FROM events WHERE user_id % 10 = 3
+        GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    spans AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+    ),
+    calendar AS (
+        SELECT s.user_id, CAST(UNNEST(GENERATE_SERIES(s.d0, s.d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM spans s
+    )
+    SELECT c.user_id,
+           STRFTIME(c.day, '%Y-%m-%d') AS day,
+           d.day_value IS NOT NULL AS observed,
+           LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+               PARTITION BY c.user_id ORDER BY c.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM calendar c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+    ORDER BY c.user_id, c.day
+    """,
+    doc="Per-user daily densification (sequence+explode — no global sort) "
+    "left-joined to observed per-day values (arg_max by event_id for a "
+    "deterministic intra-day winner), then forward-filled with "
+    "last(ignorenulls) over a per-user window. The distributed form of "
+    "the reference's order-dependent ffill (cleaning.py:554-570).",
+)
+def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 3)
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.max_by("value", "event_id").alias("day_value")
+    )
+    spans = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    calendar = spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    joined = calendar.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("day_value").isNotNull().alias("observed"),
+        F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+    ).orderBy("user_id", "day")
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey, MIN(DATE_TRUNC('month', o_orderdate)) AS cohort
+        FROM orders GROUP BY o_custkey
+    ),
+    activity AS (
+        SELECT DISTINCT o.o_custkey, f.cohort,
+               DATE_TRUNC('month', o.o_orderdate) AS act_month
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    )
+    SELECT STRFTIME(cohort, '%Y-%m') AS cohort_month,
+           DATEDIFF('month', cohort, act_month) AS months_since,
+           COUNT(*) AS n_active
+    FROM activity
+    GROUP BY cohort, DATEDIFF('month', cohort, act_month)
+    HAVING COUNT(*) >= 3
+    ORDER BY cohort_month, months_since
+    """,
+    doc="Cohort retention: first-order month per customer (the cohort), "
+    "distinct active months joined back, counted by (cohort, "
+    "months-since). Pure count/date arithmetic — exact parity.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    firsts = o.groupBy("o_custkey").agg(F.min(month).alias("cohort"))
+    activity = (
+        o.join(firsts, "o_custkey")
+        .select("o_custkey", "cohort", month.alias("act_month"))
+        .distinct()
+    )
+    months_since = (
+        (F.year("act_month") - F.year("cohort")) * 12 + F.month("act_month") - F.month("cohort")
+    ).cast("long")
+    return (
+        activity.groupBy(
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            months_since.alias("months_since"),
+        )
+        .agg(F.count("*").alias("n_active"))
+        .filter(F.col("n_active") >= 3)
+        .orderBy("cohort_month", "months_since")
+    )
+
+
+@query(
+    "funnel_stage_counts",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked_after,
+           (SELECT COUNT(*) FROM p) AS n_purchased_after
+    """,
+    doc="Ordered event funnel view -> click-after-view -> purchase-after-"
+    "click: staged min-timestamp joins (each stage anchored strictly "
+    "after the previous stage's first event), counted per stage.",
+)
+def funnel_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_after")))
+    )
