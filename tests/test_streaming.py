@@ -232,6 +232,63 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
         q.stop()
 
 
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Same running-totals contract through transformWithStateInPandas
+    (Spark 4's StatefulProcessor API, RocksDB-backed state)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's state-server protocol needs protobuf "
+        "(pyspark[connect] dependency) — absent in this container",
+    )
+    from date_warehouse___airline_project_spark.streaming import running_user_totals_tws
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = tmp_path / "tws_src"
+    src.mkdir()
+    schema = "user_id long, value double"
+
+    def write_batch(name, rows):
+        import glob, shutil
+
+        stage = tmp_path / ("tws_" + name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(stage)
+        )
+        shutil.copy(glob.glob(str(stage / "part-*.parquet"))[0], str(src / (name + ".parquet")))
+
+    write_batch("b1", [(1, 10.0), (1, 5.0), (2, 1.0)])
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        running_user_totals_tws(stream)
+        .writeStream.format("memory")
+        .queryName("tws_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch("b2", [(1, 2.5), (3, 7.0)])
+        q.processAllAvailable()
+        latest = {}
+        for r in spark.table("tws_test").collect():
+            latest[r.user_id] = (r.n_events, r.total_value)
+        assert latest[1] == (3, 17.5)
+        assert latest[2] == (1, 1.0)
+        assert latest[3] == (1, 7.0)
+    finally:
+        q.stop()
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+
 def test_csv_drop_dir_ingest_cleans_per_batch(spark, tmp_path):
     from date_warehouse___airline_project_spark.pipelines.cleaners import clean_airlinesales
 
