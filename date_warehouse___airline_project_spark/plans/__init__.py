@@ -23,4 +23,5 @@ def load_all() -> None:
     from . import joins_setops  # noqa: F401
     from . import modern_sql  # noqa: F401
     from . import arrays_lambda  # noqa: F401
+    from . import semistructured  # noqa: F401
     from . import timeseries  # noqa: F401
