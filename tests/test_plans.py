@@ -85,3 +85,42 @@ def test_approx_sketches_within_tolerance(spark):
     ).first()
     assert abs(row.approx_users - row.exact_users) / row.exact_users < 0.05
     assert abs(row.p50_approx - row.p50_exact) / row.p50_exact < 0.01
+
+
+def test_gapfill_window_is_keyed_not_global(spark):
+    """The ffill window must partition by user_id — a global (unpartitioned)
+    window would funnel the whole calendar through one task at 100 TB."""
+    plan = plan_of(spark, "timeseries_gapfill_ffill")
+    assert "Window [last(" in plan
+    window_line = [l for l in plan.splitlines() if "Window [last(" in l][0]
+    assert "windowspecdefinition(user_id" in window_line
+
+
+def test_higher_order_lambdas_stay_jvm_side(spark):
+    """Array lambdas compile to Catalyst expressions, never Python eval."""
+    plan = plan_of(spark, "higher_order_array_battery")
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_bucketed_grouped_map_single_python_stage(spark):
+    """Exactly one FlatMapGroupsInPandas, shuffled on the hash bucket (not
+    per-customer): the per-group Python call overhead is amortized over
+    thousands of keys per Arrow batch."""
+    plan = plan_of(spark, "applyinpandas_order_gap_stats")
+    # AQE prints the final plan plus the cached initial plan, so count
+    # grouping keys, not occurrences: every Python stage groups on the
+    # bucket, and the only shuffle key is the bucket.
+    fmap_lines = [l for l in plan.splitlines() if "FlatMapGroupsInPandas" in l]
+    assert fmap_lines and all("[_bucket#" in l for l in fmap_lines)
+    assert "hashpartitioning(_bucket" in plan
+    assert "hashpartitioning(o_custkey" not in plan
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark):
+    """Catalyst must rewrite the correlated LATERAL ORDER BY/LIMIT subquery
+    into a window top-k with WindowGroupLimit pushdown — not a per-row
+    nested-loop replay of the inner query."""
+    plan = plan_of(spark, "sql_lateral_topn_text")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
