@@ -24,4 +24,5 @@ def load_all() -> None:
     from . import modern_sql  # noqa: F401
     from . import arrays_lambda  # noqa: F401
     from . import semistructured  # noqa: F401
+    from . import robustness  # noqa: F401
     from . import timeseries  # noqa: F401

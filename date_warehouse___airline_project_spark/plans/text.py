@@ -307,3 +307,47 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", "term_rank")
         .limit(300)
     )
+
+
+@query(
+    "doc_sliding_chunks",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(text, '\\S+') AS tokens
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    stats AS (
+        SELECT doc_id, tokens, LEN(tokens) AS n_tokens,
+               CAST(FLOOR((LEN(tokens) - 1) / 25) AS BIGINT) + 1 AS n_chunks
+        FROM tok WHERE LEN(tokens) >= 1
+    )
+    SELECT doc_id, n_tokens, n_chunks,
+           MD5(ARRAY_TO_STRING(tokens[1:50], ' ')) AS first_chunk_hash,
+           MD5(ARRAY_TO_STRING(
+               tokens[(n_chunks - 1) * 25 + 1:(n_chunks - 1) * 25 + 50], ' '))
+               AS last_chunk_hash
+    FROM stats
+    ORDER BY doc_id
+    """,
+    doc="Training-window chunking: split each document into 50-token "
+    "windows with 25-token stride (50% overlap) - the pretraining "
+    "sharding op. Chunk starts come from sequence(), chunk text from "
+    "slice(); md5 of the first and last window pins exact content "
+    "without shipping the chunks. One narrow projection, no shuffle "
+    "until the final sort: scales per-document.",
+)
+def doc_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 7 == 0)
+    toks = F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0))
+    d = d.select("doc_id", toks.alias("tokens")).filter(F.size("tokens") >= 1)
+    n_chunks = (F.floor((F.size("tokens") - 1) / 25) + 1).cast("long")
+    last_start = (n_chunks - 1) * 25
+    return d.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        n_chunks.alias("n_chunks"),
+        F.md5(F.array_join(F.slice("tokens", 1, 50), " ")).alias("first_chunk_hash"),
+        F.md5(
+            F.array_join(F.slice(F.col("tokens"), last_start + 1, F.lit(50)), " ")
+        ).alias("last_chunk_hash"),
+    ).orderBy("doc_id")
