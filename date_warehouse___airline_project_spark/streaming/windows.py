@@ -53,6 +53,7 @@ def stream_stream_followup_join(
     watermark: str = "30 minutes",
     max_lag_minutes: int = 15,
     ts_col: str = "ts",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each purchase matched to same-user
     errors occurring within ``max_lag_minutes`` AFTER it.
@@ -63,6 +64,12 @@ def stream_stream_followup_join(
     expire join state — state size is (events within the lag window), not
     the unbounded stream. Works identically in batch mode (watermarks
     no-op), so the batch form is oracle-checkable.
+
+    ``how="leftOuter"`` keeps purchases with no follow-up error: the
+    null-padded row is emitted only once the watermark passes the end of
+    that purchase's match interval (state-expiry is what proves no match
+    can still arrive) — so outer results trail the data by up to
+    watermark + lag.
     """
     p = purchases.withWatermark(ts_col, watermark).select(
         F.col("user_id"),
@@ -80,7 +87,7 @@ def stream_stream_followup_join(
         & (e.e_ts >= p.p_ts)
         & (e.e_ts <= p.p_ts + F.expr(f"INTERVAL {max_lag_minutes} MINUTES"))
     )
-    return p.join(e, cond, "inner").select(
+    return p.join(e, cond, how).select(
         "user_id", "purchase_id", "p_ts", "error_id", "e_ts", "purchase_value"
     )
 

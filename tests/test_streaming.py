@@ -354,6 +354,74 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join: a purchase with no follow-up error
+    must surface with a null error_id — but only after the watermark
+    passes its match interval (state expiry is the proof of no-match).
+    Sentinel far-future events advance the watermark on both sides."""
+    import glob, shutil
+
+    from date_warehouse___airline_project_spark.streaming import (
+        stream_stream_followup_join,
+    )
+
+    schema = "user_id long, ts timestamp, event_id long, value double, event_type string"
+    t0 = "2024-01-01 12:00:00"
+    batch1 = [
+        (1, "2024-01-01 12:00:00", 101, 50.0, "purchase"),  # matched by 201
+        (2, "2024-01-01 12:00:00", 102, 60.0, "purchase"),  # NO error follows
+        (1, "2024-01-01 12:05:00", 201, 0.0, "error"),
+    ]
+    flush = [  # far future: watermark sweeps past every batch1 interval
+        (9, "2024-01-02 12:00:00", 901, 0.0, "purchase"),
+        (9, "2024-01-02 12:00:00", 902, 0.0, "error"),
+    ]
+
+    src = tmp_path / "lo_src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        stage = tmp_path / ("lo_" + name)
+        df = spark.createDataFrame(
+            [(u, t, e, v, k) for u, t, e, v, k in rows],
+            "user_id long, ts string, event_id long, value double, event_type string",
+        ).select(
+            "user_id", F.to_timestamp("ts").alias("ts"), "event_id", "value", "event_type"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        shutil.copy(glob.glob(str(stage / "part-*.parquet"))[0], str(src / (name + ".parquet")))
+
+    write_file("b1", batch1)
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    joined = stream_stream_followup_join(
+        sdf.filter(F.col("event_type") == "purchase"),
+        sdf.filter(F.col("event_type") == "error"),
+        watermark="10 minutes",
+        max_lag_minutes=15,
+        how="leftOuter",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("lo_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "lo_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_file("b2", flush)
+        q.processAllAvailable()
+        rows = {
+            r.purchase_id: r.error_id
+            for r in spark.table("lo_join").collect()
+            if r.purchase_id < 900
+        }
+        assert rows[101] == 201  # inner match
+        assert 102 in rows and rows[102] is None  # outer null after expiry
+    finally:
+        q.stop()
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     """Streaming exact dedup on event_id under a watermark — the
     at-least-once → effectively-once uplift (SURVEY ST5): replayed events
