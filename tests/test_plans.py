@@ -124,3 +124,41 @@ def test_lateral_topn_decorrelates_to_window_group_limit(spark):
     plan = plan_of(spark, "sql_lateral_topn_text")
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_aqe_splits_skewed_sort_merge_join(spark):
+    """AQE skew-join handling — the runtime answer to hot keys at 100 TB:
+    with a 90%-hot key and thresholds scaled to the test data, the
+    executed SortMergeJoin must carry the skew=true marker (the skewed
+    partition was split and its build side replicated)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(0, 2_000_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+            (F.col("id") % 97).alias("v"),
+        )
+        dim = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = (
+            fact.join(dim.hint("merge"), "k")
+            .groupBy()
+            .agg(F.sum(F.col("v") * F.col("w")).alias("s"))
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
