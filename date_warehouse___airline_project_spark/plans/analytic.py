@@ -358,3 +358,82 @@ def percentile_disc_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bottom_quartile")
     )
     return disc.join(bottom, "o_orderpriority").orderBy("o_orderpriority")
+
+
+@query(
+    "trailing_distinct_users",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    grid AS (SELECT DISTINCT day FROM pairs)
+    SELECT g.day AS day, COUNT(DISTINCT p.user_id) AS n_users_7d
+    FROM grid g JOIN pairs p ON p.day BETWEEN g.day - 6 AND g.day
+    GROUP BY g.day
+    ORDER BY day
+    """,
+    doc="Trailing-7-day distinct users per day - the windowed COUNT "
+    "DISTINCT Spark windows cannot express directly. Formulated as "
+    "day-grid x (day,user) pairs range join + exact countDistinct: "
+    "scales by shuffling pairs, never a single-partition window; the "
+    "oracle uses the same join shape. Day emitted as yyyy-MM-dd string.",
+)
+def trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pairs = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    grid = pairs.select("day").distinct().select(F.col("day").alias("g_day"))
+    joined = pairs.join(
+        F.broadcast(grid),
+        (F.col("day") >= F.date_sub(F.col("g_day"), 6)) & (F.col("day") <= F.col("g_day")),
+    )
+    return (
+        joined.groupBy("g_day")
+        .agg(F.countDistinct("user_id").alias("n_users_7d"))
+        .select(F.date_format("g_day", "yyyy-MM-dd").alias("day"), "n_users_7d")
+        .orderBy("day")
+    )
+
+
+@query(
+    "linear_regression_exact",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(o_custkey) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(o_custkey * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+               CAST(SUM(o_custkey * o_custkey) AS DOUBLE) AS sxx
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+    FROM s ORDER BY o_orderpriority
+    """,
+    doc="Least-squares slope/intercept per group (the regr_slope/"
+    "regr_intercept surface) computed from EXACT decimal/integer sums "
+    "cast to double before the closed-form arithmetic - identical "
+    "doubles in, identical doubles out, no float-summation order "
+    "nondeterminism (built-in regr_* accumulates in double and is not "
+    "cross-engine reproducible).",
+)
+def linear_regression_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    y = F.col("o_totalprice").cast("decimal(18,2)")
+    x = F.col("o_custkey")
+    s = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "o_orderpriority",
+        n.cast("bigint").alias("n"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    ).orderBy("o_orderpriority")

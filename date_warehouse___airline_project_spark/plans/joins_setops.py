@@ -290,3 +290,47 @@ def first_last_nth_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_custkey")
         .limit(500)
     )
+
+
+@query(
+    "union_by_name_mismatched",
+    oracle="""
+    SELECT o_orderkey AS key, o_totalprice AS amount, NULL AS segment,
+           'order' AS src
+    FROM orders WHERE o_orderkey % 211 = 0
+    UNION ALL
+    SELECT c_custkey AS key, NULL AS amount, c_mktsegment AS segment,
+           'customer' AS src
+    FROM customer WHERE c_custkey % 73 = 0
+    ORDER BY src, key
+    """,
+    doc="unionByName(allowMissingColumns=True): schema-mismatched frames "
+    "aligned by column NAME with absent columns null-filled - the "
+    "engine-native form of the reference's add-missing-columns-with-"
+    "defaults habit (cleaning.py:325-336). Oracle spells the alignment "
+    "out as UNION ALL with explicit NULLs.",
+)
+def union_by_name_mismatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 211 == 0)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_totalprice").alias("amount"),
+            F.lit("order").alias("src"),
+        )
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 73 == 0)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_mktsegment").alias("segment"),
+            F.lit("customer").alias("src"),
+        )
+    )
+    return (
+        o.unionByName(c, allowMissingColumns=True)
+        .select("key", "amount", "segment", "src")
+        .orderBy("src", "key")
+    )
