@@ -184,3 +184,39 @@ def bitwise_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "explode_outer_empty_arrays",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, LIST_SORT(LIST(l_linenumber) FILTER (l_quantity > 45))
+                   AS big_lines
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT b.l_orderkey, u.ln AS linenumber
+    FROM big b LEFT JOIN
+         (SELECT l_orderkey, UNNEST(big_lines) AS ln FROM big) u
+      ON b.l_orderkey = u.l_orderkey
+    WHERE b.l_orderkey % 19 = 0
+    ORDER BY b.l_orderkey, linenumber
+    """,
+    doc="explode_outer: null-preserving UNNEST - orders whose "
+    "high-quantity line array is EMPTY survive as a null row instead of "
+    "vanishing (plain explode drops them). The oracle builds the same "
+    "semantics with LEFT JOIN against the unnested rows.",
+)
+def explode_outer_empty_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("l_quantity") > 45, F.col("l_linenumber")))
+            ).alias("big_lines")
+        )
+        .filter(F.col("l_orderkey") % 19 == 0)
+    )
+    return big.select(
+        "l_orderkey", F.explode_outer("big_lines").alias("linenumber")
+    ).orderBy("l_orderkey", "linenumber")

@@ -118,3 +118,49 @@ def applyinpandas_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
     o = load_table(spark, sf_dir, "orders")
     return order_gap_stats(o).orderBy("o_custkey").limit(500)
+
+
+_GROUP_BY_ALL_SQL = """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@query(
+    "sql_group_by_all_text",
+    oracle=_GROUP_BY_ALL_SQL,
+    doc="GROUP BY ALL + ORDER BY ALL (grouping keys inferred from the "
+    "non-aggregate select list) - the modern-SQL shorthand both engines "
+    "implement; IDENTICAL text runs on Spark 4 and DuckDB.",
+)
+def sql_group_by_all_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+_VALUES_JOIN_SQL = """
+    SELECT v.code, v.label, COUNT(*) AS n,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN (VALUES ('O', 'open'), ('F', 'filled'), ('P', 'pending'))
+         AS v(code, label)
+      ON o.o_orderstatus = v.code
+    GROUP BY v.code, v.label
+    ORDER BY v.code
+"""
+
+
+@query(
+    "sql_values_inline_lookup",
+    oracle=_VALUES_JOIN_SQL,
+    doc="Inline VALUES table constructor joined as a literal lookup "
+    "(status code -> label) - the SQL form of the reference's in-code "
+    "enum maps (cleaning.py:348-358); IDENTICAL text on both engines, "
+    "and Catalyst broadcasts the 3-row relation.",
+)
+def sql_values_inline_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_VALUES_JOIN_SQL)

@@ -142,3 +142,116 @@ def test_multi_format_dates_agree(spark, days):
         # at least parse to SOME valid day
         assert r.f2 is not None and r.f3 == iso and r.f4 is not None
         assert r.junk is None
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd", "Zs"), max_codepoint=127
+            ),
+            max_size=400,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_sliding_chunk_invariants(spark, texts):
+    """doc_sliding_chunks invariants on arbitrary text: n_chunks is exactly
+    ceil-by-stride of the token count, every doc with >=1 token appears
+    exactly once, and a single-chunk doc has first_hash == last_hash."""
+    import math
+
+    from date_warehouse___airline_project_spark.plans import REGISTRY, load_all
+
+    load_all()
+    rows = [(i * 7, t) for i, t in enumerate(texts)]  # ids satisfy %7==0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df = df.withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"):
+            src = f"/root/testdata/sf0.001/{t}.parquet"
+            os.symlink(src, os.path.join(d, f"{t}.parquet"))
+        out = {r.doc_id: r for r in REGISTRY["doc_sliding_chunks"].fn(spark, d).collect()}
+
+    for i, t in enumerate(texts):
+        toks = t.split()
+        doc_id = i * 7
+        if not toks:
+            assert doc_id not in out
+            continue
+        r = out[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.n_chunks == (len(toks) - 1) // 25 + 1
+        if r.n_chunks == 1:
+            assert r.first_chunk_hash == r.last_chunk_hash
+
+
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # user (maps to %10==3)
+            st.integers(min_value=0, max_value=20),     # day offset
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_gapfill_ffill_invariants(spark, obs):
+    """timeseries_gapfill_ffill invariants: the calendar is dense per user
+    (min..max day, no holes), every observed day keeps an observed value,
+    and filled_value equals the latest observed value at or before the day."""
+    import datetime
+    import os
+    import tempfile
+
+    from date_warehouse___airline_project_spark.plans import REGISTRY, load_all
+
+    load_all()
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (i, base + datetime.timedelta(days=day), 3 + 10 * u, "view", float(v), "{}")
+        for i, (u, day, v) in enumerate(obs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"):
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", os.path.join(d, f"{t}.parquet"))
+        got = REGISTRY["timeseries_gapfill_ffill"].fn(spark, d).collect()
+
+    # reference model: last value of the max-event_id event per (user, day)
+    daily = {}
+    for i, (u, day, v) in enumerate(obs):
+        key = (3 + 10 * u, day)
+        if key not in daily or i > daily[key][0]:
+            daily[key] = (i, float(v))
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r.user_id, []).append(r)
+    users = {3 + 10 * u for u, _, _ in obs}
+    assert set(by_user) == users
+    for uid, rows_u in by_user.items():
+        days = [datetime.date.fromisoformat(r.day) for r in rows_u]
+        assert days == sorted(days)
+        assert (days[-1] - days[0]).days + 1 == len(days)  # dense, no holes
+        last = None
+        for r, day in zip(rows_u, days):
+            off = (day - base.date()).days
+            if (uid, off) in daily:
+                assert r.observed and r.filled_value == daily[(uid, off)][1]
+                last = daily[(uid, off)][1]
+            else:
+                assert not r.observed and r.filled_value == last
