@@ -142,3 +142,43 @@ def calendar_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_month")
     )
+
+
+@query(
+    "calendar_battery2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+           STRFTIME(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+           STRFTIME(CAST(o_orderdate AS DATE) +
+                    CAST(CASE WHEN (8 - isodow(o_orderdate)) % 7 = 0 THEN 7
+                              ELSE (8 - isodow(o_orderdate)) % 7 END AS INTEGER),
+                    '%Y-%m-%d') AS next_monday
+    FROM orders
+    WHERE o_orderkey % 89 = 0
+    ORDER BY o_orderkey
+    """,
+    doc="Calendar battery 2: quarter, ISO week, day-of-year, ISO weekday "
+    "(Spark weekday()+1 = DuckDB isodow), Monday week-truncation, and "
+    "next_day('Mon') - the oracle emulates strictly-after next-Monday "
+    "with isodow arithmetic.",
+)
+def calendar_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        o.filter(F.col("o_orderkey") % 89 == 0)
+        .select(
+            "o_orderkey",
+            F.quarter(d).cast("long").alias("qtr"),
+            F.weekofyear(d).cast("long").alias("iso_week"),
+            F.dayofyear(d).cast("long").alias("doy"),
+            (F.weekday(d) + 1).cast("long").alias("iso_dow"),
+            F.date_format(F.trunc(d, "week"), "yyyy-MM-dd").alias("week_start"),
+            F.date_format(F.next_day(d, "Mon"), "yyyy-MM-dd").alias("next_monday"),
+        )
+        .orderBy("o_orderkey")
+    )

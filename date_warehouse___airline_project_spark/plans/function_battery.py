@@ -237,3 +237,39 @@ def fuzzy_code_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "encoding_functions_battery",
+    oracle="""
+    SELECT p_partkey,
+           to_base64(encode(p_brand)) AS brand_b64,
+           to_hex(p_partkey) AS key_hex,
+           ascii(p_name) AS first_cp,
+           chr(65 + CAST(p_partkey % 26 AS INTEGER)) AS letter,
+           md5(p_type) AS type_md5,
+           sha256(p_brand) AS brand_sha256
+    FROM part
+    WHERE p_partkey % 13 = 0
+    ORDER BY p_partkey
+    """,
+    doc="Binary/encoding surface: base64 over utf-8 bytes, integer hex "
+    "(two's-complement parity incl. the full-width case), ascii/chr "
+    "codepoint round-trip, md5 + sha2-256 hex digests - byte-identical "
+    "on both engines.",
+)
+def encoding_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_partkey") % 13 == 0)
+        .select(
+            "p_partkey",
+            F.base64(F.col("p_brand").cast("binary")).alias("brand_b64"),
+            F.hex("p_partkey").alias("key_hex"),
+            F.ascii("p_name").alias("first_cp"),
+            F.char(F.lit(65) + (F.col("p_partkey") % 26).cast("int")).alias("letter"),
+            F.md5("p_type").alias("type_md5"),
+            F.sha2(F.col("p_brand").cast("binary"), 256).alias("brand_sha256"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -203,3 +203,79 @@ _SESSIONIZE_SQL = """
 def lag_gap_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_SESSIONIZE_SQL)
+
+
+@query(
+    "map_functions_battery2",
+    oracle="""
+    WITH per AS (
+        SELECT o_orderstatus AS s, o_orderpriority AS p,
+               COUNT(*) AS c,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ), tot AS (
+        SELECT s, SUM(c) AS tc, COUNT(*) AS np FROM per GROUP BY 1
+    )
+    SELECT t.s AS o_orderstatus,
+           t.np AS n_priorities,
+           (SELECT COUNT(*) FROM per x WHERE x.s = t.s AND x.c * 10 > t.tc)
+               AS n_major,
+           (SELECT CAST((x.cents - x.cents % x.c) / x.c AS BIGINT)
+            FROM per x WHERE x.s = t.s AND x.p = '1-URGENT') AS avg_cents_urgent,
+           (SELECT x.c FROM per x WHERE x.s = t.s AND x.p LIKE '1%') AS cnt_p1,
+           t.np + 1 AS n_with_total,
+           (SELECT STRING_AGG(x.p, ',' ORDER BY x.p) FROM per x WHERE x.s = t.s)
+               AS keys_csv
+    FROM tot t
+    ORDER BY o_orderstatus
+    """,
+    doc="Map battery 2: map_filter (majority-share priorities, integer "
+    "cross-multiply so no FP division), map_zip_with (per-priority mean "
+    "cents via the exact s - s%c quotient trick), transform_keys "
+    "(priority digit), map_concat with a literal singleton map, and a "
+    "map_entries<->map_from_entries round-trip surfaced as a sorted "
+    "key CSV. Money is exact decimal cents (bigint) so every value is "
+    "order-independent; the oracle recomputes each scalar relationally.",
+)
+def map_functions_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("c"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    mapped = per.groupBy("o_orderstatus").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderpriority", "c")))
+        ).alias("m_cnt"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderpriority", "cents")))
+        ).alias("m_cents"),
+    )
+    zero = F.lit(0).cast("long")
+    total = F.aggregate(F.map_values("m_cnt"), zero, lambda a, x: a + x)
+    # exact integer mean: (s - s % c) / c is an exact double op below 2^53
+    m_avg = F.map_zip_with(
+        "m_cnt", "m_cents", lambda _, c, s: ((s - s % c) / c).cast("long")
+    )
+    roundtrip = F.map_from_entries(F.map_entries("m_cnt"))
+    return (
+        mapped.withColumn("tc", total)
+        .select(
+            "o_orderstatus",
+            F.size("m_cnt").cast("long").alias("n_priorities"),
+            F.size(
+                F.map_filter("m_cnt", lambda _, v: v * 10 > F.col("tc"))
+            ).cast("long").alias("n_major"),
+            F.element_at(m_avg, "1-URGENT").alias("avg_cents_urgent"),
+            F.element_at(
+                F.transform_keys("m_cnt", lambda k, _: F.substring(k, 1, 1)), "1"
+            ).alias("cnt_p1"),
+            F.size(
+                F.map_concat("m_cnt", F.create_map(F.lit("__total__"), F.col("tc")))
+            ).cast("long").alias("n_with_total"),
+            F.array_join(F.sort_array(F.map_keys(roundtrip)), ",").alias("keys_csv"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -234,3 +234,74 @@ def emb_norm_stats_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "emb_int8_quantization",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) / 127.0 AS scale
+        FROM embeddings
+        WHERE vec_id % 7 = 0
+    )
+    SELECT vec_id, label,
+           CAST(list_sum(list_transform(v,
+                x -> CAST(round(x / scale) AS BIGINT))) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(v,
+                x -> CAST(round(x / scale) AS BIGINT)
+                     * CAST(round(x / scale) AS BIGINT))) AS BIGINT) AS q_sq_sum,
+           CAST(list_min(list_transform(v,
+                x -> CAST(round(x / scale) AS BIGINT))) AS BIGINT) AS q_min,
+           CAST(list_max(list_transform(v,
+                x -> CAST(round(x / scale) AS BIGINT))) AS BIGINT) AS q_max,
+           CAST(len(list_filter(v,
+                x -> abs(round(x / scale)) = 127)) AS BIGINT) AS n_sat,
+           ROUND(list_max(list_transform(v,
+                x -> abs(x - round(x / scale) * scale))), 6) AS max_abs_err
+    FROM s
+    WHERE scale > 0
+    ORDER BY vec_id
+    """,
+    doc="Symmetric int8 (absmax) embedding quantization - the storage/"
+    "bandwidth scale path for ANN at 100 TB: per-vector scale = "
+    "amax/127, q = round(x/scale), surfaced as exact integer checksums "
+    "(sum, sum-of-squares, min/max, saturation count) plus the max "
+    "dequantization error. Every FP op is elementwise with an identical "
+    "expression shape in both engines (abs/round/mul on doubles), and "
+    "every aggregate is an order-independent integer sum or max, so the "
+    "comparison is exact. Quantized dot products then run in integer "
+    "arithmetic (q_sq_sum is the self-dot), 4x smaller than float32.",
+)
+def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = (
+        e.filter(F.col("vec_id") % 7 == 0)
+        .select(
+            "vec_id",
+            "label",
+            v.alias("v"),
+            (F.array_max(F.transform(v, F.abs)) / 127.0).alias("scale"),
+        )
+        .filter(F.col("scale") > 0)
+    )
+    sc = F.col("scale")
+    q = lambda x: F.round(x / sc).cast("long")  # noqa: E731
+    zero = F.lit(0).cast("long")
+    fold_sum = lambda arr: F.aggregate(arr, zero, lambda a, x: a + x)  # noqa: E731
+    return base.select(
+        "vec_id",
+        "label",
+        fold_sum(F.transform("v", q)).alias("q_sum"),
+        fold_sum(F.transform("v", lambda x: q(x) * q(x))).alias("q_sq_sum"),
+        F.array_min(F.transform("v", q)).alias("q_min"),
+        F.array_max(F.transform("v", q)).alias("q_max"),
+        F.size(F.filter("v", lambda x: F.abs(F.round(x / sc)) == 127))
+        .cast("long")
+        .alias("n_sat"),
+        F.round(
+            F.array_max(F.transform("v", lambda x: F.abs(x - F.round(x / sc) * sc))), 6
+        ).alias("max_abs_err"),
+    ).orderBy("vec_id")
