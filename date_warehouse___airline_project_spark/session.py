@@ -44,6 +44,11 @@ def get_spark(app_name: str = "date_warehouse_spark", master: str | None = None)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # The driver testdata stores naive timestamp[us]; with NTZ inference
+        # (Spark 4 default) those read as TIMESTAMP_NTZ, which watermarks and
+        # event-time windows reject. Read them as session-zone (UTC) TIMESTAMP,
+        # matching the DuckDB oracle's UTC-naive timestamps.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
