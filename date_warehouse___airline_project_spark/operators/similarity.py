@@ -53,15 +53,20 @@ def ivf_assign(
     data × broadcast(centroids) → per-row argmax — a map-side-only pass.
     """
     cents = emb.filter(F.col(id_col) % centroid_mod == 0).select(
-        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_cnorm"),
     )
     # rebalance the data side before the O(n × centroids) scoring pass —
     # a single-file scan would otherwise run it in one task
     data = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    # Rank by dot/centroid-norm: the row's own norm is a positive constant
+    # per row, so the per-row argmax is the cosine argmax — at a third of
+    # the fold work (one dot per pair instead of dot + two self-dots).
     scored = data.crossJoin(F.broadcast(cents)).withColumn(
-        "_cos_c", cosine(F.col(vec_col), F.col("_cvec"))
+        "_cos_c", dot(F.col(vec_col), F.col("_cvec")) / F.col("_cnorm")
     )
-    # argmax with lower-id tiebreak: max_by on (cos, -cid)
+    # argmax with lower-id tiebreak: max_by on (score, -cid)
     return (
         scored.groupBy(id_col)
         .agg(
@@ -121,9 +126,14 @@ def assign_to_centroids(
 ) -> DataFrame:
     """Nearest-centroid (cosine) assignment against an explicit centroid set
     ``cents(_cid, _cvec)``. Broadcast centroids × data — map-side only; ties
-    break to the lower centroid id (max_by on (cos, -cid))."""
+    break to the lower centroid id (max_by on (score, -cid)). Ranking uses
+    dot/centroid-norm (row norm is a per-row positive constant — same
+    argmax as cosine, one fold per pair instead of three)."""
+    cents = cents.select(
+        "_cid", "_cvec", F.sqrt(dot(F.col("_cvec"), F.col("_cvec"))).alias("_cnorm")
+    )
     scored = data.crossJoin(F.broadcast(cents)).withColumn(
-        "_cos_c", cosine(F.col(vec_col), F.col("_cvec"))
+        "_cos_c", dot(F.col(vec_col), F.col("_cvec")) / F.col("_cnorm")
     )
     return (
         scored.groupBy(id_col)
@@ -189,6 +199,10 @@ def kmeans_lloyd(
                 F.array_sort(F.collect_list(F.struct("_pos", "_comp"))), lambda s: s["_comp"]
             ).alias("_cvec")
         )
+        # Materialize the (tiny) codebook each round: without this the plan
+        # nests one full assign+mean subtree per iteration, and every later
+        # consumer (probe, full assignment) re-runs the whole training chain.
+        cents = cents.localCheckpoint(eager=True)
     return cents
 
 
@@ -204,10 +218,9 @@ def ivf_topk_trained(
     iters: int = 2,
 ) -> DataFrame:
     """IVF search over Lloyd-trained centroids (see ``kmeans_lloyd``)."""
+    # kmeans_lloyd materializes the codebook per iteration (localCheckpoint),
+    # so the full assignment and probe below reuse it without re-training.
     cents = kmeans_lloyd(emb, id_col, vec_col, centroid_mod, sample_mod, iters)
-    # Trained centroids are referenced by three consumers (full assignment,
-    # probe selection) — materialize once; the codebook is tiny.
-    cents = cents.localCheckpoint(eager=False)
     assigned = assign_to_centroids(
         emb.repartition(emb.sparkSession.sparkContext.defaultParallelism), cents, id_col, vec_col
     )

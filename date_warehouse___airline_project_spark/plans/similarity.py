@@ -75,13 +75,25 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
+# Centroid-assignment ranking: dot(row, centroid) / norm(centroid). The
+# row's own norm is a positive per-row constant, so the per-row argmax is
+# the cosine argmax at a third of the fold cost; the Spark operator
+# (operators/similarity.py::assign_to_centroids) uses the identical
+# expression, keeping floats bit-comparable.
+def _rank_sql(row: str, cent: str) -> str:
+    return (
+        f"list_dot_product(CAST({row} AS DOUBLE[]), CAST({cent} AS DOUBLE[]))"
+        f" / SQRT(list_dot_product(CAST({cent} AS DOUBLE[]), CAST({cent} AS DOUBLE[])))"
+    )
+
+
 _IVF_ORACLE = f"""
     WITH cents AS (
       SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 25 = 0),
     q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
     scored AS (
       SELECT e.vec_id, e.label, e.embedding, c.cid,
-             {_cos_sql('e.embedding', 'c.cvec')} AS cos_c
+             {_rank_sql('e.embedding', 'c.cvec')} AS cos_c
       FROM embeddings e, cents c),
     assigned AS (
       SELECT vec_id, label, embedding, cid FROM (
@@ -126,7 +138,7 @@ def _iter_sql(i: int, prev_cents: str) -> str:
       SELECT vec_id, emb, cid FROM (
         SELECT s.vec_id, s.emb, c.cid,
                ROW_NUMBER() OVER (PARTITION BY s.vec_id
-                                  ORDER BY {_cos_sql('s.emb', 'c.cvec')} DESC, c.cid) AS rn
+                                  ORDER BY {_rank_sql('s.emb', 'c.cvec')} DESC, c.cid) AS rn
         FROM samp s, {prev_cents} c) WHERE rn = 1),
     u{i} AS (
       SELECT cid, pos,
@@ -151,7 +163,7 @@ _IVF_TRAINED_ORACLE = f"""
       SELECT vec_id, label, emb, cid FROM (
         SELECT e.vec_id, e.label, e.emb, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {_cos_sql('e.emb', 'c.cvec')} DESC, c.cid) AS rn
+                                  ORDER BY {_rank_sql('e.emb', 'c.cvec')} DESC, c.cid) AS rn
         FROM e, c2 c) WHERE rn = 1)
     SELECT af.vec_id, af.label, ROUND({_cos_sql('af.emb', 'q.qv')}, 6) AS cos_sim
     FROM af JOIN probe p ON af.cid = p.cid, q

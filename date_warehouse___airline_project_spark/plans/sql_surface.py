@@ -144,3 +144,38 @@ def sql_lateral_topn_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# NOT IN three-valued-logic semantics. A NULL in the NOT-IN subquery makes
+# the predicate UNKNOWN for every non-matching row, so the count collapses
+# to 0 — a classic correctness trap both engines must agree on. The three
+# counts pin plain NOT IN, NOT IN with an injected NULL, and IN with the
+# same NULL (which is unaffected for matching rows).
+# ---------------------------------------------------------------------------
+_NOT_IN_NULLS_SQL = """
+    SELECT
+      (SELECT COUNT(*) FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)) AS not_in_plain,
+      (SELECT COUNT(*) FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT CASE WHEN o_orderkey = 1 THEN NULL ELSE o_custkey END
+           FROM orders WHERE o_totalprice > 400000 OR o_orderkey = 1)) AS not_in_with_null,
+      (SELECT COUNT(*) FROM customer
+        WHERE c_custkey IN
+          (SELECT CASE WHEN o_orderkey = 1 THEN NULL ELSE o_custkey END
+           FROM orders WHERE o_totalprice > 400000 OR o_orderkey = 1)) AS in_with_null
+"""
+
+
+@query(
+    "sql_not_in_null_semantics",
+    oracle=_NOT_IN_NULLS_SQL,
+    doc="ANSI three-valued NOT IN / IN with NULLs in the subquery "
+    "(null-aware anti join in Catalyst); IDENTICAL SQL text both engines.",
+)
+def sql_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_NOT_IN_NULLS_SQL)
