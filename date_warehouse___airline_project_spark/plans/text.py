@@ -351,3 +351,49 @@ def doc_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice(F.col("tokens"), last_start + 1, F.lit(50)), " ")
         ).alias("last_chunk_hash"),
     ).orderBy("doc_id")
+
+
+@query(
+    "doc_bigram_collocations",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(LOWER(text), '[a-z0-9]+') AS tl FROM documents
+    )
+    SELECT bigram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(tl)), i -> tl[i] || ' ' || tl[i + 1])) AS bigram
+        FROM toks)
+    GROUP BY bigram
+    ORDER BY n_occurrences DESC, bigram
+    LIMIT 25
+    """,
+    doc="Corpus-wide top-25 bigram collocations: adjacent-token pairs via a "
+    "1-based index sequence over the token array (DuckDB zips the same "
+    "range with list indexing), counted globally and by document "
+    "frequency. The n-gram LM / collocation-mining primitive.",
+)
+def doc_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tl = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+    # sequence(1, n-1) counts DOWN when n < 2 (Spark infers a negative
+    # step), so gate the bigram build on >= 2 tokens.
+    grams = F.when(
+        F.size(tl) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tl) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tl, i), F.element_at(tl, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select("doc_id", F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "bigram")
+        .limit(25)
+    )

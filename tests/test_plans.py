@@ -162,3 +162,56 @@ def test_aqe_splits_skewed_sort_merge_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """With runtime bloom filters on, a selective filter on the small side
+    of a shuffle join injects a bloom_filter probe into the big side's
+    scan — rows that cannot match are dropped BEFORE the shuffle. This is
+    the 100 TB fact-dim shuffle-join guard when broadcast is off the
+    table."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        od = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").filter(
+            F.col("o_totalprice") > 450000
+        )
+        j = li.join(od, li.l_orderkey == od.o_orderkey).groupBy("o_orderpriority").count()
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan  # built on the filtered creation side
+        assert "might_contain" in plan  # probed on the application side scan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_observe_collects_inline_metrics(spark):
+    """df.observe(): per-action data-quality counters piggybacked on the
+    job (no second pass over the data) — the Spark-native form of the
+    reference's per-stage row-count logging (cleaning.py:541 etc.)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    obs = Observation("counters")
+    audited = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("null_qty"),
+    )
+    audited.write.format("noop").mode("overwrite").save()
+    assert obs.get["rows_seen"] == li.count()
+    assert obs.get["null_qty"] == 0
