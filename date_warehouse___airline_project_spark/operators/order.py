@@ -56,28 +56,37 @@ def ffill_repair_ids(df: DataFrame, id_col: str, valid_regex: str = "^[0-9]+$") 
     df = df.withColumn("_local_ffill", F.last("_id_num", ignorenulls=True).over(local_w))
 
     # pass 2: last valid id per partition → prefix carry-in per partition.
-    # One row per partition: a bounded driver-side fold, not a data collect.
+    # ONE aggregate over every partition (valid-less partitions included —
+    # their _last_valid comes back null), so no extra distinct() scan just
+    # to enumerate pids. One row per partition: a bounded driver-side fold,
+    # not a data collect.
     bounds = (
-        df.filter(F.col("_id_num").isNotNull())
-        .groupBy(_PID)
-        .agg(F.max_by("_id_num", INGEST_COL).alias("_last_valid"))
+        df.groupBy(_PID)
+        .agg(
+            F.max_by(
+                "_id_num",
+                F.when(F.col("_id_num").isNotNull(), F.col(INGEST_COL)),
+            ).alias("_last_valid")
+        )
         .collect()
     )
     last_by_pid = {r[_PID]: r["_last_valid"] for r in bounds}
-    carry: dict[int, int | None] = {}
+    carry_rows: list[tuple[int, int | None]] = []
     running = None
-    for pid in sorted(set(last_by_pid) | {r[0] for r in df.select(_PID).distinct().collect()}):
-        carry[pid] = running
-        if pid in last_by_pid:
+    for pid in sorted(last_by_pid):
+        carry_rows.append((pid, running))
+        if last_by_pid[pid] is not None:
             running = last_by_pid[pid]
-    # typed when-chain, not create_map: survives the empty / all-None cases
-    # (e.g. a header-only file) where map() would be void-typed
-    carry_expr = F.lit(None).cast("long")
-    for pid, val in carry.items():
-        if val is not None:
-            carry_expr = F.when(F.col(_PID) == pid, F.lit(val)).otherwise(carry_expr)
+    # Ship the {pid: carry} map as DATA (tiny broadcast-joined DataFrame),
+    # not as an expression: a when()-chain here is O(#partitions) in
+    # expression-tree size and chokes Catalyst analysis at ~1e5 input
+    # splits; the broadcast join stays constant-size in the plan.
+    carry_df = df.sparkSession.createDataFrame(
+        carry_rows, schema=f"{_PID} int, _carry_in long"
+    )
+    df = df.join(F.broadcast(carry_df), on=_PID, how="left")
 
-    repaired = F.coalesce(F.col("_local_ffill"), carry_expr)
+    repaired = F.coalesce(F.col("_local_ffill"), F.col("_carry_in"))
     return (
         df.withColumn(
             id_col,
@@ -85,5 +94,5 @@ def ffill_repair_ids(df: DataFrame, id_col: str, valid_regex: str = "^[0-9]+$") 
                 (repaired + 1).cast("string")
             ),
         )
-        .drop(_PID, "_id_num", "_local_ffill")
+        .drop(_PID, "_id_num", "_local_ffill", "_carry_in")
     )

@@ -68,6 +68,29 @@ def test_ffill_repair_crosses_partitions(spark):
     assert all(v is not None and v.isdigit() for v in vals)
 
 
+def test_ffill_repair_all_invalid_partition_gets_carry(spark):
+    # Partition 1 contains ONLY invalid ids: its carry-in must come from
+    # partition 0's last valid id, exercising the broadcast {pid: carry}
+    # path for pids absent from the valid-rows aggregate.
+    import pyspark.sql.functions as F_
+
+    p0 = spark.createDataFrame([("100",), ("BAD",)], ["id"]).coalesce(1)
+    p1 = spark.createDataFrame([("XXX",), ("YYY",)], ["id"]).coalesce(1)
+    df = p0.unionAll(p1)  # union of two 1-partition dfs → pids 0 and 1
+    out = ffill_repair_ids(df, "id").orderBy("_ingest_order").collect()
+    assert [r["id"] for r in out] == ["100", "101", "101", "101"]
+
+
+def test_ffill_repair_plan_uses_broadcast_carry(spark):
+    # The carry-in map must enter the plan as a broadcast-joined relation,
+    # not an O(#partitions) CaseWhen chain (Catalyst analysis blows up at
+    # ~1e5 input splits otherwise).
+    df = spark.createDataFrame([(str(i),) for i in range(20)], ["id"]).repartition(8)
+    out = ffill_repair_ids(df, "id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
 def test_fuzzy_correct(spark):
     dim = spark.createDataFrame([("JFK",), ("LAX",), ("SFO",)], ["airportkey"])
     df = spark.createDataFrame([("JFX",), ("LAX",), ("ZZZ",)], ["code"])
