@@ -47,12 +47,19 @@ _CERTIFIED_R01 = [
 ]
 _CERTIFIED = set(_CERTIFIED_R01)
 
+# Queries NEW this round: least-proven, so they go at the very front of the
+# driver's correctness window.
+_PRIORITY = [
+    "emb_neardup_multitable",
+]
+
 
 def _ordered_names() -> list[str]:
     names = list(plans.REGISTRY)
-    return [n for n in names if n not in _CERTIFIED] + [
-        n for n in names if n in _CERTIFIED
-    ]
+    pri = [n for n in _PRIORITY if n in plans.REGISTRY]
+    rest = [n for n in names if n not in _CERTIFIED and n not in set(pri)]
+    cert = [n for n in names if n in _CERTIFIED]
+    return pri + rest + cert
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -247,14 +247,21 @@ def ivf_topk_trained(
     )
 
 
-def sign_lsh_bucket(vec_col: Column, nplanes: int = 8) -> Column:
-    """LSH bucket key: sign bits of the first ``nplanes`` dimensions.
+def sign_lsh_bucket(vec_col: Column, nplanes: int = 8, offset: int = 0) -> Column:
+    """LSH bucket key: sign bits of ``nplanes`` dimensions starting at
+    ``offset`` (0-based).
 
     For ~isotropic embeddings, axis-aligned hyperplanes are an unbiased
     hyperplane family; being data-independent they need no stored model.
+    ``offset`` selects a disjoint plane set per LSH table for the
+    multi-table OR-construction (each table hashes a different dimension
+    slice, so tables are independent hash functions). Dimensions past the
+    vector's end hash to bit 0 (``F.get`` is null past the end, matching
+    SQL's out-of-range list index → NULL → CASE ELSE), so short vectors
+    degrade to coarser buckets instead of erroring.
     """
     bits = [
-        F.when(F.element_at(vec_col, d + 1).cast("double") >= 0, F.lit(1)).otherwise(F.lit(0))
+        F.when(F.get(vec_col, offset + d).cast("double") >= 0, F.lit(1)).otherwise(F.lit(0))
         for d in range(nplanes)
     ]
     return F.concat_ws("", *[b.cast("string") for b in bits])
@@ -283,6 +290,62 @@ def neardup_pairs_bucketed(
     return (
         left.join(right, "_bucket")
         .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def neardup_pairs_multitable(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    nplanes: int = 4,
+    ntables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table sign-LSH near-dup pairs (the OR-construction).
+
+    ``ntables`` independent hash tables — table ``t`` buckets on the sign
+    pattern of dimensions ``[t*nplanes, (t+1)*nplanes)`` — and a pair is a
+    candidate if it collides in ANY table. Per-table miss probability for
+    vectors at angle θ is 1-(1-θ/π)^nplanes; with k independent tables the
+    overall miss probability is that raised to the k-th power, so recall
+    strictly dominates the single-table variant (table 0 here IS the
+    single-table bucketing — its candidates are a subset of ours).
+
+    Plan shape: the bucket relation is narrow (id, table, bucket) — vectors
+    are NOT carried through the candidate join. Candidates are equi-joined
+    per (table, bucket), dedup'd across tables, and only then re-joined to
+    the vectors for the exact-cosine verify: shuffle volume is
+    Σ_t Σ_bucket² candidate ids plus two id-keyed vector joins, never n².
+    """
+    spark_parallelism = emb.sparkSession.sparkContext.defaultParallelism
+    base = emb.repartition(spark_parallelism)
+    cand_src = base.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    sign_lsh_bucket(F.col(vec_col), nplanes, offset=t * nplanes)
+                    for t in range(ntables)
+                ]
+            )
+        ).alias("_t", "_bucket"),
+    )
+    left = cand_src.select(F.col("_id").alias("id_a"), "_t", "_bucket")
+    right = cand_src.select(F.col("_id").alias("id_b"), "_t", "_bucket")
+    pairs = (
+        left.join(right, ["_t", "_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")

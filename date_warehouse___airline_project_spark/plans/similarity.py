@@ -220,6 +220,52 @@ def emb_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pairs_bucketed(e, threshold=0.4, nplanes=4).orderBy("id_a", "id_b")
 
 
+def _bucket_sql(nplanes: int, offset: int) -> str:
+    return "||".join(
+        f"(CASE WHEN embedding[{offset + d + 1}] >= 0 THEN '1' ELSE '0' END)"
+        for d in range(nplanes)
+    )
+
+
+_MULTITABLE_ORACLE = f"""
+    WITH b AS (
+      SELECT vec_id, 0 AS t, {_bucket_sql(4, 0)} AS bucket FROM embeddings
+      UNION ALL
+      SELECT vec_id, 1 AS t, {_bucket_sql(4, 4)} AS bucket FROM embeddings
+      UNION ALL
+      SELECT vec_id, 2 AS t, {_bucket_sql(4, 8)} AS bucket FROM embeddings),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM b a JOIN b c ON a.t = c.t AND a.bucket = c.bucket AND a.vec_id < c.vec_id)
+    SELECT cand.id_a, cand.id_b,
+           ROUND({_cos_sql('ea.embedding', 'eb.embedding')}, 6) AS cos_sim
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = cand.id_a
+    JOIN embeddings eb ON eb.vec_id = cand.id_b
+    WHERE ROUND({_cos_sql('ea.embedding', 'eb.embedding')}, 6) >= 0.4
+    ORDER BY id_a, id_b
+"""
+
+
+@query(
+    "emb_neardup_multitable",
+    oracle=_MULTITABLE_ORACLE,
+    doc="Multi-table sign-LSH near-dup pairs (OR-construction, 3 tables x 4 "
+    "planes over disjoint dimension slices): candidate if bucket-collides "
+    "in ANY table, dedup across tables, exact cosine >= 0.4 verify. Recall "
+    "strictly dominates emb_neardup_bucketed (whose table is table 0 here); "
+    "candidate join carries only (id, table, bucket), vectors re-joined by "
+    "id for the verify (operators/similarity.py::neardup_pairs_multitable).",
+)
+def emb_neardup_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import neardup_pairs_multitable
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return neardup_pairs_multitable(e, threshold=0.4, nplanes=4, ntables=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
 @query(
     "emb_norm_stats_per_label",
     oracle="""

@@ -129,3 +129,20 @@ def test_neardup_bucketed_finds_exact_dup(emb):
     pairs = {(r.id_a, r.id_b): r.cos_sim for r in
              neardup_pairs_bucketed(emb, threshold=0.99, nplanes=4).collect()}
     assert pairs == {(1, 100): 1.0}
+
+
+def test_neardup_multitable_recall_dominates_single_table(emb):
+    # Table 0 of the multi-table construction IS the single-table bucketing,
+    # so its verified pairs must be a superset; on the ring corpus the extra
+    # tables (dims 5-12 are all zero → one shared bucket) recover every
+    # adjacent pair the first-table hyperplanes split.
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        neardup_pairs_multitable,
+    )
+
+    single = {(r.id_a, r.id_b) for r in
+              neardup_pairs_bucketed(emb, threshold=0.9, nplanes=4).collect()}
+    multi = {(r.id_a, r.id_b) for r in
+             neardup_pairs_multitable(emb, threshold=0.9, nplanes=4, ntables=3).collect()}
+    assert multi >= single
+    assert len(multi) > len(single)
