@@ -131,6 +131,23 @@ def test_neardup_bucketed_finds_exact_dup(emb):
     assert pairs == {(1, 100): 1.0}
 
 
+def test_assign_arrow_impl_bit_exact_vs_sql(emb):
+    # The NumPy fast lane must be BIT-exact to the relational fold: same
+    # sequential-over-dims accumulation, same (score desc, cid asc)
+    # tie-break — so assignments are identical, not merely close.
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        assign_to_centroids,
+        kmeans_lloyd,
+    )
+
+    cents = kmeans_lloyd(emb, centroid_mod=10, sample_mod=2, iters=1, impl="sql")
+    want = {(r.vec_id, r.centroid_id) for r in
+            assign_to_centroids(emb, cents, impl="sql").select("vec_id", "centroid_id").collect()}
+    got = {(r.vec_id, r.centroid_id) for r in
+           assign_to_centroids(emb, cents, impl="arrow").select("vec_id", "centroid_id").collect()}
+    assert got == want and len(got) == 41
+
+
 def test_neardup_multitable_recall_dominates_single_table(emb):
     # Table 0 of the multi-table construction IS the single-table bucketing,
     # so its verified pairs must be a superset; on the ring corpus the extra
