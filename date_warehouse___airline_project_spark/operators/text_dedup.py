@@ -118,7 +118,25 @@ def _materialize(df: DataFrame) -> DataFrame:
 # a different corpus or different params never collides. This mirrors what
 # a production deployment does at 100 TB: the inverted index is built once
 # and PERSISTED as a table, not re-derived per query.
-_DERIVED_CACHE: dict[tuple, DataFrame] = {}
+#
+# BOUNDED: LRU of at most ``_DERIVED_CACHE_MAX`` relations; eviction
+# unpersists the cached RDD so a long-lived session can't accumulate
+# executor storage (each corpus × param combo is one entry — 16 covers
+# every dedup family over several corpora).
+from collections import OrderedDict
+
+_DERIVED_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
+_DERIVED_CACHE_MAX = 16
+
+
+def clear_derived_cache() -> None:
+    """Unpersist and drop every memoized derived relation."""
+    while _DERIVED_CACHE:
+        _, df = _DERIVED_CACHE.popitem(last=False)
+        try:
+            df.unpersist()
+        except Exception:  # pragma: no cover - session already stopped
+            pass
 
 
 def _memo(df: DataFrame, key_parts: tuple, build) -> DataFrame:
@@ -132,9 +150,16 @@ def _memo(df: DataFrame, key_parts: tuple, build) -> DataFrame:
         return build()
     hit = _DERIVED_CACHE.get(key)
     if hit is not None:
+        _DERIVED_CACHE.move_to_end(key)
         return hit
     out = build().cache()
     _DERIVED_CACHE[key] = out
+    while len(_DERIVED_CACHE) > _DERIVED_CACHE_MAX:
+        _, evicted = _DERIVED_CACHE.popitem(last=False)
+        try:
+            evicted.unpersist()
+        except Exception:  # pragma: no cover - session already stopped
+            pass
     return out
 
 

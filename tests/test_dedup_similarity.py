@@ -163,3 +163,32 @@ def test_neardup_multitable_recall_dominates_single_table(emb):
              neardup_pairs_multitable(emb, threshold=0.9, nplanes=4, ntables=3).collect()}
     assert multi >= single
     assert len(multi) > len(single)
+
+
+def test_derived_cache_bounded_and_evicts_with_unpersist(spark):
+    # Filling the memo past its cap must evict the oldest entry AND
+    # unpersist its cached relation (bounded executor storage).
+    from date_warehouse___airline_project_spark.operators import text_dedup as td
+
+    td.clear_derived_cache()
+    assert len(td._DERIVED_CACHE) == 0
+    base = spark.createDataFrame([(1, "x")], ["id", "v"])
+    built = []
+
+    def make(i):
+        def build():
+            df = base.withColumn("i", F.lit(i))
+            built.append(df)
+            return df
+        return build
+
+    for i in range(td._DERIVED_CACHE_MAX + 2):
+        td._memo(base, ("cache-test", i), make(i))
+    assert len(td._DERIVED_CACHE) == td._DERIVED_CACHE_MAX
+    # the two oldest builds were evicted and unpersisted
+    assert built[0].storageLevel.useMemory is False
+    assert built[1].storageLevel.useMemory is False
+    # newest is still cached
+    assert built[-1].storageLevel.useMemory is True
+    td.clear_derived_cache()
+    assert built[-1].storageLevel.useMemory is False
