@@ -51,6 +51,7 @@ _CERTIFIED = set(_CERTIFIED_R01)
 # driver's correctness window.
 _PRIORITY = [
     "emb_neardup_multitable",
+    "fuzzy_wratio_correction",
 ]
 
 

@@ -16,8 +16,14 @@ Spark-first design, built for scale:
 
 The native score is ``100 * (1 - levenshtein/max_len)``; ``token_sort``
 additionally sorts whitespace tokens first (public fuzzywuzzy
-token_sort_ratio semantics re-expressed natively). Exact members always
-score 100.
+token_sort_ratio semantics re-expressed natively); ``wratio`` blends in a
+``partial_ratio`` component — the best same-length substring window of the
+longer string scored against the shorter — mirroring the shape of public
+fuzzywuzzy ``WRatio`` (the reference's scorer, cleaning.py:262-295): when
+the lengths differ enough for windowing to matter (ratio ≥ 1.5), WRatio
+takes the max of the full ratio, the 0.95-scaled token-sort ratio, and the
+0.9-scaled partial ratio. Exact members always score 100. All three
+scorers are pure Column expressions (whole-stage codegen, no Python).
 """
 
 from __future__ import annotations
@@ -34,6 +40,33 @@ def _similarity(a: Column, b: Column) -> Column:
 
 def _token_sort(c: Column) -> Column:
     return F.array_join(F.sort_array(F.split(F.trim(c), r"\s+")), " ")
+
+
+def _partial(a: Column, b: Column) -> Column:
+    """Best levenshtein similarity of the shorter string against every
+    same-length contiguous window of the longer (public fuzzywuzzy
+    partial_ratio semantics, re-expressed as sequence→transform→array_max —
+    O(len_long) native levenshteins per candidate pair, no Python)."""
+    s = F.when(F.length(a) <= F.length(b), a).otherwise(b)
+    long_ = F.when(F.length(a) <= F.length(b), b).otherwise(a)
+    n = F.greatest(F.length(s), F.lit(1))
+    starts = F.sequence(F.lit(1), F.greatest(F.length(long_) - F.length(s) + 1, F.lit(1)))
+    sims = F.transform(
+        starts, lambda i: 100.0 * (1.0 - F.levenshtein(s, F.substring(long_, i, n)) / n)
+    )
+    return F.array_max(sims)
+
+
+def _wratio(a: Column, b: Column) -> Column:
+    """WRatio-shaped blend: max(full ratio, 0.95·token_sort, and — when the
+    length ratio ≥ 1.5, where windowing matters — 0.9·partial)."""
+    base = _similarity(a, b)
+    tsort = 0.95 * _similarity(_token_sort(a), _token_sort(b))
+    len_ratio = F.greatest(F.length(a), F.length(b)) / F.greatest(
+        F.least(F.length(a), F.length(b)), F.lit(1)
+    )
+    with_partial = F.greatest(base, tsort, 0.9 * _partial(a, b))
+    return F.when(len_ratio >= 1.5, with_partial).otherwise(F.greatest(base, tsort))
 
 
 def fuzzy_correct(
@@ -53,7 +86,7 @@ def fuzzy_correct(
     b = F.upper(F.trim(F.col("_cand")))
     if scorer == "token_sort":
         a, b = _token_sort(a), _token_sort(b)
-    score = _similarity(a, b)
+    score = _wratio(a, b) if scorer == "wratio" else _similarity(a, b)
 
     dirty = df.select(F.col(col).alias("_dirty")).where(F.col(col).isNotNull()).distinct()
     cands = dim.select(F.col(dim_col).alias("_cand")).where(F.col(dim_col).isNotNull()).distinct()

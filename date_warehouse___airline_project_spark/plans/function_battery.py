@@ -198,6 +198,110 @@ _FUZZY_ORACLE = """
 """
 
 
+# --- WRatio fuzzy correction (partial-ratio blend) ------------------------
+# SQL fragments mirroring operators/fuzzy.py::_wratio exactly (same float
+# expression shapes, so DuckDB reproduces the scores bit-for-bit).
+def _sim_sql(x: str, y: str) -> str:
+    return (
+        f"100.0 * (1.0 - CAST(levenshtein({x}, {y}) AS DOUBLE)"
+        f" / greatest(length({x}), length({y}), 1))"
+    )
+
+
+def _tsort_sql(x: str) -> str:
+    return f"array_to_string(list_sort(string_split_regex(trim({x}), '\\s+')), ' ')"
+
+
+_WRATIO_ORACLE = f"""
+    WITH dims AS (SELECT DISTINCT c_mktsegment AS seg FROM customer),
+    dirty AS (
+      SELECT c_custkey,
+             CASE c_custkey % 3
+               WHEN 0 THEN c_mktsegment || ' DEPT'
+               WHEN 1 THEN substr(c_mktsegment, 1, 1 + c_custkey % (length(c_mktsegment) - 1))
+                           || substr(c_mktsegment, 3 + c_custkey % (length(c_mktsegment) - 1))
+               ELSE 'QQQQQQQQ' END AS dirty_seg
+      FROM customer),
+    pre AS (
+      SELECT d.c_custkey, d.dirty_seg, m.seg,
+             upper(trim(d.dirty_seg)) AS a, upper(trim(m.seg)) AS b
+      FROM dirty d, dims m),
+    sl AS (
+      SELECT *,
+             CASE WHEN length(a) <= length(b) THEN a ELSE b END AS s,
+             CASE WHEN length(a) <= length(b) THEN b ELSE a END AS l
+      FROM pre),
+    comp AS (
+      SELECT c_custkey, dirty_seg, seg,
+             {_sim_sql('a', 'b')} AS base,
+             0.95 * {_sim_sql(_tsort_sql('a'), _tsort_sql('b'))} AS tsort,
+             0.9 * list_max(list_transform(
+                 generate_series(1, greatest(length(l) - length(s) + 1, 1)),
+                 i -> 100.0 * (1.0 - CAST(levenshtein(s, substr(l, i, length(s))) AS DOUBLE)
+                               / greatest(length(s), 1)))) AS part,
+             CAST(greatest(length(a), length(b)) AS DOUBLE)
+                 / greatest(least(length(a), length(b)), 1) AS len_ratio
+      FROM sl),
+    scored AS (
+      SELECT c_custkey, dirty_seg, seg,
+             CASE WHEN len_ratio >= 1.5 THEN greatest(base, tsort, part)
+                  ELSE greatest(base, tsort) END AS score
+      FROM comp),
+    best AS (
+      SELECT c_custkey, dirty_seg, seg, score,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey, dirty_seg
+                                ORDER BY score DESC, seg DESC) AS rn
+      FROM scored WHERE score >= 85.0)
+    SELECT d.c_custkey, d.dirty_seg,
+           COALESCE(b.seg, d.dirty_seg) AS corrected,
+           ROUND(b.score, 6) AS fuzzy_score
+    FROM dirty d
+    LEFT JOIN best b ON b.c_custkey = d.c_custkey AND b.dirty_seg = d.dirty_seg AND b.rn = 1
+    ORDER BY d.c_custkey
+"""
+
+
+@query(
+    "fuzzy_wratio_correction",
+    oracle=_WRATIO_ORACLE,
+    doc="WRatio-shaped fuzzy correction (reference scorer, cleaning.py:262-"
+    "295): blends full ratio, 0.95*token_sort, and 0.9*partial_ratio (best "
+    "same-length substring window, gated on length-ratio >= 1.5). Corpus "
+    "mixes three corruption modes: ' DEPT' suffix (only the partial window "
+    "reaches 85), one deleted char (base ratio suffices), and garbage "
+    "(uncorrectable). Oracle replicates the whole blend bit-for-bit.",
+)
+def fuzzy_wratio_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzy import fuzzy_correct
+
+    c = load_table(spark, sf_dir, "customer")
+    seg, key = F.col("c_mktsegment"), F.col("c_custkey")
+    mode = key % 3
+    cut = 1 + key % (F.length(seg) - 1)
+    dirty_val = (
+        F.when(mode == 0, F.concat(seg, F.lit(" DEPT")))
+        .when(
+            mode == 1,
+            F.concat(F.substring(seg, F.lit(1), cut), F.substring(seg, cut + 2, F.lit(100))),
+        )
+        .otherwise(F.lit("QQQQQQQQ"))
+    )
+    dirty = c.select("c_custkey", dirty_val.alias("dirty_seg"))
+    dims = c.select("c_mktsegment").distinct()
+    fixed = fuzzy_correct(dirty, "dirty_seg", dims, "c_mktsegment", threshold=85.0, scorer="wratio")
+    redirty = c.select("c_custkey", dirty_val.alias("dirty_orig"))
+    return (
+        fixed.join(redirty, "c_custkey")
+        .select(
+            "c_custkey",
+            F.col("dirty_orig").alias("dirty_seg"),
+            F.col("dirty_seg").alias("corrected"),
+            F.round("dirty_seg_fuzzy_score", 6).alias("fuzzy_score"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
 @query(
     "fuzzy_code_correction",
     oracle=_FUZZY_ORACLE,

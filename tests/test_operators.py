@@ -100,6 +100,35 @@ def test_fuzzy_correct(spark):
     assert "ZZZ" in out      # nothing close enough → unchanged
 
 
+def test_fuzzy_wratio_partial_ratio_divergence(spark):
+    # The reference scores with fuzzywuzzy WRatio (cleaning.py:262-295),
+    # which blends partial_ratio: a short dim code embedded in a longer
+    # dirty value still matches. Pinned divergence case — plain levenshtein
+    # ratio leaves "LAX INTERNATIONAL" unchanged (score 17.6 < 85), wratio
+    # corrects it via the substring window (0.9 * 100 = 90 ≥ 85).
+    dim = spark.createDataFrame([("LAX",), ("JFK",), ("SFO",)], ["airportkey"])
+    df = spark.createDataFrame([("LAX INTERNATIONAL",), ("JFK",)], ["code"])
+
+    lev = {r["code"] for r in fuzzy_correct(df, "code", dim, "airportkey", 85).collect()}
+    assert "LAX INTERNATIONAL" in lev  # unchanged: no component reaches 85
+
+    out = fuzzy_correct(df, "code", dim, "airportkey", 85, scorer="wratio")
+    got = {r["code"]: r["code_fuzzy_score"] for r in out.collect()}
+    assert set(got) == {"LAX", "JFK"}
+    assert got["LAX"] == 90.0  # 0.9 * perfect partial window
+    assert got["JFK"] == 100.0  # exact member still scores 100
+
+
+def test_fuzzy_wratio_short_strings_no_partial(spark):
+    # Below the 1.5 length-ratio gate WRatio is max(base, 0.95*token_sort):
+    # "JFX" vs "JFK" scores 66.7 either way — wratio must not inflate it.
+    dim = spark.createDataFrame([("JFK",)], ["airportkey"])
+    df = spark.createDataFrame([("JFX",)], ["code"])
+    out = fuzzy_correct(df, "code", dim, "airportkey", 60, scorer="wratio").collect()
+    assert out[0]["code"] == "JFK"
+    assert abs(out[0]["code_fuzzy_score"] - 100 * (1 - 1 / 3)) < 1e-9
+
+
 def test_latest_per_key(spark):
     df = spark.createDataFrame(
         [("f1", 1, "old"), ("f1", 2, "new"), ("f2", 5, "only")], ["k", "ts", "tag"]
