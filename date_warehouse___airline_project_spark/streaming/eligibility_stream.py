@@ -83,6 +83,46 @@ def eligibility_requests(messages: DataFrame) -> DataFrame:
     )
 
 
+def kafka_messages_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka consumer source (kafkaworker.js:28-44): topic → raw value lines.
+
+    Emits the same single-column ``value: string`` shape as the drop-dir
+    stand-in, so ``parse_messages`` and everything downstream are shared
+    verbatim between the two deployments. Requires the
+    ``spark-sql-kafka-0-10`` connector on the classpath (standard on any
+    Spark cluster; absent in this container, where resolution raises and
+    tests skip — the construction path itself is exercised either way).
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+        .select(F.col("value").cast("string").alias("value"))
+    )
+
+
+def kafka_results_sink(
+    results: DataFrame, bootstrap_servers: str, topic: str, checkpoint_dir: str
+):
+    """Kafka producer sink (kafkaProducer.js:36-44): each result row becomes
+    one JSON-envelope message on ``topic``. Returns the DataStreamWriter
+    (caller ``.start()``s it)."""
+    return (
+        results.select(F.to_json(F.struct(*results.columns)).alias("value"))
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
 def run_eligibility_stream(
     spark: SparkSession,
     input_dir: str,
@@ -91,15 +131,16 @@ def run_eligibility_stream(
     results_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    source: DataFrame | None = None,
 ):
     """Start the collapsed watcher+worker query over a line-JSON drop dir.
 
-    ``input_dir`` stands in for the Kafka topic (swap the source for
-    ``format("kafka")`` + the same ``parse_messages`` on ``CAST(value AS
-    STRING)`` in a cluster deployment; the rest of the plan is unchanged).
-    Returns the StreamingQuery handle.
+    ``input_dir`` stands in for the Kafka topic; pass ``source=
+    kafka_messages_source(...)`` to run the identical plan off a real
+    topic — the source emits the same ``value: string`` shape, so the rest
+    of the pipeline is unchanged. Returns the StreamingQuery handle.
     """
-    raw = spark.readStream.format("text").load(input_dir)
+    raw = source if source is not None else spark.readStream.format("text").load(input_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         msgs = parse_messages(batch_df, "value").persist()

@@ -455,3 +455,33 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
 
     got = [r.event_id for r in spark.table("dedup_stream").collect()]
     assert len(got) == len(set(got)) == 200
+
+
+def test_kafka_source_sink_construction(spark):
+    # The "kafka = connector config swap" claim, exercised for real: build
+    # the actual format("kafka") source/sink with subscribe/startingOffsets.
+    # On a cluster (connector jar present) the source must resolve to the
+    # value:string shape shared with the drop-dir stand-in and analyze all
+    # the way through parse_messages; in this container the jar is absent
+    # and resolution raises DATA_SOURCE_NOT_FOUND → documented skip.
+    from date_warehouse___airline_project_spark.streaming.eligibility_stream import (
+        kafka_messages_source,
+        kafka_results_sink,
+        parse_messages,
+    )
+
+    try:
+        raw = kafka_messages_source(spark, "localhost:9092", "outbox")
+    except Exception as e:  # noqa: BLE001 - classify and re-raise below
+        msg = str(e)
+        if "DATA_SOURCE_NOT_FOUND" in msg or "kafka" in msg.lower():
+            pytest.skip("spark-sql-kafka connector not on classpath: " + msg.splitlines()[0])
+        raise
+    assert raw.isStreaming
+    assert [(f.name, f.dataType.simpleString()) for f in raw.schema.fields] == [
+        ("value", "string")
+    ]
+    parsed = parse_messages(raw)
+    assert parsed.isStreaming and "passenger_id" in parsed.columns
+    writer = kafka_results_sink(parsed, "localhost:9092", "results", "/tmp/nope")
+    assert writer is not None
