@@ -7,7 +7,9 @@ for zero rows.
 ``safe_upsert`` reproduces the upsert→insert→skip fallback ladder
 (cleaning.py:165-199) against parquet paths (no Delta jars in this image;
 with Delta this is a single ``MERGE INTO``). Upsert = key-based anti-join
-merge: last write wins per key.
+merge: last write wins per key. The format-agnostic seam lives in
+``sources.merge_target`` (``make_merge_target`` → Delta when available,
+this parquet emulation otherwise); prefer it in new code.
 """
 
 from __future__ import annotations

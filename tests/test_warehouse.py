@@ -111,3 +111,45 @@ def test_surrogate_keys_stable_and_fact_resolution(dims):
     assert f2["B001"].booking_sk == sk2["B001"]
     assert str(f2["B002"].amount) == "250.00"
     assert all(r.booking_sk is not None for r in f2.values())
+
+
+def test_merge_target_seam_falls_back_to_parquet(spark, tmp_path):
+    # Container has no delta-spark: the factory must select the parquet
+    # emulation, and DeltaMergeTarget must fail loudly naming the dependency.
+    import pytest as _pytest
+
+    from date_warehouse___airline_project_spark.sources import (
+        DeltaMergeTarget,
+        ParquetMergeTarget,
+        make_merge_target,
+    )
+
+    t = make_merge_target(spark, str(tmp_path / "dim"))
+    assert isinstance(t, ParquetMergeTarget)
+    with _pytest.raises(ImportError, match="delta-spark"):
+        DeltaMergeTarget(spark, str(tmp_path / "d2"))
+
+
+def test_parquet_merge_target_upsert_and_scd2_contract(spark, tmp_path):
+    from date_warehouse___airline_project_spark.sources import make_merge_target
+
+    t = make_merge_target(spark, str(tmp_path / "tbl"))
+    assert not t.exists()
+    assert t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), ["k"]) == "inserted"
+    assert t.upsert(spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]), ["k"]) == "upserted"
+    assert {(r.k, r.v) for r in t.read().collect()} == {(1, "a"), (2, "B"), (3, "c")}
+
+    d = make_merge_target(spark, str(tmp_path / "dim"))
+    u1 = spark.createDataFrame([("bk1", "econ"), ("bk2", "biz")], ["booking_reference", "cls"])
+    d.apply_scd2(u1, ["booking_reference"], ["cls"], "2026-01-01 00:00:00")
+    u2 = spark.createDataFrame([("bk1", "first")], ["booking_reference", "cls"])
+    dim = d.apply_scd2(u2, ["booking_reference"], ["cls"], "2026-02-01 00:00:00")
+    rows = {(r.booking_reference, r.cls, r._is_current) for r in dim.collect()}
+    assert rows == {
+        ("bk1", "econ", False),  # closed version
+        ("bk1", "first", True),  # reopened current
+        ("bk2", "biz", True),  # untouched current
+    }
+    # idempotence: replaying the batch is a no-op
+    again = d.apply_scd2(u2, ["booking_reference"], ["cls"], "2026-03-01 00:00:00")
+    assert again.count() == 3
