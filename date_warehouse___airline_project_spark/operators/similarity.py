@@ -61,8 +61,10 @@ def ivf_assign(
     # a single-file scan would otherwise run it in one task
     data = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
     # Rank by dot/centroid-norm: the row's own norm is a positive constant
-    # per row, so the per-row argmax is the cosine argmax — at a third of
-    # the fold work (one dot per pair instead of dot + two self-dots).
+    # per row, so the per-row argmax matches the cosine argmax (exactly in
+    # real arithmetic; in floats, up to rounding on near-ties — acceptable
+    # because the oracle ranks with the identical expression) — at a third
+    # of the fold work (one dot per pair instead of dot + two self-dots).
     scored = data.crossJoin(F.broadcast(cents)).withColumn(
         "_cos_c", dot(F.col(vec_col), F.col("_cvec")) / F.col("_cnorm")
     )
@@ -131,8 +133,9 @@ def assign_to_centroids(
     """Nearest-centroid (cosine) assignment against an explicit centroid set
     ``cents(_cid, _cvec)``. Broadcast centroids × data — map-side only; ties
     break to the lower centroid id (max_by on (score, -cid)). Ranking uses
-    dot/centroid-norm (row norm is a per-row positive constant — same
-    argmax as cosine, one fold per pair instead of three).
+    dot/centroid-norm (row norm is a per-row positive constant — the cosine
+    argmax up to float rounding on near-ties, safe because the oracle ranks
+    with the identical expression; one fold per pair instead of three).
 
     ``impl="sql"`` is the pure-relational fold; ``impl="arrow"`` is the
     Arrow/NumPy fast lane (~10-100× on the interpreted fold) and is
@@ -233,6 +236,13 @@ def kmeans_lloyd(
     Plan shape per iteration: one broadcast-scoring pass over the sample +
     one posexplode/groupBy((cid, dim)) mean + one per-cid re-pack. All
     relational, no driver-side vectors.
+
+    Side effect: each iteration eagerly ``localCheckpoint``s the (tiny)
+    codebook — Spark jobs run at DataFrame-CONSTRUCTION time, and one
+    codebook-sized checkpoint per call stays persisted until the session
+    ends (intermediate iterations are unpersisted below; the returned one
+    must outlive the call). Without the checkpoint every consumer would
+    re-run the whole training chain per reference.
     """
     cents = emb.filter(F.col(id_col) % centroid_mod == 0).select(
         F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
@@ -240,6 +250,7 @@ def kmeans_lloyd(
     sample = emb.filter(F.col(id_col) % sample_mod == 0).repartition(
         emb.sparkSession.sparkContext.defaultParallelism
     )
+    prev_ckpt = None
     for _ in range(iters):
         assigned = assign_to_centroids(sample, cents, id_col, vec_col, impl=impl)
         comps = (
@@ -264,6 +275,11 @@ def kmeans_lloyd(
         # nests one full assign+mean subtree per iteration, and every later
         # consumer (probe, full assignment) re-runs the whole training chain.
         cents = cents.localCheckpoint(eager=True)
+        # previous iteration's checkpoint is now lineage-dead: release its
+        # storage (best-effort; the final checkpoint is the return value)
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        prev_ckpt = cents
     return cents
 
 

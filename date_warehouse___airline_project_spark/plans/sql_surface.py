@@ -153,6 +153,9 @@ def sql_lateral_topn_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 # counts pin plain NOT IN, NOT IN with an injected NULL, and IN with the
 # same NULL (which is unaffected for matching rows).
 # ---------------------------------------------------------------------------
+# The NULL is injected UNCONDITIONALLY (UNION ALL SELECT CAST(NULL ...)),
+# not by rewriting an existing row, so the three-valued-logic case is
+# exercised on any dataset regardless of which keys exist.
 _NOT_IN_NULLS_SQL = """
     SELECT
       (SELECT COUNT(*) FROM customer
@@ -160,12 +163,12 @@ _NOT_IN_NULLS_SQL = """
           (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)) AS not_in_plain,
       (SELECT COUNT(*) FROM customer
         WHERE c_custkey NOT IN
-          (SELECT CASE WHEN o_orderkey = 1 THEN NULL ELSE o_custkey END
-           FROM orders WHERE o_totalprice > 400000 OR o_orderkey = 1)) AS not_in_with_null,
+          (SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+           UNION ALL SELECT CAST(NULL AS BIGINT))) AS not_in_with_null,
       (SELECT COUNT(*) FROM customer
         WHERE c_custkey IN
-          (SELECT CASE WHEN o_orderkey = 1 THEN NULL ELSE o_custkey END
-           FROM orders WHERE o_totalprice > 400000 OR o_orderkey = 1)) AS in_with_null
+          (SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+           UNION ALL SELECT CAST(NULL AS BIGINT))) AS in_with_null
 """
 
 

@@ -76,7 +76,7 @@ def test_approx_sketches_within_tolerance(spark):
     error against the exact answers on the same data."""
     from pyspark.sql import functions as F
 
-    ev = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    ev = spark.read.parquet(f"{SF}/orders.parquet")
     row = ev.agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_users"),
         F.countDistinct("o_custkey").alias("exact_users"),
@@ -181,8 +181,8 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
-        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-        od = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").filter(
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        od = spark.read.parquet(f"{SF}/orders.parquet").filter(
             F.col("o_totalprice") > 450000
         )
         j = li.join(od, li.l_orderkey == od.o_orderkey).groupBy("o_orderpriority").count()
@@ -205,7 +205,7 @@ def test_observe_collects_inline_metrics(spark):
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
     obs = Observation("counters")
     audited = li.observe(
         obs,
