@@ -52,6 +52,12 @@ _CERTIFIED = set(_CERTIFIED_R01)
 _PRIORITY = [
     "emb_neardup_multitable",
     "fuzzy_wratio_correction",
+    "doc_decontamination_overlap",
+    "doc_repeated_ngram_ratio",
+    "doc_sequence_packing",
+    "doc_source_weighted_sample",
+    "doc_shard_export_assignment",
+    "q4_order_priority",
 ]
 
 

@@ -26,3 +26,4 @@ def load_all() -> None:
     from . import semistructured  # noqa: F401
     from . import robustness  # noqa: F401
     from . import timeseries  # noqa: F401
+    from . import training_data  # noqa: F401

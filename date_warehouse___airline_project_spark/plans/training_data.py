@@ -1,0 +1,305 @@
+"""Training-data curation queries over ``documents`` — the pipeline steps a
+large-scale pretraining corpus needs beyond dedup/quality (which live in
+plans/dedup.py and plans/text.py):
+
+  decontamination   n-gram overlap of candidate docs against a benchmark
+                    set (the eval-leak guard every corpus release runs)
+  repetition        repeated-n-gram ratio (Gopher-style repetition filter)
+  sequence packing  deterministic doc → fixed-token-budget pack assignment
+  source mixing     per-source hash-gated sampling rates (data mixing)
+  shard export      deterministic shuffled shard/position assignment
+
+Scale notes: every step is a hash gate, a keyed shuffle, or a window
+partitioned by a bounded key (source / shard) — no global sorts, no
+all-pairs joins. The decontamination join touches only shingles that occur
+in the (small) benchmark side; at 100 TB that side broadcasts.
+
+All hashes are the repo-standard engine-portable 56-bit md5 prefix
+(plans/sampling.py), so the DuckDB oracles replicate every assignment
+bit-for-bit — no RNG anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..operators.text_dedup import shingle_index, tokens
+from ..sources.catalog import load_table
+from .registry import query
+
+_HASH_SQL = "CAST(CONCAT('0x', SUBSTR(MD5(CAST({c} AS VARCHAR)), 1, 14)) AS BIGINT)"
+
+
+def _hash56(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 14), 16, 10).cast("bigint")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# decontamination: candidate docs vs a benchmark set
+# ---------------------------------------------------------------------------
+
+_DECON_ORACLE = """
+    WITH tk AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(toks) - 2, 0)),
+                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS sh
+      FROM tk WHERE len(toks) >= 3),
+    ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    bench AS (SELECT DISTINCT g FROM ex WHERE doc_id % 50 = 0),
+    ev AS (SELECT doc_id, g FROM ex WHERE doc_id % 50 <> 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ev GROUP BY doc_id),
+    hits AS (
+      SELECT e.doc_id, COUNT(*) AS n_overlap
+      FROM ev e JOIN bench b USING (g) GROUP BY e.doc_id)
+    SELECT s.doc_id, s.n_shingles,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           ROUND(CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / s.n_shingles, 6)
+               AS overlap_frac,
+           CASE WHEN CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / s.n_shingles
+                     >= 0.2 THEN 1 ELSE 0 END AS contaminated
+    FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    ORDER BY s.doc_id
+"""
+
+
+@query(
+    "doc_decontamination_overlap",
+    oracle=_DECON_ORACLE,
+    doc="Eval-set decontamination: word-3-gram overlap of every candidate "
+    "doc against the benchmark set (doc_id % 50 == 0 stands in for the "
+    "eval corpus). Inverted-index semi-join — candidates only ever meet "
+    "benchmark shingles (a broadcast-sized side at any corpus scale), "
+    "never each other; flag at >= 20% overlap.",
+)
+def doc_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    inv = shingle_index(d, "doc_id", "text", 3)
+    bench_sh = (
+        inv.filter(F.col("_id") % 50 == 0).select("_g").distinct()
+    )
+    ev = inv.filter(F.col("_id") % 50 != 0)
+    sizes = ev.groupBy("_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        ev.join(bench_sh, "_g", "left_semi")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    frac = F.col("n_overlap").cast("double") / F.col("n_shingles")
+    return (
+        sizes.join(hits, "_id", "left")
+        .na.fill({"n_overlap": 0})
+        .select(
+            F.col("_id").alias("doc_id"),
+            "n_shingles",
+            "n_overlap",
+            F.round(frac, 6).alias("overlap_frac"),
+            F.when(frac >= 0.2, 1).otherwise(0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition filter (Gopher-style repeated n-gram ratio)
+# ---------------------------------------------------------------------------
+
+_REPEAT_ORACLE = """
+    WITH tk AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+    base AS (
+      SELECT doc_id,
+             greatest(len(toks) - 2, 0) AS total_grams,
+             len(list_distinct(list_transform(range(0, greatest(len(toks) - 2, 0)),
+                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))))
+                 AS distinct_grams
+      FROM tk WHERE len(toks) >= 3)
+    SELECT doc_id, total_grams, distinct_grams,
+           ROUND(1.0 - CAST(distinct_grams AS DOUBLE) / total_grams, 6)
+               AS repeated_frac,
+           CASE WHEN 1.0 - CAST(distinct_grams AS DOUBLE) / total_grams > 0.2
+                THEN 1 ELSE 0 END AS flagged_repetitive
+    FROM base
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "doc_repeated_ngram_ratio",
+    oracle=_REPEAT_ORACLE,
+    doc="Repetition quality filter: fraction of word-3-gram occurrences "
+    "that are repeats of an earlier gram in the same doc (Gopher-style "
+    "rule; > 0.2 flags the doc). Distinct counts come from the shared "
+    "shingle inverted index — one keyed aggregate, no array lambdas.",
+)
+def doc_repeated_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    totals = d.select(
+        "doc_id",
+        F.greatest(F.size(tokens("text")) - 2, F.lit(0)).cast("bigint").alias("total_grams"),
+    ).filter(F.col("total_grams") >= 1)
+    distinct = (
+        shingle_index(d, "doc_id", "text", 3)
+        .groupBy("_id")
+        .agg(F.count("*").alias("distinct_grams"))
+        .withColumnRenamed("_id", "doc_id")
+    )
+    ratio = 1.0 - F.col("distinct_grams").cast("double") / F.col("total_grams")
+    return (
+        totals.join(distinct, "doc_id")
+        .select(
+            "doc_id",
+            "total_grams",
+            "distinct_grams",
+            F.round(ratio, 6).alias("repeated_frac"),
+            F.when(ratio > 0.2, 1).otherwise(0).alias("flagged_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sequence packing (fixed token budget per pack)
+# ---------------------------------------------------------------------------
+
+_PACK_CAPACITY = 512
+
+_PACK_ORACLE = f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(LENGTH(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      FROM t)
+    SELECT source,
+           CAST(FLOOR(cum_prev / {_PACK_CAPACITY}.0) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tok) AS pack_tokens
+    FROM c
+    GROUP BY source, pack_id
+    ORDER BY source, pack_id
+"""
+
+
+@query(
+    "doc_sequence_packing",
+    oracle=_PACK_ORACLE,
+    doc=f"Deterministic sequence packing: docs stream in doc_id order within "
+    f"each source, and a doc joins pack floor(prefix_tokens/{_PACK_CAPACITY}) "
+    f"— the chunked-packing approximation of first-fit that stays "
+    f"one-window-pass. Window is PARTITIONED BY source (never global), so "
+    f"packing parallelizes across sources/shards at any corpus size.",
+)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "source",
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    c = t.withColumn("cum_prev", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    return (
+        c.groupBy(
+            "source",
+            F.floor(F.col("cum_prev") / float(_PACK_CAPACITY)).cast("bigint").alias("pack_id"),
+        )
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("pack_tokens"))
+        .orderBy("source", "pack_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# source-weighted sampling (data mixing)
+# ---------------------------------------------------------------------------
+
+_MIX_ORACLE = f"""
+    WITH rated AS (
+      SELECT source, doc_id,
+             1 + {_HASH_SQL.format(c='source')} % 10 AS rate_tenths
+      FROM documents)
+    SELECT source, rate_tenths,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN {_HASH_SQL.format(c='doc_id')} % 10 < rate_tenths
+                    THEN 1 ELSE 0 END) AS n_kept
+    FROM rated
+    GROUP BY source, rate_tenths
+    ORDER BY source
+"""
+
+
+@query(
+    "doc_source_weighted_sample",
+    oracle=_MIX_ORACLE,
+    doc="Data mixing: each source gets a deterministic sampling rate "
+    "(rate_tenths/10, derived from the source hash — stand-in for a "
+    "curated mixing table), and docs pass a seedless per-doc hash gate at "
+    "that rate. Pure scan-side filter: one hash per row, no shuffle "
+    "before the report aggregate, reproducible on any engine/partitioning.",
+)
+def doc_source_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    rated = d.select(
+        "source", "doc_id", (1 + _hash56(F.col("source")) % 10).alias("rate_tenths")
+    )
+    kept = F.when(_hash56(F.col("doc_id")) % 10 < F.col("rate_tenths"), 1).otherwise(0)
+    return (
+        rated.groupBy("source", "rate_tenths")
+        .agg(F.count("*").alias("n_docs"), F.sum(kept).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic shuffled shard export
+# ---------------------------------------------------------------------------
+
+_NSHARDS = 8
+
+_SHARD_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             {_HASH_SQL.format(c='doc_id')} AS h56
+      FROM documents)
+    SELECT doc_id,
+           h56 % {_NSHARDS} AS shard,
+           ROW_NUMBER() OVER (PARTITION BY h56 % {_NSHARDS}
+                              ORDER BY h56, doc_id) AS pos,
+           n_chars
+    FROM h
+    ORDER BY shard, pos
+"""
+
+
+@query(
+    "doc_shard_export_assignment",
+    oracle=_SHARD_ORACLE,
+    doc=f"Training-export sharding: shard = doc-hash % {_NSHARDS}, position "
+    f"= rank of the hash within the shard — a deterministic global shuffle "
+    f"(hash order is uncorrelated with doc_id order) without any RNG "
+    f"state. One shuffle on the shard key; per-shard sort only (windows "
+    f"partitioned by shard), so shards write in parallel at export time.",
+)
+def doc_shard_export_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    h = d.select("doc_id", "n_chars", _hash56(F.col("doc_id")).alias("h56"))
+    w = W.partitionBy(F.col("h56") % _NSHARDS).orderBy("h56", "doc_id")
+    return h.select(
+        "doc_id",
+        (F.col("h56") % _NSHARDS).alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        "n_chars",
+    ).orderBy("shard", "pos")
