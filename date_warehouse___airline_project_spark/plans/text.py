@@ -376,20 +376,24 @@ def doc_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     tl = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
-    # sequence(1, n-1) counts DOWN when n < 2 (Spark infers a negative
-    # step), so gate the bigram build on >= 2 tokens.
-    grams = F.when(
-        F.size(tl) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tl) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(tl, i), F.element_at(tl, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # posexplode + lead (the shingle_index shape) instead of a transform()
+    # lambda over the token array: higher-order array lambdas run on the
+    # interpreted expression path AND compile a large expression tree
+    # (~5x the plan-build time); the window form stays in codegen with one
+    # doc-keyed shuffle.
+    from pyspark.sql import Window as W_
+
+    tok = d.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", F.posexplode(tl).alias("pos", "tok")
+    )
+    w = W_.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bigram"))
+    )
     return (
-        d.select("doc_id", F.explode(grams).alias("bigram"))
-        .groupBy("bigram")
+        big.groupBy("bigram")
         .agg(
             F.count("*").alias("n_occurrences"),
             F.countDistinct("doc_id").alias("n_docs"),
