@@ -215,3 +215,33 @@ def test_observe_collects_inline_metrics(spark):
     audited.write.format("noop").mode("overwrite").save()
     assert obs.get["rows_seen"] == li.count()
     assert obs.get["null_qty"] == 0
+
+
+def test_training_data_plans_scale_shapes(spark):
+    # decontamination: candidates meet benchmark shingles via a semi join —
+    # never each other (no all-pairs, no cartesian)
+    plan = plan_of(spark, "doc_decontamination_overlap")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # sequence packing: the prefix-sum window is partitioned by source,
+    # never a global single-task window
+    plan = plan_of(spark, "doc_sequence_packing")
+    assert "windowspecdefinition(source" in plan
+    # shard export: row_number windows are partitioned by the shard hash
+    plan = plan_of(spark, "doc_shard_export_assignment")
+    assert "windowspecdefinition((h56" in plan or "windowspecdefinition(_w" in plan
+
+
+def test_neardup_multitable_no_allpairs(spark):
+    plan = plan_of(spark, "emb_neardup_multitable")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_wratio_correction_broadcasts_map(spark):
+    # the per-value correction map joins back onto the data as a broadcast
+    plan = plan_of(spark, "fuzzy_wratio_correction")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan  # dirty×dim candidate space is
+    # distinct-values × broadcast(dim) — appears as BroadcastNestedLoop only
+    # if the planner degrades; the row-level join must stay hash-based
