@@ -57,6 +57,7 @@ _PRIORITY = [
     "doc_sequence_packing",
     "doc_source_weighted_sample",
     "doc_shard_export_assignment",
+    "doc_curation_pipeline",
     "q4_order_priority",
 ]
 

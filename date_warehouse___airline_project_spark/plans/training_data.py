@@ -303,3 +303,99 @@ def doc_shard_export_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("bigint").alias("pos"),
         "n_chars",
     ).orderBy("shard", "pos")
+
+
+# ---------------------------------------------------------------------------
+# flagship: end-to-end curation pipeline (quality -> repetition -> dedup ->
+# mixing -> token accounting)
+# ---------------------------------------------------------------------------
+
+_CURATION_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, source, lang, text,
+             CAST(LENGTH(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok,
+             CAST(LENGTH(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                 / GREATEST(LENGTH(text), 1) AS punct_ratio,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+    qual AS (
+      SELECT * FROM base
+      WHERE n_tok BETWEEN 5 AND 100000 AND punct_ratio < 0.2),
+    rep AS (
+      SELECT doc_id, source, lang, text, n_tok,
+             greatest(len(toks) - 2, 0) AS total3,
+             len(list_distinct(list_transform(range(0, greatest(len(toks) - 2, 0)),
+                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])))) AS distinct3
+      FROM qual WHERE len(toks) >= 3),
+    rep_ok AS (
+      SELECT doc_id, source, lang, text, n_tok FROM rep
+      WHERE 1.0 - CAST(distinct3 AS DOUBLE) / total3 <= 0.2),
+    fp AS (
+      SELECT *, MD5(SUBSTR(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'), 1, 64))
+                    AS fingerprint
+      FROM rep_ok),
+    dedup AS (
+      SELECT doc_id, source, lang, n_tok FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+        FROM fp) WHERE rn = 1),
+    mixed AS (
+      SELECT * FROM dedup
+      WHERE {_HASH_SQL.format(c='doc_id')} % 10
+            < 1 + {_HASH_SQL.format(c='source')} % 10)
+    SELECT source, lang, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens
+    FROM mixed
+    GROUP BY source, lang
+    ORDER BY source, lang
+"""
+
+
+@query(
+    "doc_curation_pipeline",
+    oracle=_CURATION_ORACLE,
+    doc="End-to-end corpus curation in ONE plan: quality gate (length + "
+    "punctuation ratio) -> repetition gate (repeated-3-gram ratio <= 0.2) "
+    "-> exact dedup (normalized-prefix fingerprint, keep lowest doc_id) -> "
+    "source-weighted mixing (hash gates) -> per-(source, lang) token "
+    "accounting. Composes the individual curation operators; every stage "
+    "is a scan-side filter, a keyed aggregate, or a fingerprint-keyed "
+    "window - no stage materializes, Catalyst pipelines the whole chain.",
+)
+def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0))).cast("bigint")
+    punct_ratio = F.size(F.regexp_extract_all("text", F.lit("[.,;:!?]"), F.lit(0))).cast(
+        "double"
+    ) / F.greatest(F.length("text"), F.lit(1))
+    qual = d.select("doc_id", "source", "lang", "text", n_tok.alias("n_tok")).filter(
+        n_tok.between(5, 100000) & (punct_ratio < 0.2)
+    )
+    # repetition gate via the shared shingle inverted index (distinct 3-grams)
+    totals = qual.withColumn(
+        "total3", F.greatest(F.size(tokens("text")) - 2, F.lit(0)).cast("bigint")
+    ).filter(F.size(tokens("text")) >= 3)
+    distinct3 = (
+        shingle_index(qual, "doc_id", "text", 3)
+        .groupBy("_id")
+        .agg(F.count("*").alias("distinct3"))
+        .withColumnRenamed("_id", "doc_id")
+    )
+    rep_ok = (
+        totals.join(distinct3, "doc_id")
+        .filter(1.0 - F.col("distinct3").cast("double") / F.col("total3") <= 0.2)
+        .select("doc_id", "source", "lang", "text", "n_tok")
+    )
+    fp = F.md5(F.substring(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), 1, 64))
+    w = W.partitionBy(fp).orderBy("doc_id")
+    dedup = (
+        rep_ok.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "lang", "n_tok")
+    )
+    mixed = dedup.filter(
+        _hash56(F.col("doc_id")) % 10 < 1 + _hash56(F.col("source")) % 10
+    )
+    return (
+        mixed.groupBy("source", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
+        .orderBy("source", "lang")
+    )
