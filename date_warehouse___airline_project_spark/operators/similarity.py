@@ -447,13 +447,47 @@ def neardup_pairs_multitable(
         F.col(vec_col).alias("_vb"),
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_nb"),
     )
+    joined = pairs.join(va, "id_a").join(vb, "id_b")
+    # Arrow verify: the candidate set is the hot loop (Σ buckets² pairs ×
+    # ntables before dedup); the NumPy dot is the same sequential-over-dims
+    # accumulation as the interpreted fold — bit-identical doubles (see
+    # assign_to_centroids). Rounding/threshold stay IN THE PLAN so
+    # F.round's half-up semantics are untouched.
+    raw_cos = _pair_dot_over_norms_arrow(joined)
     return (
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn(
-            "cos_sim",
-            F.round(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6),
-        )
+        raw_cos.withColumn("cos_sim", F.round(F.col("_raw_cos"), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def _pair_dot_over_norms_arrow(joined: DataFrame) -> DataFrame:
+    """Append ``_raw_cos`` = dot(_va,_vb)/(_na*_nb) to a pair relation.
+
+    Vectorized across pairs, sequential across dimensions — each pair
+    performs the identical IEEE-double op sequence as the relational fold
+    ``aggregate(zip_with(a, b, *), 0.0, +) / (na * nb)``, so outputs are
+    interchangeable with it bit-for-bit.
+    """
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [f for f in joined.schema.fields if f.name in ("id_a", "id_b")]
+        + [StructField("_raw_cos", DoubleType())]
+    )
+
+    def verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.asarray(pdf["_va"].to_list(), dtype=np.float64)
+            B = np.asarray(pdf["_vb"].to_list(), dtype=np.float64)
+            acc = np.zeros(len(pdf))
+            for d in range(A.shape[1]):
+                acc = acc + A[:, d] * B[:, d]
+            out = pdf[["id_a", "id_b"]].copy()
+            out["_raw_cos"] = acc / (pdf["_na"].to_numpy() * pdf["_nb"].to_numpy())
+            yield out
+
+    return joined.mapInPandas(verify, out_schema)
