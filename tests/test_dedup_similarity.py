@@ -192,3 +192,64 @@ def test_derived_cache_bounded_and_evicts_with_unpersist(spark):
     assert built[-1].storageLevel.useMemory is True
     td.clear_derived_cache()
     assert built[-1].storageLevel.useMemory is False
+
+
+def test_training_data_invariants(spark):
+    # Conservation / partition / exclusion invariants of the curation suite
+    # on a small synthetic corpus with planted structure.
+    import date_warehouse___airline_project_spark.plans as plans
+
+    plans.load_all()
+    REGISTRY = plans.REGISTRY
+
+    import os, tempfile
+    rows = []
+    for i in range(60):
+        # all-distinct trigrams -> repeated_frac == 0
+        text = " ".join(f"w{i}x{j}" for j in range(30))
+        if i % 7 == 0:
+            text = "spam spam spam spam spam spam spam spam spam spam"  # repetitive
+        rows.append((i, text, "en", "src%d" % (i % 4), len(text)))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    # packing: per-source pack_tokens partition the source's total tokens
+    packs = REGISTRY["doc_sequence_packing"].fn(spark, d).collect()
+    from pyspark.sql import functions as F_
+    totals = {
+        r.source: r.t
+        for r in df.groupBy("source")
+        .agg(F_.sum(F_.size(F_.regexp_extract_all("text", F_.lit(r"\S+"), F_.lit(0)))).alias("t"))
+        .collect()
+    }
+    by_source = {}
+    for r in packs:
+        by_source[r.source] = by_source.get(r.source, 0) + r.pack_tokens
+    assert by_source == totals
+
+    # sharding: every doc appears exactly once; positions are 1..n per shard
+    shards = REGISTRY["doc_shard_export_assignment"].fn(spark, d).collect()
+    assert sorted(r.doc_id for r in shards) == list(range(60))
+    from collections import defaultdict
+    pos = defaultdict(list)
+    for r in shards:
+        pos[r.shard].append(r.pos)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in pos.values())
+
+    # decontamination: benchmark docs (doc_id % 50 == 0) never appear as
+    # candidates, and overlap_frac is within [0, 1]
+    decon = REGISTRY["doc_decontamination_overlap"].fn(spark, d).collect()
+    assert all(r.doc_id % 50 != 0 for r in decon)
+    assert all(0.0 <= r.overlap_frac <= 1.0 for r in decon)
+
+    # repetition: the planted spam docs are flagged, normal docs are not
+    rep = {r.doc_id: r.flagged_repetitive for r in
+           REGISTRY["doc_repeated_ngram_ratio"].fn(spark, d).collect()}
+    assert all(rep[i] == 1 for i in range(60) if i % 7 == 0)
+    assert all(rep[i] == 0 for i in range(60) if i % 7 != 0)
+
+    # mixing: kept counts never exceed totals and match the hash gate rate
+    mix = REGISTRY["doc_source_weighted_sample"].fn(spark, d).collect()
+    assert all(0 <= r.n_kept <= r.n_docs for r in mix)
+    assert {r.source for r in mix} == {"src0", "src1", "src2", "src3"}
