@@ -59,6 +59,8 @@ _PRIORITY = [
     "doc_shard_export_assignment",
     "doc_curation_pipeline",
     "q4_order_priority",
+    "bloom_membership_sketch",
+    "cms_frequency_sketch",
 ]
 
 

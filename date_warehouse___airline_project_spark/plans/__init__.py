@@ -27,3 +27,4 @@ def load_all() -> None:
     from . import robustness  # noqa: F401
     from . import timeseries  # noqa: F401
     from . import training_data  # noqa: F401
+    from . import sketches  # noqa: F401

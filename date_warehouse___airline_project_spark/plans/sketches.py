@@ -1,0 +1,217 @@
+"""Deterministic sketch structures — Bloom membership and Count-Min
+frequency — built and probed entirely relationally.
+
+Probabilistic sketches are the 100 TB substitute for exact structures that
+don't fit (membership sets, per-key frequency maps). Production Spark has
+runtime bloom-filter injection (pin-tested in tests/test_plans.py); these
+queries implement the USER-level sketch lifecycle — build → (broadcast)
+→ probe → error accounting — with md5-derived hash families instead of
+RNG-seeded ones, so:
+
+  * the sketch content is identical on every engine and every run
+    (the DuckDB oracle rebuilds the exact same bit set / cell counts),
+  * every output is an integer or an exact count, so the comparison is
+    bit-exact with no float-ordering caveats.
+
+Scale shapes: the built sketch is a tiny relation (≤ m bits / d×w cells) —
+the probe side joins against it broadcast; build is one explode (k or d
+rows per key) + one distinct/aggregate. No all-pairs anywhere, and the
+probe never shuffles the big side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import query
+
+_HASH_SQL = "CAST(CONCAT('0x', SUBSTR(MD5({c}), 1, 14)) AS BIGINT)"
+
+
+def _hash56_str(col) -> F.Column:
+    """56-bit md5 prefix of an already-string column."""
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership sketch
+# ---------------------------------------------------------------------------
+
+_BLOOM_M, _BLOOM_K = 4096, 3
+
+_BLOOM_ORACLE = f"""
+    WITH build_keys AS (
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 400000),
+    seeds AS (SELECT UNNEST(range(0, {_BLOOM_K})) AS j),
+    build_bits AS (
+      SELECT DISTINCT {_HASH_SQL.format(c="CONCAT(CAST(j AS VARCHAR), ':', CAST(k AS VARCHAR))")}
+                      % {_BLOOM_M} AS bit
+      FROM build_keys, seeds),
+    probe AS (SELECT c_custkey AS k FROM customer),
+    probe_hits AS (
+      SELECT p.k,
+             SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      FROM probe p
+      CROSS JOIN seeds s
+      LEFT JOIN build_bits b
+        ON {_HASH_SQL.format(c="CONCAT(CAST(s.j AS VARCHAR), ':', CAST(p.k AS VARCHAR))")}
+           % {_BLOOM_M} = b.bit
+      GROUP BY p.k),
+    maybe AS (SELECT k FROM probe_hits WHERE n_hit = {_BLOOM_K}),
+    truth AS (SELECT DISTINCT k FROM build_keys)
+    SELECT (SELECT COUNT(*) FROM build_keys)  AS n_keys_built,
+           (SELECT COUNT(*) FROM build_bits)  AS n_bits_set,
+           (SELECT COUNT(*) FROM maybe)       AS n_maybe,
+           (SELECT COUNT(*) FROM maybe m JOIN truth t ON m.k = t.k)
+               AS n_true_members,
+           (SELECT COUNT(*) FROM maybe m LEFT JOIN truth t ON m.k = t.k
+             WHERE t.k IS NULL) AS n_false_positives
+"""
+
+
+@query(
+    "bloom_membership_sketch",
+    oracle=_BLOOM_ORACLE,
+    doc=f"Bloom-filter membership lifecycle: build an m={_BLOOM_M}, "
+    f"k={_BLOOM_K} filter over big-spender custkeys (md5 hash family — "
+    f"deterministic, engine-portable), probe every customer against the "
+    f"broadcast bit set, and account exactly for true members vs false "
+    f"positives. The sketch relation is <= m rows, so the probe join "
+    f"broadcasts at any scale; no row of the probe side ever shuffles.",
+)
+def bloom_membership_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seeds = F.array(*[F.lit(j) for j in range(_BLOOM_K)])
+
+    def bit(j_col, key_col):
+        return (
+            _hash56_str(F.concat(j_col.cast("string"), F.lit(":"), key_col.cast("string")))
+            % _BLOOM_M
+        )
+
+    build_keys = (
+        o.filter(F.col("o_totalprice") > 400000).select(F.col("o_custkey").alias("k")).distinct()
+    )
+    build_bits = (
+        build_keys.select(F.explode(seeds).alias("j"), "k")
+        .select(bit(F.col("j"), F.col("k")).alias("bit"))
+        .distinct()
+    )
+    probe = c.select(F.col("c_custkey").alias("k"))
+    probe_bits = probe.select("k", F.explode(seeds).alias("j")).select(
+        "k", bit(F.col("j"), F.col("k")).alias("bit")
+    )
+    hits = (
+        probe_bits.join(F.broadcast(build_bits.withColumn("_found", F.lit(1))), "bit", "left")
+        .groupBy("k")
+        .agg(F.sum(F.coalesce(F.col("_found"), F.lit(0))).alias("n_hit"))
+    )
+    maybe = hits.filter(F.col("n_hit") == _BLOOM_K).select("k")
+    # single lazy plan: three scalar aggregates cross-joined (each side is
+    # one row) — no driver-side counts, one job at action time
+    maybe_stats = (
+        maybe.join(build_keys.withColumn("_t", F.lit(1)), "k", "left")
+        .agg(
+            F.count("*").alias("n_maybe"),
+            F.coalesce(F.sum("_t"), F.lit(0)).alias("n_true_members"),
+        )
+    )
+    return (
+        build_keys.agg(F.count("*").alias("n_keys_built"))
+        .crossJoin(build_bits.agg(F.count("*").alias("n_bits_set")))
+        .crossJoin(maybe_stats)
+        .select(
+            "n_keys_built",
+            "n_bits_set",
+            "n_maybe",
+            "n_true_members",
+            (F.col("n_maybe") - F.col("n_true_members")).alias("n_false_positives"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W = 3, 256
+
+_CMS_ORACLE = f"""
+    WITH rows_ AS (SELECT user_id FROM events),
+    seeds AS (SELECT UNNEST(range(0, {_CMS_D})) AS d),
+    cells AS (
+      SELECT s.d,
+             {_HASH_SQL.format(c="CONCAT(CAST(s.d AS VARCHAR), ':', CAST(r.user_id AS VARCHAR))")}
+                 % {_CMS_W} AS cell,
+             COUNT(*) AS cnt
+      FROM rows_ r CROSS JOIN seeds s
+      GROUP BY s.d, cell),
+    exact AS (
+      SELECT user_id, COUNT(*) AS exact_count
+      FROM rows_ GROUP BY user_id
+      ORDER BY exact_count DESC, user_id LIMIT 5),
+    est AS (
+      SELECT e.user_id, e.exact_count, MIN(c.cnt) AS cms_estimate
+      FROM exact e
+      CROSS JOIN seeds s
+      JOIN cells c
+        ON c.d = s.d
+       AND c.cell = {_HASH_SQL.format(c="CONCAT(CAST(s.d AS VARCHAR), ':', CAST(e.user_id AS VARCHAR))")}
+                    % {_CMS_W}
+      GROUP BY e.user_id, e.exact_count)
+    SELECT user_id, exact_count, cms_estimate,
+           cms_estimate - exact_count AS overcount
+    FROM est
+    ORDER BY exact_count DESC, user_id
+"""
+
+
+@query(
+    "cms_frequency_sketch",
+    oracle=_CMS_ORACLE,
+    doc=f"Count-Min frequency sketch (d={_CMS_D} x w={_CMS_W}, md5 hash "
+    f"family): one explode+aggregate builds the cell counts (map-side "
+    f"partial agg absorbs the heavy hitters), the top-5 exact users probe "
+    f"their d cells broadcast and take the min. Integer arithmetic "
+    f"end-to-end — the oracle rebuilds the identical sketch; the "
+    f"CMS >= exact overcount invariant is visible in the output.",
+)
+def cms_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    seeds = F.array(*[F.lit(d) for d in range(_CMS_D)])
+
+    def cell(d_col, key_col):
+        return (
+            _hash56_str(F.concat(d_col.cast("string"), F.lit(":"), key_col.cast("string")))
+            % _CMS_W
+        )
+
+    cells = (
+        ev.select("user_id", F.explode(seeds).alias("d"))
+        .groupBy("d", cell(F.col("d"), F.col("user_id")).alias("cell"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "user_id")
+        .limit(5)
+    )
+    probe = exact.select("user_id", "exact_count", F.explode(seeds).alias("d")).select(
+        "user_id", "exact_count", "d", cell(F.col("d"), F.col("user_id")).alias("cell")
+    )
+    return (
+        probe.join(F.broadcast(cells), ["d", "cell"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            "user_id",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact_count"), "user_id")
+    )
