@@ -199,7 +199,9 @@ _PACK_ORACLE = f"""
     f"each source, and a doc joins pack floor(prefix_tokens/{_PACK_CAPACITY}) "
     f"— the chunked-packing approximation of first-fit that stays "
     f"one-window-pass. Window is PARTITIONED BY source (never global), so "
-    f"packing parallelizes across sources/shards at any corpus size.",
+    f"packing parallelizes across sources/shards at any corpus size; for "
+    f"sources too large for one task, compose with the shard assignment "
+    f"(doc_shard_export_assignment) and pack per (source, shard).",
 )
 def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
