@@ -255,3 +255,47 @@ def test_gapfill_ffill_invariants(spark, obs):
                 last = daily[(uid, off)][1]
             else:
                 assert not r.observed and r.filled_value == last
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd", "Zs"), max_codepoint=127
+            ),
+            min_size=1,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=6,
+        unique=True,
+    )
+)
+@settings(**SETTINGS)
+def test_wratio_bounds_and_dominance(spark, values):
+    """WRatio invariants on arbitrary ASCII strings: scores are within
+    [0, 100]; an exact dim member always scores 100; and wratio never
+    scores BELOW the plain levenshtein ratio for the same pair (it is a
+    max over components that includes the base ratio)."""
+    from date_warehouse___airline_project_spark.operators.fuzzy import (
+        _similarity,
+        _wratio,
+    )
+
+    rows = [(v,) for v in values]
+    df = spark.createDataFrame(rows, ["a"]).crossJoin(
+        spark.createDataFrame(rows, ["b"])
+    )
+    a = F.upper(F.trim(F.col("a")))
+    b = F.upper(F.trim(F.col("b")))
+    got = df.select(
+        "a",
+        "b",
+        _wratio(a, b).alias("w"),
+        _similarity(a, b).alias("base"),
+    ).collect()
+    for r in got:
+        assert -1e-9 <= r["w"] <= 100 + 1e-9, (r["a"], r["b"], r["w"])
+        assert r["w"] >= r["base"] - 1e-9, (r["a"], r["b"], r["w"], r["base"])
+        if r["a"].strip().upper() == r["b"].strip().upper():
+            assert abs(r["w"] - 100.0) < 1e-9
