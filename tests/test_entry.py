@@ -54,3 +54,18 @@ def test_all_queries_match_oracle_smoke(spark, duck):
         if problems:
             failures.append((name, problems))
     assert not failures, failures
+
+
+def test_priority_and_certified_names_exist():
+    # A typo in _PRIORITY/_CERTIFIED silently reorders the driver's checked
+    # window — pin that every listed name is a real registry query.
+    import __spark_entry__ as m
+
+    names = set(m.plans.REGISTRY)
+    missing_p = [n for n in m._PRIORITY if n not in names]
+    missing_c = [n for n in m._CERTIFIED_R01 if n not in names]
+    assert missing_p == [] and missing_c == []
+    ordered = list(m.queries())
+    assert ordered[: len(m._PRIORITY)] == m._PRIORITY
+    # certified queries occupy the tail, never the checked window
+    assert all(n in m._CERTIFIED for n in ordered[-len(m._CERTIFIED_R01):])
