@@ -253,3 +253,29 @@ def test_training_data_invariants(spark):
     mix = REGISTRY["doc_source_weighted_sample"].fn(spark, d).collect()
     assert all(0 <= r.n_kept <= r.n_docs for r in mix)
     assert {r.source for r in mix} == {"src0", "src1", "src2", "src3"}
+
+
+def test_round2_queries_survive_empty_corpus(spark, tmp_path):
+    # Empty inputs must yield empty (or zero-stat) results, not errors —
+    # the degenerate partition every production run eventually hits.
+    import date_warehouse___airline_project_spark.plans as plans
+
+    plans.load_all()
+    d = str(tmp_path)
+    full = "/root/testdata/sf0.001"
+    for t in ["documents", "orders", "customer", "lineitem", "events", "embeddings"]:
+        spark.read.parquet(f"{full}/{t}.parquet").limit(0).write.mode("overwrite").parquet(
+            f"{d}/{t}.parquet"
+        )
+    for name in [
+        "doc_decontamination_overlap", "doc_repeated_ngram_ratio",
+        "doc_sequence_packing", "doc_source_weighted_sample",
+        "doc_shard_export_assignment", "doc_curation_pipeline",
+        "emb_neardup_multitable", "fuzzy_wratio_correction",
+        "q4_order_priority", "cms_frequency_sketch",
+    ]:
+        rows = plans.REGISTRY[name].fn(spark, d).collect()
+        assert rows == [], name
+    # bloom emits one stats row of zeros on empty input
+    stats = plans.REGISTRY["bloom_membership_sketch"].fn(spark, d).collect()
+    assert len(stats) == 1 and stats[0]["n_keys_built"] == 0 and stats[0]["n_maybe"] == 0
