@@ -52,10 +52,14 @@ def ivf_assign(
     Centroids are rows with id % centroid_mod == 0. The assignment plan is
     data × broadcast(centroids) → per-row argmax — a map-side-only pass.
     """
-    cents = emb.filter(F.col(id_col) % centroid_mod == 0).select(
-        F.col(id_col).alias("_cid"),
-        F.col(vec_col).alias("_cvec"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_cnorm"),
+    cents = (
+        emb.filter(F.col(id_col) % centroid_mod == 0)
+        .select(
+            F.col(id_col).alias("_cid"),
+            F.col(vec_col).alias("_cvec"),
+            F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_cnorm"),
+        )
+        .filter(F.col("_cnorm") > 0)  # zero-norm centroids are unrankable
     )
     # rebalance the data side before the O(n × centroids) scoring pass —
     # a single-file scan would otherwise run it in one task
@@ -72,9 +76,17 @@ def ivf_assign(
     return (
         scored.groupBy(id_col)
         .agg(
-            F.max_by("_cid", F.struct(F.col("_cos_c"), (-F.col("_cid")).alias("_nc"))).alias(
-                "centroid_id"
-            )
+            # null scores (null vector) rank nothing: a when() guard makes
+            # max_by skip them, so an all-null row gets a null centroid —
+            # matching the arrow lane — instead of falling through to the
+            # -cid tiebreak
+            F.max_by(
+                "_cid",
+                F.when(
+                    F.col("_cos_c").isNotNull(),
+                    F.struct(F.col("_cos_c"), (-F.col("_cid")).alias("_nc")),
+                ),
+            ).alias("centroid_id")
         )
         .join(emb, id_col)
     )
@@ -144,21 +156,35 @@ def assign_to_centroids(
     IEEE-double op sequence ((0 + x₀y₀) + x₁y₁) + …, and ``argmax`` over a
     cid-ascending centroid matrix reproduces the (score desc, cid asc)
     max_by tie-break. Outputs are therefore interchangeable — the DuckDB
-    oracle certifies both."""
+    oracle certifies both.
+
+    Degenerate inputs are defined identically in both lanes: zero-norm
+    centroids are EXCLUDED from assignment (cosine is undefined against
+    them — without the guard the SQL lane divides by zero under ANSI and
+    the NumPy lane lets score/0=inf win every argmax), and rows with a
+    null vector get a null ``centroid_id``."""
     if impl == "arrow":
         return _assign_to_centroids_arrow(data, cents, id_col, vec_col)
     cents = cents.select(
         "_cid", "_cvec", F.sqrt(dot(F.col("_cvec"), F.col("_cvec"))).alias("_cnorm")
-    )
+    ).filter(F.col("_cnorm") > 0)
     scored = data.crossJoin(F.broadcast(cents)).withColumn(
         "_cos_c", dot(F.col(vec_col), F.col("_cvec")) / F.col("_cnorm")
     )
     return (
         scored.groupBy(id_col)
         .agg(
-            F.max_by("_cid", F.struct(F.col("_cos_c"), (-F.col("_cid")).alias("_nc"))).alias(
-                "centroid_id"
-            )
+            # null scores (null vector) rank nothing: a when() guard makes
+            # max_by skip them, so an all-null row gets a null centroid —
+            # matching the arrow lane — instead of falling through to the
+            # -cid tiebreak
+            F.max_by(
+                "_cid",
+                F.when(
+                    F.col("_cos_c").isNotNull(),
+                    F.struct(F.col("_cos_c"), (-F.col("_cid")).alias("_nc")),
+                ),
+            ).alias("centroid_id")
         )
         .join(data, id_col)
     )
@@ -189,6 +215,13 @@ def _assign_to_centroids_arrow(
     for d in range(dim):
         acc = acc + C[:, d] * C[:, d]
     norms = np.sqrt(acc)
+    # zero-norm centroids are unrankable (see assign_to_centroids) — drop
+    # them here exactly as the SQL lane's _cnorm > 0 filter does
+    keep = norms > 0
+    cids, C, norms = cids[keep], C[keep], norms[keep]
+    k = int(keep.sum())
+    if k == 0:
+        return data.limit(0).withColumn("centroid_id", F.lit(None).cast("long"))
 
     out_schema = StructType(list(data.schema.fields) + [StructField("centroid_id", LongType())])
 
@@ -196,14 +229,19 @@ def _assign_to_centroids_arrow(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)  # n × dim
-            scores = np.zeros((len(pdf), k))
-            for d in range(dim):
-                scores = scores + X[:, d : d + 1] * C[None, :, d]
-            scores = scores / norms[None, :]
             pdf = pdf.copy()
-            # first-max along cid-ascending axis == (score desc, cid asc)
-            pdf["centroid_id"] = cids[np.argmax(scores, axis=1)]
+            valid = ~pdf[vec_col].isna().to_numpy()
+            out_ids = np.empty(len(pdf), dtype=object)
+            out_ids[:] = None  # null vector → null centroid (as in SQL lane)
+            if valid.any():
+                X = np.asarray(pdf.loc[valid, vec_col].to_list(), dtype=np.float64)
+                scores = np.zeros((int(valid.sum()), k))
+                for d in range(dim):
+                    scores = scores + X[:, d : d + 1] * C[None, :, d]
+                scores = scores / norms[None, :]
+                # first-max along cid-ascending axis == (score desc, cid asc)
+                out_ids[valid] = cids[np.argmax(scores, axis=1)]
+            pdf["centroid_id"] = out_ids
             yield pdf
 
     return data.mapInPandas(assign, out_schema)
@@ -237,12 +275,15 @@ def kmeans_lloyd(
     one posexplode/groupBy((cid, dim)) mean + one per-cid re-pack. All
     relational, no driver-side vectors.
 
-    Side effect: each iteration eagerly ``localCheckpoint``s the (tiny)
-    codebook — Spark jobs run at DataFrame-CONSTRUCTION time, and one
-    codebook-sized checkpoint per call stays persisted until the session
-    ends (intermediate iterations are unpersisted below; the returned one
-    must outlive the call). Without the checkpoint every consumer would
-    re-run the whole training chain per reference.
+    Side effect: each iteration eagerly persists + materializes the (tiny)
+    codebook — Spark jobs run at DataFrame-CONSTRUCTION time. Intermediate
+    iterations are unpersisted as soon as the next one materializes
+    (``persist`` registers with the CacheManager, so unlike
+    ``localCheckpoint`` the release actually happens); the RETURNED
+    codebook stays persisted — callers may ``unpersist()`` it when done.
+    Without the materialization every consumer would re-run the whole
+    training chain per reference; the logical plan still nests one
+    assign+mean subtree per iteration, but execution reads the cache.
     """
     cents = emb.filter(F.col(id_col) % centroid_mod == 0).select(
         F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
@@ -271,12 +312,14 @@ def kmeans_lloyd(
                 F.array_sort(F.collect_list(F.struct("_pos", "_comp"))), lambda s: s["_comp"]
             ).alias("_cvec")
         )
-        # Materialize the (tiny) codebook each round: without this the plan
-        # nests one full assign+mean subtree per iteration, and every later
-        # consumer (probe, full assignment) re-runs the whole training chain.
-        cents = cents.localCheckpoint(eager=True)
-        # previous iteration's checkpoint is now lineage-dead: release its
-        # storage (best-effort; the final checkpoint is the return value)
+        # Materialize the (tiny) codebook each round: without this every
+        # later consumer (probe, full assignment) re-runs the whole
+        # training chain per reference.
+        cents = cents.persist()
+        cents.count()
+        # previous iteration's cache is now dead: release it for real
+        # (persist + unpersist round-trips through the CacheManager;
+        # localCheckpoint's RDD would NOT be freed by Dataset.unpersist)
         if prev_ckpt is not None:
             prev_ckpt.unpersist()
         prev_ckpt = cents

@@ -22,11 +22,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-# 56-bit md5 prefix as bigint — engine-portable uniform hash (the same
-# construction as operators/text_dedup.py::_hash_int).
+from ..functions.hashing import hash56
+
+
 def _hash_gate(col, mod: int):
-    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 14), 16, 10).cast("bigint")
-    return h % mod == 0
+    return hash56(col) % mod == 0
 
 
 _HASH_SQL = "CAST(CONCAT('0x', SUBSTR(MD5(CAST({c} AS VARCHAR)), 1, 14)) AS BIGINT)"
@@ -76,7 +76,7 @@ def deterministic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 14), 16, 10).cast("bigint")
+    h = hash56(F.col("doc_id"))
     w = W.partitionBy("lang").orderBy(h, "doc_id")
     return (
         d.withColumn("rn", F.row_number().over(w))

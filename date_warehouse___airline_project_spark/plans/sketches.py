@@ -30,9 +30,7 @@ from .registry import query
 _HASH_SQL = "CAST(CONCAT('0x', SUBSTR(MD5({c}), 1, 14)) AS BIGINT)"
 
 
-def _hash56_str(col) -> F.Column:
-    """56-bit md5 prefix of an already-string column."""
-    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("bigint")
+from ..functions.hashing import hash56 as _hash56_str  # cast-to-string is a no-op on strings
 
 
 # ---------------------------------------------------------------------------

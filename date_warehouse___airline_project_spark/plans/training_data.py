@@ -31,8 +31,7 @@ from .registry import query
 _HASH_SQL = "CAST(CONCAT('0x', SUBSTR(MD5(CAST({c} AS VARCHAR)), 1, 14)) AS BIGINT)"
 
 
-def _hash56(col) -> F.Column:
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 14), 16, 10).cast("bigint")
+from ..functions.hashing import hash56 as _hash56
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -46,9 +46,13 @@ from ..operators.scd2 import scd2_init, scd2_merge
 class ParquetMergeTarget:
     """MERGE emulation over a parquet directory (see module docstring).
 
-    Atomicity: new state is written to a temp dir, then swapped in with a
-    directory move — readers see old-or-new, never partial. Single-writer
-    by contract (no optimistic concurrency without a transaction log).
+    Swap-in discipline: new state is fully written to a temp dir first,
+    then the live dir is renamed aside and the temp renamed in — a crash
+    can leave a brief reader-visible gap between the two renames, but
+    never partial data, and the renamed-aside ``.old-*`` backup survives
+    any crash for manual recovery. TRUE reader-atomicity needs a
+    transaction log — that is exactly what the Delta target provides.
+    Single-writer by contract.
     """
 
     def __init__(self, spark: SparkSession, path: str):
@@ -62,21 +66,30 @@ class ParquetMergeTarget:
         return self.spark.read.parquet(self.path)
 
     def _swap_in(self, df: DataFrame) -> None:
-        tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
+        run = uuid.uuid4().hex[:8]
+        tmp = f"{self.path}.tmp-{run}"
         df.write.mode("overwrite").parquet(tmp)
         if os.path.exists(self.path):
-            shutil.rmtree(self.path)
-        shutil.move(tmp, self.path)
+            old = f"{self.path}.old-{run}"
+            os.rename(self.path, old)  # atomic same-fs; data preserved
+            os.rename(tmp, self.path)
+            shutil.rmtree(old)  # only after the new state is live
+        else:
+            os.rename(tmp, self.path)
 
     def upsert(self, df: DataFrame, key: Sequence[str]) -> str:
+        key = list(key)
+        # enforce the per-key-uniqueness contract WITHIN the batch too
+        # (Delta's MERGE errors on duplicate matches; here the kept row per
+        # key is arbitrary — dedupe upstream if batch content matters)
+        df = df.dropDuplicates(key)
         if not self.exists():
             df.write.mode("overwrite").parquet(self.path)
             return "inserted"
-        key = list(key)
         existing = self.read()
-        merged = existing.join(
-            df.select(key).dropDuplicates(key), key, "left_anti"
-        ).unionByName(df, allowMissingColumns=True)
+        merged = existing.join(df.select(key), key, "left_anti").unionByName(
+            df, allowMissingColumns=True
+        )
         self._swap_in(merged)
         return "upserted"
 

@@ -55,12 +55,14 @@ def safe_upsert(df: DataFrame, path: str, key: list[str]) -> str:
     reference's fallback ladder. New data wins on key collision.
     """
     spark = df.sparkSession
+    # per-key uniqueness holds within the batch too (kept row arbitrary)
+    df = df.dropDuplicates(list(key))
     if not os.path.exists(path):
         df.write.mode("overwrite").parquet(path)
         return "inserted"
     try:
         existing = spark.read.parquet(path)
-        merged = existing.join(df.select(key).dropDuplicates(key), key, "left_anti").unionByName(
+        merged = existing.join(df.select(key), key, "left_anti").unionByName(
             df, allowMissingColumns=True
         )
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"

@@ -279,3 +279,29 @@ def test_round2_queries_survive_empty_corpus(spark, tmp_path):
     # bloom emits one stats row of zeros on empty input
     stats = plans.REGISTRY["bloom_membership_sketch"].fn(spark, d).collect()
     assert len(stats) == 1 and stats[0]["n_keys_built"] == 0 and stats[0]["n_maybe"] == 0
+
+
+def test_assign_lanes_agree_on_degenerate_inputs(spark):
+    # zero-norm centroid: excluded by BOTH lanes; null vector: null
+    # centroid_id in BOTH lanes — the lanes must agree, not just on the
+    # happy path.
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [0.0, 1.0])], ["_cid", "_cvec"]
+    )
+    data = spark.createDataFrame(
+        [(10, [1.0, 0.1]), (11, [0.1, 1.0]), (12, None)],
+        "vec_id long, embedding array<double>",
+    )
+    want = {(10, 1), (11, 2), (12, None)}
+    for impl in ("sql", "arrow"):
+        got = {
+            (r.vec_id, r.centroid_id)
+            for r in assign_to_centroids(data, cents, impl=impl)
+            .select("vec_id", "centroid_id")
+            .collect()
+        }
+        assert got == want, impl

@@ -153,3 +153,16 @@ def test_parquet_merge_target_upsert_and_scd2_contract(spark, tmp_path):
     # idempotence: replaying the batch is a no-op
     again = d.apply_scd2(u2, ["booking_reference"], ["cls"], "2026-03-01 00:00:00")
     assert again.count() == 3
+
+
+def test_parquet_merge_target_dedups_within_batch(spark, tmp_path):
+    # the per-key-uniqueness contract must hold even when one batch
+    # carries duplicate keys (Delta MERGE would reject such a batch)
+    from date_warehouse___airline_project_spark.sources import make_merge_target
+
+    t = make_merge_target(spark, str(tmp_path / "tbl"))
+    t.upsert(spark.createDataFrame([(1, "a"), (1, "b")], ["k", "v"]), ["k"])
+    assert t.read().count() == 1
+    t.upsert(spark.createDataFrame([(1, "c"), (1, "d"), (2, "e")], ["k", "v"]), ["k"])
+    rows = t.read().groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in rows) and len(rows) == 2

@@ -58,6 +58,11 @@ def audit(plan: str) -> set[str]:
         first = m.group(1).split(",")[0].strip()
         if "ASC" in first or "DESC" in first or first.startswith("specifiedwindowframe"):
             flags.add("GLOBAL-WINDOW")
+    # a Sort fed by a SinglePartition exchange = the whole relation sorted
+    # in ONE task (global orderBy parallelizes as Exchange rangepartitioning
+    # instead; scalar-aggregate SinglePartition exchanges have no Sort above)
+    if re.search(r"Sort \[[^\n]*\n\s*\+- Exchange SinglePartition", plan):
+        flags.add("GLOBAL-SORT")
     return flags
 
 
