@@ -534,3 +534,80 @@ def _pair_dot_over_norms_arrow(joined: DataFrame) -> DataFrame:
             yield out
 
     return joined.mapInPandas(verify, out_schema)
+
+
+def save_ivf_index(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 25,
+    sample_mod: int = 4,
+    iters: int = 2,
+) -> None:
+    """Persist a trained IVF index: ``<path>/codebook`` (cid, cvec) and
+    ``<path>/assignments`` (id, centroid_id) as parquet.
+
+    The production lifecycle: train + assign ONCE (the expensive passes),
+    then every search session loads the index and touches only
+    nprobe/ncentroids of the corpus. At 100 TB the assignments table is
+    written partitioned by ``centroid_id`` so a probe reads only its
+    cells' files (partition pruning — the on-disk analogue of the
+    inverted file).
+    """
+    cents = kmeans_lloyd(emb, id_col, vec_col, centroid_mod, sample_mod, iters)
+    cents.write.mode("overwrite").parquet(f"{path}/codebook")
+    assigned = assign_to_centroids(
+        emb.repartition(emb.sparkSession.sparkContext.defaultParallelism),
+        cents,
+        id_col,
+        vec_col,
+        impl="arrow",
+    )
+    (
+        assigned.select(id_col, "centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/assignments")
+    )
+    cents.unpersist()
+
+
+def ivf_topk_indexed(
+    emb: DataFrame,
+    path: str,
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF index (see ``save_ivf_index``) — no training,
+    no full-corpus assignment: probe the codebook, read only the probed
+    cells' assignment partitions (partition-pruned scan), join back the
+    vectors by id, exact cosine top-k."""
+    spark = emb.sparkSession
+    cents = spark.read.parquet(f"{path}/codebook")
+    assignments = spark.read.parquet(f"{path}/assignments")
+    qvec = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qv"))
+    probe = (
+        cents.crossJoin(F.broadcast(qvec))
+        .withColumn("_cos_q", cosine(F.col("_cvec"), F.col("_qv")))
+        .orderBy(F.desc("_cos_q"), F.asc("_cid"))
+        .limit(nprobe)
+        .select(F.col("_cid").alias("centroid_id"))
+    )
+    other_cols = [c for c in emb.columns if c not in (id_col, vec_col)]
+    hits = assignments.join(F.broadcast(probe), "centroid_id", "left_semi").select(id_col)
+    return (
+        emb.join(hits, id_col, "left_semi")
+        .filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            id_col,
+            *other_cols,
+            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -305,3 +305,31 @@ def test_assign_lanes_agree_on_degenerate_inputs(spark):
             .collect()
         }
         assert got == want, impl
+
+
+def test_ivf_index_persistence_roundtrip(spark, tmp_path):
+    # save_ivf_index + ivf_topk_indexed must return exactly what the
+    # train-inline search returns — the index is a cache, not a different
+    # algorithm. The assignments table is partitioned by centroid_id so a
+    # probe's scan is partition-pruned.
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        ivf_topk_indexed,
+        ivf_topk_trained,
+        save_ivf_index,
+    )
+    from date_warehouse___airline_project_spark.sources.catalog import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    want = [
+        (r.vec_id, r.cos_sim)
+        for r in ivf_topk_trained(e, query_id=0, k=10, nprobe=2).collect()
+    ]
+    idx = str(tmp_path / "ivf")
+    save_ivf_index(e, idx)
+    got = [
+        (r.vec_id, r.cos_sim)
+        for r in ivf_topk_indexed(e, idx, query_id=0, k=10, nprobe=2).collect()
+    ]
+    assert got == want
+    import os
+    assert any(d.startswith("centroid_id=") for d in os.listdir(idx + "/assignments"))
