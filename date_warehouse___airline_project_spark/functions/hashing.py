@@ -23,3 +23,15 @@ from pyspark.sql import functions as F
 def hash56(col: Column) -> Column:
     """56-bit md5-prefix hash of ``col`` (cast to string) as bigint."""
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 14), 16, 10).cast("bigint")
+
+
+def seeded_bucket(col: Column, seed: Column, width: int) -> Column:
+    """Member of a seeded hash family: ``hash56(seed ':' col) % width``.
+
+    Independent buckets per seed value — the construction behind the Bloom
+    and Count-Min hash families (plans/sketches.py) and their streaming
+    maintenance (streaming/sketch_stream.py).
+    """
+    return (
+        hash56(F.concat(seed.cast("string"), F.lit(":"), col.cast("string"))) % width
+    )

@@ -30,7 +30,7 @@ from .registry import query
 _HASH_SQL = "CAST(CONCAT('0x', SUBSTR(MD5({c}), 1, 14)) AS BIGINT)"
 
 
-from ..functions.hashing import hash56 as _hash56_str  # cast-to-string is a no-op on strings
+from ..functions.hashing import seeded_bucket
 
 
 # ---------------------------------------------------------------------------
@@ -85,10 +85,7 @@ def bloom_membership_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = F.array(*[F.lit(j) for j in range(_BLOOM_K)])
 
     def bit(j_col, key_col):
-        return (
-            _hash56_str(F.concat(j_col.cast("string"), F.lit(":"), key_col.cast("string")))
-            % _BLOOM_M
-        )
+        return seeded_bucket(key_col, j_col, _BLOOM_M)
 
     build_keys = (
         o.filter(F.col("o_totalprice") > 400000).select(F.col("o_custkey").alias("k")).distinct()
@@ -182,10 +179,7 @@ def cms_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = F.array(*[F.lit(d) for d in range(_CMS_D)])
 
     def cell(d_col, key_col):
-        return (
-            _hash56_str(F.concat(d_col.cast("string"), F.lit(":"), key_col.cast("string")))
-            % _CMS_W
-        )
+        return seeded_bucket(key_col, d_col, _CMS_W)
 
     cells = (
         ev.select("user_id", F.explode(seeds).alias("d"))

@@ -1,0 +1,94 @@
+"""Incremental Count-Min sketch maintenance over a stream.
+
+CMS cells are pure counts, so the sketch is MERGEABLE: cells(A ∪ B) =
+cells(A) + cells(B) summed per (depth, cell). That makes the streaming
+form trivial-by-construction — each micro-batch builds its own cell
+counts (one explode + map-side-combined aggregate, exactly the batch
+query's plan) and folds them into a persistent state table with a
+sum-merge. No per-key state store is needed: the state is the d×w cell
+table itself, bounded regardless of stream cardinality — the reason
+sketches are the scale path for streaming frequency tracking.
+
+State writes go through the same temp-dir + rename swap discipline as
+``sources.merge_target`` (crash leaves old-or-new state, plus the batch
+checkpoint makes redelivery idempotent-at-batch granularity).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import seeded_bucket
+
+
+def cms_cells(rows: DataFrame, key_col: str, depth: int = 3, width: int = 256) -> DataFrame:
+    """(d, cell, cnt) Count-Min cell counts for one relation — the same
+    construction as plans/sketches.py::cms_frequency_sketch."""
+    seeds = F.array(*[F.lit(d) for d in range(depth)])
+    return (
+        rows.select(F.col(key_col), F.explode(seeds).alias("d"))
+        .groupBy("d", seeded_bucket(F.col(key_col), F.col("d"), width).alias("cell"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def merge_cells(state: DataFrame, batch: DataFrame) -> DataFrame:
+    """Fold a batch's cells into the state: per-(d, cell) count sum."""
+    return (
+        state.unionByName(batch)
+        .groupBy("d", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def run_cms_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    depth: int = 3,
+    width: int = 256,
+    available_now: bool = True,
+):
+    """Maintain a persistent CMS over a line-delimited key drop dir.
+
+    Returns the StreamingQuery. Swap the file source for the Kafka
+    consumer (``eligibility_stream.kafka_messages_source``) unchanged —
+    the per-batch plan only needs a ``value``-shaped column.
+    """
+    raw = spark.readStream.format("text").load(input_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        keys = batch_df.select(F.col("value").cast("long").alias(key_col)).where(
+            F.col(key_col).isNotNull()
+        )
+        cells = cms_cells(keys, key_col, depth, width)
+        if os.path.exists(state_dir):
+            state = spark.read.parquet(state_dir)
+            merged = merge_cells(state, cells)
+        else:
+            merged = cells
+        tmp = f"{state_dir}.tmp-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state_dir):
+            old = f"{state_dir}.old-{uuid.uuid4().hex[:8]}"
+            os.rename(state_dir, old)
+            os.rename(tmp, state_dir)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, state_dir)
+
+    writer = (
+        raw.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("cms_stream")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -485,3 +485,35 @@ def test_kafka_source_sink_construction(spark):
     assert parsed.isStreaming and "passenger_id" in parsed.columns
     writer = kafka_results_sink(parsed, "localhost:9092", "results", "/tmp/nope")
     assert writer is not None
+
+
+def test_cms_stream_state_matches_batch_sketch(spark, tmp_path):
+    # Two micro-batches of keys folded into the persistent cell table must
+    # equal the sketch built over all keys at once (CMS mergeability).
+    from date_warehouse___airline_project_spark.streaming.sketch_stream import (
+        cms_cells,
+        run_cms_stream,
+    )
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    (input_dir / "b1.txt").write_text("\n".join(str(i % 7) for i in range(50)))
+    q = run_cms_stream(
+        spark, str(input_dir), str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    (input_dir / "b2.txt").write_text("\n".join(str(i % 5) for i in range(30)))
+    q = run_cms_stream(
+        spark, str(input_dir), str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.d, r.cell): r.cnt
+        for r in spark.read.parquet(str(tmp_path / "state")).collect()
+    }
+    all_keys = spark.createDataFrame(
+        [(i % 7,) for i in range(50)] + [(i % 5,) for i in range(30)], ["user_id"]
+    )
+    want = {(r.d, r.cell): r.cnt for r in cms_cells(all_keys, "user_id").collect()}
+    assert got == want
