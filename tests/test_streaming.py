@@ -517,3 +517,23 @@ def test_cms_stream_state_matches_batch_sketch(spark, tmp_path):
     )
     want = {(r.d, r.cell): r.cnt for r in cms_cells(all_keys, "user_id").collect()}
     assert got == want
+
+
+def test_kafka_sink_value_envelope_roundtrips(spark):
+    # The producer sink's value projection (one JSON envelope per row) is
+    # broker-independent: every row must round-trip through from_json with
+    # the original values intact.
+    from pyspark.sql import functions as F_
+
+    results = spark.createDataFrame(
+        [("p1", "AA100", 180, "eligible"), ("p2", "BB200", 30, "not_eligible")],
+        ["passenger_id", "flight_number", "delay_minutes", "verdict"],
+    )
+    enveloped = results.select(F_.to_json(F_.struct(*results.columns)).alias("value"))
+    back = enveloped.select(
+        F_.from_json(
+            "value",
+            "passenger_id string, flight_number string, delay_minutes long, verdict string",
+        ).alias("m")
+    ).select("m.*")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, results.collect()))
