@@ -45,22 +45,46 @@ _CERTIFIED_R01 = [
     "ngram_jaccard_dupes", "tumbling_window_counts", "sliding_window_counts",
     "session_window_stats",
 ]
-_CERTIFIED = set(_CERTIFIED_R01)
+_CERTIFIED_R02 = [
+    "emb_neardup_multitable", "fuzzy_wratio_correction",
+    "doc_decontamination_overlap", "doc_repeated_ngram_ratio",
+    "doc_shard_export_assignment", "q4_order_priority",
+    "bloom_membership_sketch", "cms_frequency_sketch", "media_meta_extract",
+    "media_frame_fanout", "scd2_dim_two_batches", "pii_mask_and_name_split",
+    "geo_finance_battery", "fuzzy_code_correction",
+    "encoding_functions_battery", "sql_forecast_revenue_change",
+    "sql_priority_order_counts", "sql_exists_notexists_text",
+    "sql_correlated_scalar_text", "sql_lateral_topn_text",
+    "sql_not_in_null_semantics", "q13_order_count_distribution",
+    "q15_top_supplier_revenue", "q16_supplier_counts_not_in",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_disjunctive_predicates", "q20_nested_in_suppliers",
+    "q21_sole_late_supplier", "q22_idle_rich_customers",
+    "q11_supplier_value_share", "lead_lag_order_gaps", "ntile_rank_acctbal",
+    "percentile_totalprice_by_priority", "cube_returnflag_linestatus",
+    "pivot_nation_segment_counts", "stats_quantity_battery",
+    "grouping_sets_revenue", "trailing_30d_customer_spend",
+    "percentile_disc_cume_dist", "trailing_distinct_users",
+    "linear_regression_exact", "asof_purchase_before_error",
+    "range_join_inflight_shipments", "followup_error_after_purchase",
+    "doc_top_words", "user_event_sequences",
+]
+_CERTIFIED = set(_CERTIFIED_R01) | set(_CERTIFIED_R02)
 
-# Queries NEW this round: least-proven, so they go at the very front of the
-# driver's correctness window.
+# Round-3 priority: the three r02 hash-reds (oracle typing now fixed —
+# CAST(SUM(...) AS BIGINT), see plans/training_data.py) must re-certify,
+# followed by the three latent carriers of the same DuckDB
+# HUGEINT->float64 landmine that rotation hasn't exposed yet. Everything
+# else uncertified (the function/array/map/calendar batteries, TPC-H
+# Q9/Q10/Q14, profiling, sessionization, gapfill) follows in registry
+# order — after this round every registry query has a driver-green row.
 _PRIORITY = [
-    "emb_neardup_multitable",
-    "fuzzy_wratio_correction",
-    "doc_decontamination_overlap",
-    "doc_repeated_ngram_ratio",
     "doc_sequence_packing",
     "doc_source_weighted_sample",
-    "doc_shard_export_assignment",
     "doc_curation_pipeline",
-    "q4_order_priority",
-    "bloom_membership_sketch",
-    "cms_frequency_sketch",
+    "q12_priority_line_counts",
+    "variant_event_props",
+    "lag_gap_sessionization",
 ]
 
 

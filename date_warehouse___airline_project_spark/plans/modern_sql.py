@@ -60,7 +60,8 @@ def recursive_cte_monthly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     "variant_event_props",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
            MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
            COUNT(*) AS n_events
     FROM events

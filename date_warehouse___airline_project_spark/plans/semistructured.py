@@ -176,10 +176,10 @@ _SESSIONIZE_SQL = """
     ),
     sessions AS (
         SELECT user_id, ts, event_id,
-               SUM(new_session) OVER (PARTITION BY user_id
+               CAST(SUM(new_session) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING
-                                      AND CURRENT ROW) AS session_id
+                                      AND CURRENT ROW) AS BIGINT) AS session_id
         FROM marked
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -184,7 +184,7 @@ _PACK_ORACLE = f"""
     SELECT source,
            CAST(FLOOR(cum_prev / {_PACK_CAPACITY}.0) AS BIGINT) AS pack_id,
            COUNT(*) AS n_docs,
-           SUM(n_tok) AS pack_tokens
+           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
     FROM c
     GROUP BY source, pack_id
     ORDER BY source, pack_id
@@ -234,8 +234,8 @@ _MIX_ORACLE = f"""
       FROM documents)
     SELECT source, rate_tenths,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN {_HASH_SQL.format(c='doc_id')} % 10 < rate_tenths
-                    THEN 1 ELSE 0 END) AS n_kept
+           CAST(SUM(CASE WHEN {_HASH_SQL.format(c='doc_id')} % 10 < rate_tenths
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM rated
     GROUP BY source, rate_tenths
     ORDER BY source
@@ -343,7 +343,8 @@ _CURATION_ORACLE = f"""
       SELECT * FROM dedup
       WHERE {_HASH_SQL.format(c='doc_id')} % 10
             < 1 + {_HASH_SQL.format(c='source')} % 10)
-    SELECT source, lang, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
     FROM mixed
     GROUP BY source, lang
     ORDER BY source, lang

@@ -10,8 +10,16 @@ table itself, bounded regardless of stream cardinality — the reason
 sketches are the scale path for streaming frequency tracking.
 
 State writes go through the same temp-dir + rename swap discipline as
-``sources.merge_target`` (crash leaves old-or-new state, plus the batch
-checkpoint makes redelivery idempotent-at-batch granularity).
+``sources.merge_target``. foreachBatch is AT-LEAST-ONCE: a crash after
+the state swap but before the streaming checkpoint commits re-delivers
+the batch, and a sum-merge is not idempotent — so the last-applied
+``batch_id`` is written INSIDE the state dir in the same atomic swap,
+and ``process_batch`` skips any batch_id already folded. A crash landing
+between the two swap renames (no live state dir) is recovered at stream
+start by restoring the newest ``.old-*`` backup; the interrupted batch
+then redelivers and re-applies on top. Stale ``.tmp-*``/``.old-*``
+siblings from prior crashes are swept at stream start so restarts don't
+accumulate orphaned state copies.
 """
 
 from __future__ import annotations
@@ -46,6 +54,44 @@ def merge_cells(state: DataFrame, batch: DataFrame) -> DataFrame:
     )
 
 
+_BATCH_ID_FILE = "_last_batch_id"  # underscore-prefixed: parquet readers skip it
+
+
+def last_applied_batch_id(state_dir: str) -> int:
+    """Batch id folded into the current state, -1 if none/absent."""
+    path = os.path.join(state_dir, _BATCH_ID_FILE)
+    if os.path.exists(path):
+        with open(path, encoding="ascii") as f:
+            return int(f.read().strip())
+    return -1
+
+
+def recover_state(state_dir: str) -> None:
+    """Repair the swap after a crash and sweep stale siblings.
+
+    Crash window between ``rename(state_dir, old)`` and
+    ``rename(tmp, state_dir)`` leaves NO live state dir — without
+    recovery the next batch would take the 'no state' branch and
+    silently restart the sketch from empty while the checkpoint still
+    marks earlier batches done. Restore the newest backup (always a
+    consistent pre-batch state; the interrupted batch redelivers and
+    re-applies on top), then delete every leftover ``.tmp-*``/``.old-*``.
+    """
+    parent = os.path.dirname(state_dir) or "."
+    base = os.path.basename(state_dir)
+    if not os.path.isdir(parent):
+        return
+    sibs = [os.path.join(parent, n) for n in os.listdir(parent)]
+    olds = [p for p in sibs if os.path.basename(p).startswith(f"{base}.old-")]
+    tmps = [p for p in sibs if os.path.basename(p).startswith(f"{base}.tmp-")]
+    if not os.path.exists(state_dir) and olds:
+        newest = max(olds, key=os.path.getmtime)
+        os.rename(newest, state_dir)
+        olds.remove(newest)
+    for p in olds + tmps:
+        shutil.rmtree(p, ignore_errors=True)
+
+
 def run_cms_stream(
     spark: SparkSession,
     input_dir: str,
@@ -62,9 +108,13 @@ def run_cms_stream(
     consumer (``eligibility_stream.kafka_messages_source``) unchanged —
     the per-batch plan only needs a ``value``-shaped column.
     """
+    recover_state(state_dir)
     raw = spark.readStream.format("text").load(input_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        recover_state(state_dir)  # repair a mid-stream swap crash too
+        if batch_id <= last_applied_batch_id(state_dir):
+            return  # at-least-once redelivery of an already-folded batch
         keys = batch_df.select(F.col("value").cast("long").alias(key_col)).where(
             F.col(key_col).isNotNull()
         )
@@ -76,6 +126,8 @@ def run_cms_stream(
             merged = cells
         tmp = f"{state_dir}.tmp-{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, _BATCH_ID_FILE), "w", encoding="ascii") as f:
+            f.write(str(batch_id))
         if os.path.exists(state_dir):
             old = f"{state_dir}.old-{uuid.uuid4().hex[:8]}"
             os.rename(state_dir, old)

@@ -56,6 +56,37 @@ def test_all_queries_match_oracle_smoke(spark, duck):
     assert not failures, failures
 
 
+def test_compare_flags_int_vs_float_dtype_class(duck):
+    """Regression for the r02 driver-hash failures (doc_sequence_packing
+    et al.): DuckDB SUM(BIGINT)->HUGEINT comes back float64, values equal
+    numerically, but the driver's canonical hash formats 1234 vs 1234.0
+    differently. compare() must flag the dtype-class mismatch instead of
+    passing on numeric equality — proven against the literal pre-fix
+    oracle shape (uncast SUM over a BIGINT column)."""
+    import pandas as pd
+
+    from tools.oracle_check import compare, dtype_class
+
+    prefix_oracle = duck.sql(
+        """
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(CAST(LENGTH(regexp_extract_all(text, '\\S+')) AS BIGINT))
+                   AS pack_tokens
+        FROM documents GROUP BY source ORDER BY source
+        """
+    ).df()
+    assert dtype_class(prefix_oracle["pack_tokens"]) == "float"  # the landmine
+    spark_shaped = prefix_oracle.copy()
+    spark_shaped["pack_tokens"] = spark_shaped["pack_tokens"].astype("int64")
+    problems = compare("pre_fix_packing", spark_shaped, prefix_oracle)
+    assert any("dtype class differs" in p for p in problems), problems
+    # and the CAST fix clears it
+    fixed = prefix_oracle.copy()
+    fixed["pack_tokens"] = fixed["pack_tokens"].astype("int64")
+    assert compare("post_fix_packing", spark_shaped, fixed) == []
+
+
 def test_priority_and_certified_names_exist():
     # A typo in _PRIORITY/_CERTIFIED silently reorders the driver's checked
     # window — pin that every listed name is a real registry query.
@@ -63,9 +94,15 @@ def test_priority_and_certified_names_exist():
 
     names = set(m.plans.REGISTRY)
     missing_p = [n for n in m._PRIORITY if n not in names]
-    missing_c = [n for n in m._CERTIFIED_R01 if n not in names]
+    missing_c = [n for n in m._CERTIFIED if n not in names]
     assert missing_p == [] and missing_c == []
     ordered = list(m.queries())
     assert ordered[: len(m._PRIORITY)] == m._PRIORITY
     # certified queries occupy the tail, never the checked window
-    assert all(n in m._CERTIFIED for n in ordered[-len(m._CERTIFIED_R01):])
+    assert all(n in m._CERTIFIED for n in ordered[-len(m._CERTIFIED):])
+    # every uncertified query must sit inside the driver's 50-query window
+    uncert = [n for n in ordered if n not in m._CERTIFIED]
+    assert len(uncert) <= 50, (
+        f"{len(uncert)} uncertified queries exceed the driver window"
+    )
+    assert ordered[: len(uncert)] == uncert

@@ -5,6 +5,8 @@ CSV drop-dir ingest through a cleaning pipeline."""
 from __future__ import annotations
 
 import json
+import os
+import shutil
 
 import pytest
 from pyspark.sql import functions as F
@@ -517,6 +519,72 @@ def test_cms_stream_state_matches_batch_sketch(spark, tmp_path):
     )
     want = {(r.d, r.cell): r.cnt for r in cms_cells(all_keys, "user_id").collect()}
     assert got == want
+
+
+def test_cms_stream_redelivery_is_idempotent(spark, tmp_path):
+    # foreachBatch is at-least-once: wiping the checkpoint redelivers the
+    # whole input as batch 0 again. The state carries the last-applied
+    # batch_id, so the redelivered batch must be skipped, not sum-merged
+    # a second time (which would permanently double every count).
+    from date_warehouse___airline_project_spark.streaming.sketch_stream import (
+        cms_cells,
+        last_applied_batch_id,
+        run_cms_stream,
+    )
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    (input_dir / "b1.txt").write_text("\n".join(str(i % 7) for i in range(50)))
+    state = str(tmp_path / "state")
+    q = run_cms_stream(spark, str(input_dir), state, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert last_applied_batch_id(state) == 0
+    want = {
+        (r.d, r.cell): r.cnt for r in spark.read.parquet(state).collect()
+    }
+
+    shutil.rmtree(tmp_path / "ckpt")  # forces redelivery of batch 0
+    q = run_cms_stream(spark, str(input_dir), state, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {(r.d, r.cell): r.cnt for r in spark.read.parquet(state).collect()}
+    assert got == want, "redelivered batch was double-counted"
+
+    all_keys = spark.createDataFrame([(i % 7,) for i in range(50)], ["user_id"])
+    exact = {(r.d, r.cell): r.cnt for r in cms_cells(all_keys, "user_id").collect()}
+    assert got == exact
+
+
+def test_cms_stream_recovers_dangling_swap_and_sweeps_orphans(spark, tmp_path):
+    # Crash between the two swap renames leaves .old-* but NO live state
+    # dir; the next start must restore the backup instead of silently
+    # restarting the sketch from empty, and must sweep stale .tmp-* dirs.
+    from date_warehouse___airline_project_spark.streaming.sketch_stream import (
+        cms_cells,
+        run_cms_stream,
+    )
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    (input_dir / "b1.txt").write_text("\n".join(str(i % 7) for i in range(50)))
+    state = str(tmp_path / "state")
+    q = run_cms_stream(spark, str(input_dir), state, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    # simulate the crash window + an orphaned tmp from an older crash
+    os.rename(state, state + ".old-deadbeef")
+    os.mkdir(state + ".tmp-orphan")
+    (input_dir / "b2.txt").write_text("\n".join(str(i % 5) for i in range(30)))
+    q = run_cms_stream(spark, str(input_dir), state, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    assert not os.path.exists(state + ".old-deadbeef")
+    assert not os.path.exists(state + ".tmp-orphan")
+    got = {(r.d, r.cell): r.cnt for r in spark.read.parquet(state).collect()}
+    all_keys = spark.createDataFrame(
+        [(i % 7,) for i in range(50)] + [(i % 5,) for i in range(30)], ["user_id"]
+    )
+    want = {(r.d, r.cell): r.cnt for r in cms_cells(all_keys, "user_id").collect()}
+    assert got == want, "backup was not restored before folding batch 2"
 
 
 def test_kafka_sink_value_envelope_roundtrips(spark):

@@ -24,6 +24,44 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def dtype_class(series: pd.Series) -> str:
+    """Coarse type class that mirrors the driver's canonical-hash behavior.
+
+    The driver formats each cell before hashing, so int64 ``1234`` and
+    float64 ``1234.0`` hash DIFFERENTLY even when numerically equal
+    (observed: CORRECTNESS_r02 ``doc_sequence_packing`` et al., where
+    DuckDB's SUM(BIGINT)->HUGEINT came back as float64). Catch that class
+    of divergence here instead of letting numeric comparison hide it.
+    Decimal objects count as 'float' (both engines print them with the
+    same scale), bool folds into 'int' (DuckDB CASE-sums may come back
+    int while Spark booleans stay bool upstream of an int cast).
+    """
+    if pd.api.types.is_bool_dtype(series):
+        return "int"
+    if pd.api.types.is_integer_dtype(series):
+        return "int"
+    if pd.api.types.is_float_dtype(series):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(series):
+        return "datetime"
+    if series.dtype == object:
+        non_null = series.dropna()
+        if len(non_null):
+            v = non_null.iloc[0]
+            import decimal
+
+            if isinstance(v, bool):
+                return "int"
+            if isinstance(v, int):
+                return "int"
+            if isinstance(v, (float, decimal.Decimal)):
+                return "float"
+            if isinstance(v, (list, tuple)):
+                return "array"
+        return "string"
+    return str(series.dtype)
+
+
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
     problems: list[str] = []
     if sorted(spark_df.columns) != sorted(oracle_df.columns):
@@ -31,6 +69,20 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
         return problems
     if len(spark_df) != len(oracle_df):
         problems.append(f"row count differs: spark={len(spark_df)} oracle={len(oracle_df)}")
+    for c in sorted(spark_df.columns):
+        sc, oc = dtype_class(spark_df[c]), dtype_class(oracle_df[c])
+        # Only the numeric classes are proven driver-hash-divergent
+        # (int 1234 vs float 1234.0 — CORRECTNESS_r02 doc_sequence_packing).
+        # string-vs-datetime pairs hash EQUAL in the driver (r02
+        # trailing_distinct_users green with Spark string day vs DuckDB
+        # datetime), so flagging them would regress known-good queries.
+        numeric = {"int", "float"}
+        if sc != oc and (sc in numeric or oc in numeric):
+            problems.append(
+                f"dtype class differs in col {c}: spark={sc}({spark_df[c].dtype}) "
+                f"oracle={oc}({oracle_df[c].dtype}) — driver hash WILL diverge "
+                f"even if values match numerically"
+            )
     a, b = normalize(spark_df), normalize(oracle_df)
     if len(a) == len(b):
         for c in a.columns:
