@@ -69,8 +69,6 @@ _CERTIFIED_R02 = [
     "range_join_inflight_shipments", "followup_error_after_purchase",
     "doc_top_words", "user_event_sequences",
 ]
-_CERTIFIED = set(_CERTIFIED_R01) | set(_CERTIFIED_R02)
-
 # Round-3 priority: the three r02 hash-reds (oracle typing now fixed —
 # CAST(SUM(...) AS BIGINT), see plans/training_data.py) must re-certify,
 # followed by the three latent carriers of the same DuckDB
@@ -85,7 +83,13 @@ _PRIORITY = [
     "q12_priority_line_counts",
     "variant_event_props",
     "lag_gap_sessionization",
+    # re-cert: scorer gained token_set + the 0.6 long-string regime in r03
+    "fuzzy_wratio_correction",
 ]
+
+# A query whose behavior changed this round is no longer certified — it
+# re-enters the window via _PRIORITY.
+_CERTIFIED = (set(_CERTIFIED_R01) | set(_CERTIFIED_R02)) - set(_PRIORITY)
 
 
 def _ordered_names() -> list[str]:

@@ -22,7 +22,8 @@ longer string scored against the shorter — mirroring the shape of public
 fuzzywuzzy ``WRatio`` (the reference's scorer, cleaning.py:262-295): when
 the lengths differ enough for windowing to matter (ratio ≥ 1.5), WRatio
 takes the max of the full ratio, the 0.95-scaled token-sort ratio, and the
-0.9-scaled partial ratio. Exact members always score 100. All three
+scaled partial ratio (×0.9, or ×0.6 in the "much much shorter" regime
+where one string is >8× the other). Exact members always score 100. All three
 scorers are pure Column expressions (whole-stage codegen, no Python).
 """
 
@@ -54,19 +55,58 @@ def _partial(a: Column, b: Column) -> Column:
     sims = F.transform(
         starts, lambda i: 100.0 * (1.0 - F.levenshtein(s, F.substring(long_, i, n)) / n)
     )
-    return F.array_max(sims)
+    # empty shorter string scores 0, rapidfuzz/thefuzz semantics (legacy
+    # fuzzywuzzy's 100-on-empty is a known quirk that would inflate every
+    # disjoint token_set pairing to 0.95*pscale*100)
+    return F.when(F.length(s) == 0, F.lit(0.0)).otherwise(F.array_max(sims))
+
+
+def _token_set_pieces(a: Column, b: Column) -> tuple[Column, Column, Column]:
+    """Public token_set decomposition: (sorted intersection, intersection +
+    a's leftover tokens, intersection + b's leftover tokens)."""
+    ta = F.array_distinct(F.split(F.trim(a), r"\s+"))
+    tb = F.array_distinct(F.split(F.trim(b), r"\s+"))
+    sect = F.array_join(F.array_sort(F.array_intersect(ta, tb)), " ")
+    c1 = F.trim(F.concat_ws(" ", sect, F.array_join(F.array_sort(F.array_except(ta, tb)), " ")))
+    c2 = F.trim(F.concat_ws(" ", sect, F.array_join(F.array_sort(F.array_except(tb, ta)), " ")))
+    return sect, c1, c2
 
 
 def _wratio(a: Column, b: Column) -> Column:
-    """WRatio-shaped blend: max(full ratio, 0.95·token_sort, and — when the
-    length ratio ≥ 1.5, where windowing matters — 0.9·partial)."""
+    """WRatio blend mirroring public fuzzywuzzy's structure exactly:
+
+    - ``len_ratio < 1.5`` → max(base ratio, 0.95·token_sort, 0.95·token_set)
+    - ``len_ratio ≥ 1.5`` → max(base ratio, pscale·partial,
+      0.95·pscale·partial-token-sort, 0.95·pscale·partial-token-set)
+
+    where pscale is 0.9 normally and 0.6 in the "much much shorter" regime
+    (``len_ratio > 8``) — so a dim code embedded in a very long dirty
+    string scores 60, below the 85 correction threshold, exactly as the
+    reference's WRatio leaves it unchanged (cleaning.py:267). The one
+    deliberate divergence from public fuzzywuzzy: ratios are levenshtein
+    similarity (native, whole-stage codegen), not difflib's 2M/T — the
+    threshold-parity corpus in tests/test_operators.py pins where the two
+    metrics land on opposite sides of 85."""
     base = _similarity(a, b)
-    tsort = 0.95 * _similarity(_token_sort(a), _token_sort(b))
     len_ratio = F.greatest(F.length(a), F.length(b)) / F.greatest(
         F.least(F.length(a), F.length(b)), F.lit(1)
     )
-    with_partial = F.greatest(base, tsort, 0.9 * _partial(a, b))
-    return F.when(len_ratio >= 1.5, with_partial).otherwise(F.greatest(base, tsort))
+    pscale = F.when(len_ratio > 8, F.lit(0.6)).otherwise(F.lit(0.9))
+    tsa, tsb = _token_sort(a), _token_sort(b)
+    sect, c1, c2 = _token_set_pieces(a, b)
+    tser_full = F.greatest(
+        _similarity(sect, c1), _similarity(sect, c2), _similarity(c1, c2)
+    )
+    with_partial = F.greatest(
+        base,
+        pscale * _partial(a, b),
+        0.95 * pscale * _partial(tsa, tsb),
+        0.95 * pscale * F.greatest(_partial(sect, c1), _partial(sect, c2), _partial(c1, c2)),
+    )
+    no_partial = F.greatest(
+        base, 0.95 * _similarity(tsa, tsb), 0.95 * tser_full
+    )
+    return F.when(len_ratio >= 1.5, with_partial).otherwise(no_partial)
 
 
 def fuzzy_correct(

@@ -225,14 +225,26 @@ def _assign_to_centroids_arrow(
 
     out_schema = StructType(list(data.schema.fields) + [StructField("centroid_id", LongType())])
 
+    # Null detection must happen JVM-side: Arrow surfaces null array
+    # ELEMENTS as NaN in pandas, which would let a null-element vector
+    # win argmax (NaN ranks above every score) — whereas the SQL lane's
+    # when() guard excludes its null _cos_c entirely and assigns a null
+    # centroid. Flag null-or-contains-null vectors in the plan, mask them
+    # in the kernel. (Genuine NaN elements stay NaN in BOTH lanes and
+    # resolve identically: all-NaN scores tie, smallest cid wins.)
+    vec_null = F.col(vec_col).isNull() | F.exists(
+        F.col(vec_col), lambda e: e.isNull()
+    )
+    flagged = data.withColumn("_vec_null", vec_null)
+
     def assign(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             pdf = pdf.copy()
-            valid = ~pdf[vec_col].isna().to_numpy()
+            valid = ~pdf.pop("_vec_null").to_numpy(dtype=bool)
             out_ids = np.empty(len(pdf), dtype=object)
-            out_ids[:] = None  # null vector → null centroid (as in SQL lane)
+            out_ids[:] = None  # null / null-element vector → null centroid
             if valid.any():
                 X = np.asarray(pdf.loc[valid, vec_col].to_list(), dtype=np.float64)
                 scores = np.zeros((int(valid.sum()), k))
@@ -244,7 +256,7 @@ def _assign_to_centroids_arrow(
             pdf["centroid_id"] = out_ids
             yield pdf
 
-    return data.mapInPandas(assign, out_schema)
+    return flagged.mapInPandas(assign, out_schema)
 
 
 def kmeans_lloyd(
@@ -511,6 +523,14 @@ def _pair_dot_over_norms_arrow(joined: DataFrame) -> DataFrame:
     performs the identical IEEE-double op sequence as the relational fold
     ``aggregate(zip_with(a, b, *), 0.0, +) / (na * nb)``, so outputs are
     interchangeable with it bit-for-bit.
+
+    Null vectors (and vectors containing null elements) yield a null
+    ``_raw_cos``, exactly like the relational fold — the downstream
+    threshold filter then drops the pair in both lanes. The flag is
+    computed IN THE PLAN because Arrow converts null array elements to
+    NaN in pandas (undetectable kernel-side), and a bare
+    ``np.asarray(..., float64)`` over a batch mixing vectors and Nones
+    would raise in the executor.
     """
     import numpy as np
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -519,21 +539,36 @@ def _pair_dot_over_norms_arrow(joined: DataFrame) -> DataFrame:
         [f for f in joined.schema.fields if f.name in ("id_a", "id_b")]
         + [StructField("_raw_cos", DoubleType())]
     )
+    pair_null = (
+        F.col("_va").isNull()
+        | F.col("_vb").isNull()
+        | F.exists(F.col("_va"), lambda e: e.isNull())
+        | F.exists(F.col("_vb"), lambda e: e.isNull())
+    )
+    flagged = joined.withColumn("_null_pair", pair_null)
 
     def verify(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            A = np.asarray(pdf["_va"].to_list(), dtype=np.float64)
-            B = np.asarray(pdf["_vb"].to_list(), dtype=np.float64)
-            acc = np.zeros(len(pdf))
-            for d in range(A.shape[1]):
-                acc = acc + A[:, d] * B[:, d]
+            valid = ~pdf["_null_pair"].to_numpy(dtype=bool)
+            res = np.empty(len(pdf), dtype=object)
+            res[:] = None
+            if valid.any():
+                A = np.asarray(pdf.loc[valid, "_va"].to_list(), dtype=np.float64)
+                B = np.asarray(pdf.loc[valid, "_vb"].to_list(), dtype=np.float64)
+                acc = np.zeros(int(valid.sum()))
+                for d in range(A.shape[1]):
+                    acc = acc + A[:, d] * B[:, d]
+                cos = acc / (
+                    pdf.loc[valid, "_na"].to_numpy() * pdf.loc[valid, "_nb"].to_numpy()
+                )
+                res[valid] = cos
             out = pdf[["id_a", "id_b"]].copy()
-            out["_raw_cos"] = acc / (pdf["_na"].to_numpy() * pdf["_nb"].to_numpy())
+            out["_raw_cos"] = res
             yield out
 
-    return joined.mapInPandas(verify, out_schema)
+    return flagged.mapInPandas(verify, out_schema)
 
 
 def save_ivf_index(

@@ -212,6 +212,21 @@ def _tsort_sql(x: str) -> str:
     return f"array_to_string(list_sort(string_split_regex(trim({x}), '\\s+')), ' ')"
 
 
+def _partial_sql(x: str, y: str) -> str:
+    """Best same-length-window levenshtein similarity of the shorter of
+    (x, y) against the longer — mirrors operators/fuzzy.py::_partial,
+    including the empty-shorter → 0 guard (rapidfuzz semantics)."""
+    s = f"CASE WHEN length({x}) <= length({y}) THEN {x} ELSE {y} END"
+    l = f"CASE WHEN length({x}) <= length({y}) THEN {y} ELSE {x} END"
+    return (
+        f"CASE WHEN length({s}) = 0 THEN 0.0 ELSE "
+        f"list_max(list_transform("
+        f"generate_series(1, greatest(length({l}) - length({s}) + 1, 1)), "
+        f"i -> 100.0 * (1.0 - CAST(levenshtein({s}, substr({l}, i, greatest(length({s}), 1))) AS DOUBLE)"
+        f" / greatest(length({s}), 1)))) END"
+    )
+
+
 _WRATIO_ORACLE = f"""
     WITH dims AS (SELECT DISTINCT c_mktsegment AS seg FROM customer),
     dirty AS (
@@ -226,26 +241,43 @@ _WRATIO_ORACLE = f"""
       SELECT d.c_custkey, d.dirty_seg, m.seg,
              upper(trim(d.dirty_seg)) AS a, upper(trim(m.seg)) AS b
       FROM dirty d, dims m),
-    sl AS (
+    toks AS (
       SELECT *,
-             CASE WHEN length(a) <= length(b) THEN a ELSE b END AS s,
-             CASE WHEN length(a) <= length(b) THEN b ELSE a END AS l
+             {_tsort_sql('a')} AS tsa, {_tsort_sql('b')} AS tsb,
+             list_distinct(string_split_regex(trim(a), '\\s+')) AS ta,
+             list_distinct(string_split_regex(trim(b), '\\s+')) AS tb
       FROM pre),
+    pieces AS (
+      SELECT *,
+             array_to_string(list_sort(list_filter(ta, x -> list_contains(tb, x))), ' ') AS sect,
+             trim(concat_ws(' ',
+                 array_to_string(list_sort(list_filter(ta, x -> list_contains(tb, x))), ' '),
+                 array_to_string(list_sort(list_filter(ta, x -> NOT list_contains(tb, x))), ' '))) AS c1,
+             trim(concat_ws(' ',
+                 array_to_string(list_sort(list_filter(ta, x -> list_contains(tb, x))), ' '),
+                 array_to_string(list_sort(list_filter(tb, x -> NOT list_contains(ta, x))), ' '))) AS c2
+      FROM toks),
     comp AS (
       SELECT c_custkey, dirty_seg, seg,
              {_sim_sql('a', 'b')} AS base,
-             0.95 * {_sim_sql(_tsort_sql('a'), _tsort_sql('b'))} AS tsort,
-             0.9 * list_max(list_transform(
-                 generate_series(1, greatest(length(l) - length(s) + 1, 1)),
-                 i -> 100.0 * (1.0 - CAST(levenshtein(s, substr(l, i, length(s))) AS DOUBLE)
-                               / greatest(length(s), 1)))) AS part,
+             {_sim_sql('tsa', 'tsb')} AS sim_ts,
+             greatest({_sim_sql('sect', 'c1')}, {_sim_sql('sect', 'c2')},
+                      {_sim_sql('c1', 'c2')}) AS sim_tset,
+             {_partial_sql('a', 'b')} AS part_ab,
+             {_partial_sql('tsa', 'tsb')} AS part_ts,
+             greatest({_partial_sql('sect', 'c1')}, {_partial_sql('sect', 'c2')},
+                      {_partial_sql('c1', 'c2')}) AS part_tset,
              CAST(greatest(length(a), length(b)) AS DOUBLE)
                  / greatest(least(length(a), length(b)), 1) AS len_ratio
-      FROM sl),
+      FROM pieces),
     scored AS (
       SELECT c_custkey, dirty_seg, seg,
-             CASE WHEN len_ratio >= 1.5 THEN greatest(base, tsort, part)
-                  ELSE greatest(base, tsort) END AS score
+             CASE WHEN len_ratio >= 1.5
+                  THEN greatest(base,
+                       CASE WHEN len_ratio > 8 THEN 0.6 ELSE 0.9 END * part_ab,
+                       0.95 * CASE WHEN len_ratio > 8 THEN 0.6 ELSE 0.9 END * part_ts,
+                       0.95 * CASE WHEN len_ratio > 8 THEN 0.6 ELSE 0.9 END * part_tset)
+                  ELSE greatest(base, 0.95 * sim_ts, 0.95 * sim_tset) END AS score
       FROM comp),
     best AS (
       SELECT c_custkey, dirty_seg, seg, score,
@@ -264,10 +296,12 @@ _WRATIO_ORACLE = f"""
 @query(
     "fuzzy_wratio_correction",
     oracle=_WRATIO_ORACLE,
-    doc="WRatio-shaped fuzzy correction (reference scorer, cleaning.py:262-"
-    "295): blends full ratio, 0.95*token_sort, and 0.9*partial_ratio (best "
-    "same-length substring window, gated on length-ratio >= 1.5). Corpus "
-    "mixes three corruption modes: ' DEPT' suffix (only the partial window "
+    doc="WRatio fuzzy correction (reference scorer, cleaning.py:262-295) "
+    "mirroring public fuzzywuzzy's full structure: below length-ratio 1.5 "
+    "max(base, 0.95*token_sort, 0.95*token_set); above it max(base, "
+    "pscale*partial, 0.95*pscale*partial-token-sort/-set) with pscale 0.9, "
+    "or 0.6 beyond ratio 8 (the much-much-shorter regime). Corpus mixes "
+    "three corruption modes: ' DEPT' suffix (only the partial window "
     "reaches 85), one deleted char (base ratio suffices), and garbage "
     "(uncorrectable). Oracle replicates the whole blend bit-for-bit.",
 )

@@ -292,11 +292,15 @@ def test_assign_lanes_agree_on_degenerate_inputs(spark):
     cents = spark.createDataFrame(
         [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [0.0, 1.0])], ["_cid", "_cvec"]
     )
+    # 12: null vector; 13: vector with a null ELEMENT — the SQL lane's dot
+    # yields null for every centroid (when() guard → null centroid); the
+    # Arrow lane must mask it in the plan, because Arrow hands the kernel
+    # NaN for the null element and NaN would win argmax.
     data = spark.createDataFrame(
-        [(10, [1.0, 0.1]), (11, [0.1, 1.0]), (12, None)],
+        [(10, [1.0, 0.1]), (11, [0.1, 1.0]), (12, None), (13, [1.0, None])],
         "vec_id long, embedding array<double>",
     )
-    want = {(10, 1), (11, 2), (12, None)}
+    want = {(10, 1), (11, 2), (12, None), (13, None)}
     for impl in ("sql", "arrow"):
         got = {
             (r.vec_id, r.centroid_id)
@@ -305,6 +309,36 @@ def test_assign_lanes_agree_on_degenerate_inputs(spark):
             .collect()
         }
         assert got == want, impl
+
+
+def test_multitable_pair_verify_handles_null_embeddings(spark):
+    # A null (or null-element) embedding still LSH-buckets (null sign →
+    # bit 0), so it reaches the Arrow cosine verify — which previously
+    # raised on np.asarray over a batch containing None. Both lanes must
+    # silently drop such pairs: null cos fails the threshold filter.
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        neardup_pairs_bucketed,
+        neardup_pairs_multitable,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 1.0, 0.0]),
+        (2, [1.0, 0.001, 1.0, 0.0]),  # near-dup of 1
+        (3, None),  # null vector
+        (4, [1.0, None, 1.0, 0.0]),  # null element
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    multi = {
+        (r.id_a, r.id_b)
+        for r in neardup_pairs_multitable(emb, threshold=0.9, nplanes=2, ntables=2).collect()
+    }
+    single = {
+        (r.id_a, r.id_b)
+        for r in neardup_pairs_bucketed(emb, threshold=0.9, nplanes=2).collect()
+    }
+    assert (1, 2) in multi
+    assert all(3 not in p and 4 not in p for p in multi)
+    assert single <= multi  # OR-construction recall dominance holds too
 
 
 def test_ivf_index_persistence_roundtrip(spark, tmp_path):

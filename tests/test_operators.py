@@ -119,6 +119,162 @@ def test_fuzzy_wratio_partial_ratio_divergence(spark):
     assert got["JFK"] == 100.0  # exact member still scores 100
 
 
+def test_fuzzy_wratio_long_string_regime(spark):
+    # Public WRatio drops the partial scale from 0.9 to 0.6 when one string
+    # is >8x the other ("much much shorter" regime): a dim code embedded in
+    # a very long dirty string scores 60 < 85 and stays UNCHANGED — the
+    # reference leaves it for quarantine (cleaning.py:267). Just under the
+    # regime boundary the 0.9 scale still corrects it.
+    dim = spark.createDataFrame([("LAX",), ("JFK",)], ["airportkey"])
+    df = spark.createDataFrame(
+        [("LAX INTERNATIONAL AIRPORT",), ("LAX INTERNATIONAL",)], ["code"]
+    )
+    out = fuzzy_correct(df, "code", dim, "airportkey", 85, scorer="wratio")
+    got = {r["code"]: r["code_fuzzy_score"] for r in out.collect()}
+    # 25 chars / 3 = 8.33 > 8 → 0.6 * 100 = 60 < 85: unchanged, null score
+    assert got["LAX INTERNATIONAL AIRPORT"] is None
+    # 17 / 3 = 5.67 ≤ 8 → 0.9 * 100 = 90 ≥ 85: corrected
+    assert "LAX" in got and got["LAX"] == 90.0
+
+
+def _public_wratio(s1: str, s2: str) -> float:
+    """Executable model of PUBLIC fuzzywuzzy WRatio (fuzz.py), built on
+    stdlib difflib (fuzzywuzzy's SequenceMatcher backend): full_process →
+    ratio / partial_ratio / token_sort / token_set blend with the 1.5
+    try-partial gate and the 0.9/0.6 partial-scale regimes."""
+    import difflib
+    import re
+
+    def full_process(s):
+        return re.sub(r"(?ui)\W", " ", s).lower().strip()
+
+    def ratio(a, b):
+        return int(round(100 * difflib.SequenceMatcher(None, a, b).ratio()))
+
+    def partial_ratio(a, b):
+        shorter, longer = (a, b) if len(a) <= len(b) else (b, a)
+        if not shorter:
+            return 0
+        blocks = difflib.SequenceMatcher(None, shorter, longer).get_matching_blocks()
+        scores = []
+        for blk in blocks:
+            start = max(blk[1] - blk[0], 0)
+            window = longer[start : start + len(shorter)]
+            r = difflib.SequenceMatcher(None, shorter, window).ratio()
+            if r > 0.995:
+                return 100
+            scores.append(r)
+        return int(round(100 * max(scores)))
+
+    def tsort(s):
+        return " ".join(sorted(s.split()))
+
+    def token_set(a, b, partial):
+        ta, tb = set(a.split()), set(b.split())
+        sect = " ".join(sorted(ta & tb))
+        c1 = (sect + " " + " ".join(sorted(ta - tb))).strip()
+        c2 = (sect + " " + " ".join(sorted(tb - ta))).strip()
+        fn = partial_ratio if partial else ratio
+        return max(fn(sect, c1), fn(sect, c2), fn(c1, c2))
+
+    p1, p2 = full_process(s1), full_process(s2)
+    if not p1 or not p2:
+        return 0.0
+    base = ratio(p1, p2)
+    len_ratio = max(len(p1), len(p2)) / min(len(p1), len(p2))
+    unbase, pscale = 0.95, (0.9 if len_ratio <= 8 else 0.6)
+    if len_ratio >= 1.5:
+        return max(
+            base,
+            partial_ratio(p1, p2) * pscale,
+            partial_ratio(tsort(p1), tsort(p2)) * unbase * pscale,
+            token_set(p1, p2, True) * unbase * pscale,
+        )
+    return max(
+        base,
+        ratio(tsort(p1), tsort(p2)) * unbase,
+        token_set(p1, p2, False) * unbase,
+    )
+
+
+# (dirty, candidate) pairs shaped like the reference's dim-code correction.
+_WRATIO_CORPUS = [
+    # exact members
+    ("BUILDING", "BUILDING"), ("AUTOMOBILE", "AUTOMOBILE"), ("JFK", "JFK"),
+    ("HOUSEHOLD", "HOUSEHOLD"), ("MACHINERY", "MACHINERY"),
+    # single deletion — base ratio carries it
+    ("BULDING", "BUILDING"), ("AUTOMOBLE", "AUTOMOBILE"),
+    ("FURNITUE", "FURNITURE"), ("MACHINRY", "MACHINERY"),
+    ("HOUSEHLD", "HOUSEHOLD"), ("DELIVR", "DELIVER"),
+    # single substitution
+    ("BUILDINX", "BUILDING"), ("AUTOMOBILF", "AUTOMOBILE"),
+    ("FURNITURA", "FURNITURE"), ("MACHINERX", "MACHINERY"),
+    # short codes: too little signal, both leave unchanged
+    ("JFX", "JFK"), ("LAS", "LAX"), ("SFX", "SFO"), ("QQQ", "JFK"),
+    ("ZZZZZZZZ", "BUILDING"), ("XXXXX", "LAX"),
+    # suffix noise — partial window carries it
+    ("BUILDING DEPT", "BUILDING"), ("FURNITURE DIV", "FURNITURE"),
+    ("MACHINERY GROUP", "MACHINERY"), ("HOUSEHOLD UNIT", "HOUSEHOLD"),
+    ("AUTOMOBILE SECTION", "AUTOMOBILE"),
+    # prefix noise
+    ("DEPT BUILDING", "BUILDING"), ("THE FURNITURE", "FURNITURE"),
+    # embedded code, moderate length ratio (0.9 regime)
+    ("LAX INTERNATIONAL", "LAX"), ("JFK AIRPORT TERM", "JFK"),
+    ("SFO BAY AREA HUB", "SFO"),
+    # embedded code, extreme length ratio (> 8 → 0.6 regime, unchanged)
+    ("LAX INTERNATIONAL AIRPORT", "LAX"),
+    ("JFK INTERNATIONAL AIRPORT NY", "JFK"),
+    ("SFO SAN FRANCISCO INTERNATIONAL", "SFO"),
+    # token reorder — token_sort carries it
+    ("SMITH JOHN", "JOHN SMITH"), ("DEPT BUILDING MAIN", "MAIN BUILDING DEPT"),
+    ("AREA BAY SFO", "SFO BAY AREA"),
+    # doubled char
+    ("BUILDINNG", "BUILDING"), ("FURNIITURE", "FURNITURE"),
+    ("AUTOMOOBILE", "AUTOMOBILE"),
+    # two edits on a long word — near the threshold
+    ("BULDNG", "BUILDING"), ("AUTMOBLE", "AUTOMOBILE"),
+    ("FURNTRE", "FURNITURE"), ("MCHNERY", "MACHINERY"),
+    # case/space normalization
+    ("building", "BUILDING"), ("  BUILDING  ", "BUILDING"),
+    ("furniture", "FURNITURE"),
+    # unrelated words
+    ("BUILDING", "FURNITURE"), ("AUTOMOBILE", "HOUSEHOLD"),
+    ("MACHINERY", "AUTOMOBILE"),
+]
+
+# Pairs where levenshtein-similarity and difflib's 2M/T ratio legitimately
+# land on opposite sides of 85 — enumerated, not hidden. Two deletions on
+# an 8-10 char word is the canonical case: levenshtein charges 2/len
+# (75-80), difflib's 2M/T credits the 6-8 matching chars twice (86-89).
+_WRATIO_KNOWN_DIVERGENT: set[tuple[str, str]] = {
+    ("BULDNG", "BUILDING"),
+    ("AUTMOBLE", "AUTOMOBILE"),
+    ("FURNTRE", "FURNITURE"),
+    ("MCHNERY", "MACHINERY"),
+}
+
+
+def test_fuzzy_wratio_threshold_parity_corpus(spark):
+    # The native scorer is levenshtein-based (whole-stage codegen), public
+    # WRatio is difflib-based — exact score parity is impossible, but for
+    # the dim-correction corpus both must fall on the SAME SIDE of the 85
+    # correction threshold; divergences must be pinned, not silent.
+    from date_warehouse___airline_project_spark.operators.fuzzy import _wratio
+
+    df = spark.createDataFrame(_WRATIO_CORPUS, ["dirty", "cand"])
+    a = F.upper(F.trim(F.col("dirty")))
+    b = F.upper(F.trim(F.col("cand")))
+    rows = df.select("dirty", "cand", _wratio(a, b).alias("native")).collect()
+    mismatches = []
+    for r in rows:
+        expect = _public_wratio(r["dirty"], r["cand"]) >= 85
+        got = r["native"] >= 85
+        key = (r["dirty"], r["cand"])
+        if (expect != got) != (key in _WRATIO_KNOWN_DIVERGENT):
+            mismatches.append((key, round(_public_wratio(*key), 1), round(r["native"], 1)))
+    assert not mismatches, f"(pair, public, native): {mismatches}"
+
+
 def test_fuzzy_wratio_short_strings_no_partial(spark):
     # Below the 1.5 length-ratio gate WRatio is max(base, 0.95*token_sort):
     # "JFX" vs "JFK" scores 66.7 either way — wratio must not inflate it.
