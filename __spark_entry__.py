@@ -85,6 +85,8 @@ _PRIORITY = [
     "lag_gap_sessionization",
     # re-cert: scorer gained token_set + the 0.6 long-string regime in r03
     "fuzzy_wratio_correction",
+    # new in r03: persisted-IVF lifecycle search
+    "emb_ivf_indexed_topk",
 ]
 
 # A query whose behavior changed this round is no longer certified — it

@@ -191,6 +191,29 @@ def emb_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "emb_ivf_indexed_topk",
+    oracle=_IVF_TRAINED_ORACLE,
+    doc="Persisted-IVF lifecycle search (operators/similarity.py::"
+    "save_ivf_index / ivf_topk_indexed): train + assign once, write "
+    "codebook + centroid-PARTITIONED assignments to disk, then search by "
+    "probing the codebook and reading ONLY the probed cells' assignment "
+    "partitions (dynamic partition pruning — pinned in tests/test_plans). "
+    "The index is a cache, not a different algorithm, so the oracle is "
+    "emb_ivf_trained_topk's verbatim: identical Lloyd training, nprobe=2 "
+    "probe, exact cosine top-10.",
+)
+def emb_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.similarity import ivf_topk_indexed, save_ivf_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="spark_graft_ivf_index_")
+    save_ivf_index(e, path, centroid_mod=25, sample_mod=4, iters=2)
+    return ivf_topk_indexed(e, path, query_id=0, k=10, nprobe=2)
+
+
 _NEARDUP_BUCKET_SQL = "||".join(
     f"(CASE WHEN embedding[{d + 1}] >= 0 THEN '1' ELSE '0' END)" for d in range(4)
 )

@@ -141,6 +141,9 @@ class DeltaMergeTarget:
     def upsert(self, df: DataFrame, key: Sequence[str]) -> str:  # pragma: no cover
         from delta.tables import DeltaTable
 
+        # same in-batch per-key-uniqueness contract as ParquetMergeTarget
+        # (Delta MERGE errors when one target row matches multiple sources)
+        df = df.dropDuplicates(list(key))
         if not self.exists():
             df.write.format("delta").mode("overwrite").save(self.path)
             return "inserted"

@@ -26,6 +26,11 @@ from .eligibility_stream import (  # noqa: F401
     run_eligibility_stream,
 )
 from .file_ingest import stream_csv_dir  # noqa: F401
+from .outbox import (  # noqa: F401
+    OUTBOX_SCHEMA,
+    outbox_change_feed,
+    outbox_to_kafka_values,
+)
 from .stateful import running_user_totals, running_user_totals_tws  # noqa: F401
 from .windows import (  # noqa: F401
     sessionized_user_activity,

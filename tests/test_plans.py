@@ -238,6 +238,16 @@ def test_neardup_multitable_no_allpairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_indexed_search_prunes_assignment_partitions(spark):
+    # The persisted index writes assignments partitionBy(centroid_id); the
+    # probe joins on that partition column, so the scan must carry a
+    # dynamic-pruning PartitionFilter — reading only the probed cells'
+    # files is the entire point of the on-disk inverted file.
+    plan = plan_of(spark, "emb_ivf_indexed_topk")
+    assert "PartitionFilters" in plan
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
 def test_fuzzy_wratio_correction_broadcasts_map(spark):
     # the per-value correction map joins back onto the data as a broadcast
     plan = plan_of(spark, "fuzzy_wratio_correction")

@@ -155,6 +155,59 @@ def test_parquet_merge_target_upsert_and_scd2_contract(spark, tmp_path):
     assert again.count() == 3
 
 
+@pytest.fixture(params=["parquet", "delta"])
+def merge_target_factory(request, spark, tmp_path):
+    """Build MergeTargets for each backend; the delta param skips where
+    delta-spark isn't importable (this container) so the lane has an
+    EXECUTABLE test wherever Delta exists and the seam can't rot."""
+    from date_warehouse___airline_project_spark.sources import (
+        DeltaMergeTarget,
+        ParquetMergeTarget,
+    )
+
+    if request.param == "delta":
+        pytest.importorskip(
+            "delta.tables", reason="delta-spark not installed in this container"
+        )
+        ext = spark.conf.get("spark.sql.extensions", "")
+        if "DeltaSparkSessionExtension" not in (ext or ""):
+            pytest.skip(
+                "delta-spark importable but the session lacks the Delta "
+                "extension/jars (configure spark.sql.extensions to run)"
+            )
+        return lambda name: DeltaMergeTarget(spark, str(tmp_path / name))
+    return lambda name: ParquetMergeTarget(spark, str(tmp_path / name))
+
+
+def test_merge_target_contract_all_backends(spark, merge_target_factory):
+    # The IDENTICAL upsert + SCD2 scenario must hold on every backend —
+    # callers depend only on the MergeTarget contract, never the format.
+    t = merge_target_factory("tbl")
+    assert not t.exists()
+    assert t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), ["k"]) == "inserted"
+    # update + insert + an in-batch duplicate key in one batch
+    batch = spark.createDataFrame([(2, "B"), (3, "c"), (3, "c2")], ["k", "v"])
+    assert t.upsert(batch, ["k"]) == "upserted"
+    state = {r.k: r.v for r in t.read().collect()}
+    assert state[1] == "a" and state[2] == "B" and state[3] in ("c", "c2")
+    assert t.read().groupBy("k").count().filter("count > 1").count() == 0
+
+    d = merge_target_factory("dim")
+    u1 = spark.createDataFrame([("bk1", "econ"), ("bk2", "biz")], ["booking_reference", "cls"])
+    d.apply_scd2(u1, ["booking_reference"], ["cls"], "2026-01-01 00:00:00")
+    u2 = spark.createDataFrame([("bk1", "first")], ["booking_reference", "cls"])
+    dim = d.apply_scd2(u2, ["booking_reference"], ["cls"], "2026-02-01 00:00:00")
+    rows = {(r.booking_reference, r.cls, r._is_current) for r in dim.collect()}
+    assert rows == {
+        ("bk1", "econ", False),
+        ("bk1", "first", True),
+        ("bk2", "biz", True),
+    }
+    # idempotence: replaying the same tracked values is a no-op
+    again = d.apply_scd2(u2, ["booking_reference"], ["cls"], "2026-03-01 00:00:00")
+    assert again.count() == 3
+
+
 def test_parquet_merge_target_dedups_within_batch(spark, tmp_path):
     # the per-key-uniqueness contract must hold even when one batch
     # carries duplicate keys (Delta MERGE would reject such a batch)
