@@ -463,16 +463,39 @@ def neardup_pairs_multitable(
     strictly dominates the single-table variant (table 0 here IS the
     single-table bucketing — its candidates are a subset of ours).
 
-    Plan shape: the bucket relation is narrow (id, table, bucket) — vectors
-    are NOT carried through the candidate join. Candidates are equi-joined
-    per (table, bucket), dedup'd across tables, and only then re-joined to
-    the vectors for the exact-cosine verify: shuffle volume is
-    Σ_t Σ_bucket² candidate ids plus two id-keyed vector joins, never n².
+    Plan shape: one shuffle, keyed by (table, bucket). Each bucket's
+    vectors ship ONCE into a grouped Arrow kernel that computes the
+    within-bucket pairwise cosines — candidate pairs are never
+    materialized as rows, so nothing n²-shaped is ever shuffled and the
+    per-pair vector copies of a join-then-verify plan (2 × 64 doubles ×
+    Σbucket² rows) disappear. Cross-table duplicates dedup AFTER the
+    threshold filter, when only survivors remain. Per-group memory is
+    bounded by chunking the pair matrix (CHUNK × bucket_size), so a
+    skewed bucket degrades to more chunks, not an OOM; the Σbucket²
+    compute itself is the inherent LSH-verify cost at any scale.
+
+    Bit-exactness: the kernel accumulates sequentially over dimensions
+    (outer-product per dimension), so every pair performs the identical
+    IEEE op sequence ((0 + x₀y₀) + x₁y₁) + … as the relational fold
+    ``aggregate(zip_with(a, b, *), 0.0, +) / (na * nb)`` — the DuckDB
+    oracle certifies the output directly. Rounding and the exact
+    threshold stay IN THE PLAN (the kernel pre-filters with a small
+    margin and keeps NaN, so F.round's half-up semantics and Spark's
+    NaN-is-largest filter semantics decide membership, exactly as the
+    relational lane). Null vectors and vectors containing null elements
+    are excluded up front — their cosine is null in the relational lane
+    and never survives its threshold filter.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
     spark_parallelism = emb.sparkSession.sparkContext.defaultParallelism
-    base = emb.repartition(spark_parallelism)
-    cand_src = base.select(
+    vec_null = F.col(vec_col).isNull() | F.exists(F.col(vec_col), lambda e: e.isNull())
+    base = emb.repartition(spark_parallelism).filter(~vec_null)
+    bucketed = base.select(
         F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
         F.posexplode(
             F.array(
                 *[
@@ -482,93 +505,69 @@ def neardup_pairs_multitable(
             )
         ).alias("_t", "_bucket"),
     )
-    left = cand_src.select(F.col("_id").alias("id_a"), "_t", "_bucket")
-    right = cand_src.select(F.col("_id").alias("id_b"), "_t", "_bucket")
-    pairs = (
-        left.join(right, ["_t", "_bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("_raw_cos", DoubleType()),
+        ]
     )
-    # norms once per vector (same float bits as per-pair self-dots — the
-    # verify fold is dot(a,b)/(norm_a*norm_b), a third of the pair work)
-    va = base.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("_va"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_na"),
-    )
-    vb = base.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("_vb"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_nb"),
-    )
-    joined = pairs.join(va, "id_a").join(vb, "id_b")
-    # Arrow verify: the candidate set is the hot loop (Σ buckets² pairs ×
-    # ntables before dedup); the NumPy dot is the same sequential-over-dims
-    # accumulation as the interpreted fold — bit-identical doubles (see
-    # assign_to_centroids). Rounding/threshold stay IN THE PLAN so
-    # F.round's half-up semantics are untouched.
-    raw_cos = _pair_dot_over_norms_arrow(joined)
+    # kernel pre-filter: strictly below the loosest value that could
+    # round-half-up to `threshold` at 6 dp — a superset of the plan filter
+    margin = threshold - 1e-6
+    chunk = 2048
+
+    def verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.array([], dtype="int64"),
+                "id_b": pd.array([], dtype="int64"),
+                "_raw_cos": pd.array([], dtype="float64"),
+            }
+        )
+        if m < 2:
+            return empty
+        order = np.argsort(pdf["_id"].to_numpy(), kind="stable")
+        ids = pdf["_id"].to_numpy()[order]
+        X = np.asarray(pdf["_v"].to_list(), dtype=np.float64)[order]
+        dim = X.shape[1]
+        # norms: sequential self-fold, identical bits to sqrt(dot(v, v))
+        nacc = np.zeros(m)
+        for d in range(dim):
+            nacc = nacc + X[:, d] * X[:, d]
+        norms = np.sqrt(nacc)
+        frames = []
+        cols = np.arange(m)
+        for i0 in range(0, m, chunk):
+            i1 = min(i0 + chunk, m)
+            acc = np.zeros((i1 - i0, m))
+            for d in range(dim):
+                acc = acc + X[i0:i1, d][:, None] * X[:, d][None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / (norms[i0:i1, None] * norms[None, :])
+            upper = np.arange(i0, i1)[:, None] < cols[None, :]  # id_a < id_b
+            keep = upper & ((cos >= margin) | np.isnan(cos))
+            ii, jj = np.nonzero(keep)
+            if len(ii):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[ii + i0],
+                            "id_b": ids[jj],
+                            "_raw_cos": cos[ii, jj],
+                        }
+                    )
+                )
+        return pd.concat(frames) if frames else empty
+
+    verified = bucketed.groupBy("_t", "_bucket").applyInPandas(verify_bucket, out_schema)
     return (
-        raw_cos.withColumn("cos_sim", F.round(F.col("_raw_cos"), 6))
+        verified.withColumn("cos_sim", F.round(F.col("_raw_cos"), 6))
         .filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "cos_sim")
     )
-
-
-def _pair_dot_over_norms_arrow(joined: DataFrame) -> DataFrame:
-    """Append ``_raw_cos`` = dot(_va,_vb)/(_na*_nb) to a pair relation.
-
-    Vectorized across pairs, sequential across dimensions — each pair
-    performs the identical IEEE-double op sequence as the relational fold
-    ``aggregate(zip_with(a, b, *), 0.0, +) / (na * nb)``, so outputs are
-    interchangeable with it bit-for-bit.
-
-    Null vectors (and vectors containing null elements) yield a null
-    ``_raw_cos``, exactly like the relational fold — the downstream
-    threshold filter then drops the pair in both lanes. The flag is
-    computed IN THE PLAN because Arrow converts null array elements to
-    NaN in pandas (undetectable kernel-side), and a bare
-    ``np.asarray(..., float64)`` over a batch mixing vectors and Nones
-    would raise in the executor.
-    """
-    import numpy as np
-    from pyspark.sql.types import DoubleType, StructField, StructType
-
-    out_schema = StructType(
-        [f for f in joined.schema.fields if f.name in ("id_a", "id_b")]
-        + [StructField("_raw_cos", DoubleType())]
-    )
-    pair_null = (
-        F.col("_va").isNull()
-        | F.col("_vb").isNull()
-        | F.exists(F.col("_va"), lambda e: e.isNull())
-        | F.exists(F.col("_vb"), lambda e: e.isNull())
-    )
-    flagged = joined.withColumn("_null_pair", pair_null)
-
-    def verify(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            valid = ~pdf["_null_pair"].to_numpy(dtype=bool)
-            res = np.empty(len(pdf), dtype=object)
-            res[:] = None
-            if valid.any():
-                A = np.asarray(pdf.loc[valid, "_va"].to_list(), dtype=np.float64)
-                B = np.asarray(pdf.loc[valid, "_vb"].to_list(), dtype=np.float64)
-                acc = np.zeros(int(valid.sum()))
-                for d in range(A.shape[1]):
-                    acc = acc + A[:, d] * B[:, d]
-                cos = acc / (
-                    pdf.loc[valid, "_na"].to_numpy() * pdf.loc[valid, "_nb"].to_numpy()
-                )
-                res[valid] = cos
-            out = pdf[["id_a", "id_b"]].copy()
-            out["_raw_cos"] = res
-            yield out
-
-    return flagged.mapInPandas(verify, out_schema)
 
 
 def save_ivf_index(
