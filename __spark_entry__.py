@@ -89,6 +89,20 @@ _PRIORITY = [
     "emb_ivf_indexed_topk",
 ]
 
+# Queries ADDED in round 3 (beyond emb_ivf_indexed_topk, which leads via
+# _PRIORITY). Ordered AFTER the never-certified round-1/2 surface: priority
+# (8) + old-uncertified (42) fill the driver's 50-query window exactly, so
+# every pre-r03 registry query gets a driver-green row this round; these
+# six rotate into the r04 window (all are locally oracle-green meanwhile).
+_NEW_R03 = [
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_national_market_share",
+    "doc_duplicate_spans",
+    "emb_filtered_topk",
+]
+
 # A query whose behavior changed this round is no longer certified — it
 # re-enters the window via _PRIORITY.
 _CERTIFIED = (set(_CERTIFIED_R01) | set(_CERTIFIED_R02)) - set(_PRIORITY)
@@ -97,9 +111,11 @@ _CERTIFIED = (set(_CERTIFIED_R01) | set(_CERTIFIED_R02)) - set(_PRIORITY)
 def _ordered_names() -> list[str]:
     names = list(plans.REGISTRY)
     pri = [n for n in _PRIORITY if n in plans.REGISTRY]
-    rest = [n for n in names if n not in _CERTIFIED and n not in set(pri)]
+    new = [n for n in _NEW_R03 if n in plans.REGISTRY]
+    skip = set(pri) | set(new)
+    rest = [n for n in names if n not in _CERTIFIED and n not in skip]
     cert = [n for n in names if n in _CERTIFIED]
-    return pri + rest + cert
+    return pri + rest + new + cert
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -110,10 +110,24 @@ def main() -> None:
         "sf": float(sf),
         "n_queries": len(timings),
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
-    )
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo_dir, "bench_detail.json")
     with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    # Per-round snapshot so per-query regressions stay diffable after the
+    # driver overwrites bench_detail.json next round. Round number = 1 +
+    # highest CORRECTNESS_r{N}.json present (the driver writes that file at
+    # the END of each round, so during round N the max on disk is N-1).
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    rnd = (max(rounds) + 1) if rounds else 1
+    with open(os.path.join(repo_dir, f"bench_detail_r{rnd:02d}.json"), "w") as f:
         json.dump(detail, f, indent=1)
     # Compact summary as the ONLY stdout line — must stay well under the
     # driver's tail-capture window, so only a headline subset of queries.

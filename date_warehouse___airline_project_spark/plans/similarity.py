@@ -386,3 +386,40 @@ def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(F.transform("v", lambda x: F.abs(x - F.round(x / sc) * sc))), 6
         ).alias("max_abs_err"),
     ).orderBy("vec_id")
+
+
+@query(
+    "emb_filtered_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+                 / (SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                    * SQRT(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))),
+                 6) AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0 AND e.label IN (1, 3, 5)
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    doc="Metadata-filtered vector search (the RAG 'filtered ANN' shape): "
+    "label predicate applied BEFORE scoring — pushed to the parquet scan "
+    "so only matching rows pay the fold; exact cosine top-k over the "
+    "filtered set. At 100 TB the same plan runs behind the IVF/LSH "
+    "pre-filter with the predicate applied inside each probed cell "
+    "(post-filtering a global top-k instead would under-return).",
+)
+def emb_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        e.filter((F.col("vec_id") != 0) & F.col("label").isin(1, 3, 5))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )

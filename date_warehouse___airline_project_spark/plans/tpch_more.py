@@ -314,3 +314,278 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape: single-table predicate aggregation. All three predicates reach
+# the parquet scan (PushedFilters); one partial+final agg, no shuffle of
+# row data — the canonical "scan-side" query.
+# ---------------------------------------------------------------------------
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure scan-side predicate aggregation — date range, "
+    "discount band, quantity cap all pushed to the parquet reader; one "
+    "map-side partial sum. The cheapest possible plan at any scale.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape: volume shipping between two nations. Supplier and customer
+# nations are both tiny broadcast dims; lineitem joins orders (the only
+# real shuffle), and the nation-pair predicate prunes early because both
+# dim joins are inner on the two-nation subset.
+# ---------------------------------------------------------------------------
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l.l_shipdate)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: bilateral trade volume between two nations by ship "
+    "year. Nation-filtered supplier/customer dims broadcast; the only data "
+    "shuffle is lineitem-orders on orderkey; disjunctive nation-pair "
+    "predicate applied after both dim joins.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pair = ("NATION_1", "NATION_2")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    one = F.lit(1).cast(DEC)
+    rev = F.col("l_extendedprice").cast(DEC) * (one - F.col("l_discount").cast(DEC))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape: national market share. The nation-of-interest's revenue share
+# within one region's market for one part type, by order year. Numerator
+# and denominator come from the SAME single agg pass (conditional sum),
+# exactly like Q14 — no second scan, no self-join.
+# ---------------------------------------------------------------------------
+@query(
+    "q8_national_market_share",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(CAST(SUM(CASE WHEN n1.n_name = 'NATION_7'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                           * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS DOUBLE) AS mkt_share,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS total_volume
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n2.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND p.p_type = 'STANDARD'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY EXTRACT(year FROM o.o_orderdate)
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8 shape: 7-way star join, market share of one supplier "
+    "nation within a region's market for one part type — numerator and "
+    "denominator from a single conditional-sum agg pass per order year.",
+)
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"), "left_semi")
+        .select("c_custkey")
+    )
+    one = F.lit(1).cast(DEC)
+    zero = F.lit(0).cast(DEC)
+    rev = F.col("l_extendedprice").cast(DEC) * (one - F.col("l_discount").cast(DEC))
+    nat_rev = F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(zero)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (F.sum(nat_rev).cast("double") / F.sum(rev).cast("double"))
+            .cast("double")
+            .alias("mkt_share"),
+            F.sum(rev).cast("double").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape: minimum-cost supplier per part within a region. The testdata
+# has no partsupp, so the part-supplier offer relation is DERIVED from
+# lineitem as the minimum observed unit price per (partkey, suppkey) —
+# both engines compute the identical IEEE division and MIN, so the values
+# (and the min-cost equality join) match exactly. The per-part regional
+# minimum is a keyed agg joined back (the standard decorrelation of Q2's
+# correlated scalar subquery), never a window over the whole relation.
+# ---------------------------------------------------------------------------
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    ),
+    offers AS (
+      SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name AS nation,
+             CAST(s.s_acctbal AS DOUBLE) AS s_acctbal, ps.ps_supplycost
+      FROM ps
+      JOIN part p     ON p.p_partkey = ps.l_partkey
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE' AND p.p_size = 5 AND p.p_type = 'LARGE'
+    )
+    SELECT o.s_acctbal, o.s_name, o.nation, o.p_partkey, o.p_brand,
+           CAST(o.ps_supplycost AS DOUBLE) AS ps_supplycost
+    FROM offers o
+    JOIN (SELECT p_partkey, MIN(ps_supplycost) AS min_cost
+          FROM offers GROUP BY p_partkey) m
+      ON m.p_partkey = o.p_partkey AND o.ps_supplycost = m.min_cost
+    ORDER BY o.s_acctbal DESC, o.nation, o.s_name, o.p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape: min-cost supplier per part within a region. "
+    "partsupp derived from lineitem (MIN unit price per part-supplier "
+    "pair); correlated scalar-min subquery decorrelated into a keyed agg "
+    "+ equality join back; region/nation/part dims broadcast; top-100 by "
+    "account balance with full tiebreak.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost")
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 5) & (F.col("p_type") == "LARGE")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    offers = (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left_semi")
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            n.n_name.alias("nation"),
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "ps_supplycost",
+        )
+    )
+    min_cost = offers.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        offers.join(
+            F.broadcast(min_cost),
+            (offers.p_partkey == F.col("m_partkey"))
+            & (offers.ps_supplycost == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "nation",
+            "p_partkey",
+            "p_brand",
+            F.col("ps_supplycost").cast("double").alias("ps_supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "nation", "s_name", "p_partkey")
+        .limit(100)
+    )

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..operators.text_dedup import shingle_index, tokens
+from ..operators.text_dedup import _memo, shingle_index, tokens
 from ..sources.catalog import load_table
 from .registry import query
 
@@ -400,4 +400,99 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         mixed.groupBy("source", "lang")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
         .orderBy("source", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicate-span detection (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+_SPAN_ORACLE = """
+    WITH tk AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, greatest(len(toks) - 7, 0)),
+                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4],
+                                toks[i+5], toks[i+6], toks[i+7], toks[i+8]))) AS g
+      FROM tk WHERE len(toks) >= 8),
+    dup AS (
+      SELECT g FROM (
+        SELECT g, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY g) WHERE nd >= 2),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_spans FROM g GROUP BY doc_id),
+    d AS (
+      SELECT doc_id, COUNT(*) AS n_dup
+      FROM g JOIN dup USING (g) GROUP BY doc_id)
+    SELECT s.doc_id, s.n_spans,
+           COALESCE(d.n_dup, 0) AS n_dup_spans,
+           ROUND(CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / s.n_spans, 6)
+               AS dup_span_frac,
+           CASE WHEN CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / s.n_spans > 0.5
+                THEN 1 ELSE 0 END AS drop_flag
+    FROM sizes s LEFT JOIN d ON s.doc_id = d.doc_id
+    ORDER BY s.doc_id
+"""
+
+
+@query(
+    "doc_duplicate_spans",
+    oracle=_SPAN_ORACLE,
+    doc="Exact duplicate-span detection (substring-level dedup a la "
+    "Lee et al. 2022, word-8-gram granularity): every 8-token span kept "
+    "WITH position multiplicity, spans appearing in >= 2 distinct docs "
+    "marked duplicated, per-doc duplicated-span fraction computed, docs "
+    "over 50% flagged. Plan: posexplode+lead span stream (codegen, no "
+    "array lambdas), one groupBy on the span string for the distinct-doc "
+    "count (map-side partial), left-semi back — span strings shuffle "
+    "once; at 100 TB the span column would be a 64-bit hash instead of "
+    "the text (same plan shape, narrower shuffle).",
+)
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = 8
+    d = _docs(spark, sf_dir)
+    def build() -> DataFrame:
+        tok = d.select(
+            F.col("doc_id"), F.posexplode(tokens("text")).alias("_pos", "_tok")
+        )
+        w = W.partitionBy("doc_id").orderBy("_pos")
+        leads = [F.lead("_tok", j).over(w) for j in range(1, n)]
+        return (
+            tok.select(
+                "doc_id",
+                F.concat_ws(" ", F.col("_tok"), *leads).alias("_g"),
+                leads[-1].alias("_last"),
+            )
+            .where(F.col("_last").isNotNull())
+            .select("doc_id", "_g")
+        )
+
+    # span stream referenced 3x downstream (dup set, sizes, dup counts) —
+    # memoized in the shared bounded derived-relation cache, same policy
+    # as the shingle inverted index (built once, unpersisted on eviction)
+    grams = _memo(d, ("span_index", n), build)
+    dup = (
+        grams.groupBy("_g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("_g")
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    d_cnt = (
+        grams.join(dup, "_g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup"))
+    )
+    frac = F.col("n_dup").cast("double") / F.col("n_spans")
+    return (
+        sizes.join(d_cnt, "doc_id", "left")
+        .na.fill({"n_dup": 0})
+        .select(
+            "doc_id",
+            "n_spans",
+            F.col("n_dup").alias("n_dup_spans"),
+            F.round(frac, 6).alias("dup_span_frac"),
+            F.when(frac > 0.5, 1).otherwise(0).alias("drop_flag"),
+        )
+        .orderBy("doc_id")
     )

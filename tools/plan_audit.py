@@ -34,6 +34,8 @@ ALLOW = {
     "emb_cosine_topk": {"NESTED-LOOP"},  # (a) 1-row query vector
     "emb_ivf_topk": {"NESTED-LOOP"},  # (a) 1-row query vector
     "emb_ivf_trained_topk": {"NESTED-LOOP"},  # (a) 1-row query vector
+    "emb_ivf_indexed_topk": {"NESTED-LOOP"},  # (a) 1-row query vector
+    "emb_filtered_topk": {"NESTED-LOOP"},  # (a) 1-row query vector
     "fuzzy_code_correction": {"NESTED-LOOP"},  # (b) distinct-values x dim
     "fuzzy_wratio_correction": {"NESTED-LOOP"},  # (b) distinct-values x dim
     "q11_supplier_value_share": {"NESTED-LOOP"},  # (a) total-value scalar
