@@ -101,6 +101,8 @@ _NEW_R03 = [
     "q8_national_market_share",
     "doc_duplicate_spans",
     "emb_filtered_topk",
+    "hll_distinct_sketch",
+    "emb_pq_topk",
 ]
 
 # A query whose behavior changed this round is no longer certified — it

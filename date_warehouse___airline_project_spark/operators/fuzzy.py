@@ -72,6 +72,42 @@ def _token_set_pieces(a: Column, b: Column) -> tuple[Column, Column, Column]:
     return sect, c1, c2
 
 
+def _wratio_parts(
+    a: Column,
+    b: Column,
+    tsa: Column,
+    tsb: Column,
+    sect: Column,
+    c1: Column,
+    c2: Column,
+) -> Column:
+    """WRatio blend over pre-computed derived forms (see ``_wratio``).
+
+    Taking the token-sort/token-set forms as inputs lets callers stage
+    them in their own projection, so each split/sort/intersect is computed
+    once per pair instead of being re-inlined at every use site — the
+    generated code shrinks ~4x, which matters because Janino compilation
+    of the full blend is the dominant first-run cost of the fuzzy join."""
+    base = _similarity(a, b)
+    len_ratio = F.greatest(F.length(a), F.length(b)) / F.greatest(
+        F.least(F.length(a), F.length(b)), F.lit(1)
+    )
+    pscale = F.when(len_ratio > 8, F.lit(0.6)).otherwise(F.lit(0.9))
+    tser_full = F.greatest(
+        _similarity(sect, c1), _similarity(sect, c2), _similarity(c1, c2)
+    )
+    with_partial = F.greatest(
+        base,
+        pscale * _partial(a, b),
+        0.95 * pscale * _partial(tsa, tsb),
+        0.95 * pscale * F.greatest(_partial(sect, c1), _partial(sect, c2), _partial(c1, c2)),
+    )
+    no_partial = F.greatest(
+        base, 0.95 * _similarity(tsa, tsb), 0.95 * tser_full
+    )
+    return F.when(len_ratio >= 1.5, with_partial).otherwise(no_partial)
+
+
 def _wratio(a: Column, b: Column) -> Column:
     """WRatio blend mirroring public fuzzywuzzy's structure exactly:
 
@@ -87,26 +123,9 @@ def _wratio(a: Column, b: Column) -> Column:
     similarity (native, whole-stage codegen), not difflib's 2M/T — the
     threshold-parity corpus in tests/test_operators.py pins where the two
     metrics land on opposite sides of 85."""
-    base = _similarity(a, b)
-    len_ratio = F.greatest(F.length(a), F.length(b)) / F.greatest(
-        F.least(F.length(a), F.length(b)), F.lit(1)
-    )
-    pscale = F.when(len_ratio > 8, F.lit(0.6)).otherwise(F.lit(0.9))
     tsa, tsb = _token_sort(a), _token_sort(b)
     sect, c1, c2 = _token_set_pieces(a, b)
-    tser_full = F.greatest(
-        _similarity(sect, c1), _similarity(sect, c2), _similarity(c1, c2)
-    )
-    with_partial = F.greatest(
-        base,
-        pscale * _partial(a, b),
-        0.95 * pscale * _partial(tsa, tsb),
-        0.95 * pscale * F.greatest(_partial(sect, c1), _partial(sect, c2), _partial(c1, c2)),
-    )
-    no_partial = F.greatest(
-        base, 0.95 * _similarity(tsa, tsb), 0.95 * tser_full
-    )
-    return F.when(len_ratio >= 1.5, with_partial).otherwise(no_partial)
+    return _wratio_parts(a, b, tsa, tsb, sect, c1, c2)
 
 
 def fuzzy_correct(
@@ -126,14 +145,46 @@ def fuzzy_correct(
     b = F.upper(F.trim(F.col("_cand")))
     if scorer == "token_sort":
         a, b = _token_sort(a), _token_sort(b)
-    score = _wratio(a, b) if scorer == "wratio" else _similarity(a, b)
 
     dirty = df.select(F.col(col).alias("_dirty")).where(F.col(col).isNotNull()).distinct()
     cands = dim.select(F.col(dim_col).alias("_cand")).where(F.col(dim_col).isNotNull()).distinct()
 
+    pairs = dirty.crossJoin(F.broadcast(cands))
+    if scorer == "wratio":
+        # stage the derived string forms in their own projection so each
+        # split/sort/intersect is computed once per pair (Catalyst keeps
+        # the projections separate because the expressions are non-cheap;
+        # the inlined form quadruples the generated code and its Janino
+        # compile time dominates the first execution)
+        sect, c1, c2 = _token_set_pieces(F.col("_ua"), F.col("_ub"))
+        staged = pairs.select(
+            "_dirty", "_cand", a.alias("_ua"), b.alias("_ub")
+        ).select(
+            "_dirty",
+            "_cand",
+            "_ua",
+            "_ub",
+            _token_sort(F.col("_ua")).alias("_tsa"),
+            _token_sort(F.col("_ub")).alias("_tsb"),
+            sect.alias("_sect"),
+            c1.alias("_c1"),
+            c2.alias("_c2"),
+        )
+        score = _wratio_parts(
+            F.col("_ua"),
+            F.col("_ub"),
+            F.col("_tsa"),
+            F.col("_tsb"),
+            F.col("_sect"),
+            F.col("_c1"),
+            F.col("_c2"),
+        )
+        scored = staged.select("_dirty", "_cand", score.alias("_score"))
+    else:
+        scored = pairs.select("_dirty", "_cand", _similarity(a, b).alias("_score"))
+
     corrections = (
-        dirty.crossJoin(F.broadcast(cands))
-        .select("_dirty", "_cand", score.alias("_score"))
+        scored
         .where(F.col("_score") >= threshold)
         .groupBy("_dirty")
         .agg(

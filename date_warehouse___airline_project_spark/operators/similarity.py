@@ -599,7 +599,14 @@ def save_ivf_index(
         impl="arrow",
     )
     (
+        # co-locate each cell before the partitioned write: without this,
+        # every compute task writes a sliver file into every centroid dir
+        # (tasks x cells small files); with it, each cell is one file and
+        # the probe-side partition-pruned scan stays one-file-per-cell.
+        # At 100 TB the same exchange bounds files to shuffle-partitions
+        # per cell instead of input-tasks per cell.
         assigned.select(id_col, "centroid_id")
+        .repartition("centroid_id")
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(f"{path}/assignments")

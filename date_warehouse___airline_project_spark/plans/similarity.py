@@ -423,3 +423,170 @@ def emb_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ-ADC): the compressed-domain ANN leg. 64 dims ->
+# G=8 subspaces x 8 dims; K=16 codes per subspace seeded from stride-25
+# rows (deterministic, engine-portable — same convention as the IVF
+# codebook). Vectors are stored as 8 nibble codes; query scoring is
+# asymmetric distance computation: one G x K lookup table of query-side
+# dots, approx score = 8 table lookups + 7 adds per vector. Candidates
+# from the compressed domain are re-ranked with the exact cosine — the
+# standard recall-restoring pattern (IVF-PQ + re-rank) at 100 TB, where
+# the full vectors live in storage and only codes fit in memory.
+# ---------------------------------------------------------------------------
+
+_PQ_G, _PQ_K, _PQ_D = 8, 16, 8  # groups, codes per group, dims per group
+
+_PQ_W_COLS = ", ".join(
+    f"MAX(CASE WHEN a.g = {i} THEN w END) AS w{i}" for i in range(_PQ_G)
+)
+_PQ_W_SUM = "((((((w0 + w1) + w2) + w3) + w4) + w5) + w6) + w7"
+
+_PQ_ORACLE = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    groups AS (SELECT UNNEST(range(0, {_PQ_G})) AS g),
+    codes AS (SELECT UNNEST(range(0, {_PQ_K})) AS code),
+    cents AS (
+      SELECT codes.code, g.g,
+             list_slice(CAST(e.embedding AS DOUBLE[]),
+                        g.g * {_PQ_D} + 1, (g.g + 1) * {_PQ_D}) AS cvec
+      FROM codes
+      JOIN embeddings e ON e.vec_id = codes.code * 25
+      CROSS JOIN groups g),
+    subs AS (
+      SELECT e.vec_id, e.label, g.g,
+             list_slice(CAST(e.embedding AS DOUBLE[]),
+                        g.g * {_PQ_D} + 1, (g.g + 1) * {_PQ_D}) AS svec
+      FROM embeddings e CROSS JOIN groups g
+      WHERE e.vec_id <> 0),
+    scored AS (
+      SELECT s.vec_id, s.label, s.g, c.code,
+             list_dot_product(s.svec, s.svec)
+               - 2 * list_dot_product(s.svec, c.cvec)
+               + list_dot_product(c.cvec, c.cvec) AS d2
+      FROM subs s JOIN cents c ON c.g = s.g),
+    assigned AS (
+      SELECT vec_id, label, g, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, g
+                                     ORDER BY d2, code) AS rn
+        FROM scored) WHERE rn = 1),
+    adc AS (
+      SELECT c.g, c.code,
+             list_dot_product(list_slice(CAST(q.qv AS DOUBLE[]),
+                                         c.g * {_PQ_D} + 1, (c.g + 1) * {_PQ_D}),
+                              c.cvec) AS w
+      FROM cents c, q),
+    appx AS (
+      SELECT a.vec_id, a.label, {_PQ_W_COLS}
+      FROM assigned a JOIN adc ON adc.g = a.g AND adc.code = a.code
+      GROUP BY a.vec_id, a.label),
+    cand AS (
+      SELECT vec_id, label, {_PQ_W_SUM} AS approx_dot
+      FROM appx ORDER BY approx_dot DESC, vec_id LIMIT 50),
+    rer AS (
+      SELECT cand.vec_id, cand.label,
+             ROUND(cand.approx_dot, 6) AS approx_dot,
+             ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+                   / (SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                      * SQRT(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))),
+                   6) AS cos_sim
+      FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id, q)
+    SELECT vec_id, label, approx_dot, cos_sim FROM rer
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+@query(
+    "emb_pq_topk",
+    oracle=_PQ_ORACLE,
+    doc=f"Product-quantization ANN with asymmetric-distance scoring and "
+    f"exact re-rank: {_PQ_G} subspaces x {_PQ_K} codes (codebook seeded "
+    f"from stride-25 rows, nearest-L2 assignment, ties to the lower "
+    f"code), approx dot = {_PQ_G} broadcast ADC-table lookups summed in "
+    f"a fixed order (bit-identical on both engines), top-50 compressed "
+    f"candidates re-ranked by exact cosine for the final top-10. Scale "
+    f"shape: assignment is rows x K per subspace against a broadcast "
+    f"codebook; scoring touches only codes (1 byte/subspace) + a G x K "
+    f"lookup; full vectors are read once, for the 50-row re-rank.",
+)
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    gs = F.array(*[F.lit(i) for i in range(_PQ_G)])
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cents = (
+        e.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 25 * _PQ_K))
+        .select(
+            F.expr("vec_id div 25").cast("int").alias("code"),
+            F.explode(gs).alias("g"),
+            F.col("embedding"),
+        )
+        .select(
+            "code",
+            "g",
+            F.slice("embedding", F.col("g") * _PQ_D + 1, _PQ_D).alias("cvec"),
+        )
+    )
+    subs = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", F.explode(gs).alias("g"), "embedding")
+        .select(
+            "vec_id",
+            "label",
+            "g",
+            F.slice("embedding", F.col("g") * _PQ_D + 1, _PQ_D).alias("svec"),
+        )
+    )
+    d2 = (
+        dot(F.col("svec"), F.col("svec"))
+        - 2 * dot(F.col("svec"), F.col("cvec"))
+        + dot(F.col("cvec"), F.col("cvec"))
+    )
+    scored = subs.join(F.broadcast(cents), "g").select(
+        "vec_id", "label", "g", "code", d2.alias("d2")
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id", "g").orderBy("d2", "code")
+    )
+    assigned = scored.withColumn("rn", rn).filter(F.col("rn") == 1).select(
+        "vec_id", "label", "g", "code"
+    )
+    adc = cents.crossJoin(F.broadcast(q)).select(
+        "g",
+        "code",
+        dot(
+            F.slice("qv", F.col("g") * _PQ_D + 1, _PQ_D), F.col("cvec")
+        ).alias("w"),
+    )
+    appx = (
+        assigned.join(F.broadcast(adc), ["g", "code"])
+        .groupBy("vec_id", "label")
+        .agg(*[
+            F.max(F.when(F.col("g") == i, F.col("w"))).alias(f"w{i}")
+            for i in range(_PQ_G)
+        ])
+    )
+    approx = F.col("w0")
+    for i in range(1, _PQ_G):
+        approx = approx + F.col(f"w{i}")
+    cand = (
+        appx.select("vec_id", "label", approx.alias("approx_dot"))
+        .orderBy(F.desc("approx_dot"), "vec_id")
+        .limit(50)
+    )
+    return (
+        F.broadcast(cand)
+        .join(e.select("vec_id", "embedding"), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round("approx_dot", 6).alias("approx_dot"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )

@@ -207,3 +207,125 @@ def cms_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_count"), "user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64  # registers (p = 6); alpha_64 = 0.709 (Flajolet et al. 2007)
+
+_HLL_ORACLE = f"""
+    WITH h AS (
+      SELECT {_HASH_SQL.format(c="CAST(o_custkey AS VARCHAR)")} AS hv,
+             o_custkey
+      FROM orders),
+    parts AS (SELECT hv % {_HLL_M} AS idx, hv // {_HLL_M} AS rest FROM h),
+    lb AS (SELECT UNNEST(range(0, 50)) AS j),
+    lbv AS (SELECT j, CAST(1 AS BIGINT) << j AS lowbit FROM lb),
+    rk AS (
+      SELECT p.idx,
+             CASE WHEN p.rest = 0 THEN 51 ELSE r.j + 1 END AS rank
+      FROM parts p
+      LEFT JOIN lbv r ON (p.rest & (-p.rest)) = r.lowbit),
+    regs AS (SELECT idx, MAX(rank) AS r FROM rk GROUP BY idx),
+    summary AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_registers_set,
+             CAST(SUM(r) AS BIGINT) AS sum_ranks,
+             CAST(SUM(CAST(1 AS BIGINT) << (51 - r)) AS BIGINT) AS s_scaled
+      FROM regs),
+    exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+      FROM orders),
+    est AS (
+      SELECT s.*, e.*,
+             0.709 * {_HLL_M} * {_HLL_M}
+               / (CAST(s.s_scaled AS DOUBLE) / CAST(CAST(1 AS BIGINT) << 51 AS DOUBLE)
+                  + ({_HLL_M} - s.n_registers_set)) AS e_raw
+      FROM summary s, exact e)
+    SELECT n_rows, n_exact, n_registers_set, sum_ranks, s_scaled,
+           ROUND(CASE WHEN e_raw <= 2.5 * {_HLL_M}
+                       AND n_registers_set < {_HLL_M}
+                      THEN {_HLL_M} * LN(CAST({_HLL_M} AS DOUBLE)
+                                         / ({_HLL_M} - n_registers_set))
+                      ELSE e_raw END, 4) AS hll_estimate,
+           ROUND(ABS(CASE WHEN e_raw <= 2.5 * {_HLL_M}
+                           AND n_registers_set < {_HLL_M}
+                          THEN {_HLL_M} * LN(CAST({_HLL_M} AS DOUBLE)
+                                             / ({_HLL_M} - n_registers_set))
+                          ELSE e_raw END - n_exact)
+                 / n_exact, 4) AS rel_error
+    FROM est
+"""
+
+
+@query(
+    "hll_distinct_sketch",
+    oracle=_HLL_ORACLE,
+    doc=f"HyperLogLog distinct-count lifecycle over orders.o_custkey: "
+    f"m={_HLL_M} registers, register index = hash56 % m, rank = trailing "
+    f"zeros of the remaining 50 bits + 1 (lowbit isolated with h & -h and "
+    f"mapped through a broadcast power-of-two table — no float log in the "
+    f"register path, so register contents are integer-exact and "
+    f"engine-portable). One column scan -> one {_HLL_M}-row groupBy (the "
+    f"whole shuffle is <= m rows after the map-side partial MAX); the "
+    f"harmonic sum is carried as an exact integer (sum of 2^(51-r)) and "
+    f"only the final estimate goes through float division. Mergeable "
+    f"across partitions/streams by construction (register-wise MAX).",
+)
+def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    from ..functions.hashing import hash56
+
+    lbv = spark.createDataFrame(
+        [(j, 1 << j) for j in range(50)], "j int, lowbit long"
+    )
+    parts = o.select(hash56(F.col("o_custkey")).alias("hv")).select(
+        (F.col("hv") % _HLL_M).alias("idx"),
+        F.expr(f"hv div {_HLL_M}").alias("rest"),
+    )
+    rk = (
+        parts.join(
+            F.broadcast(lbv), F.expr("rest & (-rest)") == F.col("lowbit"), "left"
+        )
+        .select(
+            "idx",
+            F.when(F.col("rest") == 0, F.lit(51)).otherwise(F.col("j") + 1).alias("rank"),
+        )
+    )
+    regs = rk.groupBy("idx").agg(F.max("rank").alias("r"))
+    summary = regs.agg(
+        F.count("*").cast("bigint").alias("n_registers_set"),
+        F.sum("r").cast("bigint").alias("sum_ranks"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 51 - r)")).cast("bigint").alias("s_scaled"),
+    )
+    exact = o.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count_distinct("o_custkey").cast("bigint").alias("n_exact"),
+    )
+    est = summary.crossJoin(exact).withColumn(
+        "e_raw",
+        F.lit(0.709 * _HLL_M * _HLL_M)
+        / (
+            F.col("s_scaled").cast("double") / F.lit(float(1 << 51))
+            + (F.lit(_HLL_M) - F.col("n_registers_set"))
+        ),
+    )
+    small = (F.col("e_raw") <= 2.5 * _HLL_M) & (F.col("n_registers_set") < _HLL_M)
+    corrected = F.when(
+        small,
+        F.lit(_HLL_M)
+        * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("n_registers_set"))),
+    ).otherwise(F.col("e_raw"))
+    return est.select(
+        "n_rows",
+        "n_exact",
+        "n_registers_set",
+        "sum_ranks",
+        "s_scaled",
+        F.round(corrected, 4).alias("hll_estimate"),
+        F.round(F.abs(corrected - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+            "rel_error"
+        ),
+    )

@@ -255,3 +255,50 @@ def test_fuzzy_wratio_correction_broadcasts_map(spark):
     assert "CartesianProduct" not in plan  # dirty×dim candidate space is
     # distinct-values × broadcast(dim) — appears as BroadcastNestedLoop only
     # if the planner degrades; the row-level join must stay hash-based
+
+
+def test_q6_all_predicates_pushed_to_scan(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    # all three predicates must reach the parquet reader, and the scan must
+    # read only the four referenced columns
+    assert "PushedFilters:" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for frag in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert frag in pushed, frag
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_q2_offers_join_broadcasts_dims_no_cartesian(spark):
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q8_semi_joins_and_single_agg_pass(spark):
+    plan = plan_of(spark, "q8_national_market_share")
+    # part and region-market prefilters plan as broadcast semi joins —
+    # lineitem rows are never widened by the filter-only dims
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # numerator and denominator come from ONE HashAggregate pair
+    # (partial+final), not two scans ("Initial Plan" section duplicates
+    # every node under AQE — count only the final plan)
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Scan parquet") <= 8
+
+
+def test_duplicate_spans_span_stream_shuffles_once_per_agg(spark):
+    plan = plan_of(spark, "doc_duplicate_spans")
+    # the span stream must be reused (InMemoryTableScan from the memoized
+    # cache), not recomputed from the parquet scan for each of the three
+    # downstream consumers
+    assert plan.count("Scan parquet") <= 1 or "InMemoryTableScan" in plan
+
+
+def test_filtered_topk_filter_before_scoring(spark):
+    plan = plan_of(spark, "emb_filtered_topk")
+    # label predicate reaches the scan: scoring only runs on the filtered set
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("label" in l for l in pushed)
+    assert "TakeOrderedAndProject" in plan

@@ -45,6 +45,8 @@ ALLOW = {
     "trailing_distinct_users": {"NESTED-LOOP"},  # (a) date-bounds scalar
     "funnel_stage_counts": {"NESTED-LOOP"},  # (a) stage-total scalar
     "bloom_membership_sketch": {"NESTED-LOOP"},  # (a) 1-row stat aggregates
+    "hll_distinct_sketch": {"NESTED-LOOP"},  # (a) 1-row stat aggregates
+    "emb_pq_topk": {"NESTED-LOOP"},  # (a) 1-row query vector + 50-row re-rank
     "market_share_by_segment": {"GLOBAL-WINDOW"},  # window over 5-row agg
     "sql_forecast_revenue_change": {"GLOBAL-WINDOW"},  # lag over 7-row agg
 }
