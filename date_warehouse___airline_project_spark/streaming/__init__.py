@@ -31,6 +31,11 @@ from .outbox import (  # noqa: F401
     outbox_change_feed,
     outbox_to_kafka_values,
 )
+from .rollup import (  # noqa: F401
+    combine_rollups,
+    rollup_cells,
+    run_rollup_stream,
+)
 from .stateful import running_user_totals, running_user_totals_tws  # noqa: F401
 from .windows import (  # noqa: F401
     sessionized_user_activity,

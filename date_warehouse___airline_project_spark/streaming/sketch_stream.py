@@ -24,10 +24,6 @@ accumulate orphaned state copies.
 
 from __future__ import annotations
 
-import os
-import shutil
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -54,42 +50,15 @@ def merge_cells(state: DataFrame, batch: DataFrame) -> DataFrame:
     )
 
 
-_BATCH_ID_FILE = "_last_batch_id"  # underscore-prefixed: parquet readers skip it
-
-
-def last_applied_batch_id(state_dir: str) -> int:
-    """Batch id folded into the current state, -1 if none/absent."""
-    path = os.path.join(state_dir, _BATCH_ID_FILE)
-    if os.path.exists(path):
-        with open(path, encoding="ascii") as f:
-            return int(f.read().strip())
-    return -1
-
-
-def recover_state(state_dir: str) -> None:
-    """Repair the swap after a crash and sweep stale siblings.
-
-    Crash window between ``rename(state_dir, old)`` and
-    ``rename(tmp, state_dir)`` leaves NO live state dir — without
-    recovery the next batch would take the 'no state' branch and
-    silently restart the sketch from empty while the checkpoint still
-    marks earlier batches done. Restore the newest backup (always a
-    consistent pre-batch state; the interrupted batch redelivers and
-    re-applies on top), then delete every leftover ``.tmp-*``/``.old-*``.
-    """
-    parent = os.path.dirname(state_dir) or "."
-    base = os.path.basename(state_dir)
-    if not os.path.isdir(parent):
-        return
-    sibs = [os.path.join(parent, n) for n in os.listdir(parent)]
-    olds = [p for p in sibs if os.path.basename(p).startswith(f"{base}.old-")]
-    tmps = [p for p in sibs if os.path.basename(p).startswith(f"{base}.tmp-")]
-    if not os.path.exists(state_dir) and olds:
-        newest = max(olds, key=os.path.getmtime)
-        os.rename(newest, state_dir)
-        olds.remove(newest)
-    for p in olds + tmps:
-        shutil.rmtree(p, ignore_errors=True)
+# Swap/recovery/idempotence discipline shared with the continuous-
+# aggregate rollup — one definition in state_table.py; names re-exported
+# here for existing callers and tests.
+from .state_table import (  # noqa: E402,F401
+    _BATCH_ID_FILE,
+    fold_into_state,
+    last_applied_batch_id,
+    recover_state,
+)
 
 
 def run_cms_stream(
@@ -112,29 +81,11 @@ def run_cms_stream(
     raw = spark.readStream.format("text").load(input_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        recover_state(state_dir)  # repair a mid-stream swap crash too
-        if batch_id <= last_applied_batch_id(state_dir):
-            return  # at-least-once redelivery of an already-folded batch
         keys = batch_df.select(F.col("value").cast("long").alias(key_col)).where(
             F.col(key_col).isNotNull()
         )
         cells = cms_cells(keys, key_col, depth, width)
-        if os.path.exists(state_dir):
-            state = spark.read.parquet(state_dir)
-            merged = merge_cells(state, cells)
-        else:
-            merged = cells
-        tmp = f"{state_dir}.tmp-{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, _BATCH_ID_FILE), "w", encoding="ascii") as f:
-            f.write(str(batch_id))
-        if os.path.exists(state_dir):
-            old = f"{state_dir}.old-{uuid.uuid4().hex[:8]}"
-            os.rename(state_dir, old)
-            os.rename(tmp, state_dir)
-            shutil.rmtree(old)
-        else:
-            os.rename(tmp, state_dir)
+        fold_into_state(spark, state_dir, batch_id, cells, merge_cells)
 
     writer = (
         raw.writeStream.foreachBatch(process_batch)

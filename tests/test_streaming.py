@@ -694,3 +694,86 @@ def test_kafka_sink_value_envelope_roundtrips(spark):
         ).alias("m")
     ).select("m.*")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, results.collect()))
+
+
+def test_rollup_stream_state_matches_batch_aggregate(spark, tmp_path):
+    # Two micro-batches folded into the continuous aggregate must equal
+    # the one-shot rollup over all events (associative combine; decimal
+    # sums make the incremental fold bit-identical to the recompute).
+    import json as _json
+
+    from date_warehouse___airline_project_spark.streaming.rollup import (
+        EVENT_SCHEMA,
+        rollup_cells,
+        run_rollup_stream,
+    )
+
+    def lines(rows):
+        return "\n".join(_json.dumps(r) for r in rows)
+
+    b1 = [
+        {"ts": f"2024-03-01 10:{m:02d}:00", "user_id": m, "event_type": t, "value": v}
+        for m, t, v in [(1, "view", 1.5), (2, "view", 2.25), (3, "purchase", 9.99),
+                        (40, "view", 0.5), (59, "error", None)]
+    ]
+    b2 = [
+        {"ts": f"2024-03-01 {h:02d}:30:00", "user_id": h, "event_type": t, "value": v}
+        for h, t, v in [(10, "view", 4.0), (11, "purchase", 19.5), (11, "purchase", 0.01)]
+    ]
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    state = str(tmp_path / "state")
+    (input_dir / "b1.json").write_text(lines(b1))
+    q = run_rollup_stream(spark, str(input_dir), state, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    (input_dir / "b2.json").write_text(lines(b2))
+    q = run_rollup_stream(spark, str(input_dir), state, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {
+        (str(r.bucket), r.event_type): (r.n_events, str(r.sum_value))
+        for r in spark.read.parquet(state).collect()
+    }
+    all_events = spark.createDataFrame(
+        [tuple(r.values()) for r in b1 + b2],
+        "ts_s string, user_id long, event_type string, value double",
+    ).selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "user_id", "event_type", "value")
+    want = {
+        (str(r.bucket), r.event_type): (r.n_events, str(r.sum_value))
+        for r in rollup_cells(all_events).collect()
+    }
+    assert got == want
+    # sanity: hour-10 views folded across both batches
+    assert got[("2024-03-01 10:00:00", "view")][0] == 4
+
+
+def test_rollup_stream_redelivery_is_idempotent(spark, tmp_path):
+    # Wiping the checkpoint redelivers everything as batch 0; the batch-id
+    # sidecar must make the fold a no-op instead of doubling the counts.
+    import json as _json
+
+    from date_warehouse___airline_project_spark.streaming.rollup import (
+        run_rollup_stream,
+    )
+    from date_warehouse___airline_project_spark.streaming.state_table import (
+        last_applied_batch_id,
+    )
+
+    rows = [
+        {"ts": "2024-03-01 10:05:00", "user_id": 1, "event_type": "view", "value": 2.0},
+        {"ts": "2024-03-01 11:05:00", "user_id": 2, "event_type": "view", "value": 3.0},
+    ]
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    (input_dir / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    state = str(tmp_path / "state")
+    q = run_rollup_stream(spark, str(input_dir), state, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert last_applied_batch_id(state) == 0
+    want = sorted(map(tuple, spark.read.parquet(state).collect()))
+
+    shutil.rmtree(tmp_path / "ckpt")  # forces redelivery of batch 0
+    q = run_rollup_stream(spark, str(input_dir), state, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(state).collect()))
+    assert got == want, "redelivered batch was double-counted"
