@@ -103,6 +103,7 @@ _NEW_R03 = [
     "emb_filtered_topk",
     "hll_distinct_sketch",
     "emb_pq_topk",
+    "doc_neardup_keep_canonical",
 ]
 
 # A query whose behavior changed this round is no longer certified — it

@@ -237,3 +237,74 @@ def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# Canonical-selection oracle: cluster reachability (same recursive CTE as
+# _CLUSTER_ORACLE) extended with singleton docs, then one winner per
+# cluster by (longest text, lowest id).
+_KEEP_CANONICAL_ORACLE = (
+    _CLUSTER_ORACLE.rsplit("SELECT node", 1)[0]
+    + """,
+    assign AS (SELECT node AS a_doc, MIN(lbl) AS a_cluster FROM reach GROUP BY node),
+    full_assign AS (
+      SELECT d.doc_id, COALESCE(a.a_cluster, d.doc_id) AS cluster, d.n_chars
+      FROM documents d LEFT JOIN assign a ON a.a_doc = d.doc_id),
+    winners AS (
+      SELECT cluster, doc_id AS canonical_id FROM (
+        SELECT cluster, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM full_assign) WHERE rn = 1)
+    SELECT f.doc_id, f.cluster, w.canonical_id,
+           CASE WHEN f.doc_id = w.canonical_id THEN 1 ELSE 0 END AS keep,
+           f.n_chars
+    FROM full_assign f JOIN winners w USING (cluster)
+    ORDER BY f.doc_id
+"""
+)
+
+
+@query(
+    "doc_neardup_keep_canonical",
+    oracle=_KEEP_CANONICAL_ORACLE,
+    doc="End-to-end near-dup REMOVAL decision: MinHash-LSH pairs -> "
+    "connected components -> one canonical doc per cluster (longest "
+    "text, ties to the lowest id) -> keep/drop flag for the whole "
+    "corpus (singletons keep themselves). This is the operator a "
+    "curation pipeline actually runs; the winner is a keyed max_by per "
+    "cluster (map-side partial), the flag a join back on the cluster "
+    "id — no window over the corpus, no collect.",
+)
+def doc_neardup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", n=3, k=_K, bands=_BANDS, threshold=0.5)
+    cl = dedup_clusters(pairs).select(
+        F.col("doc").alias("doc_id"), F.col("cluster").alias("_cl")
+    )
+    assigned = (
+        d.select("doc_id", "n_chars")
+        .join(cl, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_cl"), F.col("doc_id")).alias("cluster"),
+            "n_chars",
+        )
+    )
+    winners = assigned.groupBy("cluster").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("_neg"))
+        ).alias("canonical_id")
+    )
+    return (
+        assigned.join(winners, "cluster")
+        .select(
+            "doc_id",
+            "cluster",
+            "canonical_id",
+            F.when(F.col("doc_id") == F.col("canonical_id"), 1)
+            .otherwise(0)
+            .alias("keep"),
+            "n_chars",
+        )
+        .orderBy("doc_id")
+    )
