@@ -104,6 +104,7 @@ _NEW_R03 = [
     "hll_distinct_sketch",
     "emb_pq_topk",
     "doc_neardup_keep_canonical",
+    "emb_ivfpq_topk",
 ]
 
 # A query whose behavior changed this round is no longer certified — it

@@ -259,6 +259,12 @@ def _assign_to_centroids_arrow(
     return flagged.mapInPandas(assign, out_schema)
 
 
+from collections import OrderedDict
+
+_KMEANS_MEMO: OrderedDict[tuple, DataFrame] = OrderedDict()
+_KMEANS_MEMO_MAX = 8
+
+
 def kmeans_lloyd(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -297,6 +303,22 @@ def kmeans_lloyd(
     training chain per reference; the logical plan still nests one
     assign+mean subtree per iteration, but execution reads the cache.
     """
+    # Session-scoped memo: the trained/indexed IVF queries run the SAME
+    # training (same corpus, same params) — train once, share the (tiny)
+    # persisted codebook. Keyed like text_dedup._memo; bounded, eviction
+    # unpersists. Callers must NOT unpersist the returned codebook.
+    try:
+        memo_key = (
+            emb.sparkSession.sparkContext.applicationId,
+            emb.semanticHash(),
+            id_col, vec_col, centroid_mod, sample_mod, iters, impl,
+        )
+    except Exception:  # pragma: no cover - semanticHash unavailable
+        memo_key = None
+    if memo_key is not None and memo_key in _KMEANS_MEMO:
+        _KMEANS_MEMO.move_to_end(memo_key)
+        return _KMEANS_MEMO[memo_key]
+
     cents = emb.filter(F.col(id_col) % centroid_mod == 0).select(
         F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
     )
@@ -335,6 +357,14 @@ def kmeans_lloyd(
         if prev_ckpt is not None:
             prev_ckpt.unpersist()
         prev_ckpt = cents
+    if memo_key is not None:
+        _KMEANS_MEMO[memo_key] = cents
+        while len(_KMEANS_MEMO) > _KMEANS_MEMO_MAX:
+            _, evicted = _KMEANS_MEMO.popitem(last=False)
+            try:
+                evicted.unpersist()
+            except Exception:  # pragma: no cover - session already stopped
+                pass
     return cents
 
 
@@ -611,7 +641,7 @@ def save_ivf_index(
         .partitionBy("centroid_id")
         .parquet(f"{path}/assignments")
     )
-    cents.unpersist()
+    # codebook stays persisted: it is shared via the kmeans_lloyd memo
 
 
 def ivf_topk_indexed(

@@ -590,3 +590,187 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composition: cells prune the corpus, codes prune the in-cell
+# scan, exact re-rank restores precision — the production ANN stack
+# (backing the SCALE.md claim that the two legs compose). Fixed IVF
+# codebook (vec_id % 25), nprobe=2; PQ 8x16 ADC scoring inside the probed
+# cells only; top-50 compressed candidates re-ranked by exact cosine.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_ORACLE = f"""
+    WITH cells AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 25 = 0),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cellscore AS (
+      SELECT e.vec_id, e.label, e.embedding, c.cid,
+             {_rank_sql('e.embedding', 'c.cvec')} AS cos_c
+      FROM embeddings e, cells c),
+    cellassign AS (
+      SELECT vec_id, label, embedding, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_c DESC, cid) AS rn
+        FROM cellscore) WHERE rn = 1),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c.cid, {_cos_sql('c.cvec', 'q.qv')} AS cos_q
+        FROM cells c, q
+        ORDER BY cos_q DESC, cid LIMIT 2)),
+    hits AS (
+      SELECT a.vec_id, a.label, a.embedding
+      FROM cellassign a JOIN probe p ON a.cid = p.cid
+      WHERE a.vec_id <> 0),
+    groups AS (SELECT UNNEST(range(0, {_PQ_G})) AS g),
+    codes AS (SELECT UNNEST(range(0, {_PQ_K})) AS code),
+    pqcents AS (
+      SELECT codes.code, g.g,
+             list_slice(CAST(e.embedding AS DOUBLE[]),
+                        g.g * {_PQ_D} + 1, (g.g + 1) * {_PQ_D}) AS cvec
+      FROM codes
+      JOIN embeddings e ON e.vec_id = codes.code * 25
+      CROSS JOIN groups g),
+    subs AS (
+      SELECT h.vec_id, h.label, g.g,
+             list_slice(CAST(h.embedding AS DOUBLE[]),
+                        g.g * {_PQ_D} + 1, (g.g + 1) * {_PQ_D}) AS svec
+      FROM hits h CROSS JOIN groups g),
+    pqscored AS (
+      SELECT s.vec_id, s.label, s.g, c.code,
+             list_dot_product(s.svec, s.svec)
+               - 2 * list_dot_product(s.svec, c.cvec)
+               + list_dot_product(c.cvec, c.cvec) AS d2
+      FROM subs s JOIN pqcents c ON c.g = s.g),
+    pqassign AS (
+      SELECT vec_id, label, g, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, g
+                                     ORDER BY d2, code) AS rn
+        FROM pqscored) WHERE rn = 1),
+    adc AS (
+      SELECT c.g, c.code,
+             list_dot_product(list_slice(CAST(q.qv AS DOUBLE[]),
+                                         c.g * {_PQ_D} + 1, (c.g + 1) * {_PQ_D}),
+                              c.cvec) AS w
+      FROM pqcents c, q),
+    appx AS (
+      SELECT a.vec_id, a.label, {_PQ_W_COLS}
+      FROM pqassign a JOIN adc ON adc.g = a.g AND adc.code = a.code
+      GROUP BY a.vec_id, a.label),
+    cand AS (
+      SELECT vec_id, label, {_PQ_W_SUM} AS approx_dot
+      FROM appx ORDER BY approx_dot DESC, vec_id LIMIT 50),
+    rer AS (
+      SELECT cand.vec_id, cand.label,
+             ROUND(cand.approx_dot, 6) AS approx_dot,
+             ROUND({_cos_sql('e.embedding', 'q.qv')}, 6) AS cos_sim
+      FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id, q)
+    SELECT vec_id, label, approx_dot, cos_sim FROM rer
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+@query(
+    "emb_ivfpq_topk",
+    oracle=_IVFPQ_ORACLE,
+    doc=f"IVF-PQ composed search: nearest-centroid cells (fixed codebook, "
+    f"nprobe=2) prune the corpus, then {_PQ_G}x{_PQ_K} PQ-ADC scoring "
+    f"prunes the in-cell scan to 50 compressed candidates, and exact "
+    f"cosine re-ranks the final top-10. At 100 TB: cells bound the scan "
+    f"(partition pruning over the persisted index), codes bound the "
+    f"memory (1 byte/subspace), re-rank touches only candidate-set full "
+    f"vectors — the standard production ANN stack, every stage certified "
+    f"by the one oracle.",
+)
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cells = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("_cid"), F.col("embedding").alias("_cvec")
+    )
+    probe = (
+        cells.crossJoin(F.broadcast(q))
+        .withColumn("_cos_q", cosine(F.col("_cvec"), F.col("qv")))
+        .orderBy(F.desc("_cos_q"), F.asc("_cid"))
+        .limit(2)
+        .select(F.col("_cid").alias("centroid_id"))
+    )
+    hits = (
+        ivf_assign(e, "vec_id", "embedding", 25)
+        .join(F.broadcast(probe), "centroid_id", "left_semi")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", "embedding")
+    )
+    gs = F.array(*[F.lit(i) for i in range(_PQ_G)])
+    pqcents = (
+        e.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 25 * _PQ_K))
+        .select(
+            F.expr("vec_id div 25").cast("int").alias("code"),
+            F.explode(gs).alias("g"),
+            F.col("embedding"),
+        )
+        .select(
+            "code",
+            "g",
+            F.slice("embedding", F.col("g") * _PQ_D + 1, _PQ_D).alias("cvec"),
+        )
+    )
+    subs = hits.select(
+        "vec_id", "label", F.explode(gs).alias("g"), "embedding"
+    ).select(
+        "vec_id",
+        "label",
+        "g",
+        F.slice("embedding", F.col("g") * _PQ_D + 1, _PQ_D).alias("svec"),
+    )
+    d2 = (
+        dot(F.col("svec"), F.col("svec"))
+        - 2 * dot(F.col("svec"), F.col("cvec"))
+        + dot(F.col("cvec"), F.col("cvec"))
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.partitionBy("vec_id", "g").orderBy("d2", "code"))
+    pqassign = (
+        subs.join(F.broadcast(pqcents), "g")
+        .select("vec_id", "label", "g", "code", d2.alias("d2"))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "g", "code")
+    )
+    adc = pqcents.crossJoin(F.broadcast(q)).select(
+        "g",
+        "code",
+        dot(F.slice("qv", F.col("g") * _PQ_D + 1, _PQ_D), F.col("cvec")).alias("w"),
+    )
+    appx = (
+        pqassign.join(F.broadcast(adc), ["g", "code"])
+        .groupBy("vec_id", "label")
+        .agg(*[
+            F.max(F.when(F.col("g") == i, F.col("w"))).alias(f"w{i}")
+            for i in range(_PQ_G)
+        ])
+    )
+    approx = F.col("w0")
+    for i in range(1, _PQ_G):
+        approx = approx + F.col(f"w{i}")
+    cand = (
+        appx.select("vec_id", "label", approx.alias("approx_dot"))
+        .orderBy(F.desc("approx_dot"), "vec_id")
+        .limit(50)
+    )
+    return (
+        F.broadcast(cand)
+        .join(e.select("vec_id", "embedding"), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round("approx_dot", 6).alias("approx_dot"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )

