@@ -105,6 +105,7 @@ _NEW_R03 = [
     "emb_pq_topk",
     "doc_neardup_keep_canonical",
     "emb_ivfpq_topk",
+    "doc_hashed_embedding_neardup",
 ]
 
 # A query whose behavior changed this round is no longer certified — it

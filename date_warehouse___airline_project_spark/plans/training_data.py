@@ -501,3 +501,116 @@ def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# feature-hashed document embeddings + cosine near-dup
+# ---------------------------------------------------------------------------
+
+_FH_DIMS = 16
+
+_FH_ORACLE = f"""
+    WITH tk AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents),
+    feat AS (
+      SELECT doc_id,
+             {_HASH_SQL.format(c="CONCAT('d:', tok)")} % {_FH_DIMS} AS dim,
+             CASE WHEN {_HASH_SQL.format(c="CONCAT('s:', tok)")} % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tk),
+    cells AS (
+      SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS val
+      FROM feat GROUP BY doc_id, dim),
+    dims AS (SELECT UNNEST(range(0, {_FH_DIMS})) AS dim),
+    dense AS (
+      SELECT d.doc_id, dm.dim, COALESCE(c.val, 0) AS val
+      FROM (SELECT DISTINCT doc_id FROM cells) d
+      CROSS JOIN dims dm
+      LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.dim = dm.dim),
+    vec AS (
+      SELECT doc_id, LIST(CAST(val AS DOUBLE) ORDER BY dim) AS v
+      FROM dense GROUP BY doc_id),
+    b AS (
+      SELECT doc_id, v,
+             (CASE WHEN v[1] >= 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN v[2] >= 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN v[3] >= 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN v[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM vec
+      WHERE list_dot_product(v, v) > 0),
+    pairs AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             ROUND(list_dot_product(x.v, y.v)
+                   / (SQRT(list_dot_product(x.v, x.v))
+                      * SQRT(list_dot_product(y.v, y.v))), 6) AS cos_sim
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.doc_id < y.doc_id)
+    SELECT doc_a, doc_b, cos_sim FROM pairs
+    WHERE cos_sim >= 0.95
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "doc_hashed_embedding_neardup",
+    oracle=_FH_ORACLE,
+    doc=f"Embedding-cosine near-dup on raw documents via the feature-"
+    f"hashing trick (Weinberger et al. 2009): each token hashes to one of "
+    f"{_FH_DIMS} dims with a hashed sign, per-doc integer sums form the "
+    f"vector (exact under any partitioning), sign-LSH on the leading 4 "
+    f"dims generates candidates, exact cosine >= 0.95 verifies. No "
+    f"trained model, no vocabulary — the vectorizer is a pure streaming "
+    f"map, so at 100 TB featurization is scan-side and the pair cost is "
+    f"the usual bucketed sum of bucket sizes squared, never all-pairs.",
+)
+def doc_hashed_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = d.select(F.col("doc_id"), F.explode(tokens("text")).alias("tok"))
+    dim = (_hash56(F.concat(F.lit("d:"), F.col("tok"))) % _FH_DIMS).alias("dim")
+    sgn = (
+        F.when(_hash56(F.concat(F.lit("s:"), F.col("tok"))) % 2 == 0, 1)
+        .otherwise(-1)
+        .alias("sgn")
+    )
+    cells = (
+        tok.select("doc_id", dim, sgn)
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").cast("bigint").alias("val"))
+    )
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("dim").cast("int"), F.col("val").cast("double")))
+    )
+    vec = cells.groupBy("doc_id").agg(m.alias("m")).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_FH_DIMS - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0.0)),
+        ).alias("v"),
+    )
+    from ..operators.similarity import dot as _dot
+
+    bucket = F.concat(
+        *[
+            F.when(F.element_at(F.col("v"), i + 1) >= 0, "1").otherwise("0")
+            for i in range(4)
+        ]
+    )
+    b = vec.filter(_dot(F.col("v"), F.col("v")) > 0).select(
+        "doc_id", "v", bucket.alias("bucket")
+    )
+    x = b.select(
+        F.col("doc_id").alias("doc_a"), F.col("v").alias("va"), "bucket"
+    )
+    y = b.select(
+        F.col("doc_id").alias("doc_b"), F.col("v").alias("vb"), "bucket"
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        x.join(y, ["bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.95)
+        .orderBy("doc_a", "doc_b")
+    )

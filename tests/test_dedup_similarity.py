@@ -367,3 +367,23 @@ def test_ivf_index_persistence_roundtrip(spark, tmp_path):
     assert got == want
     import os
     assert any(d.startswith("centroid_id=") for d in os.listdir(idx + "/assignments"))
+
+
+def test_kmeans_lloyd_memoizes_codebook_per_corpus_and_params(spark):
+    # The trained and indexed IVF queries run identical training — the
+    # codebook must come back as the SAME cached relation on a repeat
+    # call (train once per session), while different params train fresh.
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        kmeans_lloyd,
+    )
+    from date_warehouse___airline_project_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = kmeans_lloyd(emb, centroid_mod=25, sample_mod=4, iters=1)
+    b = kmeans_lloyd(emb, centroid_mod=25, sample_mod=4, iters=1)
+    assert a is b, "identical (corpus, params) call retrained the codebook"
+    c = kmeans_lloyd(emb, centroid_mod=25, sample_mod=2, iters=1)
+    assert c is not a
+    rows_a = {r._cid: r._cvec for r in a.collect()}
+    rows_c = {r._cid: r._cvec for r in c.collect()}
+    assert set(rows_a) == set(rows_c)  # same init codebook ids
