@@ -577,6 +577,18 @@ def doc_hashed_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "dim")
         .agg(F.sum("sgn").cast("bigint").alias("val"))
     )
+    # Pack the per-dim sums into an array vector and hand the pair stage
+    # to the certified bucket-grouped Arrow verify (operators/similarity
+    # ::neardup_pairs_multitable with ntables=1 == the single sign-LSH
+    # table over dims [0, 4)): each bucket's vectors ship ONCE into the
+    # NumPy kernel, pairs are never materialized as join rows. A
+    # join-then-verify plan here compiled a per-pair 16-term chain too
+    # large for the JIT (interpreted bytecode, ~2.5 us/pair -> 40 s at
+    # sf0.1); the kernel does the same arithmetic — sequentially over
+    # dims, bit-identical to the relational fold — in ~1 s.
+    from ..operators.similarity import dot as _dot
+    from ..operators.similarity import neardup_pairs_multitable
+
     m = F.map_from_entries(
         F.collect_list(F.struct(F.col("dim").cast("int"), F.col("val").cast("double")))
     )
@@ -587,30 +599,17 @@ def doc_hashed_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0.0)),
         ).alias("v"),
     )
-    from ..operators.similarity import dot as _dot
-
-    bucket = F.concat(
-        *[
-            F.when(F.element_at(F.col("v"), i + 1) >= 0, "1").otherwise("0")
-            for i in range(4)
-        ]
-    )
-    b = vec.filter(_dot(F.col("v"), F.col("v")) > 0).select(
-        "doc_id", "v", bucket.alias("bucket")
-    )
-    x = b.select(
-        F.col("doc_id").alias("doc_a"), F.col("v").alias("va"), "bucket"
-    )
-    y = b.select(
-        F.col("doc_id").alias("doc_b"), F.col("v").alias("vb"), "bucket"
-    )
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    # zero vectors are excluded on both sides (their cosine is NaN, which
+    # both engines treat as largest — the oracle drops them up front)
+    nonzero = vec.filter(_dot(F.col("v"), F.col("v")) > 0)
+    pairs = neardup_pairs_multitable(
+        nonzero, threshold=0.95, nplanes=4, ntables=1, id_col="doc_id", vec_col="v"
     )
     return (
-        x.join(y, ["bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.round(cos, 6).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.95)
+        pairs.select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            "cos_sim",
+        )
         .orderBy("doc_a", "doc_b")
     )
