@@ -302,3 +302,19 @@ def test_filtered_topk_filter_before_scoring(spark):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("label" in l for l in pushed)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hashed_neardup_verify_is_bucket_grouped_arrow(spark):
+    """The pair stage must be the bucket-grouped Arrow kernel (one
+    FlatMapGroupsInPandas keyed on (table, bucket)), never a pair-level
+    join: a join-then-verify plan materializes the O(sum bucket^2) pairs
+    as rows and its per-pair expression chain ran interpreted (JIT
+    huge-method bailout) — the regression this pins out."""
+    plan = plan_of(spark, "doc_hashed_embedding_neardup")
+    final = plan.split("Initial Plan")[0]
+    fmap_lines = [l for l in final.splitlines() if "FlatMapGroupsInPandas" in l]
+    assert fmap_lines and all("_bucket#" in l for l in fmap_lines)
+    # no pair-level join: the only join in the final plan may be the
+    # broadcast of the tiny dedup/dim side, never a bucket-keyed equi join
+    assert "BroadcastHashJoin [bucket" not in final
+    assert "SortMergeJoin [bucket" not in final
