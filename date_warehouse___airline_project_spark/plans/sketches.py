@@ -215,6 +215,38 @@ def cms_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HLL_M = 64  # registers (p = 6); alpha_64 = 0.709 (Flajolet et al. 2007)
 
+def hll_registers(rows: DataFrame, key_col: str) -> DataFrame:
+    """(idx, r) HLL registers for one relation — MAX rank per register.
+
+    Mergeable by construction: registers(A ∪ B) = per-idx MAX of
+    registers(A) and registers(B) (pinned in tests/test_functions.py),
+    which is what makes HLL state a per-partition partial aggregate and
+    a valid streaming state-table fold (state_table.fold_into_state with
+    a keyed MAX merge).
+    """
+    from ..functions.hashing import hash56
+
+    spark = rows.sparkSession
+    lbv = spark.createDataFrame(
+        [(j, 1 << j) for j in range(50)], "j int, lowbit long"
+    )
+    parts = rows.select(hash56(F.col(key_col)).alias("hv")).select(
+        (F.col("hv") % _HLL_M).alias("idx"),
+        F.expr(f"hv div {_HLL_M}").alias("rest"),
+    )
+    rk = (
+        parts.join(
+            F.broadcast(lbv), F.expr("rest & (-rest)") == F.col("lowbit"), "left"
+        )
+        .select(
+            "idx",
+            F.when(F.col("rest") == 0, F.lit(51)).otherwise(F.col("j") + 1).alias("rank"),
+        )
+    )
+    return rk.groupBy("idx").agg(F.max("rank").alias("r"))
+
+
+
 _HLL_ORACLE = f"""
     WITH h AS (
       SELECT {_HASH_SQL.format(c="CAST(o_custkey AS VARCHAR)")} AS hv,
@@ -276,25 +308,7 @@ _HLL_ORACLE = f"""
 )
 def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    from ..functions.hashing import hash56
-
-    lbv = spark.createDataFrame(
-        [(j, 1 << j) for j in range(50)], "j int, lowbit long"
-    )
-    parts = o.select(hash56(F.col("o_custkey")).alias("hv")).select(
-        (F.col("hv") % _HLL_M).alias("idx"),
-        F.expr(f"hv div {_HLL_M}").alias("rest"),
-    )
-    rk = (
-        parts.join(
-            F.broadcast(lbv), F.expr("rest & (-rest)") == F.col("lowbit"), "left"
-        )
-        .select(
-            "idx",
-            F.when(F.col("rest") == 0, F.lit(51)).otherwise(F.col("j") + 1).alias("rank"),
-        )
-    )
-    regs = rk.groupBy("idx").agg(F.max("rank").alias("r"))
+    regs = hll_registers(o, "o_custkey")
     summary = regs.agg(
         F.count("*").cast("bigint").alias("n_registers_set"),
         F.sum("r").cast("bigint").alias("sum_ranks"),

@@ -117,3 +117,25 @@ def test_numeric_checks(spark):
     assert one(spark, refund_amount(F.lit(200.0), F.lit(25.0)), c="x") == 150.0
     assert one(spark, in_numeric_range(F.lit("77"), 0, 100), c="x") is True
     assert one(spark, in_numeric_range(F.lit("abc"), 0, 100), c="x") is False
+
+
+def test_hll_registers_merge_by_register_max(spark):
+    # HLL's streaming/partition-merge contract: registers over a union
+    # equal the per-register MAX of the halves' registers — the property
+    # that makes the sketch a valid partial aggregate and state-table fold.
+    from pyspark.sql import functions as F
+
+    from date_warehouse___airline_project_spark.plans.sketches import hll_registers
+
+    rows = spark.range(0, 2000).select((F.col("id") * 37 % 613).alias("k"))
+    a = rows.filter(F.col("k") % 2 == 0)
+    b = rows.filter(F.col("k") % 2 == 1)
+    merged = (
+        hll_registers(a, "k")
+        .unionByName(hll_registers(b, "k"))
+        .groupBy("idx")
+        .agg(F.max("r").alias("r"))
+    )
+    got = {row.idx: row.r for row in merged.collect()}
+    want = {row.idx: row.r for row in hll_registers(rows, "k").collect()}
+    assert got == want
