@@ -95,3 +95,53 @@ def run_cms_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def merge_registers(state: DataFrame, batch: DataFrame) -> DataFrame:
+    """Fold a batch's HLL registers into the state: per-idx rank MAX."""
+    return (
+        state.unionByName(batch)
+        .groupBy("idx")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def run_hll_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    available_now: bool = True,
+):
+    """Maintain a persistent HyperLogLog register table over a
+    line-delimited key drop dir.
+
+    Register MAX is idempotent AND associative, so unlike the CMS
+    sum-merge the fold would tolerate redelivery even without the
+    batch-id guard — the shared ``fold_into_state`` discipline still
+    applies it, which also covers the swap/recovery semantics. The state
+    is <= m rows regardless of stream cardinality; the distinct-count
+    estimate is computed from the register table on read (see
+    ``plans/sketches.py::hll_distinct_sketch`` for the estimator).
+    """
+    from ..plans.sketches import hll_registers
+
+    recover_state(state_dir)
+    raw = spark.readStream.format("text").load(input_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        keys = batch_df.select(F.col("value").cast("long").alias(key_col)).where(
+            F.col(key_col).isNotNull()
+        )
+        regs = hll_registers(keys, key_col)
+        fold_into_state(spark, state_dir, batch_id, regs, merge_registers)
+
+    writer = (
+        raw.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("hll_stream")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

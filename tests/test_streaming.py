@@ -777,3 +777,31 @@ def test_rollup_stream_redelivery_is_idempotent(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.read.parquet(state).collect()))
     assert got == want, "redelivered batch was double-counted"
+
+
+def test_hll_stream_registers_match_batch_sketch(spark, tmp_path):
+    # Register table folded over two micro-batches must equal the
+    # registers over all keys at once (MAX-merge mergeability), so the
+    # streamed sketch yields the identical distinct-count estimate.
+    from date_warehouse___airline_project_spark.plans.sketches import hll_registers
+    from date_warehouse___airline_project_spark.streaming.sketch_stream import (
+        run_hll_stream,
+    )
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    (input_dir / "b1.txt").write_text("\n".join(str(i * 13 % 401) for i in range(300)))
+    state = str(tmp_path / "state")
+    q = run_hll_stream(spark, str(input_dir), state, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    (input_dir / "b2.txt").write_text("\n".join(str(i * 7 % 269) for i in range(200)))
+    q = run_hll_stream(spark, str(input_dir), state, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {r.idx: r.r for r in spark.read.parquet(state).collect()}
+    all_keys = spark.createDataFrame(
+        [(i * 13 % 401,) for i in range(300)] + [(i * 7 % 269,) for i in range(200)],
+        ["user_id"],
+    )
+    want = {r.idx: r.r for r in hll_registers(all_keys, "user_id").collect()}
+    assert got == want
