@@ -106,6 +106,9 @@ _NEW_R03 = [
     "doc_neardup_keep_canonical",
     "emb_ivfpq_topk",
     "doc_hashed_embedding_neardup",
+    "incremental_dedup_bloom",
+    "doc_negative_sampling",
+    "emb_semdedup_prune",
 ]
 
 # A query whose behavior changed this round is no longer certified — it

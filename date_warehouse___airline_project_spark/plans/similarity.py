@@ -774,3 +774,112 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic dedup (Abbas et al. 2023 shape)
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.3
+
+_SEMDEDUP_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id % 25 = 0),
+    samp AS (SELECT vec_id, emb FROM e WHERE vec_id % 4 = 0),
+    {_iter_sql(1, 'c0')},
+    {_iter_sql(2, 'c1')},
+    af AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT e.vec_id, e.emb, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_rank_sql('e.emb', 'c.cvec')} DESC, c.cid) AS rn
+        FROM e, c2 c) WHERE rn = 1),
+    ranked AS (
+      SELECT a.vec_id, a.cid, a.emb,
+             ROW_NUMBER() OVER (PARTITION BY a.cid
+                                ORDER BY {_cos_sql('a.emb', 'c.cvec')} DESC,
+                                         a.vec_id) AS rnk
+      FROM af a JOIN c2 c ON a.cid = c.cid),
+    dropped AS (
+      SELECT DISTINCT p.vec_id
+      FROM ranked p JOIN ranked q
+        ON p.cid = q.cid AND q.rnk < p.rnk
+       AND ROUND({_cos_sql('p.emb', 'q.emb')}, 6) >= {_SEMDEDUP_TAU})
+    SELECT r.vec_id, r.cid AS centroid_id,
+           CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+    FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id
+    ORDER BY r.vec_id
+"""
+
+
+@query(
+    "emb_semdedup_prune",
+    oracle=_SEMDEDUP_ORACLE,
+    doc=f"SemDeDup-style semantic dedup (Abbas et al. 2023): k-means "
+    f"clusters bound the pairwise work, then WITHIN each cluster a vector "
+    f"is dropped when a better-ranked clustermate (rank = cosine to the "
+    f"cluster centroid, ties by id) is within cos >= {_SEMDEDUP_TAU} of it "
+    f"— the greedy keep-the-most-central rule. The pairwise stage is "
+    f"Sigma cluster^2, never n^2: clustering first is precisely what makes "
+    f"semantic dedup feasible at 100 TB (pairs join is an equi-join on "
+    f"cid). Training reuses the memoized decimal-exact Lloyd codebook "
+    f"(operators/similarity.py::kmeans_lloyd), so a session that already "
+    f"ran the IVF queries pays nothing extra; the oracle replicates the "
+    f"full train -> assign -> rank -> prune chain bit-for-bit.",
+)
+def emb_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import assign_to_centroids, kmeans_lloyd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_lloyd(e, centroid_mod=25, sample_mod=4, iters=2)
+    assigned = assign_to_centroids(e, cents, impl="arrow").select(
+        "vec_id", "embedding", F.col("centroid_id").alias("cid")
+    )
+    ranked = (
+        assigned.join(
+            F.broadcast(cents.select(F.col("_cid").alias("cid"), "_cvec")), "cid"
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                # per-cluster window: bounded by cluster size, never global
+                W.partitionBy("cid").orderBy(
+                    cosine(F.col("embedding"), F.col("_cvec")).desc(),
+                    F.col("vec_id").asc(),
+                )
+            ),
+        )
+        .select("vec_id", "cid", "embedding", "rnk")
+    )
+    p = ranked.select(
+        "cid",
+        F.col("vec_id").alias("_pid"),
+        F.col("embedding").alias("_pemb"),
+        F.col("rnk").alias("_prnk"),
+    )
+    q = ranked.select(
+        "cid",
+        F.col("embedding").alias("_qemb"),
+        F.col("rnk").alias("_qrnk"),
+    )
+    dropped = (
+        p.join(q, "cid")
+        .filter(F.col("_qrnk") < F.col("_prnk"))
+        .filter(
+            F.round(cosine(F.col("_pemb"), F.col("_qemb")), 6) >= _SEMDEDUP_TAU
+        )
+        .select(F.col("_pid").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return (
+        ranked.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cid").alias("centroid_id"),
+            F.when(F.col("_dropped").isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )

@@ -343,3 +343,113 @@ def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_error"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: Bloom prefilter + exact verify
+# ---------------------------------------------------------------------------
+
+_INC_M, _INC_K = 8192, 3
+
+# Same normalized-prefix fingerprint as doc_fingerprint_dupes (plans/text.py)
+# so the synthetic corpus's boilerplate dups are visible to the dedup.
+_FP_SQL = (
+    "MD5(SUBSTR(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'), 1, 64))"
+)
+
+_INC_ORACLE = f"""
+    WITH fp AS (SELECT doc_id, {_FP_SQL} AS fp FROM documents),
+    corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 <> 0),
+    batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % 5 = 0),
+    seeds AS (SELECT UNNEST(range(0, {_INC_K})) AS j),
+    bits AS (
+      SELECT DISTINCT
+             {_HASH_SQL.format(c="CONCAT(CAST(j AS VARCHAR), ':', fp)")}
+             % {_INC_M} AS bit
+      FROM corpus, seeds),
+    probe AS (
+      SELECT b.doc_id, b.fp,
+             SUM(CASE WHEN t.bit IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      FROM batch b CROSS JOIN seeds s
+      LEFT JOIN bits t
+        ON {_HASH_SQL.format(c="CONCAT(CAST(s.j AS VARCHAR), ':', b.fp)")}
+           % {_INC_M} = t.bit
+      GROUP BY b.doc_id, b.fp)
+    SELECT p.doc_id,
+           CASE WHEN p.n_hit = {_INC_K} THEN 1 ELSE 0 END AS bloom_candidate,
+           CASE WHEN p.n_hit = {_INC_K}
+                 AND EXISTS (SELECT 1 FROM corpus c WHERE c.fp = p.fp)
+                THEN 1 ELSE 0 END AS is_dup
+    FROM probe p
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "incremental_dedup_bloom",
+    oracle=_INC_ORACLE,
+    doc=f"Incremental corpus dedup — the arriving-batch-vs-100 TB-corpus "
+    f"shape: an m={_INC_M}, k={_INC_K} Bloom filter built over the EXISTING "
+    f"corpus's content fingerprints is the only corpus artifact the batch "
+    f"ever probes (<= m rows, broadcast); batch docs whose k bits all hit "
+    f"are candidates, and ONLY candidates are exact-verified — the verify "
+    f"semi-joins the corpus against the BROADCAST candidate fingerprint "
+    f"set, so the corpus side never shuffles and false positives are "
+    f"removed exactly (output equals a plain anti-join, which is the "
+    f"oracle). Per-doc verdicts expose the FP accounting: bloom_candidate=1 "
+    f"with is_dup=0 is a Bloom false positive.",
+)
+def incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.substring(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), 1, 64)
+    )
+    fps = d.select("doc_id", fp.alias("fp"))
+    corpus = fps.filter(F.col("doc_id") % 5 != 0).select("fp").distinct()
+    batch = fps.filter(F.col("doc_id") % 5 == 0)
+    seeds = F.array(*[F.lit(j) for j in range(_INC_K)])
+
+    bits = (
+        corpus.select(F.explode(seeds).alias("j"), "fp")
+        .select(seeded_bucket(F.col("fp"), F.col("j"), _INC_M).alias("bit"))
+        .distinct()
+    )
+    probe_bits = batch.select("doc_id", "fp", F.explode(seeds).alias("j")).select(
+        "doc_id", "fp", seeded_bucket(F.col("fp"), F.col("j"), _INC_M).alias("bit")
+    )
+    cand = (
+        probe_bits.join(
+            F.broadcast(bits.withColumn("_found", F.lit(1))), "bit", "left"
+        )
+        .groupBy("doc_id", "fp")
+        .agg(F.sum(F.coalesce(F.col("_found"), F.lit(0))).alias("n_hit"))
+        .withColumn(
+            "bloom_candidate",
+            F.when(F.col("n_hit") == _INC_K, F.lit(1)).otherwise(F.lit(0)),
+        )
+    )
+    # Exact verify of candidates only: the corpus is scanned once against the
+    # BROADCAST candidate fingerprints (left-semi) — at 100 TB the big side
+    # never shuffles; the surviving dup fingerprints are themselves tiny and
+    # broadcast back onto the per-doc verdicts.
+    dup_fps = corpus.join(
+        F.broadcast(
+            cand.filter(F.col("bloom_candidate") == 1).select("fp").distinct()
+        ),
+        "fp",
+        "left_semi",
+    ).withColumn("_dup", F.lit(1))
+    return (
+        cand.join(F.broadcast(dup_fps), "fp", "left")
+        .select(
+            "doc_id",
+            "bloom_candidate",
+            F.when(
+                (F.col("bloom_candidate") == 1) & F.col("_dup").isNotNull(),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )

@@ -613,3 +613,86 @@ def doc_hashed_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling (contrastive-training pairs)
+# ---------------------------------------------------------------------------
+
+_NEG_B = 32  # candidate buckets; at corpus scale pick B ~ n / desired_pool
+_NEG_K = 4   # negatives per anchor
+
+_NEG_ORACLE = f"""
+    WITH pool AS (
+      SELECT doc_id, source,
+             {_HASH_SQL.format(c="doc_id")} % {_NEG_B} AS bucket
+      FROM documents),
+    anchors AS (
+      SELECT doc_id AS anchor_id, source AS anchor_source,
+             {_HASH_SQL.format(c="doc_id")} % {_NEG_B} AS bucket
+      FROM documents WHERE doc_id % 50 = 0),
+    ranked AS (
+      SELECT a.anchor_id, p.doc_id AS neg_id, p.source AS neg_source,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.anchor_id
+               ORDER BY {_HASH_SQL.format(
+                   c="CONCAT(CAST(a.anchor_id AS VARCHAR), '|', CAST(p.doc_id AS VARCHAR))")},
+                        p.doc_id) AS neg_rank
+      FROM anchors a JOIN pool p
+        ON p.bucket = a.bucket AND p.source <> a.anchor_source)
+    SELECT anchor_id, neg_rank, neg_id, neg_source
+    FROM ranked WHERE neg_rank <= {_NEG_K}
+    ORDER BY anchor_id, neg_rank
+"""
+
+
+@query(
+    "doc_negative_sampling",
+    oracle=_NEG_ORACLE,
+    doc=f"Deterministic negative sampling for contrastive training: each "
+    f"anchor doc draws {_NEG_K} negatives from OTHER sources without ever "
+    f"scanning the full corpus per anchor — both sides are hash-assigned "
+    f"to {_NEG_B} buckets and the draw is an equi-join on the anchor's own "
+    f"bucket (per-anchor candidate pool = n/B rows), ranked by a pair hash "
+    f"so the sample is pseudo-random yet reproducible on any engine. At "
+    f"100 TB: B scales with n to bound the pool, the join shuffles on the "
+    f"bucket key only, and the per-anchor top-k is a bounded window — no "
+    f"cross join, no RNG.",
+)
+def doc_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    pool = d.select(
+        F.col("doc_id").alias("neg_id"),
+        F.col("source").alias("neg_source"),
+        (_hash56(F.col("doc_id")) % _NEG_B).alias("bucket"),
+    )
+    anchors = (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            F.col("source").alias("anchor_source"),
+            (_hash56(F.col("doc_id")) % _NEG_B).alias("bucket"),
+        )
+    )
+    pair_hash = _hash56(
+        F.concat(
+            F.col("anchor_id").cast("string"),
+            F.lit("|"),
+            F.col("neg_id").cast("string"),
+        )
+    )
+    ranked = (
+        anchors.join(pool, "bucket")
+        .filter(F.col("neg_source") != F.col("anchor_source"))
+        .withColumn(
+            "neg_rank",
+            F.row_number().over(
+                W.partitionBy("anchor_id").orderBy(pair_hash.asc(), F.col("neg_id").asc())
+            ),
+        )
+    )
+    return (
+        ranked.filter(F.col("neg_rank") <= _NEG_K)
+        .select("anchor_id", "neg_rank", "neg_id", "neg_source")
+        .orderBy("anchor_id", "neg_rank")
+    )

@@ -318,3 +318,30 @@ def test_hashed_neardup_verify_is_bucket_grouped_arrow(spark):
     # broadcast of the tiny dedup/dim side, never a bucket-keyed equi join
     assert "BroadcastHashJoin [bucket" not in final
     assert "SortMergeJoin [bucket" not in final
+
+
+def test_incremental_bloom_corpus_side_never_shuffles(spark):
+    # Both the bit-set probe and the exact verify join broadcast small
+    # relations onto the scans — the corpus never hits an exchange-for-join
+    # (at 100 TB the corpus is the unshufflable side).
+    plan = plan_of(spark, "incremental_dedup_bloom")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan.split("Initial Plan")[0]
+
+
+def test_negative_sampling_bucketed_join_and_bounded_window(spark):
+    plan = plan_of(spark, "doc_negative_sampling")
+    # the draw is an equi-join on the hash bucket, never a cross join ...
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # ... and the top-k window is per-anchor, never global
+    assert "windowspecdefinition(anchor_id" in plan
+
+
+def test_semdedup_pairs_equijoin_on_cluster(spark):
+    plan = plan_of(spark, "emb_semdedup_prune")
+    # the pairwise stage joins on cid (Sigma cluster^2) — no cartesian,
+    # and both windows are per-cluster / per-vector, never global
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(cid" in plan
