@@ -1,0 +1,130 @@
+"""Streaming incremental corpus dedup — the continuous form of
+``plans/sketches.py::incremental_dedup_bloom``.
+
+Each micro-batch of arriving documents is deduped in three layers:
+
+  1. WITHIN the batch: keep the lowest doc_id per content fingerprint
+     (a keyed aggregate — the same first-wins rule as the batch operator).
+  2. AGAINST the accumulated corpus: anti-join the batch's fingerprints
+     with the persistent fingerprint state table.
+  3. State fold: the accepted fingerprints union-distinct into the state
+     through the shared ``state_table.fold_into_state`` discipline —
+     atomic swap-in, crash recovery, and the last-applied batch-id guard
+     that makes at-least-once foreachBatch redelivery a no-op.
+
+Accepted documents are written to ``out_dir/batch=<id>`` with overwrite,
+so a redelivered batch rewrites its own partition instead of
+double-appending — the output side is idempotent by construction, the
+state side by the batch-id guard.
+
+Scale shape: the state table is one row per distinct fingerprint — the
+16-byte-key relation a production dedup keeps as a table. This module's
+parquet emulation rewrites the state per batch (same trade as
+``sources/merge_target.py``); with a transactional format present the
+fold becomes an insert-only MERGE keyed on fingerprint, and at 100 TB
+the state partitions by a fingerprint prefix so a batch touches only its
+dirty partitions. The batch-side plan is identical either way: the
+corpus-scale relation is the STATE, and the batch only ever joins
+against it keyed on fingerprint — never a scan of accepted documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .state_table import fold_into_state, last_applied_batch_id, recover_state
+
+
+def content_fingerprint(text_col: str = "text"):
+    """Normalized-prefix md5 fingerprint — identical to the batch operator
+    (plans/text.py::doc_fingerprint_dupes, plans/sketches.py::
+    incremental_dedup_bloom), so stream and batch agree on what 'same
+    content' means."""
+    return F.md5(
+        F.substring(
+            F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "), 1, 64
+        )
+    )
+
+
+def merge_fingerprints(state: DataFrame, batch: DataFrame) -> DataFrame:
+    """Union-distinct fold: the state is the SET of seen fingerprints."""
+    return state.unionByName(batch).distinct()
+
+
+def dedup_batch(docs: DataFrame, state: DataFrame | None) -> DataFrame:
+    """Layers 1+2 for one batch: first-wins within the batch, then
+    anti-join against the seen-fingerprint state. Returns accepted rows
+    (doc_id, text, fp)."""
+    fps = docs.withColumn("fp", content_fingerprint("text"))
+    first_wins = (
+        fps.groupBy("fp")
+        .agg(F.min_by(F.struct("doc_id", "text"), "doc_id").alias("_w"))
+        .select(F.col("_w.doc_id").alias("doc_id"), F.col("_w.text").alias("text"), "fp")
+    )
+    if state is None:
+        return first_wins
+    return first_wins.join(state, "fp", "left_anti")
+
+
+def run_incremental_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuously accept only never-seen documents from a JSON-lines
+    drop dir (``{"doc_id": ..., "text": ...}`` per line).
+
+    Returns the StreamingQuery. The file source swaps for the Kafka
+    consumer unchanged — the batch plan needs only doc_id/text columns.
+    """
+    import os
+
+    recover_state(state_dir)
+    schema = "doc_id LONG, text STRING"
+    raw = (
+        spark.readStream.format("text")
+        .load(input_dir)
+        .select(F.from_json("value", schema).alias("_r"))
+        .select("_r.doc_id", "_r.text")
+        .where(F.col("doc_id").isNotNull())
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Guard the WHOLE batch, not just the fold: a crash after the fold
+        # but before the checkpoint commit redelivers the batch with its
+        # own fingerprints already in state — recomputing 'accepted' then
+        # would be empty and clobber the batch's output dir. Skipping the
+        # redelivery keeps both effects (output dir + state) at their
+        # already-correct values.
+        recover_state(state_dir)
+        if batch_id <= last_applied_batch_id(state_dir):
+            return
+        state = (
+            spark.read.parquet(state_dir) if os.path.exists(state_dir) else None
+        )
+        accepted = dedup_batch(batch_df, state)
+        # idempotent output: a redelivered batch overwrites its own dir
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        fold_into_state(
+            spark,
+            state_dir,
+            batch_id,
+            accepted.select("fp").distinct(),
+            merge_fingerprints,
+        )
+
+    writer = (
+        raw.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("incremental_dedup_stream")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

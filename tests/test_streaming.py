@@ -805,3 +805,85 @@ def test_hll_stream_registers_match_batch_sketch(spark, tmp_path):
     )
     want = {r.idx: r.r for r in hll_registers(all_keys, "user_id").collect()}
     assert got == want
+
+
+def test_incremental_dedup_stream_accepts_only_first_sighting(spark, tmp_path):
+    # Three dedup layers across two micro-batches: within-batch first-wins,
+    # cross-batch state rejection, and the accepted output per batch.
+    import json
+
+    from date_warehouse___airline_project_spark.streaming.dedup_stream import (
+        run_incremental_dedup_stream,
+    )
+
+    def jl(*rows):
+        return "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 0: doc 2 duplicates doc 1 (same normalized content) -> first wins
+    (input_dir / "b1.jsonl").write_text(
+        jl((1, "Alpha  beta"), (2, "alpha BETA"), (3, "gamma delta"))
+    )
+    q = run_incremental_dedup_stream(spark, str(input_dir), state, out, ckpt)
+    q.awaitTermination(120)
+    # batch 1: doc 4 repeats batch-0 content (rejected by state);
+    # doc 5 is new
+    (input_dir / "b2.jsonl").write_text(
+        jl((4, "ALPHA beta"), (5, "epsilon zeta"))
+    )
+    q = run_incremental_dedup_stream(spark, str(input_dir), state, out, ckpt)
+    q.awaitTermination(120)
+
+    accepted = {
+        r.doc_id for r in spark.read.parquet(f"{out}/batch=0").collect()
+    } | {r.doc_id for r in spark.read.parquet(f"{out}/batch=1").collect()}
+    assert accepted == {1, 3, 5}
+    # state holds exactly the accepted distinct fingerprints
+    assert spark.read.parquet(state).count() == 3
+
+
+def test_incremental_dedup_stream_redelivery_preserves_output(spark, tmp_path):
+    # Crash-after-fold redelivery: replaying batch 0 against a state that
+    # already contains its fingerprints must NOT clobber the batch's
+    # accepted output with an empty overwrite — the batch-id guard skips
+    # the whole redelivered batch.
+    import json
+
+    from date_warehouse___airline_project_spark.streaming.dedup_stream import (
+        run_incremental_dedup_stream,
+    )
+    from date_warehouse___airline_project_spark.streaming.state_table import (
+        last_applied_batch_id,
+    )
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    (input_dir / "b1.jsonl").write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": t})
+            for i, t in [(1, "alpha beta"), (2, "gamma delta")]
+        )
+    )
+    q = run_incremental_dedup_stream(
+        spark, str(input_dir), state, out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert last_applied_batch_id(state) == 0
+    before = {r.doc_id for r in spark.read.parquet(f"{out}/batch=0").collect()}
+    assert before == {1, 2}
+
+    shutil.rmtree(tmp_path / "ckpt")  # forces redelivery of batch 0
+    q = run_incremental_dedup_stream(
+        spark, str(input_dir), state, out, str(tmp_path / "ckpt2")
+    )
+    q.awaitTermination(120)
+    after = {r.doc_id for r in spark.read.parquet(f"{out}/batch=0").collect()}
+    assert after == before, "redelivery clobbered the accepted output"
+    assert spark.read.parquet(state).count() == 2
