@@ -74,3 +74,40 @@ def safe_upsert(df: DataFrame, path: str, key: list[str]) -> str:
         # fallback: plain append (reference's insert-on-upsert-failure)
         df.write.mode("append").parquet(path)
         return "inserted"
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> None:
+    """Write a training-export sharded corpus: rows land in
+    ``<path>/shard=<s>/`` ordered by their deterministic in-shard position
+    (the hash-shuffle contract of
+    plans/training_data.py::doc_shard_export_assignment).
+
+    Co-location before the partitioned write, same discipline as the IVF
+    index write (operators/similarity.py::save_ivf_index): repartition on
+    the shard key so each shard is written by one task as one run of
+    files, then sortWithinPartitions fixes the in-file row order —
+    without the exchange every input task would write a sliver into
+    every shard dir (tasks × shards small files). At 100 TB the same
+    plan holds with shuffle-partitions ≥ n_shards; shards write in
+    parallel and readers stream one dir per worker.
+    """
+    from ..functions.hashing import hash56
+
+    h = df.withColumn("_h56", hash56(F.col(id_col)))
+    sharded = h.withColumn("shard", (F.col("_h56") % n_shards).cast("bigint"))
+    (
+        # sort leads with the partition column: the dynamic-partition writer
+        # requires rows ordered by its partition cols and would re-sort (NOT
+        # stably) if the child ordering didn't already satisfy that prefix
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_h56", id_col)
+        .drop("_h56")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -219,3 +219,48 @@ def test_parquet_merge_target_dedups_within_batch(spark, tmp_path):
     t.upsert(spark.createDataFrame([(1, "c"), (1, "d"), (2, "e")], ["k", "v"]), ["k"])
     rows = t.read().groupBy("k").count().collect()
     assert all(r["count"] == 1 for r in rows) and len(rows) == 2
+
+
+def test_export_shards_roundtrip_order_and_colocation(spark, tmp_path):
+    # The written corpus must (a) partition into exactly the assigned
+    # shards, (b) preserve the deterministic in-shard hash order as the
+    # file row order, (c) write each shard as ONE task's output (the
+    # co-location contract), so readers stream a shard sequentially.
+    import glob
+
+    import pandas as pd
+
+    from date_warehouse___airline_project_spark.functions.hashing import hash56
+    from date_warehouse___airline_project_spark.sources.sinks import export_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "shards")
+    export_shards(docs, path, n_shards=4)
+
+    # (a) assignment parity with the registry query's rule
+    want = {
+        (r.doc_id, r.shard)
+        for r in docs.select(
+            "doc_id", (hash56(F.col("doc_id")) % 4).cast("bigint").alias("shard")
+        ).collect()
+    }
+    got = {
+        (r.doc_id, r.shard)
+        for r in spark.read.parquet(path).select("doc_id", "shard").collect()
+    }
+    assert got == want
+    # (b)+(c) one data file per shard; file row order == hash order
+    for s in range(4):
+        files = [
+            f
+            for f in glob.glob(f"{path}/shard={s}/*")
+            if not f.endswith(".crc") and "_SUCCESS" not in f
+        ]
+        assert len(files) == 1, f"shard {s} not co-located: {files}"
+        pdf = pd.read_parquet(files[0])
+        hashes = [
+            r.h for r in spark.createDataFrame(pdf[["doc_id"]])
+            .select(hash56(F.col("doc_id")).alias("h"))
+            .collect()
+        ]
+        assert hashes == sorted(hashes), f"shard {s} rows not in hash order"
