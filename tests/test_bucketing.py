@@ -98,3 +98,49 @@ def test_partitioned_parquet_write_prunes_partitions(spark, tmp_path):
     all_files = glob.glob(f"{path}/o_year=*/*.parquet")
     files_1996 = glob.glob(f"{path}/o_year=1996/*.parquet")
     assert len(files_1996) > 0 and len(files_1996) < len(all_files)
+
+
+def test_zorder_write_tightens_file_stats_on_both_columns(spark, tmp_path):
+    # A linear sort on col A leaves per-file min-max spans on col B at
+    # ~full range (no pruning possible on B); the Morton layout must keep
+    # per-file spans small on BOTH columns. Assert z-order's mean span on
+    # the NON-sort column beats the linear layout by a wide margin.
+    import glob
+
+    import pandas as pd
+
+    from date_warehouse___airline_project_spark.sources.zorder import zorder_write
+
+    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "linear")
+    zorder_write(o, zpath, ["o_custkey", "o_totalprice"], n_files=8)
+    (
+        o.repartitionByRange(8, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def mean_span(path, col):
+        spans, glo, ghi = [], None, None
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            s = pd.read_parquet(f, columns=[col])[col]
+            if len(s) == 0:
+                continue
+            spans.append(float(s.max() - s.min()))
+            glo = s.min() if glo is None else min(glo, s.min())
+            ghi = s.max() if ghi is None else max(ghi, s.max())
+        return (sum(spans) / len(spans)) / float(ghi - glo)
+
+    # linear layout: tight on custkey, ~full-range on totalprice
+    assert mean_span(lpath, "o_custkey") < 0.25
+    assert mean_span(lpath, "o_totalprice") > 0.8
+    # z-order: materially tight on BOTH
+    z_cust = mean_span(zpath, "o_custkey")
+    z_price = mean_span(zpath, "o_totalprice")
+    assert z_cust < 0.6 and z_price < 0.6, (z_cust, z_price)
+    assert z_price < 0.75 * mean_span(lpath, "o_totalprice")
