@@ -109,6 +109,10 @@ _NEW_R03 = [
     "incremental_dedup_bloom",
     "doc_negative_sampling",
     "emb_semdedup_prune",
+    "doc_packed_sequences",
+    "doc_train_val_test_split",
+    "hll_grouped_daily_uniques",
+    "cms_heavy_hitters_verified",
 ]
 
 # A query whose behavior changed this round is no longer certified — it

@@ -453,3 +453,200 @@ def incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped HyperLogLog: per-key distinct estimates (daily uniques)
+# ---------------------------------------------------------------------------
+
+_GHLL_ORACLE = f"""
+    WITH h AS (
+      SELECT STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             {_HASH_SQL.format(c="CAST(user_id AS VARCHAR)")} AS hv,
+             user_id
+      FROM events),
+    parts AS (SELECT day, hv % {_HLL_M} AS idx, hv // {_HLL_M} AS rest FROM h),
+    lb AS (SELECT UNNEST(range(0, 50)) AS j),
+    lbv AS (SELECT j, CAST(1 AS BIGINT) << j AS lowbit FROM lb),
+    rk AS (
+      SELECT p.day, p.idx,
+             CASE WHEN p.rest = 0 THEN 51 ELSE r.j + 1 END AS rank
+      FROM parts p
+      LEFT JOIN lbv r ON (p.rest & (-p.rest)) = r.lowbit),
+    regs AS (SELECT day, idx, MAX(rank) AS r FROM rk GROUP BY day, idx),
+    summary AS (
+      SELECT day,
+             CAST(COUNT(*) AS BIGINT) AS n_registers_set,
+             CAST(SUM(CAST(1 AS BIGINT) << (51 - r)) AS BIGINT) AS s_scaled
+      FROM regs GROUP BY day),
+    exact AS (
+      SELECT STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY day),
+    est AS (
+      SELECT s.day, s.n_registers_set, s.s_scaled, e.n_exact,
+             0.709 * {_HLL_M} * {_HLL_M}
+               / (CAST(s.s_scaled AS DOUBLE) / CAST(CAST(1 AS BIGINT) << 51 AS DOUBLE)
+                  + ({_HLL_M} - s.n_registers_set)) AS e_raw
+      FROM summary s JOIN exact e ON s.day = e.day)
+    SELECT day, n_exact, n_registers_set, s_scaled,
+           ROUND(CASE WHEN e_raw <= 2.5 * {_HLL_M}
+                       AND n_registers_set < {_HLL_M}
+                      THEN {_HLL_M} * LN(CAST({_HLL_M} AS DOUBLE)
+                                         / ({_HLL_M} - n_registers_set))
+                      ELSE e_raw END, 4) AS hll_estimate
+    FROM est
+    ORDER BY day
+"""
+
+
+@query(
+    "hll_grouped_daily_uniques",
+    oracle=_GHLL_ORACLE,
+    doc=f"Grouped HyperLogLog — daily unique users, the dashboard shape: "
+    f"the register computation of hll_distinct_sketch keyed by day, so "
+    f"the shuffle is <= groups x m rows after the map-side partial MAX "
+    f"(never per-event). Each group's {_HLL_M}-register state is "
+    f"independently mergeable (register-wise MAX), which is exactly what "
+    f"lets daily sketches roll up to weekly/monthly uniques WITHOUT "
+    f"rescanning events — the property COUNT(DISTINCT) loses. The exact "
+    f"count rides along per group to expose the estimation error.",
+)
+def hll_grouped_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash56
+
+    ev = load_table(spark, sf_dir, "events")
+    lbv = ev.sparkSession.createDataFrame(
+        [(j, 1 << j) for j in range(50)], "j int, lowbit long"
+    )
+    parts = ev.select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        hash56(F.col("user_id")).alias("hv"),
+    ).select(
+        "day",
+        (F.col("hv") % _HLL_M).alias("idx"),
+        F.expr(f"hv div {_HLL_M}").alias("rest"),
+    )
+    rk = parts.join(
+        F.broadcast(lbv), F.expr("rest & (-rest)") == F.col("lowbit"), "left"
+    ).select(
+        "day",
+        "idx",
+        F.when(F.col("rest") == 0, F.lit(51)).otherwise(F.col("j") + 1).alias("rank"),
+    )
+    regs = rk.groupBy("day", "idx").agg(F.max("rank").alias("r"))
+    summary = regs.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_registers_set"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 51 - r)"))
+        .cast("bigint")
+        .alias("s_scaled"),
+    )
+    exact = ev.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    ).agg(F.count_distinct("user_id").cast("bigint").alias("n_exact"))
+    est = summary.join(exact, "day").withColumn(
+        "e_raw",
+        F.lit(0.709 * _HLL_M * _HLL_M)
+        / (
+            F.col("s_scaled").cast("double") / F.lit(float(1 << 51))
+            + (F.lit(_HLL_M) - F.col("n_registers_set"))
+        ),
+    )
+    small = (F.col("e_raw") <= 2.5 * _HLL_M) & (F.col("n_registers_set") < _HLL_M)
+    corrected = F.when(
+        small,
+        F.lit(_HLL_M)
+        * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("n_registers_set"))),
+    ).otherwise(F.col("e_raw"))
+    return est.select(
+        "day",
+        "n_exact",
+        "n_registers_set",
+        "s_scaled",
+        F.round(corrected, 4).alias("hll_estimate"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# CMS-pruned heavy hitters with exact verification
+# ---------------------------------------------------------------------------
+
+_HH_T = 75
+
+_HH_ORACLE = f"""
+    WITH rows_ AS (SELECT user_id FROM events),
+    seeds AS (SELECT UNNEST(range(0, {_CMS_D})) AS d),
+    cells AS (
+      SELECT s.d,
+             {_HASH_SQL.format(c="CONCAT(CAST(s.d AS VARCHAR), ':', CAST(r.user_id AS VARCHAR))")}
+                 % {_CMS_W} AS cell,
+             COUNT(*) AS cnt
+      FROM rows_ r CROSS JOIN seeds s
+      GROUP BY s.d, cell),
+    keys AS (SELECT DISTINCT user_id FROM rows_),
+    est AS (
+      SELECT k.user_id, MIN(c.cnt) AS cms_estimate
+      FROM keys k CROSS JOIN seeds s
+      JOIN cells c
+        ON c.d = s.d
+       AND c.cell = {_HASH_SQL.format(c="CONCAT(CAST(s.d AS VARCHAR), ':', CAST(k.user_id AS VARCHAR))")}
+                    % {_CMS_W}
+      GROUP BY k.user_id),
+    cand AS (SELECT user_id, cms_estimate FROM est WHERE cms_estimate >= {_HH_T}),
+    verified AS (
+      SELECT r.user_id, COUNT(*) AS exact_count
+      FROM rows_ r JOIN cand c ON r.user_id = c.user_id
+      GROUP BY r.user_id)
+    SELECT v.user_id, v.exact_count, c.cms_estimate
+    FROM verified v JOIN cand c ON v.user_id = c.user_id
+    WHERE v.exact_count >= {_HH_T}
+    ORDER BY v.exact_count DESC, v.user_id
+"""
+
+
+@query(
+    "cms_heavy_hitters_verified",
+    oracle=_HH_ORACLE,
+    doc=f"Exact heavy hitters (count >= {_HH_T}) found the sketch-pruned "
+    f"way: CMS estimates never UNDER-count, so keys whose d-cell minimum "
+    f"clears the threshold are a SUPERSET of the true heavy hitters — the "
+    f"exact counting pass then runs only over that candidate set "
+    f"(broadcast semi-join; the full stream is re-scanned but only "
+    f"candidate keys are aggregated) and trims the sketch's false "
+    f"positives. Result is provably exact, the same prune-then-verify "
+    f"contract as incremental_dedup_bloom. At 100 TB the d x w cell "
+    f"relation and the candidate set both broadcast; no per-key state "
+    f"beyond the sketch until a key is already a candidate.",
+)
+def cms_heavy_hitters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    seeds = F.array(*[F.lit(d) for d in range(_CMS_D)])
+
+    def cell(d_col, key_col):
+        return seeded_bucket(key_col, d_col, _CMS_W)
+
+    cells = (
+        ev.select("user_id", F.explode(seeds).alias("d"))
+        .groupBy("d", cell(F.col("d"), F.col("user_id")).alias("cell"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    keys = ev.distinct()
+    est = (
+        keys.select("user_id", F.explode(seeds).alias("d"))
+        .select("user_id", "d", cell(F.col("d"), F.col("user_id")).alias("cell"))
+        .join(F.broadcast(cells), ["d", "cell"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    cand = est.filter(F.col("cms_estimate") >= _HH_T)
+    verified = (
+        ev.join(F.broadcast(cand.select("user_id")), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return (
+        verified.join(F.broadcast(cand), "user_id")
+        .filter(F.col("exact_count") >= _HH_T)
+        .select("user_id", "exact_count", "cms_estimate")
+        .orderBy(F.desc("exact_count"), "user_id")
+    )

@@ -696,3 +696,127 @@ def doc_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", "neg_rank", "neg_id", "neg_source")
         .orderBy("anchor_id", "neg_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Materialized packed sequences (the export form of sequence packing)
+# ---------------------------------------------------------------------------
+
+_PACKED_SEQ_ORACLE = f"""
+    WITH t AS (
+      SELECT source, doc_id, text,
+             CAST(LENGTH(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, text, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      FROM t)
+    SELECT source,
+           CAST(FLOOR(cum_prev / {_PACK_CAPACITY}.0) AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+           STRING_AGG(text, ' ' ORDER BY doc_id) AS seq_text
+    FROM c
+    GROUP BY source, pack_id
+    ORDER BY source, pack_id
+"""
+
+
+@query(
+    "doc_packed_sequences",
+    oracle=_PACKED_SEQ_ORACLE,
+    doc=f"Materialized training sequences: the packing assignment of "
+    f"doc_sequence_packing PLUS the actual concatenated text per pack "
+    f"(docs joined in doc_id order). The concat is collect_list of "
+    f"(doc_id, text) structs -> array_sort -> join — a keyed aggregate "
+    f"whose per-group payload is one training sequence (~{_PACK_CAPACITY} "
+    f"tokens), bounded by the pack capacity regardless of corpus size; "
+    f"the window is per-source as in the assignment query. This is the "
+    f"step that writes actual model inputs, fused into the same "
+    f"one-pass plan.",
+)
+def doc_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "source",
+        "doc_id",
+        "text",
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    c = t.withColumn("cum_prev", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    return (
+        c.groupBy(
+            "source",
+            F.floor(F.col("cum_prev") / float(_PACK_CAPACITY)).cast("bigint").alias("pack_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("pack_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("seq_text"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = f"""
+    WITH s AS (
+      SELECT source,
+             CASE {_HASH_SQL.format(c="doc_id")} % 10
+               WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split,
+             CAST(LENGTH(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+      FROM documents)
+    SELECT source, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM s
+    GROUP BY source, split
+    ORDER BY source, split
+"""
+
+
+@query(
+    "doc_train_val_test_split",
+    oracle=_SPLIT_ORACLE,
+    doc="Deterministic 80/10/10 train/val/test split: membership is a pure "
+    "function of the doc-id hash (hash % 10 -> test/val/train), so the "
+    "split is disjoint-and-total by construction, reproducible on any "
+    "engine, and STABLE under corpus growth — adding documents never "
+    "moves an existing one between splits (the property RNG-based "
+    "splitting loses). Scan-side expression + one keyed aggregate; no "
+    "shuffle of per-doc rows beyond the stats rollup.",
+)
+def doc_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    h = _hash56(F.col("doc_id")) % 10
+    split = (
+        F.when(h == 0, F.lit("test")).when(h == 1, F.lit("val")).otherwise(F.lit("train"))
+    )
+    return (
+        d.select(
+            "source",
+            split.alias("split"),
+            F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_tok"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("source", "split")
+    )

@@ -403,6 +403,8 @@ def test_round3_queries_survive_empty_corpus(spark, tmp_path):
         "incremental_dedup_bloom",
         "doc_negative_sampling",
         "emb_semdedup_prune",
+        "doc_packed_sequences",
+        "doc_train_val_test_split",
     ]:
         assert plans.REGISTRY[name].fn(spark, d).collect() == [], name
 

@@ -345,3 +345,24 @@ def test_semdedup_pairs_equijoin_on_cluster(spark):
     # and both windows are per-cluster / per-vector, never global
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition(cid" in plan
+
+
+def test_packed_sequences_window_per_source_and_stats_match_packing(spark):
+    plan = plan_of(spark, "doc_packed_sequences")
+    # same per-source window contract as the assignment query
+    assert "windowspecdefinition(source" in plan
+    # the materialized packs carry exactly the assignment query's stats
+    from date_warehouse___airline_project_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    packs = {
+        (r.source, r.pack_id): (r.n_docs, r.pack_tokens)
+        for r in REGISTRY["doc_sequence_packing"].fn(spark, sf).collect()
+    }
+    seqs = REGISTRY["doc_packed_sequences"].fn(spark, sf).collect()
+    assert {
+        (r.source, r.pack_id): (r.n_docs, r.pack_tokens) for r in seqs
+    } == packs
+    # concatenated text token count equals the accounted pack_tokens
+    for r in seqs:
+        assert len(r.seq_text.split()) == r.pack_tokens
