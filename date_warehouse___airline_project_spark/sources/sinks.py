@@ -111,3 +111,44 @@ def export_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """OPTIMIZE-style small-file compaction: rewrite a parquet directory
+    into ``ceil(total_bytes / target_file_bytes)`` files (>=1) and swap
+    the result in atomically. Returns the new file count.
+
+    Small files are the silent killer of scan throughput at 100 TB: every
+    file costs a task, a footer read, and an open — a table ingested by
+    many streaming micro-batches degrades until compacted. Production
+    systems run this per table-partition under a transactional commit
+    (Delta/Iceberg OPTIMIZE); this is the parquet emulation with the
+    repo's tmp-write → backup-rename → swap discipline
+    (sources/merge_target.py), so readers see either the old layout or
+    the new one, never a partial directory. Row content is preserved
+    exactly; intra-file order is not a contract (layout-only operation).
+
+    The size estimate reads filesystem metadata only — no data pass
+    beyond the single rewrite itself, which is one coalesce (no shuffle).
+    """
+    import math
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    # coalesce, not repartition: merging splits needs no shuffle
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

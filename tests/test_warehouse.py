@@ -264,3 +264,27 @@ def test_export_shards_roundtrip_order_and_colocation(spark, tmp_path):
             .collect()
         ]
         assert hashes == sorted(hashes), f"shard {s} rows not in hash order"
+
+
+def test_compact_parquet_merges_slivers_preserving_rows(spark, tmp_path):
+    # A sliver-heavy directory (32 files from a wide repartition write)
+    # compacts to the byte-target file count with identical row content.
+    import glob
+
+    from date_warehouse___airline_project_spark.sources.sinks import compact_parquet
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "slivers")
+    docs.repartition(32).write.parquet(path)
+    before_files = glob.glob(f"{path}/part-*.parquet")
+    assert len(before_files) == 32
+    before_rows = {r.doc_id for r in spark.read.parquet(path).collect()}
+
+    total = sum(len(open(f, "rb").read()) for f in before_files)
+    # target ~ half the table -> expect exactly 2 files
+    n = compact_parquet(spark, path, target_file_bytes=(total + 1) // 2)
+    assert n == 2
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 2
+    assert {r.doc_id for r in spark.read.parquet(path).collect()} == before_rows
+    # swap left no tmp/backup siblings behind
+    assert glob.glob(f"{path}.tmp-*") == [] and glob.glob(f"{path}.old-*") == []
