@@ -113,6 +113,7 @@ _NEW_R03 = [
     "doc_train_val_test_split",
     "hll_grouped_daily_uniques",
     "cms_heavy_hitters_verified",
+    "spatial_radius_gridjoin",
 ]
 
 # A query whose behavior changed this round is no longer certified — it

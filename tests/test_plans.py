@@ -366,3 +366,11 @@ def test_packed_sequences_window_per_source_and_stats_match_packing(spark):
     # concatenated text token count equals the accounted pack_tokens
     for r in seqs:
         assert len(r.seq_text.split()) == r.pack_tokens
+
+
+def test_spatial_gridjoin_is_equijoin_on_cells(spark):
+    # grid blocking must plan as an equi-join on the cell key — a
+    # cartesian/BNLJ here means the blocking failed and the join is |C|x|S|
+    plan = plan_of(spark, "spatial_radius_gridjoin")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
