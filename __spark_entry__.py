@@ -114,6 +114,8 @@ _NEW_R03 = [
     "hll_grouped_daily_uniques",
     "cms_heavy_hitters_verified",
     "spatial_radius_gridjoin",
+    "pareto_frontier_orders",
+    "doc_weighted_sample_topk",
 ]
 
 # A query whose behavior changed this round is no longer certified — it

@@ -437,3 +437,76 @@ def linear_regression_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((sy - slope * sx) / n).alias("intercept"),
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) via sorted running-min — no pairwise scan
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+    WITH pts AS (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             o_orderdate
+      FROM orders),
+    ranked AS (
+      SELECT o_orderkey, price, o_orderdate,
+             MIN(price) OVER (ORDER BY o_orderdate DESC, price ASC, o_orderkey ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS best_prior
+      FROM pts)
+    SELECT o_orderkey, CAST(price AS DOUBLE) AS price,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM ranked
+    WHERE best_prior IS NULL OR price < best_prior
+    ORDER BY o_orderdate DESC, price, o_orderkey
+"""
+
+
+@query(
+    "pareto_frontier_orders",
+    oracle=_SKYLINE_ORACLE,
+    doc="Skyline / Pareto frontier (prefer NEWER order date AND LOWER "
+    "price): the classic formulation is a quadratic 'no dominating row "
+    "exists' anti-join; in 2-D it collapses to a sort + running-min "
+    "window — a point is on the frontier iff its price beats the minimum "
+    "price of everything newer. Scale shape is TWO phases: a local prune "
+    "with the identical rule inside hash buckets (window PARTITIONED by "
+    "bucket — locally dominated rows cannot be on the global frontier, "
+    "and a random bucket's frontier is ~log-size), then the global "
+    "running-min only over the pruned superset (allowlisted global "
+    "window over a frontier-scale relation). Dominance is evaluated in "
+    "DECIMAL (exact), deterministic tie-breaks in the frame order.",
+)
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash56
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        "o_orderdate",
+    )
+    order = [F.desc("o_orderdate"), F.asc("price"), F.asc("o_orderkey")]
+    frame = (W.unboundedPreceding, -1)
+    # phase 1: per-bucket prune (distributed windows; any partitioning is
+    # sound because local domination implies global domination)
+    lw = (
+        W.partitionBy(hash56(F.col("o_orderkey")) % 32)
+        .orderBy(*order)
+        .rowsBetween(*frame)
+    )
+    pruned = o.withColumn("best_prior", F.min("price").over(lw)).filter(
+        F.col("best_prior").isNull() | (F.col("price") < F.col("best_prior"))
+    ).drop("best_prior")
+    # phase 2: exact frontier over the ~log-size superset
+    w = W.orderBy(*order).rowsBetween(*frame)
+    ranked = pruned.withColumn("best_prior", F.min("price").over(w))
+    return (
+        ranked.filter(F.col("best_prior").isNull() | (F.col("price") < F.col("best_prior")))
+        .select(
+            "o_orderkey",
+            F.col("price").cast("double").alias("price"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .orderBy(F.desc("order_date"), "price", "o_orderkey")
+    )

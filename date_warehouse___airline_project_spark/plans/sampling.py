@@ -112,3 +112,77 @@ def distinct_users_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"), F.sum("_n").alias("n_events"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (min-of-w-hashes priority draw)
+# ---------------------------------------------------------------------------
+
+_WS_K = 100
+
+_WS_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             GREATEST(CAST(LENGTH(regexp_extract_all(text, '\\S+')) AS BIGINT), 1)
+                 AS weight
+      FROM documents),
+    draws AS (
+      SELECT t.doc_id, t.source, t.weight,
+             MIN(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(t.doc_id AS VARCHAR),
+                 ':', CAST(r.r AS VARCHAR))), 1, 14)) AS BIGINT)) AS draw_key
+      FROM t, UNNEST(range(1, 1000)) AS r(r)
+      WHERE r.r <= t.weight
+      GROUP BY t.doc_id, t.source, t.weight)
+    SELECT doc_id, source, weight, draw_key
+    FROM draws
+    ORDER BY draw_key, doc_id
+    LIMIT {_WS_K}
+"""
+
+
+@query(
+    "doc_weighted_sample_topk",
+    oracle=_WS_ORACLE,
+    doc=f"Deterministic weighted sampling — {_WS_K} docs drawn with "
+    f"probability increasing in token-count weight, no RNG: each doc "
+    f"makes `weight` independent hash draws and keeps the minimum; "
+    f"P(doc i outdraws doc j) = w_i/(w_i+w_j) exactly (min of w uniform "
+    f"variates), so longer documents win proportionally more often and "
+    f"the whole sample replays bit-identically on any engine. Plan: one "
+    f"explode bounded by the weight (Sigma w rows), a map-side-combined "
+    f"MIN per doc, TakeOrdered k. For large weights the explode factor "
+    f"is capped by coarsening weights to blocks (hash once per block) — "
+    f"the standard trick; synthetic docs are ~50 tokens so the direct "
+    f"form is the honest benchmark.",
+)
+def doc_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash56
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.greatest(
+            F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0))).cast("bigint"),
+            F.lit(1).cast("bigint"),
+        ).alias("weight"),
+    )
+    draws = (
+        t.select(
+            "doc_id",
+            "source",
+            "weight",
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("weight"))).alias("r"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "weight",
+            hash56(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("r").cast("string"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "source", "weight")
+        .agg(F.min("h").alias("draw_key"))
+    )
+    return draws.orderBy("draw_key", "doc_id").limit(_WS_K)

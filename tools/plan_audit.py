@@ -50,6 +50,10 @@ ALLOW = {
     "emb_ivfpq_topk": {"NESTED-LOOP"},  # (a) 1-row query vector + 50-row re-rank
     "market_share_by_segment": {"GLOBAL-WINDOW"},  # window over 5-row agg
     "sql_forecast_revenue_change": {"GLOBAL-WINDOW"},  # lag over 7-row agg
+    # final frontier pass (window + output sort, sharing one exchange)
+    # runs over the bucket-pruned ~log-size superset; the corpus-scale
+    # window is the PARTITIONED phase-1 prune
+    "pareto_frontier_orders": {"GLOBAL-WINDOW", "GLOBAL-SORT"},
 }
 
 
