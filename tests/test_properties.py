@@ -299,3 +299,74 @@ def test_wratio_bounds_and_dominance(spark, values):
         assert r["w"] >= r["base"] - 1e-9, (r["a"], r["b"], r["w"], r["base"])
         if r["a"].strip().upper() == r["b"].strip().upper():
             assert abs(r["w"] - 100.0) < 1e-9
+
+
+def test_pareto_frontier_exactness_properties(spark):
+    # Soundness: no frontier point is dominated by another frontier point.
+    # Completeness: every non-frontier point is dominated by some frontier
+    # point (newer-or-equal date AND cheaper-or-equal price, not identical).
+    import date_warehouse___airline_project_spark.plans as plans
+
+    plans.load_all()
+    sf = "/root/testdata/sf0.001"
+    front = plans.REGISTRY["pareto_frontier_orders"].fn(spark, sf).collect()
+    fr = [(r.order_date, r.price, r.o_orderkey) for r in front]
+    assert fr, "frontier must be non-empty on a non-empty table"
+
+    def dominates(a, b):
+        # a dominates b: a is newer-or-equal AND cheaper-or-equal, and
+        # strictly better on at least one axis (key breaks exact ties)
+        return (
+            a[0] >= b[0]
+            and a[1] <= b[1]
+            and (a[0] > b[0] or a[1] < b[1] or a[2] < b[2])
+        )
+
+    for i, a in enumerate(fr):
+        for j, b in enumerate(fr):
+            if i != j:
+                assert not dominates(a, b), (a, b)
+
+    from pyspark.sql import functions as F
+
+    allpts = [
+        (r.d, float(r.p), r.k)
+        for r in spark.read.parquet(f"{sf}/orders.parquet")
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+            F.col("o_orderkey").alias("k"),
+        )
+        .collect()
+    ]
+    fset = set(fr)
+    for p in allpts:
+        if p in fset:
+            continue
+        assert any(dominates(f, p) for f in fr), p
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    # The min-of-w-hashes draw must bias toward high-weight docs: the
+    # sample's mean token weight should clearly exceed the corpus mean
+    # (ratio of expectations ~ E[w^2]/E[w]^2 > 1 for non-degenerate w).
+    import date_warehouse___airline_project_spark.plans as plans
+    from pyspark.sql import functions as F
+
+    plans.load_all()
+    sf = "/root/testdata/sf0.01"
+    sample = plans.REGISTRY["doc_weighted_sample_topk"].fn(spark, sf).collect()
+    assert len(sample) == 100
+    sample_mean = sum(r.weight for r in sample) / len(sample)
+    corpus_mean = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(
+            F.greatest(
+                F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0))),
+                F.lit(1),
+            ).alias("w")
+        )
+        .agg(F.avg("w"))
+        .collect()[0][0]
+    )
+    assert sample_mean > corpus_mean * 1.05, (sample_mean, corpus_mean)
