@@ -152,3 +152,21 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_files
+
+
+def backfill_partitions(df: DataFrame, path: str, partition_col: str) -> None:
+    """Backfill: overwrite ONLY the table partitions present in ``df``,
+    leaving every other partition untouched (dynamic partition overwrite).
+
+    The operational pattern behind every logic fix over a date-partitioned
+    100 TB table: recompute the affected date range and swap just those
+    directories — static overwrite mode would drop the whole table, and
+    append mode would duplicate the range. Idempotent per partition: re-
+    running the same backfill converges to the same state.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

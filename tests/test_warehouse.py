@@ -288,3 +288,47 @@ def test_compact_parquet_merges_slivers_preserving_rows(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(path).collect()} == before_rows
     # swap left no tmp/backup siblings behind
     assert glob.glob(f"{path}.tmp-*") == [] and glob.glob(f"{path}.old-*") == []
+
+
+def test_backfill_overwrites_only_named_partitions(spark, tmp_path):
+    # A one-month backfill must replace that month's partition and leave
+    # every other partition byte-for-byte alone; re-running converges.
+    from date_warehouse___airline_project_spark.sources.sinks import (
+        backfill_partitions,
+    )
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    )
+    path = str(tmp_path / "bymonth")
+    o.write.partitionBy("month").parquet(path)
+    months = [r.month for r in spark.read.parquet(path).select("month").distinct().collect()]
+    target = sorted(months)[0]
+    other = sorted(months)[1]
+    before_other = {
+        (r.o_orderkey, float(r.o_totalprice))
+        for r in spark.read.parquet(path).filter(F.col("month") == other).collect()
+    }
+
+    fixed = (
+        o.filter(F.col("month") == target)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 0 + 1.0)
+    )
+    backfill_partitions(fixed, path, "month")
+    after = spark.read.parquet(path)
+    # target month fully replaced by the fixed rows
+    got_target = {float(r.o_totalprice) for r in after.filter(F.col("month") == target).collect()}
+    assert got_target == {1.0}
+    # untouched month identical
+    after_other = {
+        (r.o_orderkey, float(r.o_totalprice))
+        for r in after.filter(F.col("month") == other).collect()
+    }
+    assert after_other == before_other
+    # idempotent: re-run converges to the same table (fresh read: the
+    # rewrite invalidates the old DataFrame's file listing)
+    n_after = after.count()
+    backfill_partitions(fixed, path, "month")
+    assert spark.read.parquet(path).count() == n_after
