@@ -145,3 +145,57 @@ def run_hll_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def bloom_bits(rows: DataFrame, key_col: str, m: int = 4096, k: int = 3) -> DataFrame:
+    """(bit) distinct Bloom bit rows for one relation — the same
+    construction as plans/sketches.py::bloom_membership_sketch."""
+    seeds = F.array(*[F.lit(j) for j in range(k)])
+    return (
+        rows.select(F.col(key_col), F.explode(seeds).alias("j"))
+        .select(seeded_bucket(F.col(key_col), F.col("j"), m).alias("bit"))
+        .distinct()
+    )
+
+
+def merge_bits(state: DataFrame, batch: DataFrame) -> DataFrame:
+    """Union-distinct fold: Bloom state is the SET of set bits (bit-OR)."""
+    return state.unionByName(batch).distinct()
+
+
+def run_bloom_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    m: int = 4096,
+    k: int = 3,
+    available_now: bool = True,
+):
+    """Maintain a persistent Bloom bit set over a line-delimited key drop
+    dir. Bit-OR (union-distinct here) is idempotent AND associative like
+    the HLL register MAX, so redelivery would be harmless even without
+    the shared batch-id guard; the fold still goes through
+    ``fold_into_state`` for the swap/recovery semantics. State is <= m
+    rows at any stream cardinality; probes join the broadcast bit set
+    exactly as in the batch query.
+    """
+    recover_state(state_dir)
+    raw = spark.readStream.format("text").load(input_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        keys = batch_df.select(F.col("value").cast("long").alias(key_col)).where(
+            F.col(key_col).isNotNull()
+        )
+        bits = bloom_bits(keys, key_col, m, k)
+        fold_into_state(spark, state_dir, batch_id, bits, merge_bits)
+
+    writer = (
+        raw.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("bloom_stream")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

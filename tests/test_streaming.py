@@ -887,3 +887,30 @@ def test_incremental_dedup_stream_redelivery_preserves_output(spark, tmp_path):
     after = {r.doc_id for r in spark.read.parquet(f"{out}/batch=0").collect()}
     assert after == before, "redelivery clobbered the accepted output"
     assert spark.read.parquet(state).count() == 2
+
+
+def test_bloom_stream_state_matches_batch_bits(spark, tmp_path):
+    # Two micro-batches folded by bit-OR must equal the Bloom bit set
+    # built over all keys at once (sketch mergeability).
+    from date_warehouse___airline_project_spark.streaming.sketch_stream import (
+        bloom_bits,
+        run_bloom_stream,
+    )
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    (input_dir / "b1.txt").write_text("\n".join(str(i) for i in range(40)))
+    q = run_bloom_stream(
+        spark, str(input_dir), str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    (input_dir / "b2.txt").write_text("\n".join(str(i) for i in range(20, 60)))
+    q = run_bloom_stream(
+        spark, str(input_dir), str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {r.bit for r in spark.read.parquet(str(tmp_path / "state")).collect()}
+    all_keys = spark.createDataFrame([(i,) for i in range(60)], ["user_id"])
+    want = {r.bit for r in bloom_bits(all_keys, "user_id").collect()}
+    assert got == want
