@@ -116,6 +116,7 @@ _NEW_R03 = [
     "spatial_radius_gridjoin",
     "pareto_frontier_orders",
     "doc_weighted_sample_topk",
+    "doc_gopher_rules",
 ]
 
 # A query whose behavior changed this round is no longer certified — it

@@ -401,3 +401,94 @@ def doc_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "bigram")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Full Gopher quality-rule battery (Rae et al. 2021, Table A1 shape)
+# ---------------------------------------------------------------------------
+
+_GOPHER_ORACLE = r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '\S+') AS words,
+             CAST(LENGTH(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+             CAST(LENGTH(regexp_extract_all(text, '[#.]{3,}')) AS BIGINT) AS n_sym_runs,
+             CAST(LENGTH(regexp_extract_all(lower(text),
+                 '\b(?:the|be|to|of|and|that|have|with)\b')) AS BIGINT) AS n_req_stop
+      FROM documents),
+    m AS (
+      SELECT doc_id, n_words, n_sym_runs, n_req_stop,
+             CAST(LENGTH(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+                  AS BIGINT) AS n_alpha_words,
+             ROUND(list_sum(list_transform(words, w -> CAST(LENGTH(w) AS DOUBLE)))
+                   / GREATEST(n_words, 1), 6) AS mean_word_len
+      FROM t)
+    SELECT doc_id, n_words, mean_word_len,
+           ROUND(CAST(n_alpha_words AS DOUBLE) / GREATEST(n_words, 1), 6)
+               AS alpha_word_ratio,
+           ROUND(CAST(n_sym_runs AS DOUBLE) / GREATEST(n_words, 1), 6)
+               AS symbol_run_ratio,
+           CASE WHEN n_words BETWEEN 50 AND 100000
+                 AND mean_word_len BETWEEN 3 AND 10
+                 AND CAST(n_alpha_words AS DOUBLE) / GREATEST(n_words, 1) >= 0.8
+                 AND CAST(n_sym_runs AS DOUBLE) / GREATEST(n_words, 1) <= 0.1
+                 AND n_req_stop >= 2
+                THEN 1 ELSE 0 END AS passes_gopher
+    FROM m
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "doc_gopher_rules",
+    oracle=_GOPHER_ORACLE,
+    doc="Full Gopher-style quality rule battery (Rae et al. 2021 shape): "
+    "word-count bounds, mean word length in [3,10], alphabetic-word "
+    "fraction >= 0.8, symbol-run ratio <= 0.1, and the required-stopword "
+    "rule (>= 2 of the 8 canonical English stopwords) — the composite "
+    "gate a pretraining corpus filter actually applies, complementing "
+    "doc_quality_scores' length/punct subset. All scan-side column "
+    "expressions over one pass; the per-word stats use higher-order "
+    "array ops on the already-split token array (no explode, no "
+    "shuffle before the final sort).",
+)
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    words = F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0))
+    n_words = F.size(words).cast("bigint")
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("bigint")
+    mean_wl = F.round(
+        F.aggregate(
+            words, F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double")
+        )
+        / F.greatest(n_words, F.lit(1).cast("bigint")),
+        6,
+    )
+    n_sym = F.size(F.regexp_extract_all("text", F.lit(r"[#.]{3,}"), F.lit(0))).cast(
+        "bigint"
+    )
+    n_stop = F.size(
+        F.regexp_extract_all(
+            F.lower("text"),
+            F.lit(r"\b(?:the|be|to|of|and|that|have|with)\b"),
+            F.lit(0),
+        )
+    ).cast("bigint")
+    g = F.greatest(n_words, F.lit(1).cast("bigint"))
+    alpha_ratio = F.round(n_alpha.cast("double") / g, 6)
+    sym_ratio = F.round(n_sym.cast("double") / g, 6)
+    passes = (
+        n_words.between(50, 100000)
+        & mean_wl.between(3, 10)
+        & ((n_alpha.cast("double") / g) >= 0.8)
+        & ((n_sym.cast("double") / g) <= 0.1)
+        & (n_stop >= 2)
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        sym_ratio.alias("symbol_run_ratio"),
+        F.when(passes, 1).otherwise(0).alias("passes_gopher"),
+    ).orderBy("doc_id")
