@@ -682,3 +682,47 @@ def ivf_topk_indexed(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def append_to_ivf_index(
+    emb_new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a persisted IVF index (see
+    ``save_ivf_index``) WITHOUT retraining: assign the new batch against
+    the SAVED codebook and append its (id, centroid_id) rows into the
+    centroid-partitioned assignments.
+
+    The production index lifecycle is build-once / append-forever with
+    periodic retrain: retraining on every ingest would rewrite the whole
+    inverted file, while codebook-frozen assignment is one broadcast pass
+    over only the new rows and a partitioned APPEND — existing cell files
+    are untouched, so a crash mid-append leaves the old index fully
+    readable plus at most a partial new file (parquet readers skip
+    nothing silently: the batch is re-appendable after dedup by id, and
+    with a transactional format the append is atomic). Search needs no
+    change — the probe prunes to its cells' files, old and new alike.
+    Accumulated small appended files are reclaimed per cell dir by
+    ``sources.sinks.compact_parquet``. Frozen-codebook assignment is
+    exactly what a from-scratch ``save_ivf_index`` over the union corpus
+    would compute for these rows (same centroids → same argmax), pinned
+    by the append-equals-rebuild test.
+    """
+    spark = emb_new.sparkSession
+    cents = spark.read.parquet(f"{path}/codebook")
+    assigned = assign_to_centroids(
+        emb_new.repartition(spark.sparkContext.defaultParallelism),
+        cents,
+        id_col,
+        vec_col,
+        impl="arrow",
+    )
+    (
+        assigned.select(id_col, "centroid_id")
+        .repartition("centroid_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/assignments")
+    )

@@ -428,3 +428,52 @@ def test_semdedup_prune_keeps_rank1_and_drops_near_centroid_dups(spark, tmp_path
         assert any(m.kept == 1 for m in members), cid
     # verdict column is total: every vector gets exactly one row
     assert len({r.vec_id for r in rows}) == len(rows)
+
+
+def test_ivf_append_equals_rebuild(spark, tmp_path):
+    # Appending a batch to a persisted index (codebook frozen) must yield
+    # the same searchable index as rebuilding from scratch over the union
+    # corpus WITH THE SAME CODEBOOK: identical assignments, identical
+    # search results, existing cell files untouched.
+    import glob
+
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_topk_indexed,
+        save_ivf_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = e.filter(F.col("vec_id") % 3 != 2)
+    extra = e.filter(F.col("vec_id") % 3 == 2)
+
+    p1 = str(tmp_path / "incremental")
+    save_ivf_index(base, p1, centroid_mod=25, sample_mod=4, iters=2)
+    before_files = set(glob.glob(f"{p1}/assignments/centroid_id=*/part-*"))
+    append_to_ivf_index(extra, p1)
+    # existing cell files untouched by the append
+    assert before_files <= set(glob.glob(f"{p1}/assignments/centroid_id=*/part-*"))
+
+    got = [
+        (r.vec_id, r.cos_sim)
+        for r in ivf_topk_indexed(e, p1, query_id=0, k=10, nprobe=2).collect()
+    ]
+    # rebuild over the union with the SAME training corpus (codebook is
+    # trained on `base`'s sample in both paths)
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+
+    cents = spark.read.parquet(f"{p1}/codebook")
+    p2 = str(tmp_path / "rebuilt")
+    cents.write.parquet(f"{p2}/codebook")
+    assign_to_centroids(e, cents, impl="arrow").select(
+        "vec_id", "centroid_id"
+    ).repartition("centroid_id").write.partitionBy("centroid_id").parquet(
+        f"{p2}/assignments"
+    )
+    want = [
+        (r.vec_id, r.cos_sim)
+        for r in ivf_topk_indexed(e, p2, query_id=0, k=10, nprobe=2).collect()
+    ]
+    assert got == want
