@@ -370,3 +370,77 @@ def test_weighted_sample_prefers_heavy_docs(spark):
         .collect()[0][0]
     )
     assert sample_mean > corpus_mean * 1.05, (sample_mean, corpus_mean)
+
+
+def test_float_sensitive_queries_invariant_to_shuffle_partitioning(spark):
+    # The decimal-exact-sum claims (Lloyd means, regression sums) promise
+    # results identical under ANY partitioning/merge order. Pin it: run at
+    # 32 and at 7 shuffle partitions with caches cleared and diff rows
+    # exactly (floats bit-compared via repr).
+    import date_warehouse___airline_project_spark.plans as plans
+    from date_warehouse___airline_project_spark.operators import similarity as sim
+    from date_warehouse___airline_project_spark.operators.text_dedup import (
+        clear_derived_cache,
+    )
+
+    plans.load_all()
+    sf = "/root/testdata/sf0.001"
+    names = ["emb_ivf_trained_topk", "linear_regression_exact", "emb_semdedup_prune"]
+
+    def run_all():
+        clear_derived_cache()
+        while sim._KMEANS_MEMO:
+            _, df = sim._KMEANS_MEMO.popitem()
+            df.unpersist()
+        return {
+            n: [tuple(map(repr, r)) for r in plans.REGISTRY[n].fn(spark, sf).collect()]
+            for n in names
+        }
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        at32 = run_all()
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        at7 = run_all()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for n in names:
+        assert at32[n] == at7[n], n
+
+
+@given(
+    st.floats(min_value=0.01, max_value=0.99),
+    st.floats(min_value=0.01, max_value=0.99),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+)
+def test_lsh_collision_curve_properties(s1, s2, bands, rows):
+    from date_warehouse___airline_project_spark.functions.lsh_tuning import (
+        collision_probability,
+        curve_midpoint,
+    )
+
+    # monotone in similarity
+    lo, hi = sorted([s1, s2])
+    assert collision_probability(lo, bands, rows) <= collision_probability(
+        hi, bands, rows
+    ) + 1e-12
+    # the exact 0.5-crossing s = (1 - 0.5^(1/b))^(1/r) really crosses 0.5;
+    # curve_midpoint is the textbook approximation of it (loose at b=1)
+    exact = (1.0 - 0.5 ** (1.0 / bands)) ** (1.0 / rows)
+    assert abs(collision_probability(exact, bands, rows) - 0.5) < 1e-9
+    if bands >= 2:
+        assert abs(curve_midpoint(bands, rows) - exact) < 0.35
+
+
+def test_lsh_params_factors_and_recall_bias():
+    from date_warehouse___airline_project_spark.functions.lsh_tuning import (
+        curve_midpoint,
+        lsh_params,
+    )
+
+    b, r = lsh_params(0.5, 16)
+    assert b * r == 16
+    # chosen curve sits at-or-below the threshold (recall bias)
+    assert curve_midpoint(b, r) <= 0.5
