@@ -117,6 +117,7 @@ _NEW_R03 = [
     "pareto_frontier_orders",
     "doc_weighted_sample_topk",
     "doc_gopher_rules",
+    "doc_containment_pairs",
 ]
 
 # A query whose behavior changed this round is no longer certified — it

@@ -308,3 +308,78 @@ def doc_neardup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment pairs (excerpt / subset-duplicate detection)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_ORACLE = f"""
+    WITH {_SHINGLES_CTE},
+    inv0 AS (SELECT doc_id, unnest(sh) AS g FROM d),
+    kept AS (SELECT g FROM inv0 GROUP BY g HAVING COUNT(*) <= 20),
+    inv AS (SELECT inv0.doc_id, inv0.g FROM inv0 JOIN kept USING (g)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT s.doc_a, s.doc_b,
+           ROUND(CAST(s.inter AS DOUBLE) / LEAST(na.n, nb.n), 6) AS containment
+    FROM shared s
+    JOIN sizes na ON na.doc_id = s.doc_a
+    JOIN sizes nb ON nb.doc_id = s.doc_b
+    WHERE CAST(s.inter AS DOUBLE) / LEAST(na.n, nb.n) >= 0.8
+    ORDER BY s.doc_a, s.doc_b
+"""
+
+
+@query(
+    "doc_containment_pairs",
+    oracle=_CONTAIN_ORACLE,
+    doc="Asymmetric containment pairs: |A∩B| / min(|A|,|B|) >= 0.8 over "
+    "word-3-gram shingles — catches EXCERPT duplication (a short doc "
+    "fully contained in a longer one) that symmetric jaccard misses: a "
+    "100-shingle quote inside a 1000-shingle article has jaccard ~0.1 "
+    "but containment ~1.0. Shares the memoized df-capped inverted index "
+    "with the jaccard query (one build per session); same Sigma df^2 "
+    "candidate bound — only the scoring denominator changes.",
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_dedup import _materialize, _memo, shingle_index
+
+    d = load_table(spark, sf_dir, "documents")
+    inv_all = shingle_index(d, "doc_id", "text", 3)
+
+    def build() -> DataFrame:
+        kept = (
+            inv_all.groupBy("_g")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= 20)
+            .select("_g")
+        )
+        return _materialize(inv_all.join(kept, "_g", "left_semi"))
+
+    inv = _memo(d, ("df_capped_index", "doc_id", "text", 3, 20), build)
+    sizes = inv.groupBy("_id").agg(F.count("*").alias("_n"))
+    a = inv.select(F.col("_id").alias("doc_a"), "_g")
+    b = inv.select(F.col("_id").alias("doc_b"), "_g")
+    shared = (
+        a.join(b, "_g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        shared.join(sizes.select(F.col("_id").alias("doc_a"), F.col("_n").alias("_na")), "doc_a")
+        .join(sizes.select(F.col("_id").alias("doc_b"), F.col("_n").alias("_nb")), "doc_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("_inter").cast("double") / F.least(F.col("_na"), F.col("_nb")), 6
+            ),
+        )
+        .filter(F.col("containment") >= 0.8)
+        .select("doc_a", "doc_b", "containment")
+        .orderBy("doc_a", "doc_b")
+    )
