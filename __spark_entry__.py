@@ -118,6 +118,7 @@ _NEW_R03 = [
     "doc_weighted_sample_topk",
     "doc_gopher_rules",
     "doc_containment_pairs",
+    "doc_curation_pipeline_v2",
 ]
 
 # A query whose behavior changed this round is no longer certified — it

@@ -820,3 +820,198 @@ def doc_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship v2: gopher gate -> excerpt removal -> weighted sample -> packing
+# ---------------------------------------------------------------------------
+
+_V2_SAMPLE_K = 200
+
+_V2_ORACLE = f"""
+    WITH g0 AS (
+      SELECT doc_id, source, text,
+             regexp_extract_all(text, '\\S+') AS words,
+             CAST(LENGTH(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+             CAST(LENGTH(regexp_extract_all(text, '[#.]{{3,}}')) AS BIGINT) AS n_sym,
+             CAST(LENGTH(regexp_extract_all(lower(text),
+                 '\\b(?:the|be|to|of|and|that|have|with)\\b')) AS BIGINT) AS n_stop
+      FROM documents),
+    gop AS (
+      SELECT doc_id, source, text, n_words FROM (
+        SELECT *,
+               CAST(LENGTH(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+                    AS BIGINT) AS n_alpha,
+               ROUND(list_sum(list_transform(words, w -> CAST(LENGTH(w) AS DOUBLE)))
+                     / GREATEST(n_words, 1), 6) AS mwl
+        FROM g0)
+      WHERE n_words BETWEEN 50 AND 100000
+        AND mwl BETWEEN 3 AND 10
+        AND CAST(n_alpha AS DOUBLE) / GREATEST(n_words, 1) >= 0.8
+        AND CAST(n_sym AS DOUBLE) / GREATEST(n_words, 1) <= 0.1
+        AND n_stop >= 2),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(toks) - 2, 0)),
+                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS sh
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM gop)
+      WHERE len(toks) >= 3),
+    inv0 AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    kept AS (SELECT g FROM inv0 GROUP BY g HAVING COUNT(*) <= 20),
+    inv AS (SELECT inv0.doc_id, inv0.g FROM inv0 JOIN kept USING (g)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    cpairs AS (
+      SELECT s.doc_a, s.doc_b, na.n AS na, nb.n AS nb
+      FROM shared s
+      JOIN sizes na ON na.doc_id = s.doc_a
+      JOIN sizes nb ON nb.doc_id = s.doc_b
+      WHERE CAST(s.inter AS DOUBLE) / LEAST(na.n, nb.n) >= 0.8),
+    drops AS (
+      SELECT DISTINCT CASE WHEN na < nb THEN doc_a
+                           WHEN nb < na THEN doc_b
+                           ELSE GREATEST(doc_a, doc_b) END AS doc_id
+      FROM cpairs),
+    surv AS (
+      SELECT g.doc_id, g.source, g.n_words AS n_tok FROM gop g
+      WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = g.doc_id)),
+    draws AS (
+      SELECT s.doc_id, s.source, s.n_tok,
+             MIN(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(CAST(s.doc_id AS VARCHAR),
+                 ':', CAST(r.r AS VARCHAR))), 1, 14)) AS BIGINT)) AS draw_key
+      FROM surv s, UNNEST(range(1, 1000)) AS r(r)
+      WHERE r.r <= s.n_tok
+      GROUP BY s.doc_id, s.source, s.n_tok),
+    samp AS (
+      SELECT doc_id, source, n_tok FROM draws
+      ORDER BY draw_key, doc_id LIMIT {_V2_SAMPLE_K}),
+    packed AS (
+      SELECT source, doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      FROM samp)
+    SELECT source,
+           CAST(FLOOR(cum_prev / {_PACK_CAPACITY}.0) AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+    FROM packed
+    GROUP BY source, pack_id
+    ORDER BY source, pack_id
+"""
+
+
+@query(
+    "doc_curation_pipeline_v2",
+    oracle=_V2_ORACLE,
+    doc=f"Flagship v2 — the round-3 operators composed into ONE lazy plan: "
+    f"full Gopher gate (scan-side exprs) -> excerpt removal (containment "
+    f">= 0.8 over the SURVIVORS' df-capped shingle index, dropping the "
+    f"smaller doc of each pair) -> min-of-w-hashes weighted sample of "
+    f"{_V2_SAMPLE_K} -> per-source sequence packing with token "
+    f"accounting. Filter-first ordering keeps the quadratic-bounded "
+    f"stage (containment) on the post-gate corpus; the sample bounds the "
+    f"packing input; every stage is the same construction its standalone "
+    f"query certifies, so the composition is exactly as scalable as its "
+    f"parts. The whole pipeline is one DataFrame expression — no "
+    f"intermediate materialization, no collect.",
+)
+def doc_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    words = F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0))
+    n_words = F.size(words).cast("bigint")
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("bigint")
+    mwl = F.round(
+        F.aggregate(words, F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double"))
+        / F.greatest(n_words, F.lit(1).cast("bigint")),
+        6,
+    )
+    n_sym = F.size(F.regexp_extract_all("text", F.lit(r"[#.]{3,}"), F.lit(0))).cast("bigint")
+    n_stop = F.size(
+        F.regexp_extract_all(
+            F.lower("text"), F.lit(r"\b(?:the|be|to|of|and|that|have|with)\b"), F.lit(0)
+        )
+    ).cast("bigint")
+    g = F.greatest(n_words, F.lit(1).cast("bigint"))
+    gop = d.select("doc_id", "source", "text", n_words.alias("n_tok")).filter(
+        n_words.between(50, 100000)
+        & mwl.between(3, 10)
+        & ((n_alpha.cast("double") / g) >= 0.8)
+        & ((n_sym.cast("double") / g) <= 0.1)
+        & (n_stop >= 2)
+    )
+
+    from ..operators.text_dedup import tokens as tok_fn
+
+    toks = tok_fn("text")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    inv0 = (
+        gop.filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("_g"))
+    )
+    kept = (
+        inv0.groupBy("_g").agg(F.count("*").alias("_df")).filter(F.col("_df") <= 20).select("_g")
+    )
+    inv = inv0.join(kept, "_g", "left_semi")
+    sizes = inv.groupBy("doc_id").agg(F.count("*").alias("_n"))
+    a = inv.select(F.col("doc_id").alias("doc_a"), "_g")
+    b = inv.select(F.col("doc_id").alias("doc_b"), "_g")
+    cpairs = (
+        a.join(b, "_g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_inter"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("_n").alias("_na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("_n").alias("_nb")), "doc_b")
+        .filter(
+            F.col("_inter").cast("double") / F.least(F.col("_na"), F.col("_nb")) >= 0.8
+        )
+    )
+    drops = cpairs.select(
+        F.when(F.col("_na") < F.col("_nb"), F.col("doc_a"))
+        .when(F.col("_nb") < F.col("_na"), F.col("doc_b"))
+        .otherwise(F.greatest("doc_a", "doc_b"))
+        .alias("doc_id")
+    ).distinct()
+    surv = gop.select("doc_id", "source", "n_tok").join(drops, "doc_id", "left_anti")
+
+    draws = (
+        surv.select(
+            "doc_id",
+            "source",
+            "n_tok",
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("n_tok"))).alias("r"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            _hash56(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("r").cast("string"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "source", "n_tok")
+        .agg(F.min("h").alias("draw_key"))
+    )
+    samp = draws.orderBy("draw_key", "doc_id").limit(_V2_SAMPLE_K)
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    packed = samp.withColumn("cum_prev", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    return (
+        packed.groupBy(
+            "source",
+            F.floor(F.col("cum_prev") / float(_PACK_CAPACITY)).cast("bigint").alias("pack_id"),
+        )
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").cast("bigint").alias("pack_tokens"))
+        .orderBy("source", "pack_id")
+    )
