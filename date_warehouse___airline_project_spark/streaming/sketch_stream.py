@@ -199,3 +199,79 @@ def run_bloom_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def merge_grouped_registers(state: DataFrame, batch: DataFrame) -> DataFrame:
+    """Fold grouped HLL registers: per-(group, idx) rank MAX."""
+    return (
+        state.unionByName(batch)
+        .groupBy("grp", "idx")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def run_grouped_hll_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain per-group HyperLogLog registers over a drop dir of
+    ``group,key`` CSV lines — the continuously-maintained form of
+    plans/sketches.py::hll_grouped_daily_uniques (daily unique users).
+
+    State is <= groups x m rows; the per-(group, idx) register MAX is
+    idempotent and associative, so late/out-of-order arrivals for ANY
+    group — including days long since 'closed' — fold correctly with no
+    reprocessing window, which is the operational advantage of sketch
+    state over exact per-day distinct sets.
+    """
+    from ..plans.sketches import hll_registers
+
+    recover_state(state_dir)
+    raw = spark.readStream.format("text").load(input_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        parsed = batch_df.select(
+            F.split(F.col("value"), ",").alias("_p")
+        ).select(
+            F.col("_p").getItem(0).alias("grp"),
+            F.col("_p").getItem(1).cast("long").alias("user_id"),
+        ).where(F.col("grp").isNotNull() & F.col("user_id").isNotNull())
+        # reuse the global register computation per group: hll_registers
+        # groups only by idx, so apply it via a grouped re-aggregation
+        from ..functions.hashing import hash56
+
+        lbv = spark.createDataFrame(
+            [(j, 1 << j) for j in range(50)], "j int, lowbit long"
+        )
+        parts = parsed.select(
+            "grp", hash56(F.col("user_id")).alias("hv")
+        ).select(
+            "grp",
+            (F.col("hv") % 64).alias("idx"),
+            F.expr("hv div 64").alias("rest"),
+        )
+        regs = (
+            parts.join(
+                F.broadcast(lbv), F.expr("rest & (-rest)") == F.col("lowbit"), "left"
+            )
+            .select(
+                "grp",
+                "idx",
+                F.when(F.col("rest") == 0, F.lit(51)).otherwise(F.col("j") + 1).alias("rank"),
+            )
+            .groupBy("grp", "idx")
+            .agg(F.max("rank").alias("r"))
+        )
+        fold_into_state(spark, state_dir, batch_id, regs, merge_grouped_registers)
+
+    writer = (
+        raw.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("grouped_hll_stream")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

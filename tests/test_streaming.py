@@ -914,3 +914,57 @@ def test_bloom_stream_state_matches_batch_bits(spark, tmp_path):
     all_keys = spark.createDataFrame([(i,) for i in range(60)], ["user_id"])
     want = {r.bit for r in bloom_bits(all_keys, "user_id").collect()}
     assert got == want
+
+
+def test_grouped_hll_stream_matches_batch_registers_with_late_data(spark, tmp_path):
+    # Per-(group, idx) register MAX must equal the batch construction over
+    # all rows — including a second micro-batch that delivers LATE rows
+    # for the first batch's group (no reprocessing window needed).
+    from date_warehouse___airline_project_spark.functions.hashing import hash56
+    from date_warehouse___airline_project_spark.streaming.sketch_stream import (
+        run_grouped_hll_stream,
+    )
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    (input_dir / "b1.txt").write_text(
+        "\n".join(f"d1,{i}" for i in range(30)) + "\n" + "\n".join(f"d2,{i}" for i in range(10))
+    )
+    q = run_grouped_hll_stream(
+        spark, str(input_dir), str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    # late arrivals for d1 plus new rows for d2
+    (input_dir / "b2.txt").write_text(
+        "\n".join(f"d1,{i}" for i in range(25, 45)) + "\n" + "\n".join(f"d2,{i}" for i in range(5, 20))
+    )
+    q = run_grouped_hll_stream(
+        spark, str(input_dir), str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.grp, r.idx): r.r
+        for r in spark.read.parquet(str(tmp_path / "state")).collect()
+    }
+    rows = [("d1", i) for i in range(45)] + [("d2", i) for i in range(20)]
+    all_df = spark.createDataFrame(rows, ["grp", "user_id"])
+    parts = all_df.select(
+        "grp", hash56(F.col("user_id")).alias("hv")
+    ).select("grp", (F.col("hv") % 64).alias("idx"), F.expr("hv div 64").alias("rest"))
+    lbv = spark.createDataFrame([(j, 1 << j) for j in range(50)], "j int, lowbit long")
+    want = {
+        (r.grp, r.idx): r.r
+        for r in parts.join(
+            F.broadcast(lbv), F.expr("rest & (-rest)") == F.col("lowbit"), "left"
+        )
+        .select(
+            "grp",
+            "idx",
+            F.when(F.col("rest") == 0, F.lit(51)).otherwise(F.col("j") + 1).alias("rank"),
+        )
+        .groupBy("grp", "idx")
+        .agg(F.max("rank").alias("r"))
+        .collect()
+    }
+    assert got == want
