@@ -119,6 +119,7 @@ _NEW_R03 = [
     "doc_gopher_rules",
     "doc_containment_pairs",
     "doc_curation_pipeline_v2",
+    "dedup_method_agreement",
 ]
 
 # A query whose behavior changed this round is no longer certified — it

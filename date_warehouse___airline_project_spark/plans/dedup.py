@@ -383,3 +383,83 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "containment")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-method agreement matrix (curation diagnostic)
+# ---------------------------------------------------------------------------
+
+_AGREE_ORACLE = f"""
+    WITH mh AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}) x),
+    sh_ AS (SELECT doc_a, doc_b FROM ({_SIMHASH_ORACLE}) y),
+    ng AS (SELECT doc_a, doc_b FROM ({_NGRAM_ORACLE}) z)
+    SELECT 'minhash' AS method_a, 'ngram' AS method_b,
+           (SELECT COUNT(*) FROM mh) AS n_a,
+           (SELECT COUNT(*) FROM ng) AS n_b,
+           (SELECT COUNT(*) FROM mh JOIN ng USING (doc_a, doc_b)) AS n_common
+    UNION ALL
+    SELECT 'minhash', 'simhash',
+           (SELECT COUNT(*) FROM mh),
+           (SELECT COUNT(*) FROM sh_),
+           (SELECT COUNT(*) FROM mh JOIN sh_ USING (doc_a, doc_b))
+    UNION ALL
+    SELECT 'ngram', 'simhash',
+           (SELECT COUNT(*) FROM ng),
+           (SELECT COUNT(*) FROM sh_),
+           (SELECT COUNT(*) FROM ng JOIN sh_ USING (doc_a, doc_b))
+    ORDER BY method_a, method_b
+"""
+
+
+@query(
+    "dedup_method_agreement",
+    oracle=_AGREE_ORACLE,
+    doc="Dedup-method agreement matrix: pair-set sizes and overlaps for "
+    "MinHash-LSH (jaccard >= 0.5), SimHash (hamming <= 3) and exact "
+    "n-gram jaccard (>= 0.5) — the diagnostic a curation run uses to "
+    "choose (and sanity-check) its dedup method: minhash ~= ngram "
+    "certifies the LSH recall, simhash's divergence quantifies what a "
+    "bitwise signature trades away. All three pair sets come from the "
+    "session-memoized builders their standalone queries certify, so this "
+    "costs three COUNT aggregates and two tiny joins on top; the oracle "
+    "replicates all three full algorithms and must agree on every count.",
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    mh = minhash_lsh_pairs(d, "doc_id", "text", n=3, k=_K, bands=_BANDS, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    sh = simhash_pairs(d, "doc_id", "text", nbits=48, max_hamming=3).select("doc_a", "doc_b")
+    ng = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=20).select(
+        "doc_a", "doc_b"
+    )
+
+    def row(name_a: str, name_b: str, pa: DataFrame, pb: DataFrame) -> DataFrame:
+        return (
+            pa.agg(F.count("*").cast("bigint").alias("n_a"))
+            .crossJoin(pb.agg(F.count("*").cast("bigint").alias("n_b")))
+            .crossJoin(
+                pa.join(pb, ["doc_a", "doc_b"])
+                .agg(F.count("*").cast("bigint").alias("n_common"))
+            )
+            .select(
+                F.lit(name_a).alias("method_a"),
+                F.lit(name_b).alias("method_b"),
+                "n_a",
+                "n_b",
+                "n_common",
+            )
+        )
+
+    return (
+        row("minhash", "ngram", mh, ng)
+        .unionByName(row("minhash", "simhash", mh, sh))
+        .unionByName(row("ngram", "simhash", ng, sh))
+        .orderBy("method_a", "method_b")
+    )
