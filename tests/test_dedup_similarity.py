@@ -405,8 +405,13 @@ def test_round3_queries_survive_empty_corpus(spark, tmp_path):
         "emb_semdedup_prune",
         "doc_packed_sequences",
         "doc_train_val_test_split",
+        "doc_containment_pairs",
+        "doc_curation_pipeline_v2",
     ]:
         assert plans.REGISTRY[name].fn(spark, d).collect() == [], name
+    # the agreement matrix emits its 3 zero rows, never errors
+    agree = plans.REGISTRY["dedup_method_agreement"].fn(spark, d).collect()
+    assert len(agree) == 3 and all(r.n_a == 0 and r.n_common == 0 for r in agree)
 
 
 def test_semdedup_prune_keeps_rank1_and_drops_near_centroid_dups(spark, tmp_path):
