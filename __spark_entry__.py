@@ -120,6 +120,7 @@ _NEW_R03 = [
     "doc_containment_pairs",
     "doc_curation_pipeline_v2",
     "dedup_method_agreement",
+    "emb_mmr_diverse_topk",
 ]
 
 # A query whose behavior changed this round is no longer certified — it

@@ -883,3 +883,123 @@ def emb_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse top-k (maximal marginal relevance re-rank)
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_K = 5
+_MMR_POOL = 25
+
+
+def _mmr_step_sql(i: int, prev_sel: str, prev_pool: str) -> str:
+    """One unrolled greedy step: pick argmax of lambda*rel - (1-lambda)*
+    max-sim-to-selected from the remaining pool, remove it."""
+    return f"""
+    pick{i} AS (
+      SELECT vec_id, emb, rel FROM (
+        SELECT p.vec_id, p.emb, p.rel,
+               ROW_NUMBER() OVER (ORDER BY
+                 ROUND({_MMR_LAMBDA} * p.rel - {1 - _MMR_LAMBDA} *
+                   (SELECT MAX(ROUND({_cos_sql('p.emb', 's.emb')}, 6))
+                    FROM {prev_sel} s), 6) DESC, p.vec_id) AS rn
+        FROM {prev_pool} p) WHERE rn = 1),
+    sel{i} AS (SELECT vec_id, emb FROM {prev_sel}
+               UNION ALL SELECT vec_id, emb FROM pick{i}),
+    pool{i} AS (SELECT * FROM {prev_pool}
+                WHERE vec_id NOT IN (SELECT vec_id FROM pick{i}))"""
+
+
+_MMR_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+    pool0 AS (
+      SELECT vec_id, emb, rel FROM (
+        SELECT e.vec_id, e.emb,
+               ROUND({_cos_sql('e.emb', 'q.qv')}, 6) AS rel
+        FROM e, q WHERE e.vec_id <> 0
+        ORDER BY rel DESC, vec_id LIMIT {_MMR_POOL})),
+    sel0 AS (
+      SELECT vec_id, emb FROM pool0 ORDER BY rel DESC, vec_id LIMIT 1),
+    pool0b AS (
+      SELECT * FROM pool0
+      WHERE vec_id NOT IN (SELECT vec_id FROM sel0)),
+    {_mmr_step_sql(1, 'sel0', 'pool0b')},
+    {_mmr_step_sql(2, 'sel1', 'pool1')},
+    {_mmr_step_sql(3, 'sel2', 'pool2')},
+    {_mmr_step_sql(4, 'sel3', 'pool3')}
+    SELECT s.vec_id, p.rel
+    FROM sel4 s JOIN pool0 p ON p.vec_id = s.vec_id
+    ORDER BY p.rel DESC, s.vec_id
+"""
+
+
+@query(
+    "emb_mmr_diverse_topk",
+    oracle=_MMR_ORACLE,
+    doc=f"Maximal-marginal-relevance diverse top-{_MMR_K} (Carbonell & "
+    f"Goldstein 1998): relevance-rank a candidate pool of {_MMR_POOL} "
+    f"(one broadcast cosine pass + TakeOrdered — the only corpus-scale "
+    f"stage), then {_MMR_K} greedy steps each picking argmax of "
+    f"lambda*rel - (1-lambda)*max-sim-to-selected. The greedy loop runs "
+    f"over the POOL (bounded, broadcast-size) — the sequential part of "
+    f"MMR never touches the corpus, which is the correct scale split: "
+    f"relevance prunes at scale, diversity re-ranks the shortlist. All "
+    f"scores rounded to 6dp before comparison on both engines; the "
+    f"oracle unrolls the identical greedy steps as CTEs.",
+)
+def emb_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    pool = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+    )
+    # the pool is bounded (_MMR_POOL rows): the greedy loop below drives
+    # bounded-size DataFrames, mirroring the oracle's unrolled CTEs; the
+    # corpus-scale work ended at the relevance TakeOrdered above
+    selected = pool.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1).select(
+        "vec_id", "embedding"
+    )
+    remaining = pool.join(selected.select("vec_id"), "vec_id", "left_anti")
+    for _ in range(1, _MMR_K):
+        max_sim = (
+            remaining.crossJoin(
+                F.broadcast(
+                    selected.select(
+                        F.col("vec_id").alias("_sid"), F.col("embedding").alias("_semb")
+                    )
+                )
+            )
+            .withColumn("_sim", F.round(cosine(F.col("embedding"), F.col("_semb")), 6))
+            .groupBy("vec_id", "embedding", "rel")
+            .agg(F.max("_sim").alias("_max_sim"))
+        )
+        pick = (
+            max_sim.withColumn(
+                "_mmr",
+                F.round(
+                    F.lit(_MMR_LAMBDA) * F.col("rel")
+                    - F.lit(1 - _MMR_LAMBDA) * F.col("_max_sim"),
+                    6,
+                ),
+            )
+            .orderBy(F.desc("_mmr"), F.asc("vec_id"))
+            .limit(1)
+        )
+        selected = selected.unionByName(pick.select("vec_id", "embedding"))
+        remaining = remaining.join(pick.select("vec_id"), "vec_id", "left_anti")
+    return (
+        selected.join(pool.select("vec_id", "rel"), "vec_id")
+        .select("vec_id", "rel")
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+    )

@@ -47,6 +47,7 @@ ALLOW = {
     "bloom_membership_sketch": {"NESTED-LOOP"},  # (a) 1-row stat aggregates
     "hll_distinct_sketch": {"NESTED-LOOP"},  # (a) 1-row stat aggregates
     "dedup_method_agreement": {"NESTED-LOOP"},  # (a) 1-row count aggregates
+    "emb_mmr_diverse_topk": {"NESTED-LOOP"},  # (a) 1-row query vector + bounded pool
     "emb_pq_topk": {"NESTED-LOOP"},  # (a) 1-row query vector + 50-row re-rank
     "emb_ivfpq_topk": {"NESTED-LOOP"},  # (a) 1-row query vector + 50-row re-rank
     "market_share_by_segment": {"GLOBAL-WINDOW"},  # window over 5-row agg
