@@ -73,9 +73,21 @@ _HEADLINE = [
 ]
 
 
+def _tee_stderr(path: str) -> None:
+    """Mirror fd 2 into ``path`` (JVM output included) while keeping it
+    visible to the caller. The driver keeps only the TAIL of the combined
+    output, which once truncated a mid-bench stack trace beyond diagnosis
+    (BENCH_r03); the full stream now lands in bench_stderr.log."""
+    import subprocess
+
+    tee = subprocess.Popen(["tee", path], stdin=subprocess.PIPE, stdout=2)
+    os.dup2(tee.stdin.fileno(), 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    _tee_stderr(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_stderr.log"))
 
     from date_warehouse___airline_project_spark.session import get_spark
     import __spark_entry__ as entry_mod

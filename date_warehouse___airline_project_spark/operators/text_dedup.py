@@ -283,23 +283,40 @@ def simhash(df: DataFrame, id_col: str, text_col: str, nbits: int = 48) -> DataF
         )
 
     tok = _memo(df, ("token_counts", id_col, text_col, nbits), build_tok)
-    # Packed per-bit sums: build the ±cnt contribution VECTOR once per
-    # (doc, token) row, then aggregate element-wise — the hash is decoded
-    # into bits exactly once per row instead of once per (row, bit) inside
-    # each of the 48 aggregate expressions (measured ~1.5x on the agg
-    # stage at sf0.1; same 48 sum buffers, far cheaper input exprs).
-    contrib = tok.select(
-        "_id",
-        F.array(
-            *[(_hash_bit(F.col("_h"), b) * 2 - 1) * F.col("_cnt") for b in range(nbits)]
-        ).alias("_c"),
-    )
+    # Packed per-bit sums. The classic formulation keeps nbits signed
+    # accumulators of ±cnt; rewrite s_b = Σ±cnt = 2·p_b − total where
+    # p_b = Σ(cnt·bit_b) ≥ 0 and total = Σcnt (per doc). Non-negative
+    # counters pack: 3 per 64-bit long at 21-bit offsets, so the wide agg
+    # runs nbits/3 + 1 sum buffers instead of nbits (48 → 17 — the agg
+    # stage was the simhash bottleneck at sf0.1). Bit b lives in lane
+    # b % nlanes, field b // nlanes. No field can carry into its
+    # neighbour as long as every doc has < 2^20 tokens (p_b ≤ total);
+    # corpora with megatoken outlier docs should pre-chunk them —
+    # standard practice before any fixed-width signature anyway.
+    # Sign semantics are unchanged EXACTLY: s_b > 0  ⇔  2·p_b > total
+    # (integer arithmetic throughout), so signatures are bit-identical
+    # to the unpacked formulation and to the DuckDB oracle.
+    nlanes = (nbits + 2) // 3
+    lanes = []
+    for j in range(nlanes):
+        lane = None
+        for f in range(3):
+            b = j + nlanes * f
+            if b >= nbits:
+                break
+            term = F.shiftleft(_hash_bit(F.col("_h"), b) * F.col("_cnt"), 21 * f)
+            lane = term if lane is None else lane + term
+        lanes.append(lane.alias(f"_l{j}"))
+    contrib = tok.select("_id", F.col("_cnt"), *lanes)
     sums = contrib.groupBy("_id").agg(
-        F.array(*[F.sum(F.element_at("_c", b + 1)) for b in range(nbits)]).alias("_s")
+        F.sum("_cnt").alias("_tot"),
+        *[F.sum(f"_l{j}").alias(f"_l{j}") for j in range(nlanes)],
     )
     sig = F.lit(0).cast("bigint")
     for b in range(nbits):
-        sig = sig + F.when(F.element_at("_s", b + 1) > 0, F.lit(2 ** b).cast("bigint")).otherwise(0)
+        j, f = b % nlanes, b // nlanes
+        p_b = F.shiftright(F.col(f"_l{j}"), 21 * f).bitwiseAND(F.lit((1 << 21) - 1))
+        sig = sig + F.when(p_b * 2 > F.col("_tot"), F.lit(2 ** b).cast("bigint")).otherwise(0)
     return sums.select(F.col("_id").alias(id_col), sig.alias("simhash"))
 
 
