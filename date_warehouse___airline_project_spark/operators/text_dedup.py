@@ -105,7 +105,16 @@ def _materialize(df: DataFrame) -> DataFrame:
     each reference of a lazy subtree — for the shingle index that means
     re-running tokenize+window 3-5×. localCheckpoint computes it once and
     truncates lineage; the relations involved are candidate-scale (≪ the
-    corpus), so executor storage is bounded."""
+    corpus), so executor storage is bounded.
+
+    Under SPARK_GRAFT_PLAN_FINGERPRINT (tools/recert.py) the checkpoint is
+    skipped: it replaces the logical plan with an opaque LogicalRDD, which
+    would hide upstream behavior changes from the re-certification
+    fingerprint (the r03 simhash blocking change was invisible this way)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_PLAN_FINGERPRINT"):
+        return df
     return df.localCheckpoint(eager=False)
 
 

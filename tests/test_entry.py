@@ -87,28 +87,71 @@ def test_compare_flags_int_vs_float_dtype_class(duck):
     assert compare("post_fix_packing", spark_shaped, fixed) == []
 
 
-def test_priority_and_certified_names_exist():
-    # A typo in _PRIORITY/_CERTIFIED silently reorders the driver's checked
-    # window — pin that every listed name is a real registry query.
+def test_window_composition_is_mechanical():
+    """Ordering invariants of the derived (not hand-maintained) window:
+    re-certs lead, never-certified queries follow in registry order, and
+    every uncertified query sits inside the driver's 50-query window."""
     import __spark_entry__ as m
 
     names = set(m.plans.REGISTRY)
-    missing_p = [n for n in m._PRIORITY if n not in names]
-    missing_c = [n for n in m._CERTIFIED if n not in names]
-    missing_n = [n for n in m._NEW_R03 if n not in names]
-    assert missing_p == [] and missing_c == [] and missing_n == []
+    recert = m._recert_list()
+    assert all(n in names for n in recert), "recert_list has unknown names"
     ordered = list(m.queries())
-    assert ordered[: len(m._PRIORITY)] == m._PRIORITY
-    # certified queries occupy the tail, never the checked window
-    assert all(n in m._CERTIFIED for n in ordered[-len(m._CERTIFIED):])
-    # rotation invariant: every uncertified query that predates this round
-    # (i.e. is not in the current _NEW_* list) must sit inside the driver's
-    # 50-query window — only current-round additions may overflow, and they
-    # rotate into the next round's window.
-    uncert = [n for n in ordered if n not in m._CERTIFIED]
+    assert ordered[: len(recert)] == recert
+    certified = (m._driver_green() - set(recert)) & names
+    uncert = [n for n in ordered if n not in certified]
+    # uncertified queries form a contiguous prefix ...
     assert ordered[: len(uncert)] == uncert
-    overflow = uncert[50:]
-    assert all(n in m._NEW_R03 for n in overflow), (
-        f"pre-existing uncertified queries pushed out of the window: "
-        f"{[n for n in overflow if n not in m._NEW_R03]}"
+    # ... fully inside the checked window (add new queries sparingly per
+    # round, or stage them behind certification of the backlog)
+    assert len(uncert) <= 50, (
+        f"{len(uncert)} uncertified queries overflow the 50-query window: "
+        f"{uncert[50:]}"
     )
+
+
+def test_recert_diff_flags_doctored_fingerprint():
+    """A behavior change MUST re-enter the window: doctoring one stored
+    hash makes diff() (and therefore recert_list) pick the query up."""
+    import json
+
+    from tools import recert
+
+    with open(recert.HASHES_PATH) as f:
+        stored = json.load(f)
+    assert stored, "plan_hashes.json missing or empty"
+    victim = sorted(stored)[0]
+    doctored = dict(stored)
+    doctored[victim] = "0" * 64
+    assert victim in recert.diff(stored, doctored)
+    assert recert.diff(stored, dict(stored)) == []
+
+
+def test_recert_carry_over_semantics():
+    """Names stay listed until a FRESH green row lands; greened names drop;
+    deregistered names drop."""
+    from tools import recert
+
+    out = recert.carry_over(
+        old_recert=["stale_a", "regreened_b", "gone_c"],
+        changed=["new_d"],
+        green={"regreened_b"},
+        registry={"stale_a", "regreened_b", "new_d"},
+    )
+    assert out == ["new_d", "stale_a"]
+
+
+def test_plan_hashes_cover_registry():
+    """Every registry query has a committed fingerprint (a new query with
+    no baseline can never be flagged as drifted later)."""
+    import json
+
+    import __spark_entry__ as m
+    from tools import recert
+
+    with open(recert.HASHES_PATH) as f:
+        stored = json.load(f)
+    missing = sorted(set(m.plans.REGISTRY) - set(stored))
+    assert missing == [], f"queries without fingerprint baseline: {missing}"
+    bad = sorted(n for n, h in stored.items() if h.startswith("ERROR:"))
+    assert bad == [], f"fingerprint errors committed: {bad}"
