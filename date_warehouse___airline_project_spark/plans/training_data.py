@@ -920,36 +920,20 @@ _V2_ORACLE = f"""
     f"intermediate materialization, no collect.",
 )
 def doc_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import gopher_gate
+
     d = _docs(spark, sf_dir)
-    words = F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0))
-    n_words = F.size(words).cast("bigint")
-    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("bigint")
-    mwl = F.round(
-        F.aggregate(words, F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double"))
-        / F.greatest(n_words, F.lit(1).cast("bigint")),
-        6,
-    )
-    n_sym = F.size(F.regexp_extract_all("text", F.lit(r"[#.]{3,}"), F.lit(0))).cast("bigint")
-    n_stop = F.size(
-        F.regexp_extract_all(
-            F.lower("text"), F.lit(r"\b(?:the|be|to|of|and|that|have|with)\b"), F.lit(0)
-        )
-    ).cast("bigint")
-    g = F.greatest(n_words, F.lit(1).cast("bigint"))
     # The Gopher gate is the expensive scan (five regexp batteries over
     # text) and feeds FOUR branches below (inverted index, df cap, sizes,
     # survivors). Memoize the gated relation so the battery runs once —
     # without this the lazy plan re-derives it per branch (~4x the scan).
+    # The gate itself is the shared operator (operators/quality.py) — the
+    # streaming curation pipeline gates with the same Column tree, which
+    # is what its stream-equals-batch test certifies.
     gop = _memo(
         d,
         ("curation_v2_gop",),
-        lambda: d.select("doc_id", "source", "text", n_words.alias("n_tok")).filter(
-            n_words.between(50, 100000)
-            & mwl.between(3, 10)
-            & ((n_alpha.cast("double") / g) >= 0.8)
-            & ((n_sym.cast("double") / g) <= 0.1)
-            & (n_stop >= 2)
-        ),
+        lambda: gopher_gate(d.select("doc_id", "source", "text")),
     )
 
     # Distinct 3-grams of the SURVIVORS via the shared relational shingle
