@@ -38,23 +38,37 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
+def _round_num(path: str) -> int:
+    """Round number of a CORRECTNESS_r{N}.json path (numeric, not
+    lexicographic — r100 must sort after r99)."""
+    import re
+
+    m = re.search(r"_r(\d+)\.json$", path)
+    return int(m.group(1)) if m else -1
+
+
 def _driver_green() -> set[str]:
-    """Names with a green driver row in any round's CORRECTNESS file.
+    """Names whose MOST RECENT driver row is green (latest round wins).
 
     Green = no error, row counts match, and the value hash matches when an
-    oracle was available (``hash_match`` is None for rows-only checks)."""
-    green: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+    oracle was available (``hash_match`` is None for rows-only checks).
+    A later red row revokes an earlier green one — a flaky or
+    data-dependent regression must re-enter the window, not stay
+    certified on the strength of a stale pass."""
+    latest: dict[str, dict] = {}
+    for path in sorted(
+        glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")), key=_round_num
+    ):
         with open(path) as f:
             rows = json.load(f)
-        for name, r in rows.items():
-            if (
-                r.get("err") is None
-                and r.get("rows_match")
-                and r.get("hash_match") is not False
-            ):
-                green.add(name)
-    return green
+        latest.update(rows)
+    return {
+        name
+        for name, r in latest.items()
+        if r.get("err") is None
+        and r.get("rows_match")
+        and r.get("hash_match") is not False
+    }
 
 
 def _recert_list() -> list[str]:
@@ -64,7 +78,9 @@ def _recert_list() -> list[str]:
     if not os.path.exists(path):
         return []
     with open(path) as f:
-        return json.load(f)
+        data = json.load(f)
+    # legacy list form or current {name: resolving_round} map
+    return list(data)
 
 
 def _ordered_names() -> list[str]:

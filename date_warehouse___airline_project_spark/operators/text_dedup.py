@@ -288,7 +288,6 @@ def simhash(df: DataFrame, id_col: str, text_col: str, nbits: int = 48) -> DataF
             .select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok"))
             .groupBy("_id", "_tok")
             .agg(F.count("*").alias("_cnt"))
-            .withColumn("_h", _hash_int(F.md5(F.col("_tok")), nbits))
         )
 
     tok = _memo(df, ("token_counts", id_col, text_col, nbits), build_tok)
@@ -299,33 +298,67 @@ def simhash(df: DataFrame, id_col: str, text_col: str, nbits: int = 48) -> DataF
     # runs nbits/3 + 1 sum buffers instead of nbits (48 → 17 — the agg
     # stage was the simhash bottleneck at sf0.1). Bit b lives in lane
     # b % nlanes, field b // nlanes. No field can carry into its
-    # neighbour as long as every doc has < 2^20 tokens (p_b ≤ total);
-    # corpora with megatoken outlier docs should pre-chunk them —
+    # neighbour as long as every doc has < 2^21 tokens (p_b ≤ total);
+    # ENFORCED below with a raise_error gate on _tot, so a megatoken
+    # outlier doc fails loudly instead of silently flipping unrelated
+    # signature bits — pre-chunk oversized docs before signing them,
     # standard practice before any fixed-width signature anyway.
     # Sign semantics are unchanged EXACTLY: s_b > 0  ⇔  2·p_b > total
     # (integer arithmetic throughout), so signatures are bit-identical
     # to the unpacked formulation and to the DuckDB oracle.
+    #
+    # The per-token lane PATTERNS (Σ_f bit_b · 2^(21f), a constant per
+    # token) are pre-aggregated over the VOCABULARY relation — distinct
+    # tokens, corpus-bounded and vastly smaller than the (doc, token)
+    # stream — so md5+conv runs once per token, not once per (doc, token)
+    # pair; a doc-token row then contributes cnt · pattern_j via one
+    # multiply after an equi-join on token (AQE broadcasts the vocab side
+    # when small; a shuffle hash join otherwise — never corpus × corpus).
     nlanes = (nbits + 2) // 3
-    lanes = []
-    for j in range(nlanes):
-        lane = None
-        for f in range(3):
-            b = j + nlanes * f
-            if b >= nbits:
-                break
-            term = F.shiftleft(_hash_bit(F.col("_h"), b) * F.col("_cnt"), 21 * f)
-            lane = term if lane is None else lane + term
-        lanes.append(lane.alias(f"_l{j}"))
-    contrib = tok.select("_id", F.col("_cnt"), *lanes)
+
+    def build_vocab() -> DataFrame:
+        v = tok.select("_tok").distinct().withColumn(
+            "_h", _hash_int(F.md5(F.col("_tok")), nbits)
+        )
+        pats = []
+        for j in range(nlanes):
+            pat = None
+            for f in range(3):
+                b = j + nlanes * f
+                if b >= nbits:
+                    break
+                term = F.shiftleft(_hash_bit(F.col("_h"), b), 21 * f)
+                pat = term if pat is None else pat + term
+            pats.append(pat.alias(f"_p{j}"))
+        return v.select("_tok", *pats)
+
+    vocab = _memo(df, ("simhash_vocab", id_col, text_col, nbits), build_vocab)
+    contrib = tok.join(vocab, "_tok").select(
+        "_id",
+        F.col("_cnt"),
+        *[(F.col("_cnt") * F.col(f"_p{j}")).alias(f"_l{j}") for j in range(nlanes)],
+    )
     sums = contrib.groupBy("_id").agg(
         F.sum("_cnt").alias("_tot"),
         *[F.sum(f"_l{j}").alias(f"_l{j}") for j in range(nlanes)],
+    )
+    # Loud overflow gate: a doc at ≥ 2^21 tokens would carry a packed
+    # field into its neighbour and corrupt the signature silently.
+    tot = F.when(F.col("_tot") < F.lit(1 << 21), F.col("_tot")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("simhash: document "),
+                F.col("_id").cast("string"),
+                F.lit(" has >= 2^21 tokens; packed-lane sums would overflow "
+                      "— pre-chunk oversized documents before signing"),
+            )
+        ).cast("bigint")
     )
     sig = F.lit(0).cast("bigint")
     for b in range(nbits):
         j, f = b % nlanes, b // nlanes
         p_b = F.shiftright(F.col(f"_l{j}"), 21 * f).bitwiseAND(F.lit((1 << 21) - 1))
-        sig = sig + F.when(p_b * 2 > F.col("_tot"), F.lit(2 ** b).cast("bigint")).otherwise(0)
+        sig = sig + F.when(p_b * 2 > tot, F.lit(2 ** b).cast("bigint")).otherwise(0)
     return sums.select(F.col("_id").alias(id_col), sig.alias("simhash"))
 
 

@@ -954,15 +954,23 @@ _MMR_ORACLE = f"""
 def _round6_half_up(x: float) -> float:
     """Bit-exact replica of Spark's ``round(double, 6)``: Catalyst rounds
     ``BigDecimal(Double.toString(x))`` HALF_UP; ``repr(float)`` is the same
-    shortest-decimal string, so Decimal-quantize reproduces it exactly."""
+    shortest-decimal string, so Decimal-quantize reproduces it exactly.
+    NaN passes through (Spark's round of NaN is NaN; Decimal would raise
+    InvalidOperation)."""
+    import math
     from decimal import ROUND_HALF_UP, Decimal
 
+    if math.isnan(x):
+        return x
     return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
 
 
 def _cos_py(a: list[float], b: list[float]) -> float:
     """Bit-exact replica of the ``cosine`` Column above: sequential
-    left-fold float64 dot products (same IEEE op order as F.aggregate)."""
+    left-fold float64 dot products (same IEEE op order as F.aggregate).
+    A zero-norm vector divides by 0.0, which Spark's double division
+    yields NaN for — Python float division raises, so guard it to match
+    IEEE semantics rather than crash the greedy loop."""
     import math
 
     dab = daa = dbb = 0.0
@@ -975,7 +983,10 @@ def _cos_py(a: list[float], b: list[float]) -> float:
     for y in b:
         y = float(y)
         dbb += y * y
-    return dab / (math.sqrt(daa) * math.sqrt(dbb))
+    denom = math.sqrt(daa) * math.sqrt(dbb)
+    if denom == 0.0:
+        return float("nan")
+    return dab / denom
 
 
 @query(

@@ -823,6 +823,69 @@ def doc_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Curation accounting: the batch twin of streaming/curation_stream.py
+# ---------------------------------------------------------------------------
+
+_CURATION_ACCT_ORACLE = """
+    WITH g0 AS (
+      SELECT doc_id, source, text,
+             regexp_extract_all(text, '\\S+') AS words,
+             CAST(LENGTH(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+             CAST(LENGTH(regexp_extract_all(text, '[#.]{3,}')) AS BIGINT) AS n_sym,
+             CAST(LENGTH(regexp_extract_all(lower(text),
+                 '\\b(?:the|be|to|of|and|that|have|with)\\b')) AS BIGINT) AS n_stop
+      FROM documents),
+    gop AS (
+      SELECT doc_id, source, text, n_words AS n_tok FROM (
+        SELECT *,
+               CAST(LENGTH(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+                    AS BIGINT) AS n_alpha,
+               ROUND(list_sum(list_transform(words, w -> CAST(LENGTH(w) AS DOUBLE)))
+                     / GREATEST(n_words, 1), 6) AS mwl
+        FROM g0)
+      WHERE n_words BETWEEN 50 AND 100000
+        AND mwl BETWEEN 3 AND 10
+        AND CAST(n_alpha AS DOUBLE) / GREATEST(n_words, 1) >= 0.8
+        AND CAST(n_sym AS DOUBLE) / GREATEST(n_words, 1) <= 0.1
+        AND n_stop >= 2),
+    fps AS (
+      SELECT doc_id, source, n_tok,
+             MD5(SUBSTR(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'), 1, 64))
+                 AS fp
+      FROM gop),
+    keep AS (SELECT fp, MIN(doc_id) AS doc_id FROM fps GROUP BY fp),
+    kept AS (
+      SELECT f.source, f.n_tok
+      FROM fps f JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM kept
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@query(
+    "doc_curation_accounting",
+    oracle=_CURATION_ACCT_ORACLE,
+    doc="Batch twin of the streaming curation pipeline "
+    "(streaming/curation_stream.py): Gopher gate -> exact-fingerprint "
+    "first-wins dedup -> per-source (n_docs, n_tokens) accounting. Built "
+    "from the SAME batch_curate construction the stream folds per "
+    "micro-batch, so the stream-equals-batch test "
+    "(tests/test_streaming.py) certifies that the continuously-maintained "
+    "accounting state converges to exactly this relation. Scale: one "
+    "scan-side gate, one hash-shuffle on fingerprint, one keyed rollup on "
+    "the bounded source key — no state ever re-scans accepted documents.",
+)
+def doc_curation_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.curation_stream import accounting_of, batch_curate
+
+    return accounting_of(batch_curate(_docs(spark, sf_dir), None)).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
 # Flagship v2: gopher gate -> excerpt removal -> weighted sample -> packing
 # ---------------------------------------------------------------------------
 

@@ -23,20 +23,48 @@ from pyspark.sql import functions as F
 
 
 def write_quarantine_csv(df: DataFrame, path: str) -> None:
-    """Single-CSV quarantine export with header, nulls → ''.
+    """Single-CSV quarantine export, BYTE-identical to the reference's
+    pandas export (cleaning.py:771-779):
+
+      * non-empty → ``fillna('').to_csv(index=False, encoding='utf-8-sig')``
+        — UTF-8 BOM, header, nulls as empty fields, embedded quotes
+        doubled (csv.QUOTE_MINIMAL), '\\n' line ends, trailing newline;
+      * empty → ``pd.DataFrame().to_csv(index=False)`` — a single '\\n',
+        no header, no BOM (the reference drops the columns too).
 
     coalesce(1) is intentional: quarantine sets are small by contract
     (they're the anomaly tail); the clean side never funnels through one
     partition.
     """
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     out = df.na.fill("").coalesce(1)
-    out.write.mode("overwrite").option("header", True).csv(path + ".tmp")
-    # promote the single part file to a stable filename
+    (
+        out.write.mode("overwrite")
+        .option("header", True)
+        # pandas doubles embedded quotes (doublequote=True); Spark's
+        # default escape is backslash — pin escape='"' for byte parity
+        .option("escape", '"')
+        # Spark writes empty strings as a quoted "" by default; pandas
+        # writes an empty field
+        .option("emptyValue", "")
+        # Spark's writer trims cell whitespace by default; pandas doesn't
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(path + ".tmp")
+    )
     part = next(
         f for f in os.listdir(path + ".tmp") if f.startswith("part-") and f.endswith(".csv")
     )
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    shutil.move(os.path.join(path + ".tmp", part), path)
+    part_path = os.path.join(path + ".tmp", part)
+    if os.path.getsize(part_path) == 0 or df.isEmpty():
+        # reference's empty branch: a column-less to_csv -> exactly b"\n"
+        with open(path, "wb") as f:
+            f.write(b"\n")
+    else:
+        # utf-8-sig: prepend the BOM while promoting the part file
+        with open(path, "wb") as dst, open(part_path, "rb") as src:
+            dst.write(b"\xef\xbb\xbf")
+            shutil.copyfileobj(src, dst)
     shutil.rmtree(path + ".tmp")
 
 

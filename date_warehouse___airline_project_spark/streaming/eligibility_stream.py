@@ -83,6 +83,33 @@ def eligibility_requests(messages: DataFrame) -> DataFrame:
     )
 
 
+def kafka_source_options(
+    bootstrap_servers: str, topic: str, starting_offsets: str = "earliest"
+) -> dict[str, str]:
+    """The EXACT consumer option set the reference worker subscribes with
+    (kafkaworker.js:28-44): one ``subscribe`` topic (not assign/pattern),
+    earliest offsets so a restarted worker drains the backlog. Kept as a
+    pure dict so the contract test can pin it without the connector jar —
+    dropping the jar onto the classpath makes the deployment config-only.
+    """
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
+def kafka_sink_options(
+    bootstrap_servers: str, topic: str, checkpoint_dir: str
+) -> dict[str, str]:
+    """Producer option set (kafkaProducer.js:36-44) — same pin rationale."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "checkpointLocation": checkpoint_dir,
+    }
+
+
 def kafka_messages_source(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -100,9 +127,7 @@ def kafka_messages_source(
     """
     return (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+        .options(**kafka_source_options(bootstrap_servers, topic, starting_offsets))
         .load()
         .select(F.col("value").cast("string").alias("value"))
     )
@@ -117,9 +142,7 @@ def kafka_results_sink(
     return (
         results.select(F.to_json(F.struct(*results.columns)).alias("value"))
         .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint_dir)
+        .options(**kafka_sink_options(bootstrap_servers, topic, checkpoint_dir))
     )
 
 

@@ -108,3 +108,43 @@ def test_upsert_idempotent_reupload(spark, dirs):
     staged = spark.read.parquet(str(dirs / "staging" / "staging_airlines"))
     assert staged.count() == 3
     assert {r.alliance for r in staged.collect()} == {"Oneworld", "SkyTeam", "Star Alliance"}
+
+
+def test_quarantine_csv_byte_parity_with_reference(spark, tmp_path):
+    # Golden-bytes pin of write_quarantine_csv against the reference's
+    # actual export semantics (cleaning.py:771-779): pandas
+    # fillna('').to_csv(index=False, encoding='utf-8-sig') — BOM, header,
+    # doubled embedded quotes, empty fields for nulls, trailing newline.
+    # The expected bytes are produced BY pandas here, so the pin is to the
+    # real engine, not a hand-transcribed literal.
+    import pandas as pd
+
+    from date_warehouse___airline_project_spark.sources.sinks import (
+        write_quarantine_csv,
+    )
+
+    rows = [
+        ("40001", "x,y comma", 'he said "hi"', "dup_key"),
+        ("40002", None, "plain", "null_field"),
+        ("40003", "trailing space ", None, "range"),
+    ]
+    cols = ["transactionid", "note", "comment", "quarantine_reason"]
+    sdf = spark.createDataFrame(rows, cols)
+    got_path = tmp_path / "quarantined_transactions.csv"
+    write_quarantine_csv(sdf, str(got_path))
+
+    ref_path = tmp_path / "ref.csv"
+    pd.DataFrame(rows, columns=cols).fillna("").to_csv(
+        ref_path, index=False, encoding="utf-8-sig"
+    )
+    got, want = got_path.read_bytes(), ref_path.read_bytes()
+    assert got.startswith(b"\xef\xbb\xbf")
+    assert got == want
+
+    # empty quarantine: the reference writes pd.DataFrame().to_csv
+    # (index=False) — exactly one newline, no header, no BOM
+    empty_path = tmp_path / "quarantined_empty.csv"
+    write_quarantine_csv(sdf.limit(0), str(empty_path))
+    ref_empty = tmp_path / "ref_empty.csv"
+    pd.DataFrame().to_csv(ref_empty, index=False)
+    assert empty_path.read_bytes() == ref_empty.read_bytes() == b"\n"

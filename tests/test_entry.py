@@ -119,6 +119,7 @@ def test_recert_diff_flags_doctored_fingerprint():
 
     with open(recert.HASHES_PATH) as f:
         stored = json.load(f)
+    stored.pop(recert.VERSION_KEY, None)  # metadata, not a query
     assert stored, "plan_hashes.json missing or empty"
     victim = sorted(stored)[0]
     doctored = dict(stored)
@@ -128,17 +129,35 @@ def test_recert_diff_flags_doctored_fingerprint():
 
 
 def test_recert_carry_over_semantics():
-    """Names stay listed until a FRESH green row lands; greened names drop;
-    deregistered names drop."""
+    """Names stay listed until a green row lands in a round >= the one
+    that resolves them; greened names drop; deregistered names drop; a
+    green row that PREDATES the listing does NOT drop the entry (the
+    re-run-after-rebaseline hazard); legacy list-form input upgrades."""
     from tools import recert
 
     out = recert.carry_over(
-        old_recert=["stale_a", "regreened_b", "gone_c"],
+        old_recert={
+            "stale_a": 5,  # never green -> stays
+            "regreened_b": 5,  # green in r5 -> drops
+            "gone_c": 5,  # deregistered -> drops
+            "pregreen_e": 5,  # green only in r4 (< 5) -> STAYS
+        },
         changed=["new_d"],
-        green={"regreened_b"},
-        registry={"stale_a", "regreened_b", "new_d"},
+        greens={4: {"pregreen_e", "stale_a"}, 5: {"regreened_b"}},
+        registry={"stale_a", "regreened_b", "new_d", "pregreen_e"},
+        entry_round=6,
     )
-    assert out == ["new_d", "stale_a"]
+    assert out == {"new_d": 6, "pregreen_e": 5, "stale_a": 5}
+
+    # legacy list form: every entry adopts entry_round
+    out2 = recert.carry_over(
+        old_recert=["stale_a"],
+        changed=[],
+        greens={4: {"stale_a"}},
+        registry={"stale_a"},
+        entry_round=5,
+    )
+    assert out2 == {"stale_a": 5}
 
 
 def test_plan_hashes_cover_registry():
@@ -155,3 +174,43 @@ def test_plan_hashes_cover_registry():
     assert missing == [], f"queries without fingerprint baseline: {missing}"
     bad = sorted(n for n, h in stored.items() if h.startswith("ERROR:"))
     assert bad == [], f"fingerprint errors committed: {bad}"
+
+
+def test_fingerprints_deterministic_across_fresh_sessions():
+    """Two FRESH interpreter+Spark sessions must produce identical
+    fingerprints (the normalizers exist exactly for session-varying state:
+    expression IDs, HOF lambda counters, /tmp paths, LogicalRDD ids).
+    Enforces the determinism contract recert.py's baseline diffing rests
+    on, over a representative trio: a relational plan, a HOF-lambda-heavy
+    plan, and a driver-side-fold plan (LocalRelation + Python sources)."""
+    import subprocess
+    import sys as _sys
+
+    prog = r"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+from tools import recert
+from date_warehouse___airline_project_spark import plans
+from date_warehouse___airline_project_spark.session import get_spark
+import os
+os.environ["SPARK_GRAFT_PLAN_FINGERPRINT"] = "1"
+plans.load_all()
+spark = get_spark("fp_determinism")
+spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
+names = ["q1_pricing_summary", "simhash_dupes", "emb_mmr_diverse_topk"]
+out = {n: recert.fingerprint_versions(spark, plans.REGISTRY[n]) for n in names}
+print("FPJSON:" + json.dumps(out, sort_keys=True))
+"""
+
+    def run_once() -> str:
+        res = subprocess.run(
+            [_sys.executable, "-c", prog],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        lines = [l for l in res.stdout.splitlines() if l.startswith("FPJSON:")]
+        assert lines, f"fingerprint subprocess failed:\n{res.stderr[-2000:]}"
+        return lines[-1]
+
+    assert run_once() == run_once()

@@ -444,3 +444,78 @@ def test_lsh_params_factors_and_recall_bias():
     assert b * r == 16
     # chosen curve sits at-or-below the threshold (recall bias)
     assert curve_midpoint(b, r) <= 0.5
+
+
+# ---------------------------------------------------------------------------
+# ffill carry-map repair: partitioning-invariance (SURVEY §7 determinism)
+# ---------------------------------------------------------------------------
+
+def _ffill_reference(ids: list[str | None]) -> list[str | None]:
+    """Single-pass Python oracle of the reference semantics
+    (cleaning.py:554-570): invalid id -> last valid numeric id so far + 1,
+    null if no valid id seen yet."""
+    out, last = [], None
+    for v in ids:
+        if v is not None and v.isdigit():
+            out.append(v)
+            last = int(v)
+        else:
+            out.append(str(last + 1) if last is not None else None)
+    return out
+
+
+@given(
+    ids=st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=99999).map(str),
+            st.sampled_from(["4AN", "", "x", "None"]),
+            st.none(),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    nparts=st.sampled_from([1, 7, 32]),
+)
+@settings(**SETTINGS)
+def test_ffill_repair_partitioning_invariant(spark, ids, nparts):
+    # The two-pass carry-map ffill must produce the single-partition
+    # reference answer under ADVERSARIAL physical partitioning: more
+    # partitions than rows (empty partitions), partitions that contain
+    # only invalid ids, and a leading run with no valid id yet. Ingest
+    # order is pre-assigned, then the data is range-partitioned on it
+    # (the operator's contract: partition index order == ingest order,
+    # exactly what monotonically_increasing_id gives a file scan).
+    from date_warehouse___airline_project_spark.operators.order import (
+        INGEST_COL,
+        ffill_repair_ids,
+    )
+
+    rows = [(i, v) for i, v in enumerate(ids)]
+    df = spark.createDataFrame(rows, f"{INGEST_COL} long, tid string")
+    df = df.repartitionByRange(nparts, F.col(INGEST_COL))
+    got = {
+        r[INGEST_COL]: r["tid"]
+        for r in ffill_repair_ids(df, "tid").collect()
+    }
+    want = _ffill_reference([v if v is None else str(v) for v in ids])
+    assert [got[i] for i in range(len(ids))] == want
+
+
+def test_ffill_repair_all_invalid_and_empty_partitions(spark):
+    # Deterministic pinned case: partition 0 all-invalid (carry stays
+    # null -> stays null), a valid id appears mid-stream, later
+    # all-invalid partitions carry the LAST valid id across several
+    # partition boundaries, and nparts > rows leaves empty partitions.
+    from date_warehouse___airline_project_spark.operators.order import (
+        INGEST_COL,
+        ffill_repair_ids,
+    )
+
+    ids = ["x", None, "100", "bad", "", "7", "y", "z", "q"]
+    df = spark.createDataFrame(
+        list(enumerate(ids)), f"{INGEST_COL} long, tid string"
+    ).repartitionByRange(32, F.col(INGEST_COL))
+    got = {r[INGEST_COL]: r["tid"] for r in ffill_repair_ids(df, "tid").collect()}
+    assert [got[i] for i in range(len(ids))] == [
+        None, None, "100", "101", "101", "7", "8", "8", "8"
+    ]

@@ -67,12 +67,85 @@ def normalize_plan(plan: str) -> str:
     return plan.strip()
 
 
+_PKG = "date_warehouse___airline_project_spark"
+
+# Fingerprint ALGORITHM version, stored inside plan_hashes.json under
+# VERSION_KEY. When the algorithm itself changes (e.g. v1's one-level
+# same-module source walk -> v2's transitive cross-module walk), every
+# hash changes for reasons that are NOT behavior drift; the migration in
+# main() diffs the committed baseline with the algorithm that PRODUCED it
+# (so genuine drift is still caught), then re-baselines under the new
+# algorithm — without dumping all 172 queries into the recert window.
+FP_VERSION = "2"
+VERSION_KEY = "__fp_version__"
+
+
+def _code_names(code) -> set[str]:
+    """Global names referenced by a code object INCLUDING its nested code
+    objects (lambdas, comprehensions) — a helper reached only from inside
+    a lambda must still enter the closure."""
+    import types
+
+    names = set(code.co_names)
+    for const in code.co_consts:
+        if isinstance(const, types.CodeType):
+            names |= _code_names(const)
+    return names
+
+
 def _fn_sources(fn) -> str:
-    """Source of the query fn plus (one level deep) every same-module
-    function it references. Catches behavior that never reaches the plan
-    string: driver-side folds over collected bounded relations (e.g. the
-    MMR greedy loop's arithmetic helpers) appear as a LocalRelation in the
-    plan, so only their Python source can witness a change."""
+    """Transitive source closure of the query fn: every package function
+    reachable through global-name references, walked recursively and
+    across package modules (both ``from x import helper`` and
+    ``import x; x.helper(...)`` styles). Catches behavior that never
+    reaches the plan string: driver-side folds over collected bounded
+    relations (e.g. the MMR greedy loop's arithmetic helpers) appear as a
+    LocalRelation in the plan, so only their Python source can witness a
+    change — including second-level helpers (dot() reached via cosine())
+    and cross-module ones, which the old one-level same-module walk
+    missed."""
+    import inspect
+    import types
+
+    seen: set[tuple[str, str]] = set()
+    srcs: list[str] = []
+    queue = [fn]
+    while queue:
+        f = queue.pop(0)
+        key = (f.__module__ or "", f.__qualname__)
+        if key in seen:
+            continue
+        seen.add(key)
+        try:
+            srcs.append(inspect.getsource(f))
+        except OSError:  # pragma: no cover
+            pass
+        mod = sys.modules.get(f.__module__)
+        if mod is None:
+            continue
+        names = sorted(_code_names(f.__code__))
+        # modules of this package referenced by attribute (import x; x.h())
+        mods = [mod] + [
+            m
+            for m in (getattr(mod, n, None) for n in names)
+            if isinstance(m, types.ModuleType)
+            and (m.__name__ or "").startswith(_PKG)
+        ]
+        for m in mods:
+            for name in names:
+                obj = getattr(m, name, None)
+                if isinstance(obj, types.FunctionType) and (
+                    (obj.__module__ or "").startswith(_PKG)
+                    or obj.__module__ == fn.__module__
+                ):
+                    queue.append(obj)
+    return "\n".join(srcs)
+
+
+def _fn_sources_v1(fn) -> str:
+    """LEGACY v1 source walk (one level deep, same module only) — kept
+    solely so a committed v1 baseline can be diffed with the algorithm
+    that produced it during the v1 -> v2 migration."""
     import inspect
 
     srcs = [inspect.getsource(fn)]
@@ -87,14 +160,31 @@ def _fn_sources(fn) -> str:
     return "\n".join(srcs)
 
 
-def fingerprint_one(spark, q, sf_dir: str = FINGERPRINT_SF_DIR) -> str:
+_SOURCE_WALKS = {"1": _fn_sources_v1, "2": _fn_sources}
+
+
+def fingerprint_one(
+    spark, q, sf_dir: str = FINGERPRINT_SF_DIR, version: str = FP_VERSION
+) -> str:
+    return fingerprint_versions(spark, q, sf_dir, (version,))[version]
+
+
+def fingerprint_versions(
+    spark, q, sf_dir: str = FINGERPRINT_SF_DIR, versions=tuple(_SOURCE_WALKS)
+) -> dict[str, str]:
+    """Fingerprint under each requested algorithm version in ONE plan
+    construction (the expensive part is building the DataFrame)."""
     df = q.fn(spark, sf_dir)
     plan = df._jdf.queryExecution().analyzed().toString()
-    payload = "\0".join([normalize_plan(plan), q.oracle or "", _fn_sources(q.fn)])
-    return hashlib.sha256(payload.encode()).hexdigest()
+    base = "\0".join([normalize_plan(plan), q.oracle or ""])
+    return {
+        v: hashlib.sha256(f"{base}\0{_SOURCE_WALKS[v](q.fn)}".encode()).hexdigest()
+        for v in versions
+    }
 
 
-def compute_fingerprints() -> dict[str, str]:
+def compute_fingerprints(versions=(FP_VERSION,)) -> dict[str, dict[str, str]]:
+    """{query: {version: digest}} for every registry query."""
     # Full lineage, not checkpoint-truncated LogicalRDDs (see _materialize)
     os.environ["SPARK_GRAFT_PLAN_FINGERPRINT"] = "1"
 
@@ -108,12 +198,12 @@ def compute_fingerprints() -> dict[str, str]:
     # IDENTICAL under the default because the changed columns were elided
     # as "... N more fields". Fingerprints must see the whole tree.
     spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
-    out: dict[str, str] = {}
+    out: dict[str, dict[str, str]] = {}
     for name, q in plans.REGISTRY.items():
         try:
-            out[name] = fingerprint_one(spark, q)
+            out[name] = fingerprint_versions(spark, q, versions=versions)
         except Exception as exc:  # a broken plan must surface, not hide
-            out[name] = f"ERROR:{type(exc).__name__}:{exc}"
+            out[name] = {v: f"ERROR:{type(exc).__name__}:{exc}" for v in versions}
     return out
 
 
@@ -123,30 +213,62 @@ def diff(old: dict[str, str], new: dict[str, str]) -> list[str]:
     return sorted(n for n, h in new.items() if old.get(n) != h)
 
 
-def latest_green(repo: str = REPO) -> set[str]:
-    """Names green in the HIGHEST-numbered CORRECTNESS_r{N}.json."""
+def greens_by_round(repo: str = REPO) -> dict[int, set[str]]:
+    """{round: green names} from every CORRECTNESS_r{N}.json (numeric
+    round parse — r100 must beat r99, which a lexicographic sort gets
+    wrong)."""
     import glob
 
-    paths = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
-    if not paths:
-        return set()
-    with open(paths[-1]) as f:
-        rows = json.load(f)
-    return {
-        n
-        for n, r in rows.items()
-        if r.get("err") is None
-        and r.get("rows_match")
-        and r.get("hash_match") is not False
+    out: dict[int, set[str]] = {}
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        with open(path) as f:
+            rows = json.load(f)
+        out[int(m.group(1))] = {
+            n
+            for n, r in rows.items()
+            if r.get("err") is None
+            and r.get("rows_match")
+            and r.get("hash_match") is not False
+        }
+    return out
+
+
+def latest_green(repo: str = REPO) -> set[str]:
+    """Names green in the HIGHEST-numbered CORRECTNESS_r{N}.json."""
+    greens = greens_by_round(repo)
+    return greens[max(greens)] if greens else set()
+
+
+def carry_over(
+    old_recert: dict[str, int] | list[str],
+    changed: list[str],
+    greens: dict[int, set[str]],
+    registry: set[str],
+    entry_round: int,
+) -> dict[str, int]:
+    """Next recert map {name: resolving_round}: newly-changed names enter
+    at ``entry_round`` (the round whose driver run can first re-certify
+    them); prior entries stay until a green row lands in a round >= their
+    own resolving round. Keying on the ROUND, not just "any green row",
+    prevents a re-run of this tool from dropping an entry on the strength
+    of a green row that PREDATES the behavior change that listed it
+    (a changed=[] re-run after the baseline was already regenerated would
+    otherwise silently de-window everything). Legacy list-form entries
+    adopt ``entry_round``."""
+    if isinstance(old_recert, list):
+        old_recert = {n: entry_round for n in old_recert}
+    out = {
+        n: r
+        for n, r in old_recert.items()
+        if n in registry
+        and not any(n in g for rnd, g in greens.items() if rnd >= r)
     }
-
-
-def carry_over(old_recert: list[str], changed: list[str], green: set[str],
-               registry: set[str]) -> list[str]:
-    """Next recert list: newly-changed names, plus prior entries that have
-    NOT yet landed a fresh green driver row since entering the list."""
-    keep = [n for n in old_recert if n in registry and n not in green]
-    return sorted(set(changed) | set(keep))
+    for n in changed:
+        out[n] = entry_round
+    return {n: out[n] for n in sorted(out)}
 
 
 def main() -> None:
@@ -155,18 +277,30 @@ def main() -> None:
     if os.path.exists(HASHES_PATH):
         with open(HASHES_PATH) as f:
             old = json.load(f)
-    new = compute_fingerprints()
+    # A pre-versioning baseline is v1 by definition.
+    old_version = str(old.pop(VERSION_KEY, "1"))
+    # Behavior drift is detected by diffing the committed baseline with
+    # the ALGORITHM THAT PRODUCED IT; the new baseline is always written
+    # under the current algorithm. During a version migration this needs
+    # both digests — one plan construction, two source walks.
+    versions = (FP_VERSION,) if old_version == FP_VERSION else (old_version, FP_VERSION)
+    pairs = compute_fingerprints(versions=versions)
+    new_for_diff = {n: hs[old_version if old else FP_VERSION] for n, hs in pairs.items()}
+    new = {n: hs[FP_VERSION] for n, hs in pairs.items()}
     # First run ever: the hashes file IS the baseline — queries keep their
     # existing green rows (their behavior at baseline is what those rows
     # certified as of this commit); only subsequent drift re-windows them.
-    changed = diff(old, new) if old else []
-    old_recert: list[str] = []
+    changed = diff(old, new_for_diff) if old else []
+    old_recert: dict[str, int] | list[str] = []
     if os.path.exists(RECERT_PATH):
         with open(RECERT_PATH) as f:
             old_recert = json.load(f)
-    recert = carry_over(old_recert, changed, latest_green(), set(new))
+    greens = greens_by_round()
+    entry_round = (max(greens) if greens else 0) + 1
+    recert = carry_over(old_recert, changed, greens, set(new), entry_round)
     errors = [n for n, h in new.items() if h.startswith("ERROR:")]
-    print(f"{len(new)} queries fingerprinted, {len(changed)} changed/new, "
+    print(f"{len(new)} queries fingerprinted (algo v{old_version}->v{FP_VERSION}), "
+          f"{len(changed)} changed/new, "
           f"{len(recert)} to re-certify, {len(errors)} errored")
     for n in recert:
         print(f"  recert: {n}")
@@ -174,7 +308,7 @@ def main() -> None:
         print(f"  ERROR : {n} -> {new[n][:120]}")
     if not check_only:
         with open(HASHES_PATH, "w") as f:
-            json.dump(new, f, indent=1, sort_keys=True)
+            json.dump({VERSION_KEY: FP_VERSION, **new}, f, indent=1, sort_keys=True)
         with open(RECERT_PATH, "w") as f:
             json.dump(recert, f, indent=1)
         print(f"wrote {HASHES_PATH} and {RECERT_PATH}")
