@@ -71,13 +71,17 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
-def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def shingle_index(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, memo: bool = True
+) -> DataFrame:
     """Distinct (``_id``, ``_g``) word-n-gram rows — the inverted-index form.
 
     Fully codegen'd relational plan: posexplode tokens → window ``lead`` to
     form n-grams → distinct. One shuffle on the doc id (window) + one on
     (id, shingle) (distinct); no interpreted array lambdas. Produces the
     same shingle SET as ``word_shingles`` for every doc with ≥ n tokens.
+    ``memo=False`` skips the session cache — for streaming micro-batches,
+    whose one-shot relations would only churn the LRU.
     """
     def build() -> DataFrame:
         tok = spread(df).select(
@@ -96,6 +100,8 @@ def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
             .distinct()
         )
 
+    if not memo:
+        return build()
     return _memo(df, ("shingle_index", id_col, text_col, n), build)
 
 
@@ -204,6 +210,55 @@ def _verify_jaccard(
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    memo: bool = True,
+) -> DataFrame:
+    """Per-doc MinHash signature relation (``_id``, ``_mh0`` .. ``_mh{k-1}``).
+
+    Hashing cost is ONE pass over the shingle index: each shingle gets two
+    56-bit md5-derived values (a, b) and the K minhash functions are the
+    Kirsch–Mitzenmacher family ``h_i = a + i·b`` (no overflow:
+    a + 15b < 2^60), minimized by a map-side-combined groupBy — K plain
+    ``min`` aggregates over precomputed longs instead of K md5 sweeps.
+    Docs with < n tokens have no shingles and are ABSENT from the result.
+    Shared by the batch LSH pipeline and the streaming near-dup lane
+    (streaming/neardup_stream.py), which is what makes their
+    stream-equals-batch test meaningful.
+    """
+    def build() -> DataFrame:
+        inv = shingle_index(df, id_col, text_col, n, memo=memo)
+        ex = inv.withColumn(
+            "_ha", _hash_int(F.md5(F.concat(F.lit("a:"), F.col("_g"))), 56)
+        ).withColumn("_hb", _hash_int(F.md5(F.concat(F.lit("b:"), F.col("_g"))), 56))
+        return ex.groupBy("_id").agg(
+            *[F.min(F.col("_ha") + i * F.col("_hb")).alias(f"_mh{i}") for i in range(k)]
+        )
+
+    if not memo:
+        return build()
+    return _memo(df, ("minhash_sigs", id_col, text_col, n, k), build)
+
+
+def band_rows(sig: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
+    """LSH band rows (``_id``, ``_band_idx``, ``_band_hash``) from a
+    signature relation — the bucket-index form candidates equi-join on.
+    Pure derivation (md5 of the band's signature slice), so the streaming
+    state can persist signatures only and re-derive band rows."""
+    rows = k // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(",", *[F.col(f"_mh{b * rows + r}").cast("string") for r in range(rows)])
+        )
+        for b in range(bands)
+    ]
+    return sig.select("_id", F.posexplode(F.array(*band_cols)).alias("_band_idx", "_band_hash"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -217,31 +272,11 @@ def minhash_lsh_pairs(
 
     Returns (doc_a, doc_b, jaccard) for candidate pairs (≥1 shared LSH
     band) whose true shingle jaccard ≥ threshold, doc_a < doc_b.
-
-    Hashing cost is ONE pass over the shingle index: each shingle gets two
-    56-bit md5-derived values (a, b) and the K minhash functions are the
-    Kirsch–Mitzenmacher family ``h_i = a + i·b`` (no overflow:
-    a + 15b < 2^60), minimized by a map-side-combined groupBy — K plain
-    ``min`` aggregates over precomputed longs instead of K md5 sweeps.
     """
     def build() -> DataFrame:
         inv = shingle_index(df, id_col, text_col, n)
-        ex = inv.withColumn(
-            "_ha", _hash_int(F.md5(F.concat(F.lit("a:"), F.col("_g"))), 56)
-        ).withColumn("_hb", _hash_int(F.md5(F.concat(F.lit("b:"), F.col("_g"))), 56))
-        sig = ex.groupBy("_id").agg(
-            *[F.min(F.col("_ha") + i * F.col("_hb")).alias(f"_mh{i}") for i in range(k)]
-        )
-        rows = k // bands
-        band_cols = [
-            F.md5(
-                F.concat_ws(",", *[F.col(f"_mh{b * rows + r}").cast("string") for r in range(rows)])
-            )
-            for b in range(bands)
-        ]
-        banded = _materialize(
-            sig.select("_id", F.posexplode(F.array(*band_cols)).alias("_band_idx", "_band_hash"))
-        )
+        sig = minhash_signatures(df, id_col, text_col, n, k)
+        banded = _materialize(band_rows(sig, k, bands))
 
         left = banded.select(F.col("_id").alias("doc_a"), "_band_idx", "_band_hash")
         right = banded.select(F.col("_id").alias("doc_b"), "_band_idx", "_band_hash")
@@ -380,7 +415,21 @@ def simhash_pairs(
     the Σ bucket² candidate blow-up on near-dup-heavy corpora (measured
     at sf0.1: 6×8-bit blocks → 4.1M candidates, max bucket 1338; 4×12-bit
     → 727k, max bucket 549 — a 5.7× cut at identical recall).
+
+    The verified pair set is session-memoized (like the minhash and
+    ngram builders): the standalone query, the agreement matrix, and the
+    clustering query all consume the same relation, so the block join +
+    hamming verify runs once per (corpus, params).
     """
+    def build() -> DataFrame:
+        return _simhash_pairs_build(df, id_col, text_col, nbits, max_hamming)
+
+    return _memo(df, ("simhash_pairs", id_col, text_col, nbits, max_hamming), build)
+
+
+def _simhash_pairs_build(
+    df: DataFrame, id_col: str, text_col: str, nbits: int, max_hamming: int
+) -> DataFrame:
     sig = simhash(df, id_col, text_col, nbits)
     nblocks = max_hamming + 1
     base_w, extra = divmod(nbits, nblocks)
@@ -484,7 +533,29 @@ def ngram_jaccard_pairs(
     computed over the KEPT vocabulary (sizes counted after the cap), so
     the semantics are exact for "similarity over discriminative shingles":
     a shingle shared by more than F documents carries no near-dup signal.
+
+    The verified pair set is session-memoized (like minhash/simhash): the
+    standalone query, the containment query's sibling, and the agreement
+    matrix share one build of the index self-join.
     """
+    def build() -> DataFrame:
+        return _ngram_jaccard_pairs_build(
+            df, id_col, text_col, n, threshold, max_doc_freq
+        )
+
+    return _memo(
+        df, ("ngram_pairs", id_col, text_col, n, threshold, max_doc_freq), build
+    )
+
+
+def _ngram_jaccard_pairs_build(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    max_doc_freq: int | None,
+) -> DataFrame:
     inv = shingle_index(df, id_col, text_col, n)
     if max_doc_freq is not None:
         df_counts = inv.groupBy("_g").agg(F.count("*").alias("_df"))
@@ -510,4 +581,127 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def sig_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    min_agree: int = 8,
+) -> DataFrame:
+    """Near-dup pairs verified by SIGNATURE agreement — the count of
+    matching minhash components (estimated jaccard = agree/k) — instead
+    of exact shingle jaccard.
+
+    This is the streaming-friendly criterion: verifying an arriving doc
+    against the accepted corpus needs only the k-long signatures held in
+    state, never the accepted docs' shingle sets (which would make state
+    corpus-sized). Returns (doc_a, doc_b, n_agree) with doc_a < doc_b and
+    n_agree >= min_agree. Same LSH banding bounds the candidate space;
+    the verify is k integer equality checks per candidate.
+    """
+    def build() -> DataFrame:
+        sig = minhash_signatures(df, id_col, text_col, n, k)
+        banded = _materialize(band_rows(sig, k, bands))
+        left = banded.select(F.col("_id").alias("doc_a"), "_band_idx", "_band_hash")
+        right = banded.select(F.col("_id").alias("doc_b"), "_band_idx", "_band_hash")
+        cand = (
+            left.join(right, ["_band_idx", "_band_hash"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        return sig_verify_pairs(cand, sig, sig, k, min_agree)
+
+    return _memo(df, ("sig_pairs", id_col, text_col, n, k, bands, min_agree), build)
+
+
+def sig_verify_pairs(
+    cand: DataFrame, sig_a: DataFrame, sig_b: DataFrame, k: int, min_agree: int
+) -> DataFrame:
+    """Signature-agreement verify of candidate (doc_a, doc_b) pairs:
+    join each side to its signature relation, count matching components.
+    Shared by the batch pair builder above and the streaming lane (where
+    ``sig_b`` is the persistent accepted-signature state)."""
+    sa = sig_a.select(
+        F.col("_id").alias("doc_a"), *[F.col(f"_mh{i}").alias(f"_a{i}") for i in range(k)]
+    )
+    sb = sig_b.select(
+        F.col("_id").alias("doc_b"), *[F.col(f"_mh{i}").alias(f"_b{i}") for i in range(k)]
+    )
+    agree = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0) for i in range(k)
+    ).cast("bigint")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_agree", agree)
+        .filter(F.col("n_agree") >= min_agree)
+        .select("doc_a", "doc_b", "n_agree")
+    )
+
+
+def greedy_keep(universe: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Greedy-by-id maximal independent set over a near-dup pair graph:
+    processing ids in ascending order, a doc is KEPT iff no smaller KEPT
+    doc is its neighbor. Returns (id_col, kept boolean) for the universe.
+
+    This is the exact batch twin of streaming accept semantics — an
+    arriving doc is accepted iff it is not a near-dup of any previously
+    accepted doc — when arrival order is id order. (Unlike
+    connected-component canonicalization it never needs to retract an
+    earlier accept when a late doc bridges two clusters, which an
+    append-only stream cannot do.)
+
+    Iterative fixpoint over GRAPH NODES ONLY (edge-free docs are kept
+    outright, no iteration): each round resolves every doc whose smaller
+    neighbors are all resolved — KEPT if none of them is kept, REJECTED
+    if one is. Rounds = longest smaller-id dependency chain (near-dup
+    clusters are clique-like, so a handful); each round is one
+    candidate-scale join + aggregate, never corpus-scale.
+    """
+    edges = _materialize(
+        pairs.select(F.col("doc_a").alias("_u"), F.col("doc_b").alias("_v")).distinct()
+    )
+    nodes = (
+        edges.select(F.col("_u").alias(id_col))
+        .unionByName(edges.select(F.col("_v").alias(id_col)))
+        .distinct()
+    )
+    free = universe.select(id_col).join(nodes, id_col, "left_anti").withColumn(
+        "kept", F.lit(True)
+    )
+    status = _materialize(nodes.withColumn("_kept", F.lit(None).cast("boolean")))
+    while True:
+        nbr = (
+            edges.join(
+                status.select(F.col(id_col).alias("_u"), F.col("_kept").alias("_uk")),
+                "_u",
+            )
+            .groupBy("_v")
+            .agg(
+                F.max(F.when(F.col("_uk"), 1).otherwise(0)).alias("_any_kept"),
+                F.max(F.when(F.col("_uk").isNull(), 1).otherwise(0)).alias("_any_unknown"),
+            )
+        )
+        new_status = _materialize(
+            status.join(nbr, status[id_col] == nbr["_v"], "left").select(
+                status[id_col],
+                F.when(status["_kept"].isNotNull(), status["_kept"])
+                .when(F.col("_any_kept") == 1, F.lit(False))
+                .when(F.coalesce(F.col("_any_unknown"), F.lit(0)) == 0, F.lit(True))
+                .otherwise(F.lit(None).cast("boolean"))
+                .alias("_kept"),
+            )
+        )
+        unresolved = new_status.filter(F.col("_kept").isNull()).count()
+        status = new_status
+        if unresolved == 0:
+            break
+    return free.unionByName(
+        status.select(F.col(id_col), F.col("_kept").alias("kept"))
     )

@@ -463,3 +463,108 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("ngram", "simhash", ng, sh))
         .orderBy("method_a", "method_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy-by-id keep (streaming accept semantics) over signature-jaccard pairs
+# ---------------------------------------------------------------------------
+
+_MIN_AGREE = 8  # of _K=16 components: estimated jaccard >= 0.5
+
+# The greedy fixpoint unrolled as chained CTEs (same technique as the MMR
+# oracle's unrolled greedy steps): round i resolves every doc whose
+# smaller neighbors are all resolved. 16 rounds covers dependency chains
+# far deeper than near-dup graphs produce (clique-like clusters resolve
+# in 2); if a corpus ever needed more, the Spark side converges fully and
+# the driver comparison would flag the divergence loudly.
+_GREEDY_ROUNDS = 16
+
+
+def _greedy_round_sql(i: int) -> str:
+    p = f"st{i - 1}"
+    # AS MATERIALIZED: each round references the previous one three times
+    # (FROM + two EXISTS); inlining would be 3^16 plan blowup
+    return f"""st{i} AS MATERIALIZED (
+      SELECT s.id,
+             CASE WHEN s.kept IS NOT NULL THEN s.kept
+                  WHEN EXISTS (SELECT 1 FROM edges e JOIN {p} q ON q.id = e.u
+                               WHERE e.v = s.id AND q.kept) THEN FALSE
+                  WHEN NOT EXISTS (SELECT 1 FROM edges e JOIN {p} q ON q.id = e.u
+                                   WHERE e.v = s.id AND q.kept IS NULL) THEN TRUE
+                  ELSE NULL END AS kept
+      FROM {p} s)"""
+
+
+_SIG_AGREE_EXPR = " + ".join(
+    f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(_K)
+)
+
+_GREEDY_ROUND_CTES = ",\n    ".join(
+    _greedy_round_sql(i) for i in range(1, _GREEDY_ROUNDS + 1)
+)
+
+_GREEDY_ORACLE = f"""
+    WITH {_SHINGLES_CTE},
+    ex AS (
+      SELECT doc_id,
+             {_HEX56.format(src="'a:' || g")} AS ha,
+             {_HEX56.format(src="'b:' || g")} AS hb
+      FROM (SELECT doc_id, unnest(sh) AS g FROM d)),
+    sig AS (
+      SELECT doc_id,
+             {_MH_MINS}
+      FROM ex GROUP BY doc_id),
+    bands AS (
+      {_BAND_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.h = b.h AND a.doc_id < b.doc_id),
+    agree AS (
+      SELECT c.doc_a, c.doc_b, ({_SIG_AGREE_EXPR}) AS n_agree
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b),
+    edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM agree WHERE n_agree >= {_MIN_AGREE}),
+    nodes AS (SELECT u AS id FROM edges UNION SELECT v AS id FROM edges),
+    st0 AS MATERIALIZED (SELECT id, CAST(NULL AS BOOLEAN) AS kept FROM nodes),
+    {_GREEDY_ROUND_CTES}
+    SELECT e.v AS doc_id, CAST(MIN(e.u) AS BIGINT) AS blocked_by
+    FROM edges e
+    JOIN st{_GREEDY_ROUNDS} k ON k.id = e.u AND k.kept
+    WHERE e.v IN (SELECT id FROM st{_GREEDY_ROUNDS} WHERE NOT kept)
+    GROUP BY e.v
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "doc_neardup_greedy_keep",
+    oracle=_GREEDY_ORACLE,
+    doc="Greedy-by-id near-dup rejection under SIGNATURE jaccard (>= 8/16 "
+    "matching minhash components): a doc is rejected iff some smaller KEPT "
+    "doc is a near-dup — exactly the accept rule the streaming near-dup "
+    "lane (streaming/neardup_stream.py) applies per arriving doc, so this "
+    "query is its batch twin and the stream-equals-batch test's oracle-"
+    "certified side. Returns each rejected doc with its smallest kept "
+    "blocker. Scale: LSH-banded candidates (never all-pairs), k integer "
+    "equality checks per candidate, then an iterative fixpoint over GRAPH "
+    "NODES ONLY (candidate-scale, not corpus-scale); the oracle unrolls "
+    "the same fixpoint as chained CTEs.",
+)
+def doc_neardup_greedy_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_dedup import greedy_keep, sig_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = sig_jaccard_pairs(d, "doc_id", "text", n=3, k=_K, bands=_BANDS, min_agree=_MIN_AGREE)
+    status = greedy_keep(d.select("doc_id"), pairs, "doc_id")
+    kept = status.filter(F.col("kept")).select(F.col("doc_id").alias("doc_a"))
+    rejected = status.filter(~F.col("kept")).select(F.col("doc_id").alias("doc_b"))
+    return (
+        pairs.join(kept, "doc_a", "left_semi")
+        .join(rejected, "doc_b", "left_semi")
+        .groupBy("doc_b")
+        .agg(F.min("doc_a").alias("blocked_by"))
+        .select(F.col("doc_b").alias("doc_id"), "blocked_by")
+        .orderBy("doc_id")
+    )

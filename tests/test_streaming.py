@@ -1154,3 +1154,97 @@ def test_kafka_option_contract_is_config_only(spark, tmp_path):
         "eligible": True,
         "reason": "delay_threshold_met",
     }
+
+
+def test_neardup_stream_equals_batch_greedy(spark, tmp_path):
+    # Cumulative accepted set of the streaming near-dup lane must equal
+    # the batch twin (greedy-by-id keep over signature-jaccard pairs,
+    # certified by the doc_neardup_greedy_keep oracle) when batches
+    # arrive in ascending doc_id order.
+    from date_warehouse___airline_project_spark.operators.text_dedup import (
+        greedy_keep,
+        sig_jaccard_pairs,
+    )
+    from date_warehouse___airline_project_spark.streaming.neardup_stream import (
+        run_neardup_stream,
+    )
+
+    docs = sorted(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .collect(),
+        key=lambda r: r.doc_id,
+    )
+    rows = [(r.doc_id, r.text) for r in docs]
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+
+    batches = [rows[:170], rows[170:340], rows[340:]]
+    for i, batch in enumerate(batches):
+        (input_dir / f"b{i}.jsonl").write_text(
+            "\n".join(json.dumps({"doc_id": d, "text": t}) for d, t in batch)
+        )
+        q = run_neardup_stream(
+            spark, str(input_dir), state, out, str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(180)
+
+    d = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    pairs = sig_jaccard_pairs(d, "doc_id", "text", n=3, k=16, bands=4, min_agree=8)
+    status = greedy_keep(d.select("doc_id"), pairs, "doc_id")
+    want = {r.doc_id for r in status.filter(F.col("kept")).collect()}
+    assert want and len(want) < len(rows), "fixture has no near-dup rejections"
+
+    got = set()
+    for i in range(len(batches)):
+        p = f"{out}/batch={i}"
+        if os.path.exists(p):
+            got |= {r.doc_id for r in spark.read.parquet(p).collect()}
+    assert got == want
+    # state holds exactly `bands` rows per accepted doc that has a signature
+    st = spark.read.parquet(state)
+    n_sig_docs = st.select("doc_id").distinct().count()
+    assert st.count() == 4 * n_sig_docs
+
+
+def test_neardup_stream_redelivery_is_noop(spark, tmp_path):
+    # Replaying batch 0 against a state that already folded it must keep
+    # both the accepted output and the state byte-stable (whole-batch
+    # guard: recomputing acceptance post-fold would reject everything).
+    from date_warehouse___airline_project_spark.streaming.neardup_stream import (
+        run_neardup_stream,
+    )
+    from date_warehouse___airline_project_spark.streaming.state_table import (
+        last_applied_batch_id,
+    )
+
+    docs = sorted(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .collect(),
+        key=lambda r: r.doc_id,
+    )[:120]
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    (input_dir / "b0.jsonl").write_text(
+        "\n".join(
+            json.dumps({"doc_id": r.doc_id, "text": r.text}) for r in docs
+        )
+    )
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+
+    q = run_neardup_stream(spark, str(input_dir), state, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    assert last_applied_batch_id(state) == 0
+    ids0 = {r.doc_id for r in spark.read.parquet(f"{out}/batch=0").collect()}
+    state0 = spark.read.parquet(state).count()
+    assert ids0 and state0
+
+    q = run_neardup_stream(spark, str(input_dir), state, out, str(tmp_path / "ckpt2"))
+    q.awaitTermination(180)
+    assert {r.doc_id for r in spark.read.parquet(f"{out}/batch=0").collect()} == ids0
+    assert spark.read.parquet(state).count() == state0
