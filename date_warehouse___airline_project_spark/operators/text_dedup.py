@@ -136,12 +136,14 @@ def _materialize(df: DataFrame) -> DataFrame:
 #
 # BOUNDED: LRU of at most ``_DERIVED_CACHE_MAX`` relations; eviction
 # unpersists the cached RDD so a long-lived session can't accumulate
-# executor storage (each corpus × param combo is one entry — 16 covers
-# every dedup family over several corpora).
+# executor storage. 32 covers every dedup/curation family over a couple
+# of corpora at once (the r5 additions — signature/pair memos — pushed a
+# single-corpus full-registry run past the old cap of 16, which
+# thrashed: an evicted pair set rebuilds at full cost).
 from collections import OrderedDict
 
 _DERIVED_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
-_DERIVED_CACHE_MAX = 16
+_DERIVED_CACHE_MAX = 32
 
 
 def clear_derived_cache() -> None:

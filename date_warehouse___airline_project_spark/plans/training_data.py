@@ -566,16 +566,25 @@ _FH_ORACLE = f"""
 def doc_hashed_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     tok = d.select(F.col("doc_id"), F.explode(tokens("text")).alias("tok"))
-    dim = (_hash56(F.concat(F.lit("d:"), F.col("tok"))) % _FH_DIMS).alias("dim")
-    sgn = (
-        F.when(_hash56(F.concat(F.lit("s:"), F.col("tok"))) % 2 == 0, 1)
+    # Hash the VOCABULARY, not the token stream: (dim, sgn) are per-token
+    # constants, so collapse repeated tokens first (map-side-combined
+    # count) and join the distinct-token relation carrying the two md5
+    # derivations — md5 runs once per distinct token instead of twice per
+    # occurrence, and a doc-token row contributes sgn·cnt via one
+    # multiply. AQE broadcasts the vocab side when small; a shuffle hash
+    # join otherwise. Same integer sums, bit-identical to the oracle.
+    tokcnt = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    vocab = tokcnt.select("tok").distinct().select(
+        "tok",
+        (_hash56(F.concat(F.lit("d:"), F.col("tok"))) % _FH_DIMS).alias("dim"),
+        F.when(_hash56(F.concat(F.lit("s:"), F.col("tok"))) % 2 == 0, F.lit(1))
         .otherwise(-1)
-        .alias("sgn")
+        .alias("sgn"),
     )
     cells = (
-        tok.select("doc_id", dim, sgn)
+        tokcnt.join(vocab, "tok")
         .groupBy("doc_id", "dim")
-        .agg(F.sum("sgn").cast("bigint").alias("val"))
+        .agg(F.sum(F.col("sgn") * F.col("cnt")).cast("bigint").alias("val"))
     )
     # Pack the per-dim sums into an array vector and hand the pair stage
     # to the certified bucket-grouped Arrow verify (operators/similarity
@@ -1074,3 +1083,114 @@ def doc_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").cast("bigint").alias("pack_tokens"))
         .orderBy("source", "pack_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# v2 curation accounting: gate -> exact dedup -> near-dup greedy -> accounting
+# (batch twin of streaming/curation_stream.py::run_curation_v2_stream)
+# ---------------------------------------------------------------------------
+
+from .dedup import (  # noqa: E402 — composed oracle reuses the certified fragments
+    _BAND_SELECTS,
+    _GREEDY_ROUND_CTES,
+    _GREEDY_ROUNDS,
+    _HEX56,
+    _MH_MINS,
+    _MIN_AGREE,
+    _SIG_AGREE_EXPR,
+)
+
+_V2ACCT_ORACLE = f"""
+    WITH g0 AS (
+      SELECT doc_id, source, text,
+             regexp_extract_all(text, '\\S+') AS words,
+             CAST(LENGTH(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+             CAST(LENGTH(regexp_extract_all(text, '[#.]{{3,}}')) AS BIGINT) AS n_sym,
+             CAST(LENGTH(regexp_extract_all(lower(text),
+                 '\\b(?:the|be|to|of|and|that|have|with)\\b')) AS BIGINT) AS n_stop
+      FROM documents),
+    gop AS (
+      SELECT doc_id, source, text, n_words AS n_tok FROM (
+        SELECT *,
+               CAST(LENGTH(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+                    AS BIGINT) AS n_alpha,
+               ROUND(list_sum(list_transform(words, w -> CAST(LENGTH(w) AS DOUBLE)))
+                     / GREATEST(n_words, 1), 6) AS mwl
+        FROM g0)
+      WHERE n_words BETWEEN 50 AND 100000
+        AND mwl BETWEEN 3 AND 10
+        AND CAST(n_alpha AS DOUBLE) / GREATEST(n_words, 1) >= 0.8
+        AND CAST(n_sym AS DOUBLE) / GREATEST(n_words, 1) <= 0.1
+        AND n_stop >= 2),
+    fps AS (
+      SELECT doc_id, source, n_tok, text,
+             MD5(SUBSTR(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'), 1, 64))
+                 AS fp
+      FROM gop),
+    keep AS (SELECT fp, MIN(doc_id) AS doc_id FROM fps GROUP BY fp),
+    winners AS MATERIALIZED (
+      SELECT f.doc_id, f.source, f.n_tok, f.text
+      FROM fps f JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id),
+    d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(toks) - 2, 0)),
+                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS sh
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM winners)
+      WHERE len(toks) >= 3),
+    ex AS (
+      SELECT doc_id,
+             {_HEX56.format(src="'a:' || g")} AS ha,
+             {_HEX56.format(src="'b:' || g")} AS hb
+      FROM (SELECT doc_id, unnest(sh) AS g FROM d)),
+    sig AS (
+      SELECT doc_id,
+             {_MH_MINS}
+      FROM ex GROUP BY doc_id),
+    bands AS (
+      {_BAND_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.h = b.h AND a.doc_id < b.doc_id),
+    agree AS (
+      SELECT c.doc_a, c.doc_b, ({_SIG_AGREE_EXPR}) AS n_agree
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b),
+    edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM agree WHERE n_agree >= {_MIN_AGREE}),
+    nodes AS (SELECT u AS id FROM edges UNION SELECT v AS id FROM edges),
+    st0 AS MATERIALIZED (SELECT id, CAST(NULL AS BOOLEAN) AS kept FROM nodes),
+    {_GREEDY_ROUND_CTES},
+    rejected AS (SELECT id FROM st{_GREEDY_ROUNDS} WHERE NOT kept)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM winners w
+    WHERE NOT EXISTS (SELECT 1 FROM rejected r WHERE r.id = w.doc_id)
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@query(
+    "doc_curation_accounting_v2",
+    oracle=_V2ACCT_ORACLE,
+    doc="Batch twin of the composed v2 curation stream "
+    "(streaming/curation_stream.py::run_curation_v2_stream): Gopher gate "
+    "-> exact-fingerprint first-wins -> greedy-by-id NEAR-dup rejection "
+    "under signature jaccard -> per-source accounting, all via the shared "
+    "batch_curate_v2 construction the stream folds per micro-batch. The "
+    "oracle composes the certified fragments end to end: gate battery, "
+    "fingerprint keep, shingling/minhashing/banding, signature verify, "
+    "and the greedy fixpoint unrolled as materialized CTE rounds. Scale: "
+    "one scan-side gate, one fp shuffle, LSH-banded candidates over the "
+    "deduped survivors, node-scale fixpoint — no stage touches all "
+    "pairs or re-scans accepted documents.",
+)
+def doc_curation_accounting_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.curation_stream import accounting_of, batch_curate_v2
+
+    return accounting_of(
+        batch_curate_v2(_docs(spark, sf_dir), None, None)
+    ).orderBy("source")

@@ -175,3 +175,126 @@ def run_curation_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# v2: gate -> exact dedup -> NEAR-dup greedy rejection -> accounting
+# ---------------------------------------------------------------------------
+
+
+def batch_curate_v2(
+    docs: DataFrame, fp_state: DataFrame | None, lsh_state: DataFrame | None
+) -> DataFrame:
+    """The v2 curation core over one relation of (doc_id, source, text):
+    Gopher gate -> exact-fingerprint first-wins (vs ``fp_state``) ->
+    greedy near-dup rejection under signature jaccard (vs ``lsh_state``).
+
+    Returns accepted rows (doc_id, source, text, n_tok, fp, _mh0.._mh15).
+    Batch twin (both states None) is the registry query
+    ``doc_curation_accounting_v2``; the stream folds the same construction
+    per micro-batch — ONE certified pipeline, two deployments.
+
+    Note the state split: exact-dedup fingerprints fold for every
+    exact-WINNER (a later doc with the same content is a duplicate of the
+    winner regardless of whether near-dup rejection later dropped that
+    winner), while LSH signatures fold only for finally-ACCEPTED docs
+    (greedy semantics — rejected docs never block anyone).
+    """
+    from .neardup_stream import neardup_filter
+
+    winners = batch_curate(docs, fp_state)
+    return neardup_filter(winners, lsh_state)
+
+
+def run_curation_v2_stream(
+    spark: SparkSession,
+    input_dir: str,
+    fp_state_dir: str,
+    lsh_state_dir: str,
+    acct_state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuous v2 curation over a JSON-lines drop dir
+    (``{"doc_id": ..., "source": ..., "text": ...}`` per line).
+
+    THREE independently-guarded state folds per batch, every one derived
+    from a MATERIALIZED relation so any crash point recovers on
+    redelivery without recomputing acceptance against a mutated state:
+
+      1. exact-winner fingerprints  -> ``fp_state_dir``   (from the
+         winners sidecar ``out_dir/fps/batch=<id>``)
+      2. accepted docs' LSH rows    -> ``lsh_state_dir``  (from the
+         accepted output ``out_dir/accepted/batch=<id>``)
+      3. per-source accounting      -> ``acct_state_dir`` (same source)
+
+    The acceptance compute (and both idempotent output writes) is guarded
+    by fold 1's batch id: once the fingerprints folded, recomputing the
+    anti-join would wrongly reject the whole batch, so a redelivered
+    batch goes straight to the remaining folds.
+    """
+    from .neardup_stream import merge_lsh_state, state_rows_of
+
+    for s in (fp_state_dir, lsh_state_dir, acct_state_dir):
+        recover_state(s)
+    schema = "doc_id LONG, source STRING, text STRING"
+    raw = (
+        spark.readStream.format("text")
+        .load(input_dir)
+        .select(F.from_json("value", schema).alias("_r"))
+        .select("_r.doc_id", "_r.source", "_r.text")
+        .where(F.col("doc_id").isNotNull())
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from .neardup_stream import neardup_filter
+
+        for s in (fp_state_dir, lsh_state_dir, acct_state_dir):
+            recover_state(s)
+        accepted_out = os.path.join(out_dir, "accepted", f"batch={batch_id}")
+        fps_out = os.path.join(out_dir, "fps", f"batch={batch_id}")
+        if batch_id > last_applied_batch_id(fp_state_dir):
+            fp_state = (
+                spark.read.parquet(fp_state_dir)
+                if os.path.exists(fp_state_dir)
+                else None
+            )
+            lsh_state = (
+                spark.read.parquet(lsh_state_dir)
+                if os.path.exists(lsh_state_dir)
+                else None
+            )
+            winners = batch_curate(batch_df, fp_state)
+            winners.write.mode("overwrite").parquet(fps_out)
+            accepted = neardup_filter(spark.read.parquet(fps_out), lsh_state)
+            accepted.write.mode("overwrite").parquet(accepted_out)
+            fold_into_state(
+                spark,
+                fp_state_dir,
+                batch_id,
+                spark.read.parquet(fps_out).select("fp").distinct(),
+                merge_fingerprints,
+            )
+        if batch_id > last_applied_batch_id(lsh_state_dir):
+            fold_into_state(
+                spark,
+                lsh_state_dir,
+                batch_id,
+                state_rows_of(spark.read.parquet(accepted_out)),
+                merge_lsh_state,
+            )
+        if batch_id > last_applied_batch_id(acct_state_dir):
+            acct = accounting_of(spark.read.parquet(accepted_out))
+            fold_into_state(
+                spark, acct_state_dir, batch_id, acct, merge_accounting
+            )
+
+    writer = (
+        raw.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("curation_v2_stream")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -67,6 +67,15 @@ def neardup_batch(docs: DataFrame, lsh_state: DataFrame | None) -> DataFrame:
     short to shingle, which can never be near-dup evidence and are always
     accepted).
     """
+    return neardup_filter(docs, lsh_state).select("doc_id", "text", *_mh_cols())
+
+
+def neardup_filter(docs: DataFrame, lsh_state: DataFrame | None) -> DataFrame:
+    """Near-dup accept rule over any relation carrying (doc_id, text):
+    greedy-by-doc_id within the batch after rejecting docs similar to the
+    accepted state. Keeps every input column and appends the signature
+    columns (null for shingle-less docs). Shared by the standalone
+    near-dup stream and the composed curation-v2 lane."""
     sig = minhash_signatures(docs, "doc_id", "text", _N, _K, memo=False)
     brows = band_rows(sig, _K, _BANDS)
 
@@ -111,10 +120,8 @@ def neardup_batch(docs: DataFrame, lsh_state: DataFrame | None) -> DataFrame:
     status = greedy_keep(survivors.select("doc_id"), edges, "doc_id")
     accepted_ids = status.filter(F.col("kept")).select("doc_id")
 
-    return (
-        docs.join(accepted_ids, "doc_id", "left_semi")
-        .join(sig.withColumnRenamed("_id", "doc_id"), "doc_id", "left")
-        .select("doc_id", "text", *_mh_cols())
+    return docs.join(accepted_ids, "doc_id", "left_semi").join(
+        sig.withColumnRenamed("_id", "doc_id"), "doc_id", "left"
     )
 
 

@@ -1248,3 +1248,142 @@ def test_neardup_stream_redelivery_is_noop(spark, tmp_path):
     q.awaitTermination(180)
     assert {r.doc_id for r in spark.read.parquet(f"{out}/batch=0").collect()} == ids0
     assert spark.read.parquet(state).count() == state0
+
+
+def test_curation_v2_stream_equals_batch(spark, tmp_path):
+    # Composed v2 lane (gate -> exact dedup -> near-dup greedy ->
+    # accounting) must converge to the batch twin
+    # doc_curation_accounting_v2's construction on the same data when
+    # batches arrive in ascending doc_id order. Also pins the state
+    # split: fingerprints fold for every exact WINNER, LSH rows only for
+    # finally-ACCEPTED docs.
+    from date_warehouse___airline_project_spark.streaming.curation_stream import (
+        accounting_of,
+        batch_curate,
+        batch_curate_v2,
+        run_curation_v2_stream,
+    )
+
+    docs = sorted(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect(),
+        key=lambda r: r.doc_id,
+    )
+    rows = [(r.doc_id, r.source, r.text) for r in docs]
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    out = str(tmp_path / "out")
+    fp_state = str(tmp_path / "fp_state")
+    lsh_state = str(tmp_path / "lsh_state")
+    acct_state = str(tmp_path / "acct_state")
+
+    batches = [rows[:170], rows[170:340], rows[340:]]
+    for i, batch in enumerate(batches):
+        (input_dir / f"b{i}.jsonl").write_text(
+            "\n".join(
+                json.dumps({"doc_id": d, "source": s, "text": t})
+                for d, s, t in batch
+            )
+        )
+        q = run_curation_v2_stream(
+            spark, str(input_dir), fp_state, lsh_state, acct_state, out,
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(240)
+
+    all_docs = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    batch_accepted = batch_curate_v2(all_docs, None, None)
+    want_ids = {r.doc_id for r in batch_accepted.select("doc_id").collect()}
+    winner_ids = {
+        r.doc_id for r in batch_curate(all_docs, None).select("doc_id").collect()
+    }
+    assert want_ids and want_ids < winner_ids, (
+        "fixture must exercise the near-dup stage (some winner rejected)"
+    )
+
+    got_ids = set()
+    for i in range(len(batches)):
+        p = f"{out}/accepted/batch={i}"
+        if os.path.exists(p):
+            got_ids |= {r.doc_id for r in spark.read.parquet(p).collect()}
+    assert got_ids == want_ids
+
+    want_acct = {
+        r.source: (r.n_docs, r.n_tokens)
+        for r in accounting_of(batch_accepted).collect()
+    }
+    got_acct = {
+        r.source: (r.n_docs, r.n_tokens)
+        for r in spark.read.parquet(acct_state).collect()
+    }
+    assert got_acct == want_acct
+
+    # state split: fp state covers ALL winners; LSH state only accepted
+    assert spark.read.parquet(fp_state).count() == len(winner_ids)
+    lsh_docs = {
+        r.doc_id for r in spark.read.parquet(lsh_state).select("doc_id").distinct().collect()
+    }
+    assert lsh_docs <= want_ids
+
+
+def test_curation_v2_stream_crash_between_folds_recovers(spark, tmp_path):
+    # Drop the LAST two states after a run (simulating a crash after the
+    # fingerprint fold); redelivery must rebuild both from the
+    # materialized outputs without recomputing acceptance.
+    from date_warehouse___airline_project_spark.streaming.curation_stream import (
+        run_curation_v2_stream,
+    )
+    from date_warehouse___airline_project_spark.streaming.state_table import (
+        last_applied_batch_id,
+    )
+
+    docs = sorted(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect(),
+        key=lambda r: r.doc_id,
+    )[:150]
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    (input_dir / "b0.jsonl").write_text(
+        "\n".join(
+            json.dumps({"doc_id": r.doc_id, "source": r.source, "text": r.text})
+            for r in docs
+        )
+    )
+    out = str(tmp_path / "out")
+    fp_state = str(tmp_path / "fp_state")
+    lsh_state = str(tmp_path / "lsh_state")
+    acct_state = str(tmp_path / "acct_state")
+
+    q = run_curation_v2_stream(
+        spark, str(input_dir), fp_state, lsh_state, acct_state, out,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(240)
+    assert last_applied_batch_id(fp_state) == 0
+    ids0 = {r.doc_id for r in spark.read.parquet(f"{out}/accepted/batch=0").collect()}
+    lsh0 = spark.read.parquet(lsh_state).count()
+    acct0 = {
+        r.source: (r.n_docs, r.n_tokens)
+        for r in spark.read.parquet(acct_state).collect()
+    }
+    assert ids0 and lsh0 and acct0
+
+    shutil.rmtree(lsh_state)
+    shutil.rmtree(acct_state)
+    q = run_curation_v2_stream(
+        spark, str(input_dir), fp_state, lsh_state, acct_state, out,
+        str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination(240)
+    assert {
+        r.doc_id for r in spark.read.parquet(f"{out}/accepted/batch=0").collect()
+    } == ids0
+    assert spark.read.parquet(lsh_state).count() == lsh0
+    assert {
+        r.source: (r.n_docs, r.n_tokens)
+        for r in spark.read.parquet(acct_state).collect()
+    } == acct0
