@@ -336,10 +336,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str, nbits: int = 48) -> DataF
     # stage was the simhash bottleneck at sf0.1). Bit b lives in lane
     # b % nlanes, field b // nlanes. No field can carry into its
     # neighbour as long as every doc has < 2^21 tokens (p_b ≤ total);
-    # ENFORCED below with a raise_error gate on _tot, so a megatoken
-    # outlier doc fails loudly instead of silently flipping unrelated
-    # signature bits — pre-chunk oversized docs before signing them,
-    # standard practice before any fixed-width signature anyway.
+    # ENFORCED below with raise_error gates at the stricter 2^20 bound
+    # (which also keeps every 64-bit lane sum inside a signed long), so a
+    # megatoken outlier doc fails loudly instead of silently flipping
+    # unrelated signature bits — pre-chunk oversized docs before signing
+    # them, standard practice before any fixed-width signature anyway.
     # Sign semantics are unchanged EXACTLY: s_b > 0  ⇔  2·p_b > total
     # (integer arithmetic throughout), so signatures are bit-identical
     # to the unpacked formulation and to the DuckDB oracle.
@@ -370,27 +371,39 @@ def simhash(df: DataFrame, id_col: str, text_col: str, nbits: int = 48) -> DataF
         return v.select("_tok", *pats)
 
     vocab = _memo(df, ("simhash_vocab", id_col, text_col, nbits), build_vocab)
+    # Loud overflow gates, BOTH bounding total tokens at 2^20 (the
+    # conservative bound: packed-field carry needs p_b < 2^21, but the
+    # 64-bit lane SUM Σ cnt·pattern needs tot < 2^20 to stay inside a
+    # signed long for every pattern value). The per-row gate catches a
+    # single megatoken term BEFORE the multiply could trip Spark's ANSI
+    # overflow with an unactionable message; the post-agg gate catches a
+    # doc whose many small counts sum past the bound.
+    _OVERFLOW_MSG = (
+        " exceeds 2^20 tokens; packed-lane sums would overflow "
+        "— pre-chunk oversized documents before signing"
+    )
+
+    def _gated(col, limit=1 << 20):
+        return F.when(col < F.lit(limit), col).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("simhash: document "),
+                    F.col("_id").cast("string"),
+                    F.lit(_OVERFLOW_MSG),
+                )
+            ).cast("bigint")
+        )
+
     contrib = tok.join(vocab, "_tok").select(
         "_id",
         F.col("_cnt"),
-        *[(F.col("_cnt") * F.col(f"_p{j}")).alias(f"_l{j}") for j in range(nlanes)],
+        *[(_gated(F.col("_cnt")) * F.col(f"_p{j}")).alias(f"_l{j}") for j in range(nlanes)],
     )
     sums = contrib.groupBy("_id").agg(
         F.sum("_cnt").alias("_tot"),
         *[F.sum(f"_l{j}").alias(f"_l{j}") for j in range(nlanes)],
     )
-    # Loud overflow gate: a doc at ≥ 2^21 tokens would carry a packed
-    # field into its neighbour and corrupt the signature silently.
-    tot = F.when(F.col("_tot") < F.lit(1 << 21), F.col("_tot")).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("simhash: document "),
-                F.col("_id").cast("string"),
-                F.lit(" has >= 2^21 tokens; packed-lane sums would overflow "
-                      "— pre-chunk oversized documents before signing"),
-            )
-        ).cast("bigint")
-    )
+    tot = _gated(F.col("_tot"))
     sig = F.lit(0).cast("bigint")
     for b in range(nbits):
         j, f = b % nlanes, b // nlanes

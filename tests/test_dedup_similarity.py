@@ -482,3 +482,19 @@ def test_ivf_append_equals_rebuild(spark, tmp_path):
         for r in ivf_topk_indexed(e, p2, query_id=0, k=10, nprobe=2).collect()
     ]
     assert got == want
+
+
+def test_simhash_overflow_gate_raises_on_megatoken_doc(spark):
+    # The packed-lane formulation is only valid for docs under 2^21
+    # tokens; the raise_error gate must fail LOUDLY on an oversized doc
+    # instead of silently carrying a field into the neighbouring lane.
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from date_warehouse___airline_project_spark.operators.text_dedup import simhash
+
+    big = "a " * (1 << 20)  # 2^20 one-token repeats
+    df = spark.createDataFrame([(1, big), (2, "normal doc text")], ["doc_id", "text"])
+    with _pytest.raises(Exception) as exc:
+        simhash(df, "doc_id", "text", 48).collect()
+    assert "2^20 tokens" in str(exc.value)

@@ -519,3 +519,71 @@ def test_ffill_repair_all_invalid_and_empty_partitions(spark):
     assert [got[i] for i in range(len(ids))] == [
         None, None, "100", "101", "101", "7", "8", "8", "8"
     ]
+
+
+# ---------------------------------------------------------------------------
+# greedy_keep: fixpoint equals the sequential greedy reference
+# ---------------------------------------------------------------------------
+
+def _greedy_reference(n_nodes: int, edges: list[tuple[int, int]]) -> set[int]:
+    """Sequential greedy-by-id MIS: process ids ascending, keep iff no
+    smaller kept neighbor — the definitionally-correct (but inherently
+    serial) form the distributed fixpoint must reproduce."""
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(b, set()).add(a)
+        nbrs.setdefault(a, set()).add(b)
+    kept: set[int] = set()
+    for v in range(n_nodes):
+        if not any(u < v and u in kept for u in nbrs.get(v, ())):
+            kept.add(v)
+    return kept
+
+
+@given(
+    edge_picks=st.lists(
+        st.tuples(st.integers(0, 19), st.integers(0, 19)), max_size=40
+    ),
+)
+@settings(**SETTINGS)
+def test_greedy_keep_matches_sequential_reference(spark, edge_picks):
+    # Random graphs over 20 nodes, including chains and odd cycles — the
+    # shapes where parallel-round resolution could diverge from the
+    # sequential rule if the fixpoint conditions were wrong.
+    from date_warehouse___airline_project_spark.operators.text_dedup import (
+        greedy_keep,
+    )
+
+    n = 20
+    edges = sorted({(min(a, b), max(a, b)) for a, b in edge_picks if a != b})
+    universe = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        edges or [(-1, -2)], "doc_a long, doc_b long"
+    )
+    if not edges:
+        pairs = pairs.limit(0)
+    got = {
+        r.doc_id
+        for r in greedy_keep(universe, pairs, "doc_id").filter(F.col("kept")).collect()
+    }
+    assert got == _greedy_reference(n, edges)
+
+
+def test_greedy_keep_deep_chain(spark):
+    # A 12-long path 0-1-2-...-11 needs 12 dependency rounds in the worst
+    # case framing; greedy keeps the even nodes. Pins that the fixpoint
+    # survives chains far deeper than clique-like near-dup graphs (and
+    # that the oracle's 16 unrolled rounds has margin).
+    from date_warehouse___airline_project_spark.operators.text_dedup import (
+        greedy_keep,
+    )
+
+    n = 12
+    edges = [(i, i + 1) for i in range(n - 1)]
+    universe = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.doc_id
+        for r in greedy_keep(universe, pairs, "doc_id").filter(F.col("kept")).collect()
+    }
+    assert got == {i for i in range(n) if i % 2 == 0}
