@@ -71,22 +71,41 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def token_stream(
+    df: DataFrame, id_col: str, text_col: str, memo: bool = True
+) -> DataFrame:
+    """Positional token stream (``_id``, ``_pos``, ``_tok``) — the shared
+    scan-side derivation every text-dedup family starts from (shingle
+    index, simhash token counts, vocabulary relations). Memoized so a
+    session tokenizes the corpus ONCE; the 100 TB analogue is
+    materializing the tokenized corpus as a table per ingest, which every
+    production dedup deployment does rather than re-running the tokenizer
+    regex per query family."""
+    def build() -> DataFrame:
+        return spread(df).select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(tokens(text_col)).alias("_pos", "_tok"),
+        )
+
+    if not memo:
+        return build()
+    return _memo(df, ("token_stream", id_col, text_col), build)
+
+
 def shingle_index(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, memo: bool = True
 ) -> DataFrame:
     """Distinct (``_id``, ``_g``) word-n-gram rows — the inverted-index form.
 
-    Fully codegen'd relational plan: posexplode tokens → window ``lead`` to
-    form n-grams → distinct. One shuffle on the doc id (window) + one on
-    (id, shingle) (distinct); no interpreted array lambdas. Produces the
-    same shingle SET as ``word_shingles`` for every doc with ≥ n tokens.
-    ``memo=False`` skips the session cache — for streaming micro-batches,
-    whose one-shot relations would only churn the LRU.
+    Fully codegen'd relational plan: shared token stream → window ``lead``
+    to form n-grams → distinct. One shuffle on the doc id (window) + one
+    on (id, shingle) (distinct); no interpreted array lambdas. Produces
+    the same shingle SET as ``word_shingles`` for every doc with ≥ n
+    tokens. ``memo=False`` skips the session cache — for streaming
+    micro-batches, whose one-shot relations would only churn the LRU.
     """
     def build() -> DataFrame:
-        tok = spread(df).select(
-            F.col(id_col).alias("_id"), F.posexplode(tokens(text_col)).alias("_pos", "_tok")
-        )
+        tok = token_stream(df, id_col, text_col, memo=memo)
         w = W.partitionBy("_id").orderBy("_pos")
         leads = [F.lead("_tok", j).over(w) for j in range(1, n)]
         return (
@@ -320,9 +339,10 @@ def simhash(df: DataFrame, id_col: str, text_col: str, nbits: int = 48) -> DataF
     5–10× smaller than the raw token stream).
     """
     def build_tok() -> DataFrame:
+        # derives from the SHARED memoized token stream: the tokenizer
+        # regex runs once per corpus per session, not once per family
         return (
-            spread(df)
-            .select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok"))
+            token_stream(df, id_col, text_col)
             .groupBy("_id", "_tok")
             .agg(F.count("*").alias("_cnt"))
         )

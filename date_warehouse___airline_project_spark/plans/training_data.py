@@ -457,9 +457,11 @@ def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = 8
     d = _docs(spark, sf_dir)
     def build() -> DataFrame:
-        tok = d.select(
-            F.col("doc_id"), F.posexplode(tokens("text")).alias("_pos", "_tok")
-        )
+        # shared memoized token stream — the tokenizer regex runs once
+        # per corpus per session across the whole dedup/text family
+        from ..operators.text_dedup import token_stream
+
+        tok = token_stream(d, "doc_id", "text").withColumnRenamed("_id", "doc_id")
         w = W.partitionBy("doc_id").orderBy("_pos")
         leads = [F.lead("_tok", j).over(w) for j in range(1, n)]
         return (
