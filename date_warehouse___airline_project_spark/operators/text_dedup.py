@@ -711,10 +711,11 @@ def greedy_keep(universe: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -
         "kept", F.lit(True)
     )
     status = _materialize(nodes.withColumn("_kept", F.lit(None).cast("boolean")))
-    while True:
+
+    def resolve_round(st: DataFrame) -> DataFrame:
         nbr = (
             edges.join(
-                status.select(F.col(id_col).alias("_u"), F.col("_kept").alias("_uk")),
+                st.select(F.col(id_col).alias("_u"), F.col("_kept").alias("_uk")),
                 "_u",
             )
             .groupBy("_v")
@@ -723,16 +724,17 @@ def greedy_keep(universe: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -
                 F.max(F.when(F.col("_uk").isNull(), 1).otherwise(0)).alias("_any_unknown"),
             )
         )
-        new_status = _materialize(
-            status.join(nbr, status[id_col] == nbr["_v"], "left").select(
-                status[id_col],
-                F.when(status["_kept"].isNotNull(), status["_kept"])
-                .when(F.col("_any_kept") == 1, F.lit(False))
-                .when(F.coalesce(F.col("_any_unknown"), F.lit(0)) == 0, F.lit(True))
-                .otherwise(F.lit(None).cast("boolean"))
-                .alias("_kept"),
-            )
+        return st.join(nbr, st[id_col] == nbr["_v"], "left").select(
+            st[id_col],
+            F.when(st["_kept"].isNotNull(), st["_kept"])
+            .when(F.col("_any_kept") == 1, F.lit(False))
+            .when(F.coalesce(F.col("_any_unknown"), F.lit(0)) == 0, F.lit(True))
+            .otherwise(F.lit(None).cast("boolean"))
+            .alias("_kept"),
         )
+
+    while True:
+        new_status = _materialize(resolve_round(status))
         unresolved = new_status.filter(F.col("_kept").isNull()).count()
         status = new_status
         if unresolved == 0:

@@ -75,8 +75,23 @@ def neardup_filter(docs: DataFrame, lsh_state: DataFrame | None) -> DataFrame:
     greedy-by-doc_id within the batch after rejecting docs similar to the
     accepted state. Keeps every input column and appends the signature
     columns (null for shingle-less docs). Shared by the standalone
-    near-dup stream and the composed curation-v2 lane."""
-    sig = minhash_signatures(docs, "doc_id", "text", _N, _K, memo=False)
+    near-dup stream and the composed curation-v2 lane.
+
+    ``docs`` and the signature relation are MATERIALIZED once here: the
+    plan below references each across many branches (band self-join,
+    survivor semi-joins, both sides of the signature verify, the final
+    accept join), and Spark recomputes every reference of a lazy subtree.
+    When ``docs`` is itself expensive (the curation lane feeds the gated+
+    deduped winners relation in), that recompute multiplies the full
+    upstream scan ~6x. The stream already materializes the same relation
+    as its per-batch parquet sidecar; this is the in-memory batch twin of
+    that exact move."""
+    from ..operators.text_dedup import _materialize
+
+    docs = _materialize(docs)
+    sig = _materialize(
+        minhash_signatures(docs, "doc_id", "text", _N, _K, memo=False)
+    )
     brows = band_rows(sig, _K, _BANDS)
 
     # 1. vs-state rejection: arriving doc similar to an accepted doc

@@ -214,3 +214,23 @@ print("FPJSON:" + json.dumps(out, sort_keys=True))
         return lines[-1]
 
     assert run_once() == run_once()
+
+
+def test_fn_source_walk_resolves_function_local_imports():
+    """v3 regression: a helper reached ONLY through a function-local
+    import (``def q(...): from ..ops import helper``) must enter the
+    fingerprint's source closure. The v2 global-name walk missed these —
+    an edit to greedy_keep (reached only via local imports in
+    doc_neardup_greedy_keep and the curation-v2 lane) fingerprinted as
+    "0 changed" and would have silently stayed certified."""
+    from date_warehouse___airline_project_spark import plans
+    from tools import recert
+
+    plans.load_all()
+    src = recert._fn_sources(plans.REGISTRY["doc_neardup_greedy_keep"].fn)
+    assert "def greedy_keep" in src
+    assert "def sig_jaccard_pairs" in src
+    v2acct = recert._fn_sources(plans.REGISTRY["doc_curation_accounting_v2"].fn)
+    # the whole composed lane, two modules deep, all locally imported
+    for helper in ("def batch_curate_v2", "def neardup_filter", "def gopher_gate"):
+        assert helper in v2acct, helper

@@ -71,12 +71,13 @@ _PKG = "date_warehouse___airline_project_spark"
 
 # Fingerprint ALGORITHM version, stored inside plan_hashes.json under
 # VERSION_KEY. When the algorithm itself changes (e.g. v1's one-level
-# same-module source walk -> v2's transitive cross-module walk), every
-# hash changes for reasons that are NOT behavior drift; the migration in
-# main() diffs the committed baseline with the algorithm that PRODUCED it
-# (so genuine drift is still caught), then re-baselines under the new
-# algorithm — without dumping all 172 queries into the recert window.
-FP_VERSION = "2"
+# same-module source walk -> v2's transitive cross-module walk -> v3's
+# resolution of function-LOCAL imports), every hash changes for reasons
+# that are NOT behavior drift; the migration in main() diffs the
+# committed baseline with the algorithm that PRODUCED it (so genuine
+# drift is still caught), then re-baselines under the new algorithm —
+# without dumping all 172 queries into the recert window.
+FP_VERSION = "3"
 VERSION_KEY = "__fp_version__"
 
 
@@ -93,17 +94,68 @@ def _code_names(code) -> set[str]:
     return names
 
 
+def _local_import_objs(f) -> list:
+    """Objects bound by ``import`` statements INSIDE a function body.
+
+    Function-local imports (``def q(...): from ..ops import helper``) are
+    invisible to the global-name walk: the helper is never an attribute of
+    the defining module, so ``getattr(mod, name)`` misses it and a change
+    to its source leaves the fingerprint untouched (observed: an edit to
+    ``greedy_keep``, reached only via local imports, produced "0 changed").
+    Parse the function's AST for Import/ImportFrom at any nesting depth
+    and resolve them exactly as the interpreter would, relative to the
+    function's own module."""
+    import ast
+    import importlib
+    import importlib.util
+    import inspect
+    import textwrap
+    import types
+
+    try:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(f)))
+    except (OSError, SyntaxError):  # pragma: no cover
+        return []
+    mod = sys.modules.get(f.__module__)
+    pkg = getattr(mod, "__package__", None) or (f.__module__ or "").rsplit(".", 1)[0]
+    objs = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom):
+            try:
+                target = importlib.util.resolve_name(
+                    "." * node.level + (node.module or ""), pkg
+                )
+                m = sys.modules.get(target) or importlib.import_module(target)
+            except Exception:  # pragma: no cover - unresolvable import
+                continue
+            for alias in node.names:
+                obj = getattr(m, alias.name, None)
+                if obj is not None:
+                    objs.append(obj)
+        elif isinstance(node, ast.Import):
+            for alias in node.names:
+                m = sys.modules.get(alias.name)
+                if isinstance(m, types.ModuleType):
+                    objs.append(m)
+    return objs
+
+
 def _fn_sources(fn) -> str:
     """Transitive source closure of the query fn: every package function
     reachable through global-name references, walked recursively and
     across package modules (both ``from x import helper`` and
-    ``import x; x.helper(...)`` styles). Catches behavior that never
-    reaches the plan string: driver-side folds over collected bounded
-    relations (e.g. the MMR greedy loop's arithmetic helpers) appear as a
-    LocalRelation in the plan, so only their Python source can witness a
-    change — including second-level helpers (dot() reached via cosine())
-    and cross-module ones, which the old one-level same-module walk
-    missed."""
+    ``import x; x.helper(...)`` styles), PLUS functions bound by imports
+    local to a function body (resolved via the AST — v3). Catches
+    behavior that never reaches the plan string: driver-side folds over
+    collected bounded relations (e.g. the MMR greedy loop's arithmetic
+    helpers) appear as a LocalRelation in the plan, so only their Python
+    source can witness a change — including second-level helpers (dot()
+    reached via cosine()), cross-module ones (missed by v1's one-level
+    same-module walk), and locally-imported ones (missed by v2)."""
+    return _fn_sources_walk(fn, local_imports=True)
+
+
+def _fn_sources_walk(fn, local_imports: bool) -> str:
     import inspect
     import types
 
@@ -131,6 +183,16 @@ def _fn_sources(fn) -> str:
             if isinstance(m, types.ModuleType)
             and (m.__name__ or "").startswith(_PKG)
         ]
+        if local_imports:
+            for obj in _local_import_objs(f):
+                if isinstance(obj, types.FunctionType) and (
+                    obj.__module__ or ""
+                ).startswith(_PKG):
+                    queue.append(obj)
+                elif isinstance(obj, types.ModuleType) and (
+                    obj.__name__ or ""
+                ).startswith(_PKG):
+                    mods.append(obj)
         for m in mods:
             for name in names:
                 obj = getattr(m, name, None)
@@ -140,6 +202,13 @@ def _fn_sources(fn) -> str:
                 ):
                     queue.append(obj)
     return "\n".join(srcs)
+
+
+def _fn_sources_v2(fn) -> str:
+    """LEGACY v2 source walk (global-name references only; blind to
+    function-local imports) — kept so a committed v2 baseline can be
+    diffed with the algorithm that produced it during migration."""
+    return _fn_sources_walk(fn, local_imports=False)
 
 
 def _fn_sources_v1(fn) -> str:
@@ -160,7 +229,7 @@ def _fn_sources_v1(fn) -> str:
     return "\n".join(srcs)
 
 
-_SOURCE_WALKS = {"1": _fn_sources_v1, "2": _fn_sources}
+_SOURCE_WALKS = {"1": _fn_sources_v1, "2": _fn_sources_v2, "3": _fn_sources}
 
 
 def fingerprint_one(
