@@ -492,3 +492,85 @@ def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym_ratio.alias("symbol_run_ratio"),
         F.when(passes, 1).otherwise(0).alias("passes_gopher"),
     ).orderBy("doc_id")
+
+
+@query(
+    "pii_redact_free_text",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey,
+             c_name || ' can be reached at ' || lower(c_name) || '@example.com'
+             || ' or ' || printf('%03d-%03d-%04d', c_custkey % 1000,
+                                 (c_custkey * 7) % 1000, (c_custkey * 13) % 10000)
+             || ' segment ' || c_mktsegment AS raw
+      FROM customer),
+    red AS (
+      SELECT c_custkey, raw,
+             regexp_replace(
+               regexp_replace(raw, '[a-zA-Z0-9._%+#-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                              '<EMAIL>', 'g'),
+               '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS redacted
+      FROM base)
+    SELECT c_custkey,
+           CAST(LENGTH(regexp_extract_all(raw,
+                '[a-zA-Z0-9._%+#-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(LENGTH(regexp_extract_all(raw, '\\d{3}-\\d{3}-\\d{4}')) AS BIGINT) AS n_phones,
+           CAST(LENGTH(regexp_extract_all(redacted,
+                '[a-zA-Z0-9._%+#-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+              + LENGTH(regexp_extract_all(redacted, '\\d{3}-\\d{3}-\\d{4}'))
+              AS BIGINT) AS n_residual,
+           redacted
+    FROM red
+    ORDER BY c_custkey
+    """,
+    doc="PII redaction over free text — the corpus-curation op every "
+    "training-data pipeline runs before packing (emails/phones -> typed "
+    "placeholder tokens, with per-row match accounting and a residual "
+    "column proving the scrub). The PII-bearing text is constructed "
+    "deterministically from the customer dim (name-derived email, "
+    "custkey-derived phone) so both engines redact identical input. All "
+    "scan-side regexp_replace/regexp_extract_all column exprs — "
+    "JVM-codegen, no shuffle beyond the output sort, embarrassingly "
+    "parallel at any corpus size.",
+)
+def pii_redact_free_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    email_rx = r"[a-zA-Z0-9._%+#-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    phone_rx = r"\d{3}-\d{3}-\d{4}"
+    c = load_table(spark, sf_dir, "customer")
+    raw = F.concat(
+        F.col("c_name"),
+        F.lit(" can be reached at "),
+        F.lower("c_name"),
+        F.lit("@example.com or "),
+        F.format_string(
+            "%03d-%03d-%04d",
+            F.col("c_custkey") % 1000,
+            (F.col("c_custkey") * 7) % 1000,
+            (F.col("c_custkey") * 13) % 10000,
+        ),
+        F.lit(" segment "),
+        F.col("c_mktsegment"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, email_rx, "<EMAIL>"), phone_rx, "<PHONE>"
+    )
+    n = lambda col, rx: F.size(  # noqa: E731 - tiny local count helper
+        F.regexp_extract_all(col, F.lit(rx), F.lit(0))
+    ).cast("bigint")
+    return (
+        c.select(
+            "c_custkey",
+            raw.alias("raw"),
+            redacted.alias("redacted"),
+        )
+        .select(
+            "c_custkey",
+            n(F.col("raw"), email_rx).alias("n_emails"),
+            n(F.col("raw"), phone_rx).alias("n_phones"),
+            (n(F.col("redacted"), email_rx) + n(F.col("redacted"), phone_rx)).alias(
+                "n_residual"
+            ),
+            "redacted",
+        )
+        .orderBy("c_custkey")
+    )

@@ -498,3 +498,27 @@ def test_simhash_overflow_gate_raises_on_megatoken_doc(spark):
     with _pytest.raises(Exception) as exc:
         simhash(df, "doc_id", "text", 48).collect()
     assert "2^20 tokens" in str(exc.value)
+
+
+def test_token_stream_shared_across_families(spark):
+    # The shingle index and the simhash token counts must derive from ONE
+    # memoized positional token stream — the tokenizer regex is the
+    # corpus-scan cost every text-dedup family starts from, and sharing
+    # it is the session analogue of persisting the tokenized corpus.
+    from date_warehouse___airline_project_spark.operators import text_dedup as td
+
+    td.clear_derived_cache()
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")],
+        ["doc_id", "text"],
+    )
+    td.shingle_index(docs, "doc_id", "text", 3).collect()
+    keys_after_shingle = {k[2] for k in td._DERIVED_CACHE}
+    assert "token_stream" in keys_after_shingle
+    n_entries = len(td._DERIVED_CACHE)
+    # simhash over the SAME corpus must reuse the stream, not add a second
+    td.simhash(docs, "doc_id", "text").collect()
+    stream_keys = [k for k in td._DERIVED_CACHE if k[2] == "token_stream"]
+    assert len(stream_keys) == 1
+    assert len(td._DERIVED_CACHE) > n_entries  # simhash added its own layers
+    td.clear_derived_cache()
