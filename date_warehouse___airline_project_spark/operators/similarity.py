@@ -482,6 +482,9 @@ def neardup_pairs_multitable(
     ntables: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize_input: bool = True,
+    split_at: int = 1024,
+    block_target: int = 512,
 ) -> DataFrame:
     """Multi-table sign-LSH near-dup pairs (the OR-construction).
 
@@ -499,10 +502,20 @@ def neardup_pairs_multitable(
     materialized as rows, so nothing n²-shaped is ever shuffled and the
     per-pair vector copies of a join-then-verify plan (2 × 64 doubles ×
     Σbucket² rows) disappear. Cross-table duplicates dedup AFTER the
-    threshold filter, when only survivors remain. Per-group memory is
-    bounded by chunking the pair matrix (CHUNK × bucket_size), so a
-    skewed bucket degrades to more chunks, not an OOM; the Σbucket²
-    compute itself is the inherent LSH-verify cost at any scale.
+    threshold filter, when only survivors remain.
+
+    Skew: sign-LSH buckets over correlated corpora are NOT balanced
+    (observed at sf0.1: one bucket held 72% of the feature-hashed doc
+    vectors, putting 92% of the Σbucket² verify on ONE task — a
+    straggler at any scale). Buckets larger than ``_SPLIT_AT`` therefore
+    shatter into ``ceil(n/_BLOCK_TARGET)`` hash-blocks and the verify
+    runs per block-PAIR — the AQE-skew-join move applied to grouped-map
+    work. The candidate set is identical (blocks partition the bucket,
+    so every unordered pair lands in exactly one block-pair group) and
+    the per-task pair matrix is bounded by ~_BLOCK_TARGET² regardless of
+    how skewed the bucketing gets; normal-sized buckets keep the 1-group
+    path and pay nothing. Per-group memory is additionally bounded by
+    chunking the pair matrix (CHUNK × group_size).
 
     Bit-exactness: the kernel accumulates sequentially over dimensions
     (outer-product per dimension), so every pair performs the identical
@@ -520,9 +533,19 @@ def neardup_pairs_multitable(
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
+    from .text_dedup import _materialize
+
     spark_parallelism = emb.sparkSession.sparkContext.defaultParallelism
     vec_null = F.col(vec_col).isNull() | F.exists(F.col(vec_col), lambda e: e.isNull())
+    # materialized by default: the bucket-size branch below and the main
+    # verify branch both read this relation, and the caller's upstream
+    # (e.g. the feature-hashing vectorizer) can be expensive to recompute.
+    # Callers whose input is a bare table scan pass
+    # ``materialize_input=False`` — re-scanning is cheaper than writing
+    # the checkpoint.
     base = emb.repartition(spark_parallelism).filter(~vec_null)
+    if materialize_input:
+        base = _materialize(base)
     bucketed = base.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -534,6 +557,40 @@ def neardup_pairs_multitable(
                 ]
             )
         ).alias("_t", "_bucket"),
+    )
+    # adaptive skew split (see docstring): buckets above ``split_at`` rows
+    # shatter into hash-blocks of ~``block_target`` and verify per
+    # block-pair (params exist so tests can engage the split path small)
+    big = (
+        bucketed.groupBy("_t", "_bucket")
+        .agg(F.count("*").alias("_bn"))
+        .filter(F.col("_bn") > split_at)
+        .select(
+            "_t",
+            "_bucket",
+            F.ceil(F.col("_bn") / F.lit(block_target)).cast("int").alias("_nblk"),
+        )
+    )
+    nblk = F.coalesce(F.col("_nblk"), F.lit(1))
+    grouped = (
+        bucketed.join(F.broadcast(big), ["_t", "_bucket"], "left")
+        .select(
+            "_id",
+            "_v",
+            "_t",
+            "_bucket",
+            F.pmod(F.xxhash64("_id"), nblk).cast("int").alias("_blk"),
+            F.explode(F.sequence(F.lit(0), nblk - F.lit(1))).alias("_other"),
+        )
+        .select(
+            "_id",
+            "_v",
+            "_t",
+            "_bucket",
+            "_blk",
+            F.least("_blk", "_other").alias("_bi"),
+            F.greatest("_blk", "_other").alias("_bj"),
+        )
     )
     out_schema = StructType(
         [
@@ -547,26 +604,30 @@ def neardup_pairs_multitable(
     margin = threshold - 1e-6
     chunk = 2048
 
-    def verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.array([], dtype="int64"),
+            "id_b": pd.array([], dtype="int64"),
+            "_raw_cos": pd.array([], dtype="float64"),
+        }
+    )
+
+    def _seq_norms(X: "np.ndarray") -> "np.ndarray":
+        # sequential self-fold, identical bits to sqrt(dot(v, v))
+        nacc = np.zeros(len(X))
+        for d in range(X.shape[1]):
+            nacc = nacc + X[:, d] * X[:, d]
+        return np.sqrt(nacc)
+
+    def _triangle(pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)
-        empty = pd.DataFrame(
-            {
-                "id_a": pd.array([], dtype="int64"),
-                "id_b": pd.array([], dtype="int64"),
-                "_raw_cos": pd.array([], dtype="float64"),
-            }
-        )
         if m < 2:
             return empty
         order = np.argsort(pdf["_id"].to_numpy(), kind="stable")
         ids = pdf["_id"].to_numpy()[order]
         X = np.asarray(pdf["_v"].to_list(), dtype=np.float64)[order]
         dim = X.shape[1]
-        # norms: sequential self-fold, identical bits to sqrt(dot(v, v))
-        nacc = np.zeros(m)
-        for d in range(dim):
-            nacc = nacc + X[:, d] * X[:, d]
-        norms = np.sqrt(nacc)
+        norms = _seq_norms(X)
         frames = []
         cols = np.arange(m)
         for i0 in range(0, m, chunk):
@@ -591,7 +652,52 @@ def neardup_pairs_multitable(
                 )
         return pd.concat(frames) if frames else empty
 
-    verified = bucketed.groupBy("_t", "_bucket").applyInPandas(verify_bucket, out_schema)
+    def _bipartite(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+        # cross pairs between two disjoint blocks of one bucket; every
+        # unordered pair appears in exactly one block-pair group, emitted
+        # as (min_id, max_id). Same sequential dim fold as the triangle —
+        # dot(a, b) is term-commutative, so orientation cannot change bits.
+        if not len(a) or not len(b):
+            return empty
+        ida = a["_id"].to_numpy()
+        idb = b["_id"].to_numpy()
+        Xa = np.asarray(a["_v"].to_list(), dtype=np.float64)
+        Xb = np.asarray(b["_v"].to_list(), dtype=np.float64)
+        na = _seq_norms(Xa)
+        nb = _seq_norms(Xb)
+        frames = []
+        for i0 in range(0, len(a), chunk):
+            i1 = min(i0 + chunk, len(a))
+            acc = np.zeros((i1 - i0, len(b)))
+            for d in range(Xa.shape[1]):
+                acc = acc + Xa[i0:i1, d][:, None] * Xb[:, d][None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / (na[i0:i1, None] * nb[None, :])
+            keep = (cos >= margin) | np.isnan(cos)
+            ii, jj = np.nonzero(keep)
+            if len(ii):
+                left = ida[ii + i0]
+                right = idb[jj]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": np.minimum(left, right),
+                            "id_b": np.maximum(left, right),
+                            "_raw_cos": cos[ii, jj],
+                        }
+                    )
+                )
+        return pd.concat(frames) if frames else empty
+
+    def verify_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key[2], key[3]
+        if bi == bj:
+            return _triangle(pdf)
+        return _bipartite(pdf[pdf["_blk"] == bi], pdf[pdf["_blk"] == bj])
+
+    verified = grouped.groupBy("_t", "_bucket", "_bi", "_bj").applyInPandas(
+        verify_group, out_schema
+    )
     return (
         verified.withColumn("cos_sim", F.round(F.col("_raw_cos"), 6))
         .filter(F.col("cos_sim") >= threshold)

@@ -299,9 +299,11 @@ def emb_neardup_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import neardup_pairs_multitable
 
     e = load_table(spark, sf_dir, "embeddings")
-    return neardup_pairs_multitable(e, threshold=0.4, nplanes=4, ntables=3).orderBy(
-        "id_a", "id_b"
-    )
+    # materialize_input=False: the input is a bare parquet scan — cheaper
+    # to re-scan for the bucket-size branch than to checkpoint it
+    return neardup_pairs_multitable(
+        e, threshold=0.4, nplanes=4, ntables=3, materialize_input=False
+    ).orderBy("id_a", "id_b")
 
 
 @query(

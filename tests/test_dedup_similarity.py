@@ -522,3 +522,37 @@ def test_token_stream_shared_across_families(spark):
     assert len(stream_keys) == 1
     assert len(td._DERIVED_CACHE) > n_entries  # simhash added its own layers
     td.clear_derived_cache()
+
+
+def test_skew_split_verify_equals_unsplit(spark):
+    # A pathologically skewed bucketing (every vector in ONE sign bucket,
+    # larger than split_at) must engage the block-pair split path and
+    # produce EXACTLY the pair set of the join-then-verify construction —
+    # same candidates, same cosines, no pair lost at a block boundary and
+    # none double-counted.
+    import random
+
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        neardup_pairs_bucketed,
+        neardup_pairs_multitable,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(0.5, 1.0) for _ in range(8)])  # all-positive: one bucket
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    split = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in neardup_pairs_multitable(
+            emb, threshold=0.97, nplanes=4, ntables=1,
+            materialize_input=False, split_at=20, block_target=10,
+        ).collect()
+    }
+    unsplit = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in neardup_pairs_bucketed(emb, threshold=0.97, nplanes=4).collect()
+    }
+    assert split == unsplit
+    assert len(split) > 0

@@ -374,3 +374,15 @@ def test_spatial_gridjoin_is_equijoin_on_cells(spark):
     plan = plan_of(spark, "spatial_radius_gridjoin")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pii_redaction_is_scan_side(spark):
+    """PII redaction must stay a pruned scan + codegen projections: no
+    Python stage, no join, and exactly one exchange (the output sort) —
+    the shape that makes it embarrassingly parallel over a 100 TB corpus."""
+    plan = plan_of(spark, "pii_redact_free_text")
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # range-partitioning for the sort (+AQE read)
+    assert "ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>" in plan
