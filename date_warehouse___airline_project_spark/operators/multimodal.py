@@ -127,6 +127,84 @@ def sample_frames(media: DataFrame, frame_size: int = 1024, max_frames: int = 4)
     return media.filter(F.col("media_type") == "video").mapInPandas(batches, FRAME_SCHEMA)
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Real image resize — codec required, stubbed in this environment."""
-    _require_codec("image")
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumb_bytes", T.BinaryType()),
+        T.StructField("thumb_md5", T.StringType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, decode: bool = False
+) -> DataFrame:
+    """Resize/resample shape: every input row maps to a FIXED-size output
+    payload (``width*height // 64`` bytes here) regardless of input size —
+    the property that makes a resize stage's output partitioning
+    predictable at 100 TB (uniform row width, no long tail of huge blobs
+    downstream). decode=True requires a real codec (stubbed); the fake
+    path truncates/right-pads the payload to the target size, so the
+    plumbing — Arrow batching, binary output column, fixed-width contract
+    — is fully exercised and oracle-checkable."""
+    if decode:
+        _require_codec("image")
+    target = max(1, (width * height) // 64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            thumbs = [
+                (bytes(b)[:target]).ljust(target, b".") for b in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "thumb_bytes": thumbs,
+                    "thumb_md5": [hashlib.md5(t).hexdigest() for t in thumbs],
+                }
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        batches, RESIZE_SCHEMA
+    )
+
+
+def embed_media(media: DataFrame, dims: int = 8, decode: bool = False) -> DataFrame:
+    """Feature extraction shape: media row -> dense ``array<double>``
+    embedding, the bridge from the multimodal lane into the ANN/near-dup
+    stack (the output schema is exactly what ``neardup_pairs_*`` and the
+    IVF/topk operators consume). decode=True would run a real vision/audio
+    encoder (stubbed); the fake path derives ``dims`` values from the
+    content digest — deterministic, integer-valued doubles, so every
+    downstream cosine fold is bit-exact on both engines."""
+    if decode:
+        _require_codec("embedding-model")
+    if dims > 16:
+        raise ValueError("fake digest-derived embeddings support dims <= 16")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            digests = [hashlib.md5(bytes(b)).hexdigest() for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "embedding": [
+                        [float(int(d[2 * i : 2 * i + 2], 16)) for i in range(dims)]
+                        for d in digests
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return media.mapInPandas(batches, schema)

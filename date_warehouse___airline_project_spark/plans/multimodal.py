@@ -96,3 +96,110 @@ def media_frame_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "frame_idx")
     )
+
+
+_RESIZE_TARGET = (32 * 32) // 64  # 16 bytes
+
+_RESIZE_ORACLE = f"""
+    WITH img AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    t AS (
+      SELECT doc_id,
+             rpad(substr(text, 1, {_RESIZE_TARGET}), {_RESIZE_TARGET}, '.') AS thumb
+      FROM img)
+    SELECT doc_id AS media_id,
+           CAST(32 AS INT) AS width,
+           CAST(32 AS INT) AS height,
+           CAST(octet_length(encode(thumb)) AS BIGINT) AS thumb_len,
+           md5(thumb) AS thumb_md5
+    FROM t
+    ORDER BY media_id
+"""
+
+
+@query(
+    "media_resize_thumbnails",
+    oracle=_RESIZE_ORACLE,
+    doc="Resize/resample plumbing (operators/multimodal.py::resize_media): "
+    "image rows -> FIXED-width thumbnail payloads via Arrow-batched "
+    "mapInPandas — the fixed-output-size contract that keeps a resize "
+    "stage's partitioning uniform at 100 TB (no long tail of huge blobs "
+    "downstream). Codec stubbed; the fake truncate/pad resample is "
+    "byte-replicated by the oracle (ASCII payloads, SUBSTR+RPAD).",
+)
+def media_resize_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import resize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    thumbs = resize_media(attach_media(docs), 32, 32)
+    return (
+        thumbs.select(
+            "media_id",
+            "width",
+            "height",
+            F.length("thumb_bytes").cast("bigint").alias("thumb_len"),
+            F.md5("thumb_bytes").alias("thumb_md5"),
+        )
+        .orderBy("media_id")
+    )
+
+
+def _hexbyte_list(col: str, dims: int) -> str:
+    return "list_value(" + ", ".join(
+        f"CAST({_hexbyte(col, 2 * i + 1)} AS DOUBLE)" for i in range(dims)
+    ) + ")"
+
+
+_EMBED_ORACLE = f"""
+    WITH e AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             {_hexbyte_list('md5(text)', 8)} AS v
+      FROM documents),
+    q AS (SELECT v AS qv FROM e WHERE media_id = 0)
+    SELECT e.media_id, e.media_type,
+           ROUND(list_dot_product(e.v, q.qv)
+                 / (SQRT(list_dot_product(e.v, e.v))
+                    * SQRT(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+    FROM e, q
+    WHERE e.media_id <> 0
+    ORDER BY cos_sim DESC, e.media_id
+    LIMIT 10
+"""
+
+
+@query(
+    "media_embedding_topk",
+    oracle=_EMBED_ORACLE,
+    doc="Feature-extraction bridge (operators/multimodal.py::embed_media): "
+    "media rows -> dense array<double> embeddings via Arrow-batched "
+    "mapInPandas (encoder stubbed; digest-derived fake vectors), then "
+    "straight into the shared cosine top-k machinery — the media -> "
+    "embedding -> similarity composition a multimodal curation pipeline "
+    "runs. Query vector broadcast, fold stays in the plan, integer-valued "
+    "doubles keep both engines bit-identical.",
+)
+def media_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import embed_media
+    from ..operators.similarity import cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = embed_media(attach_media(docs), dims=8)
+    q = emb.filter(F.col("media_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        emb.filter(F.col("media_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "media_id",
+            "media_type",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "media_id")
+        .limit(10)
+    )

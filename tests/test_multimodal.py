@@ -6,11 +6,13 @@ from __future__ import annotations
 import hashlib
 
 import pytest
+from pyspark.sql import functions as F
 
 from date_warehouse___airline_project_spark.operators.multimodal import (
     attach_media,
     extract_media_meta,
-    resize_images,
+    embed_media,
+    resize_media,
     sample_frames,
 )
 
@@ -50,6 +52,32 @@ def test_sample_frames_fanout(media):
 
 def test_real_decode_paths_are_stubbed(media):
     with pytest.raises(NotImplementedError):
-        resize_images(media, 224, 224)
+        resize_media(media, 224, 224, decode=True)
     with pytest.raises(NotImplementedError):
         extract_media_meta(media, decode=True)
+    with pytest.raises(NotImplementedError):
+        embed_media(media, decode=True)
+
+
+def test_resize_fixed_width_contract(media):
+    # every thumbnail is exactly (w*h)//64 bytes — short payloads padded,
+    # long ones truncated — and only image rows survive
+    out = resize_media(media, 32, 32).collect()
+    assert all(len(bytes(r.thumb_bytes)) == 16 for r in out)
+    assert {r.media_id for r in out} == {0}
+
+
+def test_embed_media_feeds_the_ann_stack(media, spark):
+    # the embedding column plugs straight into the shared pair operator
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        neardup_pairs_bucketed,
+    )
+
+    emb = embed_media(media, dims=8).select(
+        (F.col("media_id")).alias("vec_id"), "embedding"
+    )
+    rows = emb.collect()
+    assert all(len(r.embedding) == 8 for r in rows)
+    assert all(0.0 <= v <= 255.0 for r in rows for v in r.embedding)
+    # operator-compatibility: runs end to end (pair count is data-dependent)
+    neardup_pairs_bucketed(emb, threshold=0.99, nplanes=2).collect()
