@@ -891,9 +891,37 @@ _CURATION_ACCT_ORACLE = """
     "the bounded source key — no state ever re-scans accepted documents.",
 )
 def doc_curation_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.curation_stream import accounting_of, batch_curate
+    from ..streaming.curation_stream import accounting_of
 
-    return accounting_of(batch_curate(_docs(spark, sf_dir), None)).orderBy("source")
+    return accounting_of(_curate_winners(_docs(spark, sf_dir))).orderBy("source")
+
+
+def _gate_memo(d: DataFrame) -> DataFrame:
+    """Session-shared Gopher-gated corpus. The five-regexp gate battery is
+    the curation family's common prefix (both accounting queries and the
+    v2 flagship pipeline gate the same relation); memoizing the gated
+    output keyed on the input's semanticHash runs it once per session
+    instead of once per query. Safe to share because every batch query
+    derives ``d`` from the same ``_docs`` construction — identical logical
+    plan, identical hash — while stream micro-batches never reach this
+    helper (they go through batch_curate's default path)."""
+    from ..operators.quality import gopher_gate
+
+    sel = d.select("doc_id", "source", "text")
+    return _memo(sel, ("gopher_gate",), lambda: gopher_gate(sel))
+
+
+def _curate_winners(d: DataFrame) -> DataFrame:
+    """Session-shared gate + exact-dedup winners relation — the common
+    prefix of ``doc_curation_accounting`` (its whole output) and
+    ``doc_curation_accounting_v2`` (its near-dup input). Built from the
+    SAME ``batch_curate`` construction the stream folds per micro-batch,
+    just injected pre-gated and cached."""
+    from ..streaming.curation_stream import batch_curate
+
+    return _memo(
+        d, ("curate_winners",), lambda: batch_curate(d, None, gated=_gate_memo(d))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -994,21 +1022,16 @@ _V2_ORACLE = f"""
     f"intermediate materialization, no collect.",
 )
 def doc_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.quality import gopher_gate
-
     d = _docs(spark, sf_dir)
     # The Gopher gate is the expensive scan (five regexp batteries over
     # text) and feeds FOUR branches below (inverted index, df cap, sizes,
-    # survivors). Memoize the gated relation so the battery runs once —
-    # without this the lazy plan re-derives it per branch (~4x the scan).
+    # survivors) plus both accounting queries. The session-shared memo
+    # (_gate_memo) runs the battery once — without it the lazy plan
+    # re-derives it per branch (~4x the scan) and per query.
     # The gate itself is the shared operator (operators/quality.py) — the
     # streaming curation pipeline gates with the same Column tree, which
     # is what its stream-equals-batch test certifies.
-    gop = _memo(
-        d,
-        ("curation_v2_gop",),
-        lambda: gopher_gate(d.select("doc_id", "source", "text")),
-    )
+    gop = _gate_memo(d)
 
     # Distinct 3-grams of the SURVIVORS via the shared relational shingle
     # index (posexplode + lead window — fully codegen'd). The hand-rolled
@@ -1191,8 +1214,18 @@ _V2ACCT_ORACLE = f"""
     "pairs or re-scans accepted documents.",
 )
 def doc_curation_accounting_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_dedup import minhash_signatures
     from ..streaming.curation_stream import accounting_of, batch_curate_v2
+    from ..streaming.neardup_stream import _K, _N
 
+    d = _docs(spark, sf_dir)
+    winners = _curate_winners(d)
+    # A MinHash signature is content-only per doc, so the winners' sigs
+    # are exactly the session-memoized CORPUS sigs (shared with the whole
+    # dedup family) semi-joined down to winner ids — no re-tokenization.
+    win_sig = minhash_signatures(d, "doc_id", "text", _N, _K).join(
+        winners.select(F.col("doc_id").alias("_id")), "_id", "left_semi"
+    )
     return accounting_of(
-        batch_curate_v2(_docs(spark, sf_dir), None, None)
+        batch_curate_v2(d, None, None, winners=winners, sig=win_sig)
     ).orderBy("source")

@@ -60,16 +60,27 @@ from .state_table import fold_into_state, last_applied_batch_id, recover_state
 ACCT_SCHEMA = "source STRING, n_docs BIGINT, n_tokens BIGINT"
 
 
-def batch_curate(docs: DataFrame, fp_state: DataFrame | None) -> DataFrame:
+def batch_curate(
+    docs: DataFrame, fp_state: DataFrame | None, gated: DataFrame | None = None
+) -> DataFrame:
     """Gate + first-wins dedup for one relation of (doc_id, source, text).
 
     Shared by the stream (per micro-batch, with the persistent state) and
     the batch registry query ``doc_curation_accounting`` (whole corpus,
     ``fp_state=None``) — one construction, certified once.
 
+    ``gated`` lets a batch caller inject an already-memoized
+    ``gopher_gate(docs.select(doc_id, source, text))`` relation so the
+    five-regexp gate battery runs once per session across the whole
+    curation family (plans/training_data.py::_gate_memo) instead of once
+    per query. The stream never passes it — memoizing on a micro-batch
+    relation would risk aliasing two batches whose logical plans
+    canonicalize identically.
+
     Returns accepted rows (doc_id, source, text, n_tok, fp).
     """
-    gated = gopher_gate(docs.select("doc_id", "source", "text"))
+    if gated is None:
+        gated = gopher_gate(docs.select("doc_id", "source", "text"))
     fps = gated.withColumn("fp", content_fingerprint("text"))
     first_wins = (
         fps.groupBy("fp")
@@ -183,7 +194,11 @@ def run_curation_stream(
 
 
 def batch_curate_v2(
-    docs: DataFrame, fp_state: DataFrame | None, lsh_state: DataFrame | None
+    docs: DataFrame,
+    fp_state: DataFrame | None,
+    lsh_state: DataFrame | None,
+    winners: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """The v2 curation core over one relation of (doc_id, source, text):
     Gopher gate -> exact-fingerprint first-wins (vs ``fp_state``) ->
@@ -199,11 +214,19 @@ def batch_curate_v2(
     winner regardless of whether near-dup rejection later dropped that
     winner), while LSH signatures fold only for finally-ACCEPTED docs
     (greedy semantics — rejected docs never block anyone).
+
+    ``winners`` lets a batch caller inject an already-memoized
+    ``batch_curate(docs, fp_state)`` relation (shared with
+    ``doc_curation_accounting``), and ``sig`` a precomputed signature
+    relation over those winners (semi-joined from the session-memoized
+    corpus signatures); the stream never passes either — see
+    ``batch_curate``'s gated param for why.
     """
     from .neardup_stream import neardup_filter
 
-    winners = batch_curate(docs, fp_state)
-    return neardup_filter(winners, lsh_state)
+    if winners is None:
+        winners = batch_curate(docs, fp_state)
+    return neardup_filter(winners, lsh_state, sig=sig)
 
 
 def run_curation_v2_stream(

@@ -70,12 +70,21 @@ def neardup_batch(docs: DataFrame, lsh_state: DataFrame | None) -> DataFrame:
     return neardup_filter(docs, lsh_state).select("doc_id", "text", *_mh_cols())
 
 
-def neardup_filter(docs: DataFrame, lsh_state: DataFrame | None) -> DataFrame:
+def neardup_filter(
+    docs: DataFrame, lsh_state: DataFrame | None, sig: DataFrame | None = None
+) -> DataFrame:
     """Near-dup accept rule over any relation carrying (doc_id, text):
     greedy-by-doc_id within the batch after rejecting docs similar to the
     accepted state. Keeps every input column and appends the signature
     columns (null for shingle-less docs). Shared by the standalone
     near-dup stream and the composed curation-v2 lane.
+
+    ``sig`` lets a batch caller inject a precomputed signature relation
+    (``_id``, ``_mh0``..) covering exactly ``docs``'s ids — a MinHash
+    signature is content-only per doc, so the curation lane semi-joins
+    the session-memoized FULL-CORPUS signatures down to its winners
+    instead of re-tokenizing them (plans/training_data.py). The stream
+    never passes it (a micro-batch has no corpus relation to reuse).
 
     ``docs`` and the signature relation are MATERIALIZED once here: the
     plan below references each across many branches (band self-join,
@@ -89,9 +98,9 @@ def neardup_filter(docs: DataFrame, lsh_state: DataFrame | None) -> DataFrame:
     from ..operators.text_dedup import _materialize
 
     docs = _materialize(docs)
-    sig = _materialize(
-        minhash_signatures(docs, "doc_id", "text", _N, _K, memo=False)
-    )
+    if sig is None:
+        sig = minhash_signatures(docs, "doc_id", "text", _N, _K, memo=False)
+    sig = _materialize(sig)
     brows = band_rows(sig, _K, _BANDS)
 
     # 1. vs-state rejection: arriving doc similar to an accepted doc
