@@ -1387,3 +1387,41 @@ def test_curation_v2_stream_crash_between_folds_recovers(spark, tmp_path):
         r.source: (r.n_docs, r.n_tokens)
         for r in spark.read.parquet(acct_state).collect()
     } == acct0
+
+
+def test_curate_v2_injected_prefixes_equal_default(spark):
+    # The plan-layer batch queries inject session-shared prefixes into the
+    # certified construction (pre-gated relation into batch_curate,
+    # pre-curated winners and corpus-derived signatures into
+    # batch_curate_v2) while the stream always takes the default path.
+    # The two paths must stay row-identical, or the sharing silently forks
+    # the construction the stream-equals-batch tests certify.
+    from pyspark.sql import functions as F
+
+    from date_warehouse___airline_project_spark.operators.quality import gopher_gate
+    from date_warehouse___airline_project_spark.operators.text_dedup import (
+        minhash_signatures,
+    )
+    from date_warehouse___airline_project_spark.streaming.curation_stream import (
+        batch_curate,
+        batch_curate_v2,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    default = batch_curate_v2(d, None, None)
+
+    gated = gopher_gate(d.select("doc_id", "source", "text"))
+    winners = batch_curate(d, None, gated=gated)
+    # content-only signatures: corpus relation semi-joined to winner ids
+    win_sig = minhash_signatures(d, "doc_id", "text", 3, 16).join(
+        winners.select(F.col("doc_id").alias("_id")), "_id", "left_semi"
+    )
+    injected = batch_curate_v2(d, None, None, winners=winners, sig=win_sig)
+
+    cols = sorted(default.columns)
+    assert sorted(injected.columns) == cols
+    a = sorted(map(tuple, default.select(*cols).collect()))
+    b = sorted(map(tuple, injected.select(*cols).collect()))
+    assert a and a == b
