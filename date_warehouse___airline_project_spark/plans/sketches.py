@@ -650,3 +650,174 @@ def cms_heavy_hitters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "exact_count", "cms_estimate")
         .orderBy(F.desc("exact_count"), "user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: union by register-MAX merge, intersection by
+# inclusion-exclusion over the merged sketch
+# ---------------------------------------------------------------------------
+
+_ALG_A, _ALG_B = "purchase", "click"
+
+
+def _hll_regs_sql(tag: str, seg: str) -> str:
+    """CTE chain computing the (idx, r) registers of one event segment —
+    the SQL replica of ``hll_registers`` (same hash, same rank trick)."""
+    hv = _HASH_SQL.format(c="CAST(user_id AS VARCHAR)")
+    return f"""
+    {tag}_h AS (
+      SELECT {hv} AS hv FROM events
+      WHERE event_type = '{seg}' AND user_id IS NOT NULL),
+    {tag}_p AS (SELECT hv % {_HLL_M} AS idx, hv // {_HLL_M} AS rest FROM {tag}_h),
+    {tag}_rk AS (
+      SELECT p.idx,
+             CASE WHEN p.rest = 0 THEN 51 ELSE r.j + 1 END AS rank
+      FROM {tag}_p p
+      LEFT JOIN lbv r ON (p.rest & (-p.rest)) = r.lowbit),
+    {tag}_regs AS (SELECT idx, MAX(rank) AS r FROM {tag}_rk GROUP BY idx)"""
+
+
+def _hll_est_sql(tag: str) -> str:
+    """CTE computing the corrected HLL estimate of ``{tag}_regs`` —
+    the SQL replica of the estimator in ``hll_distinct_sketch``."""
+    m = _HLL_M
+    raw = (
+        f"0.709 * {m} * {m} / (CAST(s_{tag} AS DOUBLE) "
+        f"/ CAST(CAST(1 AS BIGINT) << 51 AS DOUBLE) + ({m} - nset_{tag}))"
+    )
+    lc = f"{m} * LN(CAST({m} AS DOUBLE) / ({m} - nset_{tag}))"
+    return f"""
+    {tag}_sum AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nset_{tag},
+             CAST(SUM(CAST(1 AS BIGINT) << (51 - r)) AS BIGINT) AS s_{tag}
+      FROM {tag}_regs),
+    {tag}_est AS (
+      SELECT CASE WHEN ({raw}) <= 2.5 * {m} AND nset_{tag} < {m}
+                  THEN {lc} ELSE {raw} END AS est_{tag}
+      FROM {tag}_sum)"""
+
+
+_HLL_ALG_ORACLE = f"""
+    WITH lb AS (SELECT UNNEST(range(0, 50)) AS j),
+    lbv AS (SELECT j, CAST(1 AS BIGINT) << j AS lowbit FROM lb),
+    {_hll_regs_sql("a", _ALG_A)},
+    {_hll_regs_sql("b", _ALG_B)},
+    u_regs AS (
+      SELECT idx, MAX(r) AS r FROM (
+        SELECT * FROM a_regs UNION ALL SELECT * FROM b_regs)
+      GROUP BY idx),
+    {_hll_est_sql("a")},
+    {_hll_est_sql("b")},
+    {_hll_est_sql("u")},
+    exact AS (
+      SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = '{_ALG_A}'
+                                      THEN user_id END) AS BIGINT) AS n_exact_a,
+             CAST(COUNT(DISTINCT CASE WHEN event_type = '{_ALG_B}'
+                                      THEN user_id END) AS BIGINT) AS n_exact_b
+      FROM events WHERE user_id IS NOT NULL),
+    inter AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_inter FROM (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = '{_ALG_A}' AND user_id IS NOT NULL
+        INTERSECT
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = '{_ALG_B}' AND user_id IS NOT NULL))
+    SELECT e.n_exact_a, e.n_exact_b, i.n_exact_inter,
+           ROUND(a.est_a, 4) AS est_a,
+           ROUND(b.est_b, 4) AS est_b,
+           ROUND(u.est_u, 4) AS est_union,
+           ROUND(GREATEST(a.est_a + b.est_b - u.est_u, 0.0), 4) AS est_inter,
+           ROUND(ABS(GREATEST(a.est_a + b.est_b - u.est_u, 0.0) - i.n_exact_inter)
+                 / GREATEST(i.n_exact_inter, 1), 4) AS rel_err_inter
+    FROM a_est a, b_est b, u_est u, exact e, inter i
+"""
+
+
+@query(
+    "hll_set_algebra",
+    oracle=_HLL_ALG_ORACLE,
+    doc=f"HLL sketch ALGEBRA, the property that makes sketches useful as "
+    f"stored state at 100 TB: the union of two segments' sketches is the "
+    f"register-wise MAX of their m={_HLL_M}-row register relations (the "
+    f"same keyed-MAX fold the streaming sketch state table applies), and "
+    f"the intersection estimate is inclusion-exclusion over the three "
+    f"estimates — so segment overlap is answerable from per-segment "
+    f"sketches alone, without rescanning either side. Registers stay "
+    f"integer-exact end to end (rank via lowbit + broadcast power table, "
+    f"harmonic sum as exact integer); each segment costs one scan and a "
+    f"<= m-row shuffle, the merge touches only 2m rows, and the exact "
+    f"intersection (one distinct + semi-join) rides along purely as the "
+    f"error accounting.",
+)
+def hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    a_rows = ev.filter(F.col("event_type") == _ALG_A).select("user_id")
+    b_rows = ev.filter(F.col("event_type") == _ALG_B).select("user_id")
+    ra = hll_registers(a_rows, "user_id")
+    rb = hll_registers(b_rows, "user_id")
+    ru = ra.unionByName(rb).groupBy("idx").agg(F.max("r").alias("r"))
+
+    def summary(regs: DataFrame, tag: str) -> DataFrame:
+        return regs.agg(
+            F.count("*").cast("bigint").alias(f"nset_{tag}"),
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 51 - r)"))
+            .cast("bigint")
+            .alias(f"s_{tag}"),
+        )
+
+    def est(tag: str):
+        e_raw = F.lit(0.709 * _HLL_M * _HLL_M) / (
+            F.col(f"s_{tag}").cast("double") / F.lit(float(1 << 51))
+            + (F.lit(_HLL_M) - F.col(f"nset_{tag}"))
+        )
+        small = (e_raw <= 2.5 * _HLL_M) & (F.col(f"nset_{tag}") < _HLL_M)
+        return F.when(
+            small,
+            F.lit(_HLL_M)
+            * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col(f"nset_{tag}"))),
+        ).otherwise(e_raw)
+
+    exact = ev.agg(
+        F.count_distinct(
+            F.when(F.col("event_type") == _ALG_A, F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("n_exact_a"),
+        F.count_distinct(
+            F.when(F.col("event_type") == _ALG_B, F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("n_exact_b"),
+    )
+    inter = (
+        a_rows.distinct()
+        .join(b_rows.distinct(), "user_id", "left_semi")
+        .agg(F.count("*").cast("bigint").alias("n_exact_inter"))
+    )
+    one = (
+        summary(ra, "a")
+        .crossJoin(summary(rb, "b"))
+        .crossJoin(summary(ru, "u"))
+        .crossJoin(exact)
+        .crossJoin(inter)
+        .withColumn("est_a_raw", est("a"))
+        .withColumn("est_b_raw", est("b"))
+        .withColumn("est_u_raw", est("u"))
+    )
+    est_inter = F.greatest(
+        F.col("est_a_raw") + F.col("est_b_raw") - F.col("est_u_raw"), F.lit(0.0)
+    )
+    return one.select(
+        "n_exact_a",
+        "n_exact_b",
+        "n_exact_inter",
+        F.round("est_a_raw", 4).alias("est_a"),
+        F.round("est_b_raw", 4).alias("est_b"),
+        F.round("est_u_raw", 4).alias("est_union"),
+        F.round(est_inter, 4).alias("est_inter"),
+        F.round(
+            F.abs(est_inter - F.col("n_exact_inter"))
+            / F.greatest(F.col("n_exact_inter"), F.lit(1).cast("bigint")),
+            4,
+        ).alias("rel_err_inter"),
+    )

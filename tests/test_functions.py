@@ -128,8 +128,10 @@ def test_hll_registers_merge_by_register_max(spark):
     from date_warehouse___airline_project_spark.plans.sketches import hll_registers
 
     rows = spark.range(0, 2000).select((F.col("id") * 37 % 613).alias("k"))
+    # OVERLAPPING segments (keys divisible by 6 are in both), the shape
+    # hll_set_algebra merges: MAX must be idempotent on the shared keys.
     a = rows.filter(F.col("k") % 2 == 0)
-    b = rows.filter(F.col("k") % 2 == 1)
+    b = rows.filter(F.col("k") % 3 == 0)
     merged = (
         hll_registers(a, "k")
         .unionByName(hll_registers(b, "k"))
@@ -137,5 +139,8 @@ def test_hll_registers_merge_by_register_max(spark):
         .agg(F.max("r").alias("r"))
     )
     got = {row.idx: row.r for row in merged.collect()}
-    want = {row.idx: row.r for row in hll_registers(rows, "k").collect()}
+    want = {
+        row.idx: row.r
+        for row in hll_registers(a.unionByName(b).distinct(), "k").collect()
+    }
     assert got == want

@@ -46,6 +46,7 @@ ALLOW = {
     "funnel_stage_counts": {"NESTED-LOOP"},  # (a) stage-total scalar
     "bloom_membership_sketch": {"NESTED-LOOP"},  # (a) 1-row stat aggregates
     "hll_distinct_sketch": {"NESTED-LOOP"},  # (a) 1-row stat aggregates
+    "hll_set_algebra": {"NESTED-LOOP"},  # (a) 1-row sketch summaries + exact stats
     "dedup_method_agreement": {"NESTED-LOOP"},  # (a) 1-row count aggregates
     "emb_mmr_diverse_topk": {"NESTED-LOOP"},  # (a) 1-row query vector + bounded pool
     "emb_pq_topk": {"NESTED-LOOP"},  # (a) 1-row query vector + 50-row re-rank
