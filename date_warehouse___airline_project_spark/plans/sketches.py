@@ -821,3 +821,120 @@ def hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err_inter"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CMS merge algebra: per-shard sketches combine by cell-wise SUM
+# ---------------------------------------------------------------------------
+
+_CMS_CELL_SQL = (
+    _HASH_SQL.format(
+        c="CONCAT(CAST({d} AS VARCHAR), ':', CAST({k} AS VARCHAR))"
+    )
+    + f" % {_CMS_W}"
+)
+
+_CMS_MERGE_ORACLE = f"""
+    WITH rows_ AS (
+      SELECT STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id
+      FROM events),
+    seeds AS (SELECT UNNEST(range(0, {_CMS_D})) AS d),
+    shard_cells AS (
+      SELECT r.day, s.d,
+             {_CMS_CELL_SQL.format(d="s.d", k="r.user_id")} AS cell,
+             COUNT(*) AS cnt
+      FROM rows_ r CROSS JOIN seeds s
+      GROUP BY r.day, s.d, cell),
+    merged AS (
+      SELECT d, cell, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM shard_cells GROUP BY d, cell),
+    direct AS (
+      SELECT s.d,
+             {_CMS_CELL_SQL.format(d="s.d", k="r.user_id")} AS cell,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM rows_ r CROSS JOIN seeds s
+      GROUP BY s.d, cell),
+    exact AS (
+      SELECT user_id, COUNT(*) AS exact_count
+      FROM rows_ GROUP BY user_id
+      ORDER BY exact_count DESC, user_id LIMIT 5),
+    probe AS (
+      SELECT e.user_id, e.exact_count, s.d,
+             {_CMS_CELL_SQL.format(d="s.d", k="e.user_id")} AS cell
+      FROM exact e CROSS JOIN seeds s)
+    SELECT p.user_id, p.exact_count,
+           CAST(MIN(m.cnt) AS BIGINT) AS cms_merged,
+           CAST(MIN(dd.cnt) AS BIGINT) AS cms_direct,
+           MIN(m.cnt) = MIN(dd.cnt) AS merge_identical,
+           CAST(MIN(m.cnt) - p.exact_count AS BIGINT) AS overcount
+    FROM probe p
+    JOIN merged m ON m.d = p.d AND m.cell = p.cell
+    JOIN direct dd ON dd.d = p.d AND dd.cell = p.cell
+    GROUP BY p.user_id, p.exact_count
+    ORDER BY p.exact_count DESC, p.user_id
+"""
+
+
+@query(
+    "cms_merge_shards",
+    oracle=_CMS_MERGE_ORACLE,
+    doc=f"Count-Min sketch MERGE algebra (the additive counterpart of "
+    f"hll_set_algebra's MAX): per-day shard sketches (d={_CMS_D} x "
+    f"w={_CMS_W}) combine by cell-wise SUM, and because counts are "
+    f"additive the merged sketch is IDENTICAL to the sketch built over "
+    f"the whole relation — the property that lets 100 TB of daily "
+    f"partitions keep tiny per-partition sketches and answer corpus-wide "
+    f"frequency probes from a {_CMS_D * _CMS_W}-cell merge, no rescan. "
+    f"The query probes the top-5 exact users against BOTH the merged and "
+    f"the directly-built sketch and emits the identity as a column; all "
+    f"integer arithmetic, oracle rebuilds both sketches bit-for-bit.",
+)
+def cms_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    seeds = F.array(*[F.lit(d) for d in range(_CMS_D)])
+
+    def cell(d_col, key_col):
+        return seeded_bucket(key_col, d_col, _CMS_W)
+
+    keyed = ev.select("day", "user_id", F.explode(seeds).alias("d")).select(
+        "day", "user_id", "d", cell(F.col("d"), F.col("user_id")).alias("cell")
+    )
+    shard_cells = keyed.groupBy("day", "d", "cell").agg(F.count("*").alias("cnt"))
+    merged = (
+        shard_cells.groupBy("d", "cell").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    direct = (
+        keyed.groupBy("d", "cell").agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "user_id")
+        .limit(5)
+    )
+    probe = exact.select("user_id", "exact_count", F.explode(seeds).alias("d")).select(
+        "user_id", "exact_count", "d", cell(F.col("d"), F.col("user_id")).alias("cell")
+    )
+    return (
+        probe.join(F.broadcast(merged.withColumnRenamed("cnt", "m_cnt")), ["d", "cell"])
+        .join(F.broadcast(direct.withColumnRenamed("cnt", "d_cnt")), ["d", "cell"])
+        .groupBy("user_id", "exact_count")
+        .agg(
+            F.min("m_cnt").cast("bigint").alias("cms_merged"),
+            F.min("d_cnt").cast("bigint").alias("cms_direct"),
+        )
+        .select(
+            "user_id",
+            "exact_count",
+            "cms_merged",
+            "cms_direct",
+            (F.col("cms_merged") == F.col("cms_direct")).alias("merge_identical"),
+            (F.col("cms_merged") - F.col("exact_count"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+        .orderBy(F.desc("exact_count"), "user_id")
+    )
