@@ -1109,3 +1109,117 @@ def emb_centroid_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall accounting: IVF probe vs brute-force ground truth
+# ---------------------------------------------------------------------------
+
+
+def _recall_hits_sql(np_: int) -> str:
+    """CTEs computing the IVF top-10 id set at nprobe=``np_`` — the same
+    assignment/probe construction as _IVF_ORACLE, parameterized."""
+    return f"""
+    probe{np_} AS (
+      SELECT cid FROM (
+        SELECT c.cid, {_cos_sql('c.cvec', 'q.qv')} AS cos_q
+        FROM cents c, q
+        ORDER BY cos_q DESC, cid LIMIT {np_})),
+    hits{np_} AS (
+      SELECT vec_id FROM (
+        SELECT a.vec_id,
+               ROUND({_cos_sql('a.embedding', 'q.qv')}, 6) AS cos_sim
+        FROM assigned a JOIN probe{np_} p ON a.cid = p.cid, q
+        WHERE a.vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id LIMIT 10))"""
+
+
+_RECALL_ORACLE = f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 25 = 0),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    truth AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id,
+               ROUND({_cos_sql('e.embedding', 'q.qv')}, 6) AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id LIMIT 10)),
+    scored AS (
+      SELECT e.vec_id, e.label, e.embedding, c.cid,
+             {_rank_sql('e.embedding', 'c.cvec')} AS cos_c
+      FROM embeddings e, cents c),
+    assigned AS (
+      SELECT vec_id, label, embedding, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_c DESC, cid) AS rn
+        FROM scored)
+      WHERE rn = 1),
+    {_recall_hits_sql(1)},
+    {_recall_hits_sql(2)}
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS nprobe,
+             CAST((SELECT COUNT(*) FROM hits1 h JOIN truth t ON h.vec_id = t.vec_id)
+                  AS BIGINT) AS n_hits,
+             ROUND((SELECT COUNT(*) FROM hits1 h JOIN truth t ON h.vec_id = t.vec_id)
+                   / 10.0, 4) AS recall_at_10
+      UNION ALL
+      SELECT CAST(2 AS BIGINT),
+             CAST((SELECT COUNT(*) FROM hits2 h JOIN truth t ON h.vec_id = t.vec_id)
+                  AS BIGINT),
+             ROUND((SELECT COUNT(*) FROM hits2 h JOIN truth t ON h.vec_id = t.vec_id)
+                   / 10.0, 4))
+    ORDER BY nprobe
+"""
+
+
+@query(
+    "emb_ivf_recall_at10",
+    oracle=_RECALL_ORACLE,
+    doc="ANN EVALUATION query — recall@10 of the IVF probe path against "
+    "the brute-force ground truth, at nprobe=1 and nprobe=2. This is the "
+    "accounting a production ANN deployment runs before trusting an "
+    "index: ground truth is one exact scan (the correctness baseline "
+    "emb_cosine_topk), each probe level reuses the certified IVF "
+    "construction (operators/similarity.py::ivf_topk), and the overlap "
+    "is a 10-row semi-join — so measuring recall costs one brute pass "
+    "regardless of corpus size, and the recall/nprobe trade is visible "
+    "in one result. Sets are engine-deterministic (rounded cosine + "
+    "vec_id tiebreak on both sides).",
+)
+def emb_ivf_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    truth = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    levels = []
+    for np_ in (1, 2):
+        approx = ivf_topk(e, query_id=0, k=10, nprobe=np_, centroid_mod=25).select(
+            "vec_id"
+        )
+        levels.append(
+            approx.join(F.broadcast(truth), "vec_id", "left_semi")
+            .agg(F.count("*").cast("bigint").alias("n_hits"))
+            .select(F.lit(np_).cast("bigint").alias("nprobe"), "n_hits")
+        )
+    return (
+        levels[0]
+        .unionByName(levels[1])
+        .select(
+            "nprobe",
+            "n_hits",
+            F.round(F.col("n_hits") / 10.0, 4).alias("recall_at_10"),
+        )
+        .orderBy("nprobe")
+    )
