@@ -96,3 +96,126 @@ def profile_documents_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift between two time windows (PSI)
+# ---------------------------------------------------------------------------
+
+_PSI_SPLIT = "1998-01-01"
+_PSI_BINW = 50000.0
+_PSI_NBINS = 10
+
+_PSI_ORACLE = f"""
+    WITH o AS (
+      SELECT LEAST(CAST(FLOOR(o_totalprice / {_PSI_BINW}) AS BIGINT),
+                   {_PSI_NBINS - 1}) AS bin,
+             o_orderdate < TIMESTAMP '{_PSI_SPLIT}' AS is_ref
+      FROM orders),
+    counts AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+             CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cur_cnt
+      FROM o GROUP BY bin),
+    spine AS (SELECT UNNEST(range(0, {_PSI_NBINS})) AS bin),
+    filled AS (
+      SELECT s.bin,
+             COALESCE(c.ref_cnt, 0) AS ref_cnt,
+             COALESCE(c.cur_cnt, 0) AS cur_cnt
+      FROM spine s LEFT JOIN counts c ON c.bin = s.bin),
+    tot AS (
+      SELECT CAST(SUM(ref_cnt) AS BIGINT) AS rt,
+             CAST(SUM(cur_cnt) AS BIGINT) AS ct
+      FROM filled),
+    terms AS (
+      SELECT f.bin, f.ref_cnt, f.cur_cnt,
+             GREATEST(CAST(f.ref_cnt AS DOUBLE) / CAST(t.rt AS DOUBLE), 1e-6) AS pr,
+             GREATEST(CAST(f.cur_cnt AS DOUBLE) / CAST(t.ct AS DOUBLE), 1e-6) AS pc
+      FROM filled f, tot t),
+    terms2 AS (
+      SELECT bin, ref_cnt, cur_cnt, pr, pc,
+             ROUND((pc - pr) * LN(pc / pr), 6) AS term
+      FROM terms)
+    SELECT bin, ref_cnt, cur_cnt,
+           ROUND(pr, 6) AS ref_pct, ROUND(pc, 6) AS cur_pct,
+           term AS psi_term
+    FROM terms2
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), (SELECT rt FROM tot), (SELECT ct FROM tot),
+           1.0, 1.0,
+           CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE)
+    FROM terms2
+    ORDER BY bin
+"""
+
+
+@query(
+    "profile_drift_psi",
+    oracle=_PSI_ORACLE,
+    doc=f"Distribution DRIFT between two time windows — the population "
+    f"stability index over o_totalprice in {_PSI_NBINS} fixed-width bins, "
+    f"reference = orders before {_PSI_SPLIT}, current = after. This is "
+    f"the monitoring query an ML pipeline runs between snapshots before "
+    f"trusting a retrain: one scan tags window+bin, one {_PSI_NBINS}-row "
+    f"aggregate, proportions clamped at 1e-6 for empty bins (fixed bin "
+    f"edges keep the sketch mergeable and engine-deterministic — no "
+    f"quantile estimation in the hot path). Per-bin PSI terms are "
+    f"rounded to 6 then totalled as exact DECIMAL(18,6) so the summary "
+    f"row (bin = -1) is independent of partition/accumulation order on "
+    f"both engines.",
+)
+def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    b = F.least(
+        F.floor(F.col("o_totalprice") / _PSI_BINW).cast("bigint"),
+        F.lit(_PSI_NBINS - 1).cast("bigint"),
+    )
+    tagged = o.select(
+        b.alias("bin"),
+        (F.col("o_orderdate") < F.lit(_PSI_SPLIT).cast("timestamp")).alias("is_ref"),
+    )
+    counts = tagged.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("ref_cnt"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("cur_cnt"),
+    )
+    spine = o.sparkSession.range(_PSI_NBINS).select(
+        F.col("id").cast("bigint").alias("bin")
+    )
+    filled = spine.join(F.broadcast(counts), "bin", "left").select(
+        "bin",
+        F.coalesce("ref_cnt", F.lit(0)).cast("bigint").alias("ref_cnt"),
+        F.coalesce("cur_cnt", F.lit(0)).cast("bigint").alias("cur_cnt"),
+    )
+    totals = filled.agg(
+        F.sum("ref_cnt").cast("bigint").alias("rt"),
+        F.sum("cur_cnt").cast("bigint").alias("ct"),
+    )
+    j = filled.crossJoin(F.broadcast(totals))
+    pr = F.greatest(
+        F.col("ref_cnt").cast("double") / F.col("rt").cast("double"), F.lit(1e-6)
+    )
+    pc = F.greatest(
+        F.col("cur_cnt").cast("double") / F.col("ct").cast("double"), F.lit(1e-6)
+    )
+    term = F.round((pc - pr) * F.log(pc / pr), 6)
+    terms = j.select(
+        "bin",
+        "ref_cnt",
+        "cur_cnt",
+        F.round(pr, 6).alias("ref_pct"),
+        F.round(pc, 6).alias("cur_pct"),
+        term.alias("psi_term"),
+        "rt",
+        "ct",
+    )
+    total_row = terms.agg(
+        F.lit(-1).cast("bigint").alias("bin"),
+        F.max("rt").cast("bigint").alias("ref_cnt"),
+        F.max("ct").cast("bigint").alias("cur_cnt"),
+        F.lit(1.0).alias("ref_pct"),
+        F.lit(1.0).alias("cur_pct"),
+        F.sum(F.col("psi_term").cast("decimal(18,6)")).cast("double").alias("psi_term"),
+    )
+    return (
+        terms.drop("rt", "ct").unionByName(total_row).orderBy("bin")
+    )

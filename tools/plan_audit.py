@@ -53,6 +53,7 @@ ALLOW = {
     "emb_ivfpq_topk": {"NESTED-LOOP"},  # (a) 1-row query vector + 50-row re-rank
     "media_embedding_topk": {"NESTED-LOOP"},  # (a) 1-row query vector
     "emb_ivf_recall_at10": {"NESTED-LOOP"},  # (a) 1-row query vector + 10-row truth
+    "profile_drift_psi": {"NESTED-LOOP"},  # (a) 1-row window-totals attach
     "market_share_by_segment": {"GLOBAL-WINDOW"},  # window over 5-row agg
     "sql_forecast_revenue_change": {"GLOBAL-WINDOW"},  # lag over 7-row agg
     # final frontier pass (window + output sort, sharing one exchange)
