@@ -28,3 +28,4 @@ def load_all() -> None:
     from . import timeseries  # noqa: F401
     from . import training_data  # noqa: F401
     from . import sketches  # noqa: F401
+    from . import mining  # noqa: F401

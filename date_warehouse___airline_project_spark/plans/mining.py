@@ -1,0 +1,548 @@
+"""Data-mining / data-ops query family: market-basket analysis,
+blocked string-similarity joins, snapshot diffing, distribution
+forensics (Benford), robust outlier detection (MAD), and EWMA
+smoothing.
+
+Scale notes (100 TB):
+  * Basket analysis never enumerates the item×item cross product —
+    pairs are generated per-basket after a DISTINCT, so the fan-out is
+    bounded by max basket size squared (TPC-H orders: ≤7 lines), and
+    the pair aggregation shuffles on the pair key only.
+  * The levenshtein join is BLOCKED (same trailing token) so candidate
+    pairs are |block|² within blocks, never |table|²; the distance is
+    evaluated JVM-side (built-in levenshtein, no Python).
+  * Snapshot diff is one full-outer equi-join on the key — the
+    canonical CDC-reconciliation shape; both sides prune columns to
+    the compared set before the shuffle.
+  * EWMA avoids a range/NLJ join entirely: each daily aggregate
+    explodes its bounded 28-day forward contribution and the result
+    re-aggregates on the target day (equi-shuffle, calendar-bounded).
+  * Every float reduction rounds per-term then sums in DECIMAL so the
+    result is independent of partition/accumulation order on both
+    engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import query
+
+DEC = "decimal(18,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _order_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (basket, item) pairs: order → brand via the part dim.
+
+    The part dim is broadcast (small); the DISTINCT shuffles once on
+    (orderkey, brand) which also co-locates the self-join below.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+
+
+_BASKET_ORACLE = """
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM ob),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2)
+    SELECT brand_a, brand_b, support,
+           ROUND(CAST(support AS DOUBLE) / (SELECT n FROM nb), 6) AS support_pct
+    FROM pairs
+    WHERE CAST(support AS DOUBLE) / (SELECT n FROM nb) >= 0.02
+    ORDER BY support DESC, brand_a, brand_b
+"""
+
+
+@query(
+    "basket_brand_pairs",
+    oracle=_BASKET_ORACLE,
+    doc="Market-basket pair mining: brands co-occurring in the same "
+    "order with support ≥ 2% of baskets. Pair generation is per-basket "
+    "after DISTINCT (bounded fan-out ≤ basket_size²), never an "
+    "item×item cross product — the A-Priori candidate-generation shape "
+    "that survives 100 TB.",
+)
+def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ob = _order_brands(spark, sf_dir)
+    n_baskets = ob.agg(F.count_distinct("l_orderkey").alias("n"))
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("support"))
+    )
+    j = pairs.crossJoin(F.broadcast(n_baskets))
+    pct = F.col("support").cast("double") / F.col("n")
+    return (
+        j.filter(pct >= 0.02)
+        .select(
+            "brand_a",
+            "brand_b",
+            "support",
+            F.round(pct, 6).alias("support_pct"),
+        )
+        .orderBy(F.desc("support"), "brand_a", "brand_b")
+    )
+
+
+_RULES_ORACLE = """
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM ob),
+    item AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS supp
+      FROM ob GROUP BY 1),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             CAST(COUNT(*) AS BIGINT) AS supp_ab
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2),
+    both_dir AS (
+      SELECT brand_a AS antecedent, brand_b AS consequent, supp_ab FROM pairs
+      UNION ALL
+      SELECT brand_b, brand_a, supp_ab FROM pairs)
+    SELECT d.antecedent, d.consequent, d.supp_ab,
+           ia.supp AS supp_antecedent,
+           ROUND(CAST(d.supp_ab AS DOUBLE) / ia.supp, 6) AS confidence,
+           ROUND(CAST(d.supp_ab * (SELECT n FROM nb) AS DOUBLE)
+                 / CAST(ia.supp * ic.supp AS DOUBLE), 6) AS lift
+    FROM both_dir d
+    JOIN item ia ON ia.p_brand = d.antecedent
+    JOIN item ic ON ic.p_brand = d.consequent
+    WHERE CAST(d.supp_ab AS DOUBLE) / (SELECT n FROM nb) >= 0.025
+    ORDER BY lift DESC, antecedent, consequent
+"""
+
+
+@query(
+    "basket_association_rules",
+    oracle=_RULES_ORACLE,
+    doc="Association rules over the ≥2.5%-support brand pairs: "
+    "confidence = supp(a,b)/supp(a) and lift = supp(a,b)·N/"
+    "(supp(a)·supp(b)), both computed as exact-integer numerator/"
+    "denominator with ONE final double division so the value is "
+    "accumulation-order independent. Item supports are a tiny "
+    "per-brand relation (broadcast both joins).",
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ob = _order_brands(spark, sf_dir)
+    n_baskets = ob.agg(F.count_distinct("l_orderkey").alias("n"))
+    item = ob.groupBy("p_brand").agg(F.count("*").cast("bigint").alias("supp"))
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("supp_ab"))
+    )
+    both_dir = pairs.select(
+        F.col("brand_a").alias("antecedent"),
+        F.col("brand_b").alias("consequent"),
+        "supp_ab",
+    ).unionByName(
+        pairs.select(
+            F.col("brand_b").alias("antecedent"),
+            F.col("brand_a").alias("consequent"),
+            "supp_ab",
+        )
+    )
+    ia = item.select(
+        F.col("p_brand").alias("antecedent"), F.col("supp").alias("supp_antecedent")
+    )
+    ic = item.select(
+        F.col("p_brand").alias("consequent"), F.col("supp").alias("supp_consequent")
+    )
+    j = (
+        both_dir.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return (
+        j.filter(F.col("supp_ab").cast("double") / F.col("n") >= 0.025)
+        .select(
+            "antecedent",
+            "consequent",
+            "supp_ab",
+            "supp_antecedent",
+            F.round(
+                F.col("supp_ab").cast("double") / F.col("supp_antecedent"), 6
+            ).alias("confidence"),
+            F.round(
+                (F.col("supp_ab") * F.col("n")).cast("double")
+                / (F.col("supp_antecedent") * F.col("supp_consequent")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+    )
+
+
+_LEV_ORACLE = """
+    WITH names AS (
+      SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY p_name),
+    blocked AS (
+      SELECT p_name, n_parts,
+             string_split(p_name, ' ')[-1] AS block_key
+      FROM names)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_distance,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM blocked a JOIN blocked b
+      ON a.block_key = b.block_key AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY edit_distance, name_a, name_b
+"""
+
+
+@query(
+    "part_name_levenshtein_join",
+    oracle=_LEV_ORACLE,
+    doc="Blocked string-similarity self-join: distinct part names "
+    "paired within a block (shared trailing token) and kept when "
+    "edit distance ≤ 2 — the entity-resolution blocking pattern "
+    "(candidates = Σ|block|², never |table|²), with the distance "
+    "evaluated by the built-in JVM levenshtein, no Python. "
+    "Reference analogue: the fuzzy airport-code correction join "
+    "(backend/etl_scripts/cleaning.py:584-607) generalized to "
+    "arbitrary blocked pairs.",
+)
+def part_name_levenshtein_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pt = _t(spark, sf_dir, "part")
+    names = pt.groupBy("p_name").agg(F.count("*").cast("bigint").alias("n_parts"))
+    blocked = names.select(
+        "p_name",
+        "n_parts",
+        F.element_at(F.split("p_name", " "), -1).alias("block_key"),
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(lev <= 2)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            lev.cast("bigint").alias("edit_distance"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+        )
+        .orderBy("edit_distance", "name_a", "name_b")
+    )
+
+
+_DIFF_ORACLE = """
+    WITH v_old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'),
+    v_new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             o_totalprice
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-07-01' AND o_orderkey % 101 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        AND o_orderdate < TIMESTAMP '1997-09-01')
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_orderstatus <> n.o_orderstatus
+                  OR o.o_totalprice <> n.o_totalprice THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(COALESCE(o.o_orderkey, n.o_orderkey)) AS BIGINT)
+             AS min_key,
+           CAST(MAX(COALESCE(o.o_orderkey, n.o_orderkey)) AS BIGINT)
+             AS max_key
+    FROM v_old o FULL OUTER JOIN v_new n ON o.o_orderkey = n.o_orderkey
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+@query(
+    "orders_snapshot_diff",
+    oracle=_DIFF_ORACLE,
+    doc="Snapshot reconciliation: classify every key across two table "
+    "versions as added / removed / changed / unchanged via ONE "
+    "full-outer equi-join on the key (columns pruned to the compared "
+    "set before the shuffle) — the CDC-audit shape for verifying a "
+    "replicated 100 TB table against its source. The 'new' version is "
+    "derived deterministically in-query (key-mod deletes, key-mod "
+    "status updates, a later-window insert batch).",
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    v_old = o.filter(F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp")).select(
+        *cols
+    )
+    v_new = (
+        o.filter(
+            (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+            & (F.col("o_orderkey") % 101 != 0)
+        )
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            "o_totalprice",
+        )
+        .unionByName(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-09-01").cast("timestamp"))
+            ).select(*cols)
+        )
+    )
+    a = v_old.alias("a")
+    b = v_new.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    change = (
+        F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("b.o_orderkey").isNull(), F.lit("removed"))
+        .when(
+            (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+            | (F.col("a.o_totalprice") != F.col("b.o_totalprice")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    key = F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey"))
+    return (
+        joined.select(change.alias("change_type"), key.alias("k"))
+        .groupBy("change_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("k").cast("bigint").alias("min_key"),
+            F.max("k").cast("bigint").alias("max_key"),
+        )
+        .orderBy("change_type")
+    )
+
+
+_BENFORD_ORACLE = """
+    WITH d AS (
+      SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT c.digit, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / t.total, 6) AS observed_pct,
+           ROUND(LOG10(1.0 + 1.0 / c.digit), 6) AS benford_pct,
+           ROUND(POWER(CAST(c.n AS DOUBLE) / t.total
+                       - LOG10(1.0 + 1.0 / c.digit), 2)
+                 / LOG10(1.0 + 1.0 / c.digit), 6) AS chi2_term
+    FROM c, t
+    ORDER BY c.digit
+"""
+
+
+@query(
+    "benford_totalprice",
+    oracle=_BENFORD_ORACLE,
+    doc="Benford's-law forensics over o_totalprice: leading-digit "
+    "distribution vs log10(1+1/d) expectation with per-digit χ² "
+    "terms — the fraud/data-quality screen, computed as one scan + "
+    "one 9-row aggregate (all math is per-row on exact counts, so no "
+    "accumulation-order sensitivity).",
+)
+def benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    c = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    t = c.agg(F.sum("n").cast("bigint").alias("total"))
+    j = c.crossJoin(F.broadcast(t))
+    obs = F.col("n").cast("double") / F.col("total")
+    exp = F.log10(1.0 + 1.0 / F.col("digit"))
+    return j.select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed_pct"),
+        F.round(exp, 6).alias("benford_pct"),
+        F.round(F.pow(obs - exp, 2) / exp, 6).alias("chi2_term"),
+    ).orderBy("digit")
+
+
+_MAD_ORACLE = """
+    WITH med AS (
+      SELECT o_orderpriority,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+               AS med
+      FROM orders GROUP BY 1),
+    dev AS (
+      SELECT o.o_orderpriority, o.o_totalprice, m.med,
+             ABS(o.o_totalprice - m.med) AS dev
+      FROM orders o JOIN med m ON o.o_orderpriority = m.o_orderpriority),
+    mad AS (
+      SELECT o_orderpriority,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY dev) AS mad
+      FROM dev GROUP BY 1)
+    SELECT d.o_orderpriority,
+           CAST(MAX(d.med) AS DOUBLE) AS median_price,
+           CAST(MAX(m.mad) AS DOUBLE) AS mad,
+           CAST(COUNT(*) FILTER (WHERE d.dev > 3 * m.mad) AS BIGINT)
+             AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dev d JOIN mad m ON d.o_orderpriority = m.o_orderpriority
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+@query(
+    "mad_outlier_orders",
+    oracle=_MAD_ORACLE,
+    doc="Robust outlier detection per group: median + median-absolute-"
+    "deviation (both percentile_disc — data values, engine-"
+    "deterministic, no interpolation), outlier = |x − med| > 3·MAD. "
+    "Two grouped percentile passes with the tiny per-group medians "
+    "broadcast back — never a per-group sort of the full table in "
+    "the driver.",
+)
+def mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("med")
+    )
+    dev = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "o_totalprice",
+        "med",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("dev"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("med").cast("double").alias("median_price"),
+            F.max("mad").cast("double").alias("mad"),
+            F.count_if(F.col("dev") > 3 * F.col("mad")).cast("bigint").alias(
+                "n_outliers"
+            ),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_EWMA_ORACLE = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1),
+    contrib AS (
+      SELECT d.day + CAST(k AS INTEGER) AS target_day,
+             CAST(ROUND(POWER(0.7, k) * d.revenue, 6) AS DECIMAL(28,6))
+               AS w_rev,
+             CAST(ROUND(POWER(0.7, k), 6) AS DECIMAL(18,6)) AS w
+      FROM daily d, UNNEST(range(0, 28)) AS t(k)),
+    agg AS (
+      SELECT target_day,
+             SUM(w_rev) AS num, SUM(w) AS den
+      FROM contrib GROUP BY 1)
+    SELECT STRFTIME(d.day, '%Y-%m-%d') AS day,
+           ROUND(d.revenue, 2) AS revenue,
+           ROUND(CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE), 6)
+             AS ewma_28d
+    FROM daily d JOIN agg a ON a.target_day = d.day
+    ORDER BY d.day
+"""
+
+
+@query(
+    "ewma_daily_revenue",
+    oracle=_EWMA_ORACLE,
+    doc="Exponentially-weighted moving average of daily revenue "
+    "(decay 0.7/day over a 28-day horizon). Formulated WITHOUT a "
+    "range/NLJ join: each daily aggregate explodes its bounded "
+    "28-day forward contribution (weight = 0.7^k) and the target day "
+    "re-aggregates — an equi-shuffle on day, calendar-bounded at any "
+    "data scale. Per-term rounding + DECIMAL sums keep the smoothed "
+    "value accumulation-order independent across engines.",
+)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue")
+    )
+    k = F.explode(F.sequence(F.lit(0), F.lit(27))).alias("k")
+    contrib = daily.select("day", "revenue", k).select(
+        F.date_add("day", F.col("k")).alias("target_day"),
+        F.round(F.pow(F.lit(0.7), F.col("k")) * F.col("revenue"), 6)
+        .cast("decimal(28,6)")
+        .alias("w_rev"),
+        F.round(F.pow(F.lit(0.7), F.col("k")), 6)
+        .cast("decimal(18,6)")
+        .alias("w"),
+    )
+    agg = contrib.groupBy("target_day").agg(
+        F.sum("w_rev").alias("num"), F.sum("w").alias("den")
+    )
+    return (
+        daily.join(agg, daily.day == agg.target_day)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("revenue", 2).alias("revenue"),
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ).alias("ewma_28d"),
+        )
+        .orderBy("day")
+    )

@@ -219,3 +219,76 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         terms.drop("rt", "ct").unionByName(total_row).orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy per categorical column (one unpivoted scan)
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+    WITH unpivoted AS (
+      SELECT 'o_orderstatus' AS column_name, o_orderstatus AS value FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'order_year', CAST(EXTRACT(YEAR FROM o_orderdate) AS VARCHAR)
+      FROM orders),
+    c AS (
+      SELECT column_name, value, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM unpivoted GROUP BY 1, 2),
+    t AS (
+      SELECT column_name, CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct
+      FROM c GROUP BY 1)
+    SELECT c.column_name, t.n_distinct,
+           CAST(SUM(CAST(ROUND(
+             -(CAST(c.cnt AS DOUBLE) / t.total)
+               * LOG2(CAST(c.cnt AS DOUBLE) / t.total), 8)
+             AS DECIMAL(20,8))) AS DOUBLE) AS entropy_bits,
+           ROUND(MAX(CAST(c.cnt AS DOUBLE) / t.total), 6) AS top_value_pct
+    FROM c JOIN t ON t.column_name = c.column_name
+    GROUP BY c.column_name, t.n_distinct
+    ORDER BY c.column_name
+"""
+
+
+@query(
+    "column_entropy_profile",
+    oracle=_ENTROPY_ORACLE,
+    doc="Shannon entropy (bits) + distinct count + modal share per "
+    "categorical column, via ONE unpivoted scan (stack) and two "
+    "grouped aggregates — the information-content profile a feature "
+    "store runs before encoding decisions. Per-value terms round "
+    "then DECIMAL-sum, so the entropy is accumulation-order "
+    "independent; cardinality stays bounded by the value domain, not "
+    "the row count.",
+)
+def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    unpivoted = o.select(
+        F.expr(
+            "stack(3, "
+            "'o_orderstatus', o_orderstatus, "
+            "'o_orderpriority', o_orderpriority, "
+            "'order_year', CAST(EXTRACT(YEAR FROM o_orderdate) AS STRING)"
+            ") AS (column_name, value)"
+        )
+    )
+    c = unpivoted.groupBy("column_name", "value").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    t = c.groupBy("column_name").agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+    )
+    p = F.col("cnt").cast("double") / F.col("total")
+    term = F.round(-p * F.log2(p), 8).cast("decimal(20,8)")
+    return (
+        c.join(F.broadcast(t), "column_name")
+        .groupBy("column_name", "n_distinct")
+        .agg(
+            F.sum(term).cast("double").alias("entropy_bits"),
+            F.round(F.max(p), 6).alias("top_value_pct"),
+        )
+        .orderBy("column_name")
+    )

@@ -938,3 +938,124 @@ def cms_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_count"), "user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width histogram as a quantile sketch
+# ---------------------------------------------------------------------------
+
+_QS_BINW = 2000.0
+_QS_MAXBIN = 299
+
+_QS_ORACLE = f"""
+    WITH b AS (
+      SELECT LEAST(CAST(FLOOR(o_totalprice / {_QS_BINW}) AS BIGINT),
+                   {_QS_MAXBIN}) AS bin
+      FROM orders),
+    c AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY bin),
+    cum AS (
+      SELECT bin, n,
+             SUM(n) OVER (ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+    probes AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS p),
+    hit AS (
+      SELECT pr.p, MIN(cu.bin) AS bin
+      FROM probes pr, tot t
+      JOIN cum cu ON cu.cum >= pr.p * t.total
+      GROUP BY pr.p),
+    est AS (
+      SELECT h.p,
+             cu.bin * {_QS_BINW}
+               + {_QS_BINW} * (h.p * t.total - (cu.cum - cu.n)) / cu.n
+               AS est_q
+      FROM hit h JOIN cum cu ON cu.bin = h.bin, tot t),
+    exact AS (
+      SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS e50,
+             percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS e90,
+             percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS e99
+      FROM orders),
+    exact_rows AS (
+      SELECT 0.5 AS p, e50 AS exact_q FROM exact
+      UNION ALL SELECT 0.9, e90 FROM exact
+      UNION ALL SELECT 0.99, e99 FROM exact)
+    SELECT e.p,
+           ROUND(e.est_q, 6) AS est_quantile,
+           CAST(x.exact_q AS DOUBLE) AS exact_quantile,
+           ROUND(ABS(e.est_q - x.exact_q) / x.exact_q, 6) AS rel_err
+    FROM est e JOIN exact_rows x ON x.p = e.p
+    ORDER BY e.p
+"""
+
+
+@query(
+    "quantile_sketch_totalprice",
+    oracle=_QS_ORACLE,
+    doc=f"Quantile SKETCH: a {_QS_MAXBIN + 1}-bin equi-width histogram "
+    f"(fixed edges → per-shard bin counts merge by cell-wise SUM, same "
+    f"algebra as the CMS/HLL sketches) answering p50/p90/p99 by "
+    f"cumulative interpolation, reported against the exact "
+    f"percentile_disc with relative error. One scan + one domain-"
+    f"bounded aggregate; the cumulative window runs over the ≤"
+    f"{_QS_MAXBIN + 1}-row bin relation (allowlisted bounded global "
+    f"window), never the fact table.",
+)
+def quantile_sketch_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    bin_ = F.least(
+        F.floor(F.col("o_totalprice") / _QS_BINW).cast("bigint"),
+        F.lit(_QS_MAXBIN).cast("bigint"),
+    )
+    c = o.select(bin_.alias("bin")).groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    cum = c.select(
+        "bin",
+        "n",
+        F.sum("n").over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    )
+    tot = c.agg(F.sum("n").cast("bigint").alias("total"))
+    probes = o.sparkSession.createDataFrame(
+        [(0.5,), (0.9,), (0.99,)], "p double"
+    )
+    pt = probes.crossJoin(F.broadcast(tot))
+    hit = (
+        pt.join(
+            F.broadcast(cum),
+            F.col("cum") >= F.col("p") * F.col("total"),
+        )
+        .groupBy("p", "total")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = hit.join(F.broadcast(cum), "bin").select(
+        "p",
+        (
+            F.col("bin") * _QS_BINW
+            + _QS_BINW
+            * (F.col("p") * F.col("total") - (F.col("cum") - F.col("n")))
+            / F.col("n")
+        ).alias("est_q"),
+    )
+    exact = o.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias("e50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").alias("e90"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)").alias("e99"),
+    )
+    exact_rows = exact.select(
+        F.expr("stack(3, 0.5D, e50, 0.9D, e90, 0.99D, e99) AS (p, exact_q)")
+    )
+    return (
+        est.join(F.broadcast(exact_rows), "p")
+        .select(
+            "p",
+            F.round("est_q", 6).alias("est_quantile"),
+            F.col("exact_q").cast("double").alias("exact_quantile"),
+            F.round(F.abs(F.col("est_q") - F.col("exact_q")) / F.col("exact_q"), 6).alias(
+                "rel_err"
+            ),
+        )
+        .orderBy("p")
+    )

@@ -574,3 +574,307 @@ def pii_redact_free_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-style filters: unigram-LM surprisal (CCNet-style perplexity proxy)
+# and a fixed-weight linear quality classifier (fasttext-filter stand-in)
+# ---------------------------------------------------------------------------
+
+_SURPRISAL_THRESHOLD = 3.42
+
+_UNIGRAM_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS token
+      FROM documents),
+    freq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM freq),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             SUM(CAST(ROUND(-LN(CAST(f.cnt AS DOUBLE)
+                                / (SELECT n FROM tot)), 8)
+                      AS DECIMAL(20,8))) AS s
+      FROM tok t JOIN freq f ON f.token = t.token
+      GROUP BY t.doc_id)
+    SELECT doc_id, n_tokens,
+           ROUND(CAST(s AS DOUBLE) / n_tokens, 6) AS mean_surprisal,
+           CASE WHEN CAST(s AS DOUBLE) / n_tokens <= {_SURPRISAL_THRESHOLD}
+                THEN 1 ELSE 0 END AS keep
+    FROM scored
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "doc_unigram_logprob_filter",
+    oracle=_UNIGRAM_ORACLE,
+    doc="CCNet-style perplexity-proxy filter: fit a corpus unigram LM "
+    "(one token-frequency aggregate — vocabulary-bounded, broadcast "
+    "back to the token stream) and score each document by mean "
+    "token surprisal -ln p(t); keep docs at or below the threshold. "
+    "At 100 TB the frequency relation is still vocabulary-sized, so "
+    "the join stays broadcast; per-token terms are rounded then "
+    "DECIMAL-summed so the mean is accumulation-order independent.",
+)
+def doc_unigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0))).alias(
+            "token"
+        ),
+    )
+    freq = tok.groupBy("token").agg(F.count("*").cast("bigint").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").cast("bigint").alias("n"))
+    f_with_tot = freq.crossJoin(F.broadcast(tot))
+    surp = F.round(
+        -F.log(F.col("cnt").cast("double") / F.col("n")), 8
+    ).cast("decimal(20,8)")
+    scored = (
+        tok.join(F.broadcast(f_with_tot.select("token", surp.alias("surp"))), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("surp").alias("s"),
+        )
+    )
+    mean = F.col("s").cast("double") / F.col("n_tokens")
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(mean, 6).alias("mean_surprisal"),
+        F.when(mean <= _SURPRISAL_THRESHOLD, 1).otherwise(0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+_CLF_ORACLE = """
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(LENGTH(regexp_extract_all(text, '\\S+')) AS BIGINT)
+               AS n_tokens,
+             CAST(LENGTH(regexp_extract_all(LOWER(text),
+                  '\\b(the|a|an|of|to|in|and|is|on|for)\\b')) AS DOUBLE)
+               / GREATEST(LENGTH(regexp_extract_all(text, '\\S+')), 1)
+               AS stopword_ratio
+      FROM documents),
+    z AS (
+      SELECT doc_id, n_tokens,
+             ROUND(stopword_ratio, 6) AS stopword_ratio,
+             ROUND(6.0 * stopword_ratio - 0.01 * n_tokens + 0.2, 6) AS logit
+      FROM feats)
+    SELECT doc_id, n_tokens, stopword_ratio, logit,
+           ROUND(1.0 / (1.0 + EXP(-logit)), 6) AS score,
+           CASE WHEN logit >= 0 THEN 1 ELSE 0 END AS keep
+    FROM z
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "doc_quality_classifier_filter",
+    oracle=_CLF_ORACLE,
+    doc="Model-based quality filter (fasttext-classifier stand-in): a "
+    "fixed-weight linear model over scan-side features (stopword "
+    "ratio, token count) with a sigmoid score and a logit>=0 keep "
+    "gate. Pure column expressions in one scan — the shape a real "
+    "learned filter keeps at 100 TB (weights broadcast, features "
+    "computed where the data lives). Logit is rounded before the "
+    "sigmoid so both engines branch identically at the boundary.",
+)
+def doc_quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    n_tokens = F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0))).cast(
+        "bigint"
+    )
+    stop = F.size(
+        F.regexp_extract_all(
+            F.lower("text"),
+            F.lit(r"\b(the|a|an|of|to|in|and|is|on|for)\b"),
+            F.lit(0),
+        )
+    ).cast("double") / F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0))), F.lit(1)
+    )
+    feats = d.select(
+        "doc_id", n_tokens.alias("n_tokens"), stop.alias("stopword_ratio_raw")
+    )
+    logit = F.round(
+        6.0 * F.col("stopword_ratio_raw") - 0.01 * F.col("n_tokens") + 0.2, 6
+    )
+    z = feats.select(
+        "doc_id",
+        "n_tokens",
+        F.round("stopword_ratio_raw", 6).alias("stopword_ratio"),
+        logit.alias("logit"),
+    )
+    return z.select(
+        "doc_id",
+        "n_tokens",
+        "stopword_ratio",
+        "logit",
+        F.round(1.0 / (1.0 + F.exp(-F.col("logit"))), 6).alias("score"),
+        F.when(F.col("logit") >= 0, 1).otherwise(0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: Zipf rank-frequency fit; bigram-LM surprisal
+# ---------------------------------------------------------------------------
+
+_ZIPF_ORACLE = """
+    WITH tok AS (
+      SELECT UNNEST(regexp_extract_all(text, '\\S+')) AS token
+      FROM documents),
+    freq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+    ranked AS (
+      SELECT token, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank
+      FROM freq),
+    xy AS (
+      SELECT CAST(ROUND(LN(rank), 8) AS DECIMAL(20,8)) AS x,
+             CAST(ROUND(LN(cnt), 8) AS DECIMAL(20,8)) AS y,
+             CAST(ROUND(LN(rank) * LN(rank), 8) AS DECIMAL(20,8)) AS xx,
+             CAST(ROUND(LN(rank) * LN(cnt), 8) AS DECIMAL(20,8)) AS xy
+      FROM ranked),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(xx) AS DOUBLE) AS sxx, CAST(SUM(xy) AS DOUBLE) AS sxy
+      FROM xy)
+    SELECT n AS n_vocab,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS zipf_intercept
+    FROM s
+"""
+
+
+@query(
+    "zipf_rank_frequency",
+    oracle=_ZIPF_ORACLE,
+    doc="Zipf's-law fit over the corpus vocabulary: least-squares slope "
+    "of ln(freq) ~ ln(rank) (a healthy natural-language corpus sits "
+    "near −1; a synthetic or deduplicate-starved one doesn't). The "
+    "regression runs over the vocabulary-bounded frequency relation "
+    "(rank window allowlisted as a bounded global window); the sums "
+    "are per-term-rounded DECIMALs so the closed-form fit is "
+    "accumulation-order independent.",
+)
+def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        F.explode(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0))).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count("*").cast("bigint").alias("cnt"))
+    ranked = freq.select(
+        "cnt",
+        F.row_number().over(W.orderBy(F.desc("cnt"), "token")).alias("rank"),
+    )
+    lx = F.log(F.col("rank").cast("double"))
+    ly = F.log(F.col("cnt").cast("double"))
+    xy = ranked.select(
+        F.round(lx, 8).cast("decimal(20,8)").alias("x"),
+        F.round(ly, 8).cast("decimal(20,8)").alias("y"),
+        F.round(lx * lx, 8).cast("decimal(20,8)").alias("xx"),
+        F.round(lx * ly, 8).cast("decimal(20,8)").alias("xy"),
+    )
+    s = xy.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("xy").cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_vocab"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "zipf_intercept"
+        ),
+    )
+
+
+_BIGRAM_ORACLE = """
+    WITH arr AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+      FROM documents),
+    trans AS (
+      SELECT doc_id, toks[i] AS cur, toks[i + 1] AS nxt
+      FROM arr, UNNEST(range(1, LENGTH(toks))) AS t(i)),
+    big AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS cb
+      FROM trans GROUP BY cur, nxt),
+    ctx AS (
+      SELECT cur, CAST(COUNT(*) AS BIGINT) AS cc
+      FROM trans GROUP BY cur),
+    probs AS (
+      SELECT b.cur, b.nxt,
+             CAST(ROUND(-LN(CAST(b.cb AS DOUBLE) / c.cc), 8)
+                  AS DECIMAL(20,8)) AS surp
+      FROM big b JOIN ctx c ON c.cur = b.cur)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           ROUND(CAST(SUM(p.surp) AS DOUBLE) / COUNT(*), 6)
+             AS mean_bigram_surprisal
+    FROM trans t JOIN probs p ON p.cur = t.cur AND p.nxt = t.nxt
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+"""
+
+
+@query(
+    "doc_bigram_logprob",
+    oracle=_BIGRAM_ORACLE,
+    doc="Bigram-LM surprisal per document: fit corpus bigram "
+    "conditionals p(next|cur) = c(cur,next)/c(cur,·) (both relations "
+    "vocabulary²-bounded → broadcast), score each doc by mean "
+    "transition surprisal — the step up from the unigram perplexity "
+    "proxy that actually penalizes shuffled/unnatural token order. "
+    "Transitions come straight off the token ARRAY (index explode, no "
+    "positional self-join); per-transition terms round then "
+    "DECIMAL-sum.",
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    arr = d.select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0)).alias("toks"),
+    )
+    # size==1 docs must yield NO transitions: Spark's sequence(1, 0)
+    # DESCENDS ([1, 0]) rather than being empty, so gate on size first
+    # (DuckDB's range(1, 1) is empty and drops them on the oracle side).
+    trans = arr.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.element_at("toks", F.col("i")).alias("cur"),
+        F.element_at("toks", F.col("i") + 1).alias("nxt"),
+    )
+    big = trans.groupBy("cur", "nxt").agg(F.count("*").cast("bigint").alias("cb"))
+    ctx = trans.groupBy("cur").agg(F.count("*").cast("bigint").alias("cc"))
+    probs = big.join(F.broadcast(ctx), "cur").select(
+        "cur",
+        "nxt",
+        F.round(-F.log(F.col("cb").cast("double") / F.col("cc")), 8)
+        .cast("decimal(20,8)")
+        .alias("surp"),
+    )
+    return (
+        trans.join(F.broadcast(probs), ["cur", "nxt"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_transitions"),
+            F.round(
+                F.sum("surp").cast("double") / F.count("*"), 6
+            ).alias("mean_bigram_surprisal"),
+        )
+        .orderBy("doc_id")
+    )

@@ -386,3 +386,33 @@ def test_pii_redaction_is_scan_side(spark):
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # range-partitioning for the sort (+AQE read)
     assert "ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>" in plan
+
+
+def test_mining_plans_scale_shapes(spark):
+    """R33–R38 scale pins: basket pairs broadcast the part dim and
+    equi-join on the basket key (no cartesian pair enumeration); the
+    levenshtein join is an equi-join on the block key; EWMA compiles to
+    equi-joins only (the explode formulation must not regress to a
+    range/NLJ join); the unigram filter broadcasts the vocabulary-sized
+    frequency relation."""
+    plan = plan_of(spark, "basket_brand_pairs")
+    assert "BroadcastHashJoin" in plan  # part dim build side
+    assert "CartesianProduct" not in plan
+    # pair generation is an equi-join on the basket key
+    assert "l_orderkey" in plan
+
+    plan = plan_of(spark, "part_name_levenshtein_join")
+    assert "CartesianProduct" not in plan
+    assert "block_key" in plan  # blocked, not all-pairs
+
+    plan = plan_of(spark, "ewma_daily_revenue")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(spark, "doc_unigram_logprob_filter")
+    assert "BroadcastHashJoin" in plan  # vocab-sized freq relation
+
+    plan = plan_of(spark, "orders_snapshot_diff")
+    assert "FullOuter" in plan or "full_outer" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "o_custkey" not in read_schema  # columns pruned to compared set

@@ -54,6 +54,10 @@ ALLOW = {
     "media_embedding_topk": {"NESTED-LOOP"},  # (a) 1-row query vector
     "emb_ivf_recall_at10": {"NESTED-LOOP"},  # (a) 1-row query vector + 10-row truth
     "profile_drift_psi": {"NESTED-LOOP"},  # (a) 1-row window-totals attach
+    "doc_unigram_logprob_filter": {"NESTED-LOOP"},  # (a) 1-row corpus-token total
+    "basket_brand_pairs": {"NESTED-LOOP"},  # (a) 1-row basket-count scalar
+    "basket_association_rules": {"NESTED-LOOP"},  # (a) 1-row basket-count scalar
+    "benford_totalprice": {"NESTED-LOOP"},  # (a) 1-row digit-total scalar
     "market_share_by_segment": {"GLOBAL-WINDOW"},  # window over 5-row agg
     "sql_forecast_revenue_change": {"GLOBAL-WINDOW"},  # lag over 7-row agg
     # final frontier pass (window + output sort, sharing one exchange)
