@@ -60,6 +60,12 @@ ALLOW = {
     "benford_totalprice": {"NESTED-LOOP"},  # (a) 1-row digit-total scalar
     "market_share_by_segment": {"GLOBAL-WINDOW"},  # window over 5-row agg
     "sql_forecast_revenue_change": {"GLOBAL-WINDOW"},  # lag over 7-row agg
+    # (a)+(b): 1-row total attach + 3-probe theta-join, both against the
+    # ≤300-row bin relation; cumsum window runs over that bin relation
+    "quantile_sketch_totalprice": {"NESTED-LOOP", "GLOBAL-WINDOW"},
+    # rank window (and its sort) over the vocabulary-bounded frequency
+    # relation — corpus-scale work ended at the token-count aggregate
+    "zipf_rank_frequency": {"GLOBAL-WINDOW", "GLOBAL-SORT"},
     # final frontier pass (window + output sort, sharing one exchange)
     # runs over the bucket-pruned ~log-size superset; the corpus-scale
     # window is the PARTITIONED phase-1 prune
