@@ -178,9 +178,18 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("ref_cnt"),
         F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("cur_cnt"),
     )
-    spine = o.sparkSession.range(_PSI_NBINS).select(
-        F.col("id").cast("bigint").alias("bin")
-    )
+    return psi_report_from_counts(o.sparkSession, counts)
+
+
+def psi_report_from_counts(spark: SparkSession, counts: DataFrame) -> DataFrame:
+    """PSI terms + summary row from a (bin, ref_cnt, cur_cnt) relation.
+
+    Shared verbatim by the batch registry query above and the streaming
+    drift monitor (``streaming/drift_stream.py::psi_report``), so the
+    stream-equals-batch test pins one implementation, not two copies.
+    Missing bins are spine-filled to zero before the proportion clamp.
+    """
+    spine = spark.range(_PSI_NBINS).select(F.col("id").cast("bigint").alias("bin"))
     filled = spine.join(F.broadcast(counts), "bin", "left").select(
         "bin",
         F.coalesce("ref_cnt", F.lit(0)).cast("bigint").alias("ref_cnt"),

@@ -1425,3 +1425,77 @@ def test_curate_v2_injected_prefixes_equal_default(spark):
     a = sorted(map(tuple, default.select(*cols).collect()))
     b = sorted(map(tuple, injected.select(*cols).collect()))
     assert a and a == b
+
+
+def test_drift_stream_equals_batch_psi(spark, tmp_path):
+    # The stream-maintained current histogram, compared against the
+    # reference cohort's histogram, must reproduce the batch registry
+    # query profile_drift_psi EXACTLY on the same orders data — both
+    # halves (binning, PSI math) are shared code, this pins it.
+    from date_warehouse___airline_project_spark.plans import REGISTRY, load_all
+    from date_warehouse___airline_project_spark.plans.profiling import _PSI_SPLIT
+    from date_warehouse___airline_project_spark.sources.catalog import load_table
+    from date_warehouse___airline_project_spark.streaming.drift_stream import (
+        psi_bin_counts,
+        psi_report,
+        run_drift_stream,
+    )
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders")
+    split = F.lit(_PSI_SPLIT).cast("timestamp")
+    cur_vals = [
+        str(r.o_totalprice)
+        for r in orders.filter(F.col("o_orderdate") >= split)
+        .select("o_totalprice")
+        .collect()
+    ]
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    # current cohort arrives in three micro-batches
+    third = len(cur_vals) // 3
+    for i, chunk in enumerate(
+        (cur_vals[:third], cur_vals[third : 2 * third], cur_vals[2 * third :])
+    ):
+        (input_dir / f"b{i}.txt").write_text("\n".join(chunk))
+        q = run_drift_stream(
+            spark, str(input_dir), str(tmp_path / "state"), str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+
+    ref_bins = psi_bin_counts(
+        orders.filter(F.col("o_orderdate") < split).select("o_totalprice"),
+        "o_totalprice",
+    )
+    got = psi_report(spark, str(tmp_path / "state"), ref_bins)
+    want = REGISTRY["profile_drift_psi"].fn(spark, sf)
+    assert [r.asDict() for r in got.orderBy("bin").collect()] == [
+        r.asDict() for r in want.orderBy("bin").collect()
+    ]
+
+
+def test_drift_stream_redelivery_is_idempotent(spark, tmp_path):
+    # Checkpoint wipe redelivers batch 0; the per-bin SUM fold is not
+    # idempotent, so the batch-id guard must skip it.
+    from date_warehouse___airline_project_spark.streaming.drift_stream import (
+        run_drift_stream,
+    )
+    from date_warehouse___airline_project_spark.streaming.state_table import (
+        last_applied_batch_id,
+    )
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    (input_dir / "b1.txt").write_text("\n".join(str(1000.0 * i) for i in range(200)))
+    state = str(tmp_path / "state")
+    q = run_drift_stream(spark, str(input_dir), state, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert last_applied_batch_id(state) == 0
+    want = {r.bin: r.cnt for r in spark.read.parquet(state).collect()}
+
+    shutil.rmtree(tmp_path / "ckpt")
+    q = run_drift_stream(spark, str(input_dir), state, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {r.bin: r.cnt for r in spark.read.parquet(state).collect()}
+    assert got == want, "redelivered batch was double-counted"
