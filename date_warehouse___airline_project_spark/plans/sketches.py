@@ -1002,8 +1002,6 @@ _QS_ORACLE = f"""
     f"window), never the fact table.",
 )
 def quantile_sketch_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     o = load_table(spark, sf_dir, "orders")
     bin_ = F.least(
         F.floor(F.col("o_totalprice") / _QS_BINW).cast("bigint"),
@@ -1012,33 +1010,7 @@ def quantile_sketch_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = o.select(bin_.alias("bin")).groupBy("bin").agg(
         F.count("*").cast("bigint").alias("n")
     )
-    cum = c.select(
-        "bin",
-        "n",
-        F.sum("n").over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
-    )
-    tot = c.agg(F.sum("n").cast("bigint").alias("total"))
-    probes = o.sparkSession.createDataFrame(
-        [(0.5,), (0.9,), (0.99,)], "p double"
-    )
-    pt = probes.crossJoin(F.broadcast(tot))
-    hit = (
-        pt.join(
-            F.broadcast(cum),
-            F.col("cum") >= F.col("p") * F.col("total"),
-        )
-        .groupBy("p", "total")
-        .agg(F.min("bin").alias("bin"))
-    )
-    est = hit.join(F.broadcast(cum), "bin").select(
-        "p",
-        (
-            F.col("bin") * _QS_BINW
-            + _QS_BINW
-            * (F.col("p") * F.col("total") - (F.col("cum") - F.col("n")))
-            / F.col("n")
-        ).alias("est_q"),
-    )
+    est = histogram_quantiles(o.sparkSession, c, [0.5, 0.9, 0.99], _QS_BINW)
     exact = o.agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias("e50"),
         F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").alias("e90"),
@@ -1058,4 +1030,48 @@ def quantile_sketch_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("p")
+    )
+
+
+def histogram_quantiles(
+    spark: SparkSession,
+    counts: DataFrame,
+    probes: list[float],
+    binw: float,
+) -> DataFrame:
+    """(p, est_q) cumulative-interpolation quantile estimates from a
+    fixed-width (bin, n) histogram relation.
+
+    Shared verbatim by the batch registry query above and the streaming
+    histogram state's quantile report
+    (``streaming/drift_stream.py::quantile_report``) — the histogram IS
+    the sketch, this is its read path. Every join here runs over the
+    bin-domain-bounded relation, never the fact table.
+    """
+    from pyspark.sql.window import Window as W
+
+    cum = counts.select(
+        "bin",
+        "n",
+        F.sum("n").over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    probes_df = spark.createDataFrame([(p,) for p in probes], "p double")
+    pt = probes_df.crossJoin(F.broadcast(tot))
+    hit = (
+        pt.join(
+            F.broadcast(cum),
+            F.col("cum") >= F.col("p") * F.col("total"),
+        )
+        .groupBy("p", "total")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return hit.join(F.broadcast(cum), "bin").select(
+        "p",
+        (
+            F.col("bin") * binw
+            + binw
+            * (F.col("p") * F.col("total") - (F.col("cum") - F.col("n")))
+            / F.col("n")
+        ).alias("est_q"),
     )

@@ -25,13 +25,19 @@ from ..plans.profiling import _PSI_BINW, _PSI_NBINS, psi_report_from_counts
 from .state_table import fold_into_state, recover_state
 
 
-def psi_bin_counts(rows: DataFrame, value_col: str) -> DataFrame:
-    """(bin, cnt) fixed-width histogram of one relation — the same
-    binning as the batch PSI query (width ``_PSI_BINW``, top bin
-    clamped), so stream state and batch cohorts are comparable."""
+def psi_bin_counts(
+    rows: DataFrame,
+    value_col: str,
+    binw: float = _PSI_BINW,
+    nbins: int = _PSI_NBINS,
+) -> DataFrame:
+    """(bin, cnt) fixed-width histogram of one relation — defaults to
+    the batch PSI query's binning (width ``_PSI_BINW``, top bin
+    clamped) so stream state and batch cohorts are comparable; pass a
+    finer grid to maintain a quantile-sketch histogram instead."""
     b = F.least(
-        F.floor(F.col(value_col) / _PSI_BINW).cast("bigint"),
-        F.lit(_PSI_NBINS - 1).cast("bigint"),
+        F.floor(F.col(value_col) / binw).cast("bigint"),
+        F.lit(nbins - 1).cast("bigint"),
     )
     return rows.select(b.alias("bin")).groupBy("bin").agg(
         F.count("*").cast("bigint").alias("cnt")
@@ -51,6 +57,8 @@ def run_drift_stream(
     state_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    binw: float = _PSI_BINW,
+    nbins: int = _PSI_NBINS,
 ):
     """Maintain the current-window PSI histogram over a line-delimited
     value drop dir (one numeric value per line — e.g. the order total
@@ -64,7 +72,7 @@ def run_drift_stream(
         vals = batch_df.select(F.col("value").cast("double").alias("v")).where(
             F.col("v").isNotNull()
         )
-        bins = psi_bin_counts(vals, "v")
+        bins = psi_bin_counts(vals, "v", binw, nbins)
         fold_into_state(spark, state_dir, batch_id, bins, merge_bins)
 
     writer = (
@@ -93,3 +101,16 @@ def psi_report(
         F.coalesce("cur_cnt", F.lit(0)).cast("bigint").alias("cur_cnt"),
     )
     return psi_report_from_counts(spark, counts)
+
+
+def quantile_report(
+    spark: SparkSession, state_dir: str, probes: list[float], binw: float
+) -> DataFrame:
+    """(p, est_q) quantile estimates straight off the stream-maintained
+    histogram state — the histogram IS a quantile sketch; the read path
+    is the batch query's interpolation helper verbatim
+    (``plans/sketches.py::histogram_quantiles``)."""
+    from ..plans.sketches import histogram_quantiles
+
+    counts = spark.read.parquet(state_dir).select("bin", F.col("cnt").alias("n"))
+    return histogram_quantiles(spark, counts, probes, binw)

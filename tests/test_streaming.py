@@ -1499,3 +1499,53 @@ def test_drift_stream_redelivery_is_idempotent(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.bin: r.cnt for r in spark.read.parquet(state).collect()}
     assert got == want, "redelivered batch was double-counted"
+
+
+def test_quantile_report_off_stream_state_matches_batch_sketch(spark, tmp_path):
+    # Stream all totalprice values through the histogram state at the
+    # quantile sketch's bin width; the quantile report off the state
+    # must equal the registry query's estimate columns exactly (same
+    # counts, same shared interpolation helper).
+    from date_warehouse___airline_project_spark.plans import REGISTRY, load_all
+    from date_warehouse___airline_project_spark.plans.sketches import (
+        _QS_BINW,
+        _QS_MAXBIN,
+    )
+    from date_warehouse___airline_project_spark.sources.catalog import load_table
+    from date_warehouse___airline_project_spark.streaming.drift_stream import (
+        quantile_report,
+        run_drift_stream,
+    )
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    vals = [
+        str(r.o_totalprice)
+        for r in load_table(spark, sf, "orders").select("o_totalprice").collect()
+    ]
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    half = len(vals) // 2
+    for i, chunk in enumerate((vals[:half], vals[half:])):
+        (input_dir / f"b{i}.txt").write_text("\n".join(chunk))
+        q = run_drift_stream(
+            spark,
+            str(input_dir),
+            str(tmp_path / "state"),
+            str(tmp_path / "ckpt"),
+            binw=_QS_BINW,
+            nbins=_QS_MAXBIN + 1,
+        )
+        q.awaitTermination(120)
+
+    got = {
+        r.p: round(r.est_q, 6)
+        for r in quantile_report(
+            spark, str(tmp_path / "state"), [0.5, 0.9, 0.99], _QS_BINW
+        ).collect()
+    }
+    want = {
+        r.p: r.est_quantile
+        for r in REGISTRY["quantile_sketch_totalprice"].fn(spark, sf).collect()
+    }
+    assert got == want
