@@ -546,3 +546,73 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_CHISQ_ORACLE = """
+    WITH obs AS (
+      SELECT o_orderpriority AS priority, o_orderstatus AS status,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2),
+    rt AS (SELECT priority, CAST(SUM(n) AS BIGINT) AS row_tot FROM obs GROUP BY 1),
+    ct AS (SELECT status, CAST(SUM(n) AS BIGINT) AS col_tot FROM obs GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs),
+    cells AS (
+      SELECT o.priority, o.status, o.n,
+             CAST(r.row_tot * c.col_tot AS DOUBLE) / t.total AS expected
+      FROM obs o
+      JOIN rt r ON r.priority = o.priority
+      JOIN ct c ON c.status = o.status, tot t),
+    terms AS (
+      SELECT priority, status, n,
+             ROUND(expected, 6) AS expected,
+             ROUND(POWER(n - expected, 2) / expected, 6) AS chi2_term
+      FROM cells)
+    SELECT priority, status, n, expected, chi2_term FROM terms
+    UNION ALL
+    SELECT 'TOTAL', '', (SELECT total FROM tot), 0.0,
+           CAST(SUM(CAST(chi2_term AS DECIMAL(18,6))) AS DOUBLE)
+    FROM terms
+    ORDER BY priority, status
+"""
+
+
+@query(
+    "chisq_priority_status",
+    oracle=_CHISQ_ORACLE,
+    doc="Chi-square test of independence over the priority × status "
+    "contingency table: observed counts, expected = row_tot·col_tot/N "
+    "(exact-integer numerator, one double division), per-cell χ² terms "
+    "rounded then DECIMAL-summed into the TOTAL row. Everything after "
+    "the one grouped count runs on the domain-bounded cell relation — "
+    "the categorical-association screen of a feature audit.",
+)
+def chisq_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    rt = obs.groupBy("priority").agg(F.sum("n").cast("bigint").alias("row_tot"))
+    ct = obs.groupBy("status").agg(F.sum("n").cast("bigint").alias("col_tot"))
+    tot = obs.agg(F.sum("n").cast("bigint").alias("total"))
+    cells = (
+        obs.join(F.broadcast(rt), "priority")
+        .join(F.broadcast(ct), "status")
+        .crossJoin(F.broadcast(tot))
+    )
+    expected = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("total")
+    terms = cells.select(
+        "priority",
+        "status",
+        "n",
+        F.round(expected, 6).alias("expected"),
+        F.round(F.pow(F.col("n") - expected, 2) / expected, 6).alias("chi2_term"),
+    )
+    total_row = terms.crossJoin(F.broadcast(tot)).agg(
+        F.lit("TOTAL").alias("priority"),
+        F.lit("").alias("status"),
+        F.max("total").cast("bigint").alias("n"),
+        F.lit(0.0).alias("expected"),
+        F.sum(F.col("chi2_term").cast("decimal(18,6)")).cast("double").alias("chi2_term"),
+    )
+    return terms.unionByName(total_row).orderBy("priority", "status")

@@ -878,3 +878,106 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_JSD_ORACLE = """
+    WITH tok AS (
+      SELECT source, UNNEST(regexp_extract_all(text, '\\S+')) AS token
+      FROM documents),
+    counts AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY 1, 2),
+    totals AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot FROM counts GROUP BY 1),
+    vocab AS (SELECT DISTINCT token FROM counts),
+    sources AS (SELECT DISTINCT source FROM counts),
+    dense AS (
+      SELECT s.source, v.token, COALESCE(c.cnt, 0) AS cnt, t.tot
+      FROM sources s
+      CROSS JOIN vocab v
+      LEFT JOIN counts c ON c.source = s.source AND c.token = v.token
+      JOIN totals t ON t.source = s.source),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b, a.token,
+             CAST(a.cnt AS DOUBLE) / a.tot AS p,
+             CAST(b.cnt AS DOUBLE) / b.tot AS q
+      FROM dense a JOIN dense b
+        ON a.token = b.token AND a.source < b.source),
+    terms AS (
+      SELECT source_a, source_b,
+             CASE WHEN p > 0 AND q > 0 THEN 1 ELSE 0 END AS common,
+             CAST(ROUND(
+               0.5 * (CASE WHEN p > 0 THEN p * LN(p / ((p + q) / 2)) ELSE 0 END)
+               + 0.5 * (CASE WHEN q > 0 THEN q * LN(q / ((p + q) / 2)) ELSE 0 END),
+               8) AS DECIMAL(20,8)) AS term
+      FROM pairs)
+    SELECT source_a, source_b,
+           CAST(SUM(common) AS BIGINT) AS n_common_tokens,
+           CAST(SUM(term) AS DOUBLE) AS jsd_nats
+    FROM terms
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+"""
+
+
+@query(
+    "jsd_source_divergence",
+    oracle=_JSD_ORACLE,
+    doc="Jensen-Shannon divergence between every pair of sources' token "
+    "distributions — the domain-similarity matrix a data-mixing stage "
+    "consults before setting sampling weights. All pairwise work runs "
+    "on the DENSE vocabulary × source grid (both domain-bounded, "
+    "zero-filled so absent tokens contribute their exact "
+    "0.5·p·ln2 mass); per-token terms round then DECIMAL-sum, so the "
+    "divergence is accumulation-order independent.",
+)
+def jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "source",
+        F.explode(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0))).alias("token"),
+    )
+    counts = tok.groupBy("source", "token").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    totals = counts.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("tot"))
+    vocab = counts.select("token").distinct()
+    sources = counts.select("source").distinct()
+    dense = (
+        sources.crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(counts), ["source", "token"], "left")
+        .join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            "token",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            "tot",
+        )
+    )
+    a = dense.alias("a")
+    b = dense.alias("b")
+    p = F.col("a.cnt").cast("double") / F.col("a.tot")
+    q = F.col("b.cnt").cast("double") / F.col("b.tot")
+    m = (p + q) / 2
+    term = F.round(
+        0.5 * F.when(p > 0, p * F.log(p / m)).otherwise(0.0)
+        + 0.5 * F.when(q > 0, q * F.log(q / m)).otherwise(0.0),
+        8,
+    ).cast("decimal(20,8)")
+    pairs = a.join(
+        b,
+        (F.col("a.token") == F.col("b.token"))
+        & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.when((p > 0) & (q > 0), 1).otherwise(0).alias("common"),
+        term.alias("term"),
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.sum("common").cast("bigint").alias("n_common_tokens"),
+            F.sum("term").cast("double").alias("jsd_nats"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -58,6 +58,9 @@ ALLOW = {
     "basket_brand_pairs": {"NESTED-LOOP"},  # (a) 1-row basket-count scalar
     "basket_association_rules": {"NESTED-LOOP"},  # (a) 1-row basket-count scalar
     "benford_totalprice": {"NESTED-LOOP"},  # (a) 1-row digit-total scalar
+    "chisq_priority_status": {"NESTED-LOOP"},  # (a) 1-row N attach to cell relation
+    # (b) source × vocabulary dense grid — both sides domain-bounded
+    "jsd_source_divergence": {"NESTED-LOOP"},
     "market_share_by_segment": {"GLOBAL-WINDOW"},  # window over 5-row agg
     "sql_forecast_revenue_change": {"GLOBAL-WINDOW"},  # lag over 7-row agg
     # (a)+(b): 1-row total attach + 3-probe theta-join, both against the
