@@ -587,3 +587,122 @@ def test_greedy_keep_deep_chain(spark):
         for r in greedy_keep(universe, pairs, "doc_id").filter(F.col("kept")).collect()
     }
     assert got == {i for i in range(n) if i % 2 == 0}
+
+
+# ---------------------------------------------------------------------------
+# Mining / statistics invariants (R33–R43)
+# ---------------------------------------------------------------------------
+
+money = st.floats(min_value=1.0, max_value=500000.0, allow_nan=False, allow_infinity=False)
+
+
+@given(vals=st.lists(money, min_size=5, max_size=60))
+@settings(**SETTINGS)
+def test_histogram_quantile_within_one_bin_of_exact(spark, vals):
+    # The equi-width histogram's interpolated quantile can never be more
+    # than one bin width away from the exact percentile_disc value.
+    from date_warehouse___airline_project_spark.plans.sketches import (
+        histogram_quantiles,
+    )
+
+    binw = 2000.0
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    counts = (
+        df.select(F.floor(F.col("v") / binw).cast("bigint").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    est = {
+        r.p: r.est_q
+        for r in histogram_quantiles(spark, counts, [0.5, 0.9], binw).collect()
+    }
+    exact = df.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").alias("e50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY v)").alias("e90"),
+    ).collect()[0]
+    assert abs(est[0.5] - exact.e50) <= binw
+    assert abs(est[0.9] - exact.e90) <= binw
+
+
+@given(vals=st.lists(money, min_size=1, max_size=40), splits=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_histogram_merge_is_order_and_split_invariant(spark, vals, splits):
+    # Folding the stream's histogram state over ANY partition of the
+    # input equals the single-pass histogram — the mergeability claim
+    # behind both the drift monitor and the quantile sketch.
+    from date_warehouse___airline_project_spark.streaming.drift_stream import (
+        merge_bins,
+        psi_bin_counts,
+    )
+
+    whole = {
+        r.bin: r.cnt
+        for r in psi_bin_counts(
+            spark.createDataFrame([(v,) for v in vals], "v double"), "v"
+        ).collect()
+    }
+    size = max(1, len(vals) // splits)
+    chunks = [vals[i : i + size] for i in range(0, len(vals), size)]
+    state = None
+    for chunk in reversed(chunks):  # order must not matter
+        batch = psi_bin_counts(
+            spark.createDataFrame([(v,) for v in chunk], "v double"), "v"
+        )
+        state = batch if state is None else merge_bins(state, batch)
+    folded = {r.bin: r.cnt for r in state.collect()}
+    assert folded == whole
+
+
+def test_snapshot_diff_counts_are_consistent(spark):
+    # added + changed + unchanged = |new|; removed + changed + unchanged
+    # = |old| — the reconciliation identity on the real table.
+    from date_warehouse___airline_project_spark.plans import REGISTRY, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r.change_type: r.n
+        for r in REGISTRY["orders_snapshot_diff"].fn(spark, sf).collect()
+    }
+    from date_warehouse___airline_project_spark.sources.catalog import load_table
+
+    o = load_table(spark, sf, "orders")
+    n_old = o.filter(F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp")).count()
+    n_new_kept = o.filter(
+        (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderkey") % 101 != 0)
+    ).count()
+    n_inserted = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-09-01").cast("timestamp"))
+    ).count()
+    assert rows.get("removed", 0) + rows.get("changed", 0) + rows.get("unchanged", 0) == n_old
+    assert rows.get("added", 0) == n_inserted
+    assert rows.get("changed", 0) + rows.get("unchanged", 0) == n_new_kept
+
+
+def test_ewma_of_constant_series_is_the_constant(spark):
+    # EWMA is a convex combination: a constant daily series must smooth
+    # to itself (up to the per-term 6-decimal rounding, which drifts the
+    # weighted sum by at most ~1e-4 over the 28-term horizon).
+    from date_warehouse___airline_project_spark.plans.mining import (
+        ewma_daily_revenue,
+    )
+    import datetime
+
+    rows = [
+        (datetime.datetime(1995, 1, 1) + datetime.timedelta(days=i), 100.0)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "o_orderdate timestamp, o_totalprice double")
+    import date_warehouse___airline_project_spark.plans.mining as mining
+    import date_warehouse___airline_project_spark.sources.catalog as catalog
+
+    # run the registry plan against the synthetic table via a monkeypatched loader
+    orig = mining.load_table
+    mining.load_table = lambda s, d, n: df if n == "orders" else orig(s, d, n)
+    try:
+        out = ewma_daily_revenue(spark, "unused").collect()
+    finally:
+        mining.load_table = orig
+    assert all(abs(r.ewma_28d - 100.0) < 1e-3 for r in out)
