@@ -697,11 +697,20 @@ def greedy_keep(universe: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -
     neighbors are all resolved — KEPT if none of them is kept, REJECTED
     if one is. Rounds = longest smaller-id dependency chain (near-dup
     clusters are clique-like, so a handful); each round is one
-    candidate-scale join + aggregate, never corpus-scale.
+    candidate-scale join + aggregate, never corpus-scale. Two resolve
+    rounds run between sync points (resolve is monotone, so stacking is
+    free), and the iteration width adapts to the measured edge count —
+    a 10k-edge graph iterates on 4 partitions instead of paying
+    32-task scheduling overhead per round, while a billion-edge graph
+    keeps full parallelism.
     """
     edges = _materialize(
         pairs.select(F.col("doc_a").alias("_u"), F.col("doc_b").alias("_v")).distinct()
     )
+    default_parallelism = universe.sparkSession.sparkContext.defaultParallelism
+    n_edges = edges.count()  # materialized above — this is a cheap cached fold
+    nparts = max(4, min(default_parallelism, n_edges // 250_000 + 1))
+    edges = edges.repartition(nparts)
     nodes = (
         edges.select(F.col("_u").alias(id_col))
         .unionByName(edges.select(F.col("_v").alias(id_col)))
@@ -710,7 +719,9 @@ def greedy_keep(universe: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -
     free = universe.select(id_col).join(nodes, id_col, "left_anti").withColumn(
         "kept", F.lit(True)
     )
-    status = _materialize(nodes.withColumn("_kept", F.lit(None).cast("boolean")))
+    status = _materialize(
+        nodes.withColumn("_kept", F.lit(None).cast("boolean")).repartition(nparts)
+    )
 
     def resolve_round(st: DataFrame) -> DataFrame:
         nbr = (
@@ -734,7 +745,7 @@ def greedy_keep(universe: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -
         )
 
     while True:
-        new_status = _materialize(resolve_round(status))
+        new_status = _materialize(resolve_round(resolve_round(status)))
         unresolved = new_status.filter(F.col("_kept").isNull()).count()
         status = new_status
         if unresolved == 0:
