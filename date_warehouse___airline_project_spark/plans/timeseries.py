@@ -176,3 +176,69 @@ def funnel_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_clicked_after")))
         .crossJoin(p.agg(F.count("*").alias("n_purchased_after")))
     )
+
+
+_FUNNEL_1H_ORACLE = """
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    conv AS (
+      SELECT c.event_id
+      FROM c
+      WHERE EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = c.user_id
+          AND p.ts >= c.ts
+          AND p.ts <= c.ts + INTERVAL 1 HOUR))
+    SELECT STRFTIME(CAST(c.ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           CAST(COUNT(v.event_id) AS BIGINT) AS n_converted,
+           ROUND(CAST(COUNT(v.event_id) AS DOUBLE) / COUNT(*), 6)
+             AS conversion_rate
+    FROM c LEFT JOIN conv v ON v.event_id = c.event_id
+    GROUP BY CAST(c.ts AS DATE)
+    ORDER BY day
+"""
+
+
+@query(
+    "funnel_conversion_1h",
+    oracle=_FUNNEL_1H_ORACLE,
+    doc="Time-windowed funnel conversion: per day, the share of clicks "
+    "followed by a purchase from the SAME user within one hour. The "
+    "window predicate rides a user-keyed equi-join (hash join + range "
+    "post-filter, fan-out bounded by per-user event rates), then a "
+    "left-semi EXISTS marks converted clicks — never a time-cross "
+    "product. One shuffle on user, one on day.",
+)
+def funnel_conversion_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("ts"))
+        & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    ).select("event_id")
+    tagged = clicks.join(
+        converted.withColumn("_conv", F.lit(1)), "event_id", "left"
+    )
+    return (
+        tagged.groupBy(
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_clicks"),
+            F.sum(F.coalesce("_conv", F.lit(0))).cast("bigint").alias("n_converted"),
+            F.round(
+                F.sum(F.coalesce("_conv", F.lit(0))).cast("double") / F.count("*"), 6
+            ).alias("conversion_rate"),
+        )
+        .orderBy("day")
+    )
