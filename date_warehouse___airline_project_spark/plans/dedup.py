@@ -568,3 +568,118 @@ def doc_neardup_greedy_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"), "blocked_by")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimate-vs-exact error accounting (sketch accuracy, like the
+# ANN recall query for IVF)
+# ---------------------------------------------------------------------------
+
+_EST_ERR_ORACLE = f"""
+    WITH {_SHINGLES_CTE},
+    ex AS (
+      SELECT doc_id,
+             {_HEX56.format(src="'a:' || g")} AS ha,
+             {_HEX56.format(src="'b:' || g")} AS hb
+      FROM (SELECT doc_id, unnest(sh) AS g FROM d)),
+    sig AS (
+      SELECT doc_id,
+             {_MH_MINS}
+      FROM ex GROUP BY doc_id),
+    bands AS (
+      {_BAND_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.h = b.h AND a.doc_id < b.doc_id),
+    agree AS (
+      SELECT c.doc_a, c.doc_b, CAST(({_SIG_AGREE_EXPR}) AS BIGINT) AS n_agree
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM d),
+    g AS (SELECT doc_id, unnest(sh) AS g FROM d),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.doc_a
+      JOIN g gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT a2.doc_a, a2.doc_b, a2.n_agree,
+             ROUND(CAST(a2.n_agree AS DOUBLE) / {_K}, 6) AS est_jaccard,
+             ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                   / (sa.n + sb.n - COALESCE(i.i, 0)), 6) AS exact_jaccard
+      FROM agree a2
+      LEFT JOIN inter i ON i.doc_a = a2.doc_a AND i.doc_b = a2.doc_b
+      JOIN sizes sa ON sa.doc_id = a2.doc_a
+      JOIN sizes sb ON sb.doc_id = a2.doc_b),
+    terms AS (
+      SELECT doc_a, doc_b, n_agree, est_jaccard, exact_jaccard,
+             ROUND(ABS(est_jaccard - exact_jaccard), 6) AS abs_err
+      FROM pairs)
+    SELECT doc_a, doc_b, n_agree, est_jaccard, exact_jaccard, abs_err
+    FROM terms
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT), 0.0, 0.0,
+           ROUND(CAST(SUM(CAST(abs_err AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6)
+    FROM terms
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "minhash_estimate_error",
+    oracle=_EST_ERR_ORACLE,
+    doc=f"Sketch-accuracy accounting for MinHash (the text twin of "
+    f"emb_ivf_recall_at10): every banded candidate pair's signature-"
+    f"estimated jaccard (n_agree/{_K}) against its EXACT shingle "
+    f"jaccard, with a mean-absolute-error summary row (doc_a = -1, "
+    f"DECIMAL-summed). Exact verification touches only banded "
+    f"candidates via the inverted index — the same Σ bucket² bound as "
+    f"the dedup path; signatures, bands, and the index all ride the "
+    f"session memos, so this audit is nearly free after any dedup "
+    f"query has run.",
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_dedup import minhash_lsh_pairs, sig_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    agree = sig_jaccard_pairs(
+        d, "doc_id", "text", n=3, k=_K, bands=_BANDS, min_agree=1
+    )
+    exact = minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, k=_K, bands=_BANDS, threshold=0.0
+    )
+    est = F.round(F.col("n_agree").cast("double") / _K, 6)
+    pairs = (
+        agree.join(exact, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_agree").cast("bigint").alias("n_agree"),
+            est.alias("est_jaccard"),
+            F.round(F.coalesce(F.col("jaccard"), F.lit(0.0)), 6).alias(
+                "exact_jaccard"
+            ),
+        )
+        .withColumn(
+            "abs_err",
+            F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6),
+        )
+    )
+    summary = pairs.agg(
+        F.lit(-1).cast("bigint").alias("doc_a"),
+        F.lit(-1).cast("bigint").alias("doc_b"),
+        F.count("*").cast("bigint").alias("n_agree"),
+        F.lit(0.0).alias("est_jaccard"),
+        F.lit(0.0).alias("exact_jaccard"),
+        F.round(
+            F.sum(F.col("abs_err").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("abs_err"),
+    )
+    return pairs.unionByName(summary).orderBy("doc_a", "doc_b")
