@@ -683,3 +683,66 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("abs_err"),
     )
     return pairs.unionByName(summary).orderBy("doc_a", "doc_b")
+
+
+_DUP_BY_SOURCE_ORACLE = """
+    WITH fp AS (
+      SELECT doc_id, source,
+             MD5(SUBSTR(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'),
+                        1, 64)) AS f
+      FROM documents),
+    g AS (
+      SELECT f, CAST(COUNT(*) AS BIGINT) AS cnt,
+             MIN(doc_id) AS keeper,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM fp GROUP BY f)
+    SELECT fp.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN g.cnt > 1 AND fp.doc_id <> g.keeper
+                           THEN 1 END) AS BIGINT) AS n_dup_rows,
+           CAST(COUNT(CASE WHEN g.n_sources > 1 THEN 1 END) AS BIGINT)
+             AS n_cross_source,
+           ROUND(CAST(COUNT(CASE WHEN g.cnt > 1 AND fp.doc_id <> g.keeper
+                                 THEN 1 END) AS DOUBLE) / COUNT(*), 6)
+             AS dup_rate
+    FROM fp JOIN g ON g.f = fp.f
+    GROUP BY fp.source
+    ORDER BY fp.source
+"""
+
+
+@query(
+    "doc_dedup_rate_by_source",
+    oracle=_DUP_BY_SOURCE_ORACLE,
+    doc="Per-source dedup accounting: exact-dup row rate (non-keeper "
+    "docs under min-id-keeps semantics) and cross-source contamination "
+    "(docs whose fingerprint also appears in another source) — the "
+    "table a curation run publishes to decide which sources are worth "
+    "their ingest cost. One shuffle on the 16-byte fingerprint, group "
+    "stats joined back, one bounded per-source rollup.",
+)
+def doc_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    f = F.md5(
+        F.substring(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), 1, 64)
+    )
+    fp = d.select("doc_id", "source", f.alias("f"))
+    g = fp.groupBy("f").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.min("doc_id").alias("keeper"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+    )
+    is_dup_row = (F.col("cnt") > 1) & (F.col("doc_id") != F.col("keeper"))
+    return (
+        fp.join(g, "f")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_if(is_dup_row).cast("bigint").alias("n_dup_rows"),
+            F.count_if(F.col("n_sources") > 1).cast("bigint").alias("n_cross_source"),
+            F.round(
+                F.count_if(is_dup_row).cast("double") / F.count("*"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -635,3 +635,102 @@ def chisq_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("chi2_term").cast("decimal(18,6)")).cast("double").alias("chi2_term"),
     )
     return terms.unionByName(total_row).orderBy("priority", "status")
+
+
+_RFM_ORACLE = """
+    WITH mx AS (SELECT MAX(o_orderdate) AS m FROM orders),
+    c AS (
+      SELECT o_custkey,
+             DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE),
+                       CAST((SELECT m FROM mx) AS DATE)) AS rec,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mon
+      FROM orders GROUP BY 1),
+    scored AS (
+      SELECT o_custkey,
+             CASE WHEN rec <= 60 THEN 5 WHEN rec <= 180 THEN 4
+                  WHEN rec <= 365 THEN 3 WHEN rec <= 730 THEN 2
+                  ELSE 1 END AS r_score,
+             CASE WHEN freq >= 18 THEN 5 WHEN freq >= 13 THEN 4
+                  WHEN freq >= 9 THEN 3 WHEN freq >= 5 THEN 2
+                  ELSE 1 END AS f_score,
+             CASE WHEN mon >= 4000000 THEN 5 WHEN mon >= 3000000 THEN 4
+                  WHEN mon >= 2000000 THEN 3 WHEN mon >= 1000000 THEN 2
+                  ELSE 1 END AS m_score,
+             mon
+      FROM c)
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(mon AS DECIMAL(18,2))) AS DOUBLE) AS total_monetary
+    FROM scored
+    GROUP BY 1, 2, 3
+    ORDER BY r_score, f_score, m_score
+"""
+
+
+@query(
+    "customer_rfm_segments",
+    oracle=_RFM_ORACLE,
+    doc="RFM customer segmentation: recency (days since last order vs "
+    "the corpus max date — a 1-row broadcast), frequency, and monetary "
+    "value scored into FIXED bands (data-independent edges keep the "
+    "segmentation mergeable and engine-deterministic — no per-run "
+    "quantile fitting in the hot path), reported as segment-level "
+    "counts so the output is band³-bounded regardless of customer "
+    "count. One scan, one per-customer aggregate, one bounded rollup.",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("m"))
+    c = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("mon"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("m").cast("date"), F.col("last_order").cast("date")).alias(
+                "rec"
+            ),
+            "freq",
+            "mon",
+        )
+    )
+    r_score = (
+        F.when(F.col("rec") <= 60, 5)
+        .when(F.col("rec") <= 180, 4)
+        .when(F.col("rec") <= 365, 3)
+        .when(F.col("rec") <= 730, 2)
+        .otherwise(1)
+    )
+    f_score = (
+        F.when(F.col("freq") >= 18, 5)
+        .when(F.col("freq") >= 13, 4)
+        .when(F.col("freq") >= 9, 3)
+        .when(F.col("freq") >= 5, 2)
+        .otherwise(1)
+    )
+    m_score = (
+        F.when(F.col("mon") >= 4000000, 5)
+        .when(F.col("mon") >= 3000000, 4)
+        .when(F.col("mon") >= 2000000, 3)
+        .when(F.col("mon") >= 1000000, 2)
+        .otherwise(1)
+    )
+    return (
+        c.select(
+            r_score.alias("r_score"),
+            f_score.alias("f_score"),
+            m_score.alias("m_score"),
+            "mon",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum(F.col("mon").cast(DEC)).cast("double").alias("total_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -275,3 +275,30 @@ def run_grouped_hll_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def cms_estimate_report(
+    spark: SparkSession,
+    state_dir: str,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 256,
+) -> DataFrame:
+    """(key, cms_estimate) frequency estimates for the given keys off the
+    stream-maintained cell table: each key probes its d cells (same
+    ``seeded_bucket`` family as the fold's ``cms_cells``) and takes the
+    MIN — the batch query's probe shape against persistent state. The
+    state is ≤ d×w rows, so it broadcasts at any stream volume."""
+    cells = spark.read.parquet(state_dir)
+    seeds = F.array(*[F.lit(d) for d in range(depth)])
+    probe = keys.select(key_col, F.explode(seeds).alias("d")).select(
+        key_col,
+        "d",
+        seeded_bucket(F.col(key_col), F.col("d"), width).alias("cell"),
+    )
+    return (
+        probe.join(F.broadcast(cells), ["d", "cell"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").cast("bigint").alias("cms_estimate"))
+    )

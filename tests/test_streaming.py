@@ -1549,3 +1549,45 @@ def test_quantile_report_off_stream_state_matches_batch_sketch(spark, tmp_path):
         for r in REGISTRY["quantile_sketch_totalprice"].fn(spark, sf).collect()
     }
     assert got == want
+
+
+def test_cms_estimate_report_matches_batch_sketch(spark, tmp_path):
+    # Frequency estimates read off the stream-maintained cell table must
+    # equal the batch CMS query's estimates for the same keys on the
+    # same data (the fold already proves state == batch cells; this pins
+    # the probe read path).
+    from date_warehouse___airline_project_spark.plans import REGISTRY, load_all
+    from date_warehouse___airline_project_spark.sources.catalog import load_table
+    from date_warehouse___airline_project_spark.streaming.sketch_stream import (
+        cms_estimate_report,
+        run_cms_stream,
+    )
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    users = [
+        str(r.user_id)
+        for r in load_table(spark, sf, "events").select("user_id").collect()
+    ]
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    half = len(users) // 2
+    for i, chunk in enumerate((users[:half], users[half:])):
+        (input_dir / f"b{i}.txt").write_text("\n".join(chunk))
+        q = run_cms_stream(
+            spark, str(input_dir), str(tmp_path / "state"), str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+
+    want = {
+        r.user_id: r.cms_estimate
+        for r in REGISTRY["cms_frequency_sketch"].fn(spark, sf).collect()
+    }
+    keys = spark.createDataFrame([(u,) for u in want], "user_id long")
+    got = {
+        r.user_id: r.cms_estimate
+        for r in cms_estimate_report(
+            spark, str(tmp_path / "state"), keys, "user_id"
+        ).collect()
+    }
+    assert got == want
