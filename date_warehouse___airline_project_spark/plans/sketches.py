@@ -292,6 +292,38 @@ _HLL_ORACLE = f"""
 """
 
 
+def hll_estimate_summary(regs: DataFrame) -> DataFrame:
+    """1-row (n_registers_set, sum_ranks, s_scaled, _corrected) from an
+    (idx, r) register relation — the small-range-corrected HLL
+    estimator. ``_corrected`` is the UNROUNDED estimate so callers pin
+    their own output rounding. Shared verbatim by the batch registry
+    query below and the streaming register state's read path
+    (``streaming/sketch_stream.py::hll_estimate_report``)."""
+    summary = regs.agg(
+        F.count("*").cast("bigint").alias("n_registers_set"),
+        F.sum("r").cast("bigint").alias("sum_ranks"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 51 - r)")).cast("bigint").alias("s_scaled"),
+    )
+    est = summary.withColumn(
+        "e_raw",
+        F.lit(0.709 * _HLL_M * _HLL_M)
+        / (
+            F.col("s_scaled").cast("double") / F.lit(float(1 << 51))
+            + (F.lit(_HLL_M) - F.col("n_registers_set"))
+        ),
+    )
+    small = (F.col("e_raw") <= 2.5 * _HLL_M) & (F.col("n_registers_set") < _HLL_M)
+    corrected = F.when(
+        small,
+        F.lit(_HLL_M)
+        * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("n_registers_set"))),
+    ).otherwise(F.col("e_raw"))
+    return est.select(
+        "n_registers_set", "sum_ranks", "s_scaled", corrected.alias("_corrected")
+    )
+
+
+
 @query(
     "hll_distinct_sketch",
     oracle=_HLL_ORACLE,
@@ -309,29 +341,12 @@ _HLL_ORACLE = f"""
 def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     regs = hll_registers(o, "o_custkey")
-    summary = regs.agg(
-        F.count("*").cast("bigint").alias("n_registers_set"),
-        F.sum("r").cast("bigint").alias("sum_ranks"),
-        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 51 - r)")).cast("bigint").alias("s_scaled"),
-    )
     exact = o.agg(
         F.count("*").cast("bigint").alias("n_rows"),
         F.count_distinct("o_custkey").cast("bigint").alias("n_exact"),
     )
-    est = summary.crossJoin(exact).withColumn(
-        "e_raw",
-        F.lit(0.709 * _HLL_M * _HLL_M)
-        / (
-            F.col("s_scaled").cast("double") / F.lit(float(1 << 51))
-            + (F.lit(_HLL_M) - F.col("n_registers_set"))
-        ),
-    )
-    small = (F.col("e_raw") <= 2.5 * _HLL_M) & (F.col("n_registers_set") < _HLL_M)
-    corrected = F.when(
-        small,
-        F.lit(_HLL_M)
-        * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("n_registers_set"))),
-    ).otherwise(F.col("e_raw"))
+    est = hll_estimate_summary(regs).crossJoin(exact)
+    corrected = F.col("_corrected")
     return est.select(
         "n_rows",
         "n_exact",

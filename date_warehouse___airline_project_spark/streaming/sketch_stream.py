@@ -302,3 +302,44 @@ def cms_estimate_report(
         .groupBy(key_col)
         .agg(F.min("cnt").cast("bigint").alias("cms_estimate"))
     )
+
+
+def hll_estimate_report(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(n_registers_set, hll_estimate) distinct-count estimate off the
+    stream-maintained register table — the batch query's small-range-
+    corrected estimator verbatim (``plans/sketches.py::
+    hll_estimate_summary``). State is ≤ m rows at any stream volume."""
+    from ..plans.sketches import hll_estimate_summary
+
+    regs = spark.read.parquet(state_dir)
+    return hll_estimate_summary(regs).select(
+        "n_registers_set",
+        F.round(F.col("_corrected"), 4).alias("hll_estimate"),
+    )
+
+
+def bloom_membership_report(
+    spark: SparkSession,
+    state_dir: str,
+    keys: DataFrame,
+    key_col: str,
+    m: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """(key, maybe_member) membership probes against the stream-
+    maintained Bloom bit set: a key is a possible member iff all k of
+    its bits are set (the batch query's probe shape). The bit relation
+    is ≤ m rows — broadcast at any stream volume; definite negatives
+    are exact, positives carry the usual false-positive rate."""
+    bits = spark.read.parquet(state_dir).withColumn("_found", F.lit(1))
+    seeds = F.array(*[F.lit(j) for j in range(k)])
+    probe = keys.select(key_col, F.explode(seeds).alias("j")).select(
+        key_col, seeded_bucket(F.col(key_col), F.col("j"), m).alias("bit")
+    )
+    return (
+        probe.join(F.broadcast(bits), "bit", "left")
+        .groupBy(key_col)
+        .agg(
+            (F.sum(F.coalesce(F.col("_found"), F.lit(0))) == k).alias("maybe_member")
+        )
+    )
