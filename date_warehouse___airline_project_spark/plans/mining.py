@@ -734,3 +734,93 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+_INTERARRIVAL_ORACLE = """
+    WITH gaps AS (
+      SELECT o_custkey,
+             DATE_DIFF('day',
+                       CAST(LAG(o_orderdate) OVER w AS DATE),
+                       CAST(o_orderdate AS DATE)) AS gap
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    per_cust AS (
+      SELECT o_custkey,
+             CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+             CAST(MIN(gap) AS BIGINT) AS min_gap,
+             CAST(MAX(gap) AS BIGINT) AS max_gap,
+             CAST(SUM(CAST(gap AS BIGINT)) AS BIGINT) AS sum_gap
+      FROM gaps WHERE gap IS NOT NULL
+      GROUP BY o_custkey),
+    banded AS (
+      SELECT CASE WHEN sum_gap // n_gaps <= 30 THEN '0-030'
+                  WHEN sum_gap // n_gaps <= 90 THEN '031-090'
+                  WHEN sum_gap // n_gaps <= 180 THEN '091-180'
+                  WHEN sum_gap // n_gaps <= 365 THEN '181-365'
+                  ELSE '365+' END AS mean_gap_band,
+             n_gaps, min_gap, max_gap, sum_gap
+      FROM per_cust)
+    SELECT mean_gap_band,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(n_gaps) AS BIGINT) AS n_gaps,
+           CAST(MIN(min_gap) AS BIGINT) AS min_gap,
+           CAST(MAX(max_gap) AS BIGINT) AS max_gap,
+           ROUND(CAST(SUM(sum_gap) AS DOUBLE) / SUM(n_gaps), 6) AS mean_gap_days
+    FROM banded
+    GROUP BY mean_gap_band
+    ORDER BY mean_gap_band
+"""
+
+
+@query(
+    "order_interarrival_bands",
+    oracle=_INTERARRIVAL_ORACLE,
+    doc="Customer order inter-arrival analysis: per-customer gaps from a "
+    "customer-partitioned LAG (scale-safe window — never global), "
+    "per-customer integer gap sums banded into fixed mean-gap buckets "
+    "(integer division — engine-deterministic banding), reported as "
+    "band-bounded rollups. The purchase-cadence profile behind "
+    "retention and reorder forecasting.",
+)
+def order_interarrival_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate")).over(w).cast("date"),
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    per_cust = gaps.groupBy("o_custkey").agg(
+        F.count("gap").cast("bigint").alias("n_gaps"),
+        F.min("gap").cast("bigint").alias("min_gap"),
+        F.max("gap").cast("bigint").alias("max_gap"),
+        F.sum(F.col("gap").cast("bigint")).cast("bigint").alias("sum_gap"),
+    )
+    mean_int = F.floor(F.col("sum_gap") / F.col("n_gaps"))  # integer division
+    band = (
+        F.when(mean_int <= 30, "0-030")
+        .when(mean_int <= 90, "031-090")
+        .when(mean_int <= 180, "091-180")
+        .when(mean_int <= 365, "181-365")
+        .otherwise("365+")
+    )
+    return (
+        per_cust.select(
+            band.alias("mean_gap_band"), "n_gaps", "min_gap", "max_gap", "sum_gap"
+        )
+        .groupBy("mean_gap_band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("n_gaps").cast("bigint").alias("n_gaps"),
+            F.min("min_gap").cast("bigint").alias("min_gap"),
+            F.max("max_gap").cast("bigint").alias("max_gap"),
+            F.round(
+                F.sum("sum_gap").cast("double") / F.sum("n_gaps"), 6
+            ).alias("mean_gap_days"),
+        )
+        .orderBy("mean_gap_band")
+    )
