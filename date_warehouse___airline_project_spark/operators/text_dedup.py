@@ -307,11 +307,14 @@ def minhash_lsh_pairs(
             .select("doc_a", "doc_b")
             .dropDuplicates(["doc_a", "doc_b"])
         )
-        return _verify_jaccard(cand, inv, threshold)
+        return _verify_jaccard(cand, inv, 0.0)
 
-    # The verified pair set is reused verbatim by the cluster-assignment
-    # query — memoized so a multi-query session builds it once.
-    return _memo(df, ("minhash_pairs", id_col, text_col, n, k, bands, threshold), build)
+    # The memo key deliberately EXCLUDES the threshold: the expensive
+    # part (candidates + exact-jaccard verify) is threshold-independent,
+    # so every consumer — the dedup family at 0.5, the error-accounting
+    # query at 0.0 — shares ONE cached base and filters it for free.
+    base = _memo(df, ("minhash_pairs", id_col, text_col, n, k, bands), build)
+    return base.filter(F.col("jaccard") >= threshold) if threshold > 0.0 else base
 
 
 def _hash_int(md5_col: Column, nbits: int) -> Column:
@@ -650,9 +653,13 @@ def sig_jaccard_pairs(
             .select("doc_a", "doc_b")
             .dropDuplicates(["doc_a", "doc_b"])
         )
-        return sig_verify_pairs(cand, sig, sig, k, min_agree)
+        return sig_verify_pairs(cand, sig, sig, k, 1)
 
-    return _memo(df, ("sig_pairs", id_col, text_col, n, k, bands, min_agree), build)
+    # Memo key excludes min_agree (same sharing rationale as
+    # minhash_lsh_pairs): the greedy-keep family (min_agree=8) and the
+    # estimate-error audit (min_agree=1) filter one shared base.
+    base = _memo(df, ("sig_pairs", id_col, text_col, n, k, bands), build)
+    return base.filter(F.col("n_agree") >= min_agree) if min_agree > 1 else base
 
 
 def sig_verify_pairs(
@@ -678,6 +685,39 @@ def sig_verify_pairs(
         .filter(F.col("n_agree") >= min_agree)
         .select("doc_a", "doc_b", "n_agree")
     )
+
+
+_GREEDY_DRIVER_MAX_EDGES = 200_000
+
+
+def _greedy_keep_driver(universe: DataFrame, edges: DataFrame, id_col: str) -> DataFrame:
+    """Exact greedy-by-id maximal independent set on the driver — the
+    small-graph lane of ``greedy_keep``. The collect is BOUNDED by the
+    measured edge count (<= _GREEDY_DRIVER_MAX_EDGES, checked by the
+    caller); semantics are identical to the distributed fixpoint: ids in
+    ascending order, keep iff no smaller kept neighbor."""
+    from collections import defaultdict
+
+    nbrs = defaultdict(list)  # node -> smaller neighbors
+    nodes = set()
+    for r in edges.collect():  # bounded: caller gates on n_edges
+        u, v = r._u, r._v
+        lo, hi = (u, v) if u < v else (v, u)
+        nbrs[hi].append(lo)
+        nodes.add(lo)
+        nodes.add(hi)
+    kept: dict = {}
+    for node in sorted(nodes):
+        kept[node] = not any(kept[s] for s in nbrs.get(node, ()))
+    spark = universe.sparkSession
+    node_type = dict(universe.select(id_col).dtypes)[id_col]
+    status = spark.createDataFrame(
+        [(n, k) for n, k in kept.items()], f"{id_col} {node_type}, kept boolean"
+    )
+    free = universe.select(id_col).join(
+        status.select(id_col), id_col, "left_anti"
+    ).withColumn("kept", F.lit(True))
+    return free.unionByName(status)
 
 
 def greedy_keep(universe: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -709,6 +749,15 @@ def greedy_keep(universe: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -
     )
     default_parallelism = universe.sparkSession.sparkContext.defaultParallelism
     n_edges = edges.count()  # materialized above — this is a cheap cached fold
+    if n_edges <= _GREEDY_DRIVER_MAX_EDGES:
+        # Small-graph fast lane: the candidate graph (already bucketed-
+        # bounded upstream) fits the driver, and the exact greedy is a
+        # linear pass over sorted edges — one bounded collect replaces
+        # 3+ distributed sync rounds of pure scheduling overhead. The
+        # distributed fixpoint below remains the scale lane; a test pins
+        # lane equivalence on the same graph
+        # (tests/test_dedup_similarity.py::test_greedy_lanes_agree).
+        return _greedy_keep_driver(universe, edges, id_col)
     nparts = max(4, min(default_parallelism, n_edges // 250_000 + 1))
     edges = edges.repartition(nparts)
     nodes = (

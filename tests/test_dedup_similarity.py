@@ -556,3 +556,19 @@ def test_skew_split_verify_equals_unsplit(spark):
     }
     assert split == unsplit
     assert len(split) > 0
+
+
+def test_greedy_lanes_agree(spark, monkeypatch):
+    # The driver-side small-graph lane and the distributed fixpoint must
+    # produce identical keeps on the same graph (the caller gates lanes
+    # purely on measured edge count, never on semantics).
+    from date_warehouse___airline_project_spark.operators import text_dedup as td
+    from date_warehouse___airline_project_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = td.sig_jaccard_pairs(docs, "doc_id", "text", min_agree=8)
+
+    fast = {r.doc_id: r.kept for r in td.greedy_keep(docs, pairs).collect()}
+    monkeypatch.setattr(td, "_GREEDY_DRIVER_MAX_EDGES", -1)  # force distributed
+    slow = {r.doc_id: r.kept for r in td.greedy_keep(docs, pairs).collect()}
+    assert fast == slow and len(fast) == docs.count()
