@@ -746,3 +746,72 @@ def doc_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_DEGREE_ORACLE = f"""
+    WITH {_SHINGLES_CTE},
+    ex AS (
+      SELECT doc_id,
+             {_HEX56.format(src="'a:' || g")} AS ha,
+             {_HEX56.format(src="'b:' || g")} AS hb
+      FROM (SELECT doc_id, unnest(sh) AS g FROM d)),
+    sig AS (
+      SELECT doc_id,
+             {_MH_MINS}
+      FROM ex GROUP BY doc_id),
+    bands AS (
+      {_BAND_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.h = b.h AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT c.doc_a AS u, c.doc_b AS v
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b
+      WHERE ({_SIG_AGREE_EXPR}) >= {_MIN_AGREE}),
+    ends AS (SELECT u AS id FROM edges UNION ALL SELECT v FROM edges),
+    deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM ends GROUP BY id),
+    zero AS (
+      SELECT CAST(0 AS BIGINT) AS degree,
+             CAST((SELECT COUNT(*) FROM documents)
+                  - (SELECT COUNT(*) FROM deg) AS BIGINT) AS n_docs)
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM deg GROUP BY degree
+    UNION ALL
+    SELECT degree, n_docs FROM zero
+    ORDER BY degree
+"""
+
+
+@query(
+    "neardup_degree_distribution",
+    oracle=_DEGREE_ORACLE,
+    doc=f"Degree distribution of the signature-verified near-dup graph "
+    f"(n_agree >= {_MIN_AGREE}) including the degree-0 mass — the "
+    f"graph-health profile a dedup deployment monitors (a fattening "
+    f"high-degree tail means template spam or a broken shingle "
+    f"normalizer). All work after the memoized pair base is "
+    f"candidate-scale: one union + two bounded aggregates.",
+)
+def neardup_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_dedup import sig_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = sig_jaccard_pairs(
+        d, "doc_id", "text", n=3, k=_K, bands=_BANDS, min_agree=_MIN_AGREE
+    )
+    ends = pairs.select(F.col("doc_a").alias("id")).unionAll(
+        pairs.select(F.col("doc_b").alias("id"))
+    )
+    deg = ends.groupBy("id").agg(F.count("*").cast("bigint").alias("degree"))
+    dist = deg.groupBy("degree").agg(F.count("*").cast("bigint").alias("n_docs"))
+    totals = d.agg(F.count("*").cast("bigint").alias("n_total")).crossJoin(
+        F.broadcast(deg.agg(F.count("*").cast("bigint").alias("n_nodes")))
+    )
+    zero = totals.select(
+        F.lit(0).cast("bigint").alias("degree"),
+        (F.col("n_total") - F.col("n_nodes")).cast("bigint").alias("n_docs"),
+    )
+    return dist.unionByName(zero).orderBy("degree")

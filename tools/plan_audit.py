@@ -60,6 +60,7 @@ ALLOW = {
     "benford_totalprice": {"NESTED-LOOP"},  # (a) 1-row digit-total scalar
     "chisq_priority_status": {"NESTED-LOOP"},  # (a) 1-row N attach to cell relation
     "customer_rfm_segments": {"NESTED-LOOP"},  # (a) 1-row corpus-max-date attach
+    "neardup_degree_distribution": {"NESTED-LOOP"},  # (a) 1-row totals attach
     # (b) source × vocabulary dense grid — both sides domain-bounded
     "jsd_source_divergence": {"NESTED-LOOP"},
     "market_share_by_segment": {"GLOBAL-WINDOW"},  # window over 5-row agg
