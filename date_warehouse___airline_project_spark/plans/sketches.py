@@ -1090,3 +1090,116 @@ def histogram_quantiles(
             / F.col("n")
         ).alias("est_q"),
     )
+
+
+_GQS_ORACLE = f"""
+    WITH b AS (
+      SELECT o_orderpriority AS grp,
+             LEAST(CAST(FLOOR(o_totalprice / {_QS_BINW}) AS BIGINT),
+                   {_QS_MAXBIN}) AS bin
+      FROM orders),
+    c AS (
+      SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS n
+      FROM b GROUP BY grp, bin),
+    cum AS (
+      SELECT grp, bin, n,
+             SUM(n) OVER (PARTITION BY grp ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c),
+    tot AS (SELECT grp, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY grp),
+    probes AS (SELECT UNNEST([0.5, 0.9]) AS p),
+    hit AS (
+      SELECT cu.grp, pr.p, t.total, MIN(cu.bin) AS bin
+      FROM cum cu
+      JOIN tot t ON t.grp = cu.grp
+      CROSS JOIN probes pr
+      WHERE cu.cum >= pr.p * t.total
+      GROUP BY cu.grp, pr.p, t.total),
+    est AS (
+      SELECT h.grp, h.p,
+             cu.bin * {_QS_BINW}
+               + {_QS_BINW} * (h.p * h.total - (cu.cum - cu.n)) / cu.n
+               AS est_q
+      FROM hit h JOIN cum cu ON cu.grp = h.grp AND cu.bin = h.bin),
+    exact AS (
+      SELECT o_orderpriority AS grp,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS e50,
+             percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS e90
+      FROM orders GROUP BY 1),
+    exact_rows AS (
+      SELECT grp, 0.5 AS p, e50 AS exact_q FROM exact
+      UNION ALL SELECT grp, 0.9, e90 FROM exact)
+    SELECT e.grp AS priority, e.p AS p,
+           ROUND(e.est_q, 6) AS est_quantile,
+           CAST(x.exact_q AS DOUBLE) AS exact_quantile,
+           ROUND(ABS(e.est_q - x.exact_q) / x.exact_q, 6) AS rel_err
+    FROM est e JOIN exact_rows x ON x.grp = e.grp AND x.p = e.p
+    ORDER BY priority, e.p
+"""
+
+
+@query(
+    "quantile_sketch_by_priority",
+    oracle=_GQS_ORACLE,
+    doc=f"GROUPED quantile sketch: one fixed-edge histogram per order "
+    f"priority (per-group bin counts still merge by cell-wise SUM — "
+    f"the grouped form of the sketch algebra), p50/p90 answered by "
+    f"per-group cumulative interpolation against the exact grouped "
+    f"percentile_disc. The cumulative window is PARTITIONED by group "
+    f"(never global); every relation after the one grouped count is "
+    f"groups×bins-bounded.",
+)
+def quantile_sketch_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    bin_ = F.least(
+        F.floor(F.col("o_totalprice") / _QS_BINW).cast("bigint"),
+        F.lit(_QS_MAXBIN).cast("bigint"),
+    )
+    c = (
+        o.select(F.col("o_orderpriority").alias("grp"), bin_.alias("bin"))
+        .groupBy("grp", "bin")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = W.partitionBy("grp").orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    cum = c.select("grp", "bin", "n", F.sum("n").over(w).alias("cum"))
+    tot = c.groupBy("grp").agg(F.sum("n").cast("bigint").alias("total"))
+    probes = o.sparkSession.createDataFrame([(0.5,), (0.9,)], "p double")
+    hit = (
+        cum.join(F.broadcast(tot), "grp")
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("cum") >= F.col("p") * F.col("total"))
+        .groupBy("grp", "p", "total")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = hit.join(F.broadcast(cum), ["grp", "bin"]).select(
+        "grp",
+        "p",
+        (
+            F.col("bin") * _QS_BINW
+            + _QS_BINW
+            * (F.col("p") * F.col("total") - (F.col("cum") - F.col("n")))
+            / F.col("n")
+        ).alias("est_q"),
+    )
+    exact = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias("e50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").alias("e90"),
+    )
+    exact_rows = exact.selectExpr(
+        "grp", "stack(2, 0.5D, e50, 0.9D, e90) AS (p, exact_q)"
+    )
+    return (
+        est.join(F.broadcast(exact_rows), ["grp", "p"])
+        .select(
+            F.col("grp").alias("priority"),
+            "p",
+            F.round("est_q", 6).alias("est_quantile"),
+            F.col("exact_q").cast("double").alias("exact_quantile"),
+            F.round(F.abs(F.col("est_q") - F.col("exact_q")) / F.col("exact_q"), 6).alias(
+                "rel_err"
+            ),
+        )
+        .orderBy("priority", "p")
+    )
