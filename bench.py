@@ -143,15 +143,18 @@ def main() -> None:
         json.dump(detail, f, indent=1)
     # Per-round snapshot so per-query regressions stay diffable after the
     # driver overwrites bench_detail.json next round. Round number = 1 +
-    # highest CORRECTNESS_r{N}.json present (the driver writes that file at
-    # the END of each round, so during round N the max on disk is N-1).
+    # highest BENCH_r{N}.json present. BENCH_r{N} is recorded strictly
+    # AFTER bench output exists, so this stamp is right for BOTH the
+    # builder's in-round runs AND the driver's end-of-round run — unlike
+    # the old CORRECTNESS_r* key, which the driver writes BEFORE running
+    # bench (that skew landed the r5 driver detail as r06).
     import glob
     import re
 
     rounds = [
         int(m.group(1))
-        for p in glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))
-        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+        for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
     ]
     rnd = (max(rounds) + 1) if rounds else 1
     with open(os.path.join(repo_dir, f"bench_detail_r{rnd:02d}.json"), "w") as f:

@@ -689,7 +689,7 @@ def neardup_pairs_multitable(
                 )
         return pd.concat(frames) if frames else empty
 
-    def verify_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def verify_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         bi, bj = key[2], key[3]
         if bi == bj:
             return _triangle(pdf)

@@ -688,13 +688,19 @@ def sig_verify_pairs(
 
 
 _GREEDY_DRIVER_MAX_EDGES = 200_000
+# Byte cap for the driver-lane collect: the edge cap alone is linear in id
+# width (a pathological 1 KiB string id would turn 200k edges into ~400 MB
+# on the driver). 32 MiB bounds the worst case regardless of id type.
+_GREEDY_DRIVER_MAX_BYTES = 32 * 1024 * 1024
 
 
 def _greedy_keep_driver(universe: DataFrame, edges: DataFrame, id_col: str) -> DataFrame:
     """Exact greedy-by-id maximal independent set on the driver — the
     small-graph lane of ``greedy_keep``. The collect is BOUNDED by the
-    measured edge count (<= _GREEDY_DRIVER_MAX_EDGES, checked by the
-    caller); semantics are identical to the distributed fixpoint: ids in
+    measured edge count (<= _GREEDY_DRIVER_MAX_EDGES) AND, for
+    variable-width ids, measured payload bytes (<=
+    _GREEDY_DRIVER_MAX_BYTES) — both checked by the caller; semantics
+    are identical to the distributed fixpoint: ids in
     ascending order, keep iff no smaller kept neighbor."""
     from collections import defaultdict
 
@@ -749,7 +755,17 @@ def greedy_keep(universe: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -
     )
     default_parallelism = universe.sparkSession.sparkContext.defaultParallelism
     n_edges = edges.count()  # materialized above — this is a cheap cached fold
-    if n_edges <= _GREEDY_DRIVER_MAX_EDGES:
+    driver_ok = n_edges <= _GREEDY_DRIVER_MAX_EDGES
+    if driver_ok and n_edges > 0 and dict(edges.dtypes)["_u"] not in (
+        "int", "bigint", "smallint", "tinyint"
+    ):
+        # Variable-width ids: the edge cap alone doesn't bound driver
+        # memory, so also measure payload bytes (cached fold — cheap).
+        payload = edges.agg(
+            F.sum(F.length(F.col("_u").cast("string")) + F.length(F.col("_v").cast("string")))
+        ).first()[0]
+        driver_ok = (payload or 0) <= _GREEDY_DRIVER_MAX_BYTES
+    if driver_ok:
         # Small-graph fast lane: the candidate graph (already bucketed-
         # bounded upstream) fits the driver, and the exact greedy is a
         # linear pass over sorted edges — one bounded collect replaces
