@@ -85,3 +85,103 @@ def scd2_dim_two_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("_valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         F.col("_is_current").alias("is_current"),
     ).orderBy("custkey", "valid_from")
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time dimensional lookup (the read side of SCD2; SURVEY §2.3 J4,
+# reference backend/server.js:370-375 "dimensional lookups"). The dim above
+# is effective-dated in 2026 — after every order — so the PIT query builds
+# the same two-batch dim on dates inside the order range: versions flip at
+# T2P, so orders before T2P for changed keys resolve to the CLOSED version
+# (old segment) and later orders to the open one.
+# ---------------------------------------------------------------------------
+
+T1P, T2P = "1995-01-01 00:00:00", "1998-06-01 00:00:00"
+
+_PIT_ORACLE = f"""
+    WITH b1 AS (
+      SELECT c_custkey AS custkey, c_mktsegment AS segment FROM customer),
+    b2 AS (
+      SELECT c_custkey AS custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN 'MACHINERY' ELSE c_mktsegment END AS segment
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 10000000, 'NEWSEGMENT' FROM customer WHERE c_custkey % 97 = 0),
+    changed AS (
+      SELECT b2.custkey, b2.segment AS new_seg, b1.segment AS old_seg
+      FROM b2 JOIN b1 USING (custkey) WHERE b1.segment <> b2.segment),
+    new_keys AS (
+      SELECT b2.custkey, b2.segment FROM b2
+      WHERE custkey NOT IN (SELECT custkey FROM b1)),
+    dim AS (
+      SELECT custkey, old_seg AS segment,
+             TIMESTAMP '{T1P}' AS valid_from,
+             TIMESTAMP '{T2P}' AS valid_to, FALSE AS is_current
+      FROM changed
+      UNION ALL
+      SELECT custkey, new_seg, TIMESTAMP '{T2P}', CAST(NULL AS TIMESTAMP), TRUE FROM changed
+      UNION ALL
+      SELECT b1.custkey, b1.segment, TIMESTAMP '{T1P}', CAST(NULL AS TIMESTAMP), TRUE
+      FROM b1 WHERE b1.custkey NOT IN (SELECT custkey FROM changed)
+      UNION ALL
+      SELECT custkey, segment, TIMESTAMP '{T2P}', CAST(NULL AS TIMESTAMP), TRUE FROM new_keys)
+    SELECT d.segment AS segment_at_order,
+           d.is_current AS version_is_current,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o.o_custkey) AS n_customers,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+    FROM orders o
+    JOIN dim d ON o.o_custkey = d.custkey
+      AND o.o_orderdate >= d.valid_from
+      AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
+@query(
+    "fact_at_event_time",
+    oracle=_PIT_ORACLE,
+    doc="Point-in-time SCD2 lookup: each order joins the dim VERSION valid "
+    "at o_orderdate (key equality + effective-date range), aggregated by "
+    "segment-at-order-time and version currency (SURVEY §2.3 J4 read side; "
+    "server.js:370-375 dimensional lookups). The natural-key equality "
+    "carries the shuffle — the date range is a post-join filter, never a "
+    "BNLJ on the fact side.",
+)
+def fact_at_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    b1 = c.select(F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment"))
+    b2 = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.when(F.col("c_custkey") % 7 == 0, "MACHINERY")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 97 == 0).select(
+            (F.col("c_custkey") + 10_000_000).alias("custkey"),
+            F.lit("NEWSEGMENT").alias("segment"),
+        )
+    )
+    dim = scd2_merge(scd2_init(b1, T1P), b2, ["custkey"], ["segment"], T2P)
+    joined = o.join(
+        dim,
+        (F.col("o_custkey") == F.col("custkey"))
+        & (F.col("o_orderdate") >= F.col("_valid_from"))
+        & (F.col("_valid_to").isNull() | (F.col("o_orderdate") < F.col("_valid_to"))),
+    )
+    return (
+        joined.groupBy(
+            F.col("segment").alias("segment_at_order"),
+            F.col("_is_current").alias("version_is_current"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+                "sum_totalprice"
+            ),
+        )
+        .orderBy("segment_at_order", "version_is_current")
+    )
