@@ -467,11 +467,12 @@ def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             tok.select(
                 "doc_id",
+                F.col("_pos"),
                 F.concat_ws(" ", F.col("_tok"), *leads).alias("_g"),
                 leads[-1].alias("_last"),
             )
             .where(F.col("_last").isNotNull())
-            .select("doc_id", "_g")
+            .select("doc_id", "_pos", "_g")
         )
 
     # span stream referenced 3x downstream (dup set, sizes, dup counts) —
@@ -500,6 +501,131 @@ def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_dup").alias("n_dup_spans"),
             F.round(frac, 6).alias("dup_span_frac"),
             F.when(frac > 0.5, 1).otherwise(0).alias("drop_flag"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SPAN_EXTENT_ORACLE = """
+    WITH tk AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+    gp AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks) - 7, 0))) AS pos
+      FROM tk WHERE len(toks) >= 8),
+    g AS (
+      SELECT doc_id, pos,
+             concat_ws(' ', toks[pos+1], toks[pos+2], toks[pos+3], toks[pos+4],
+                       toks[pos+5], toks[pos+6], toks[pos+7], toks[pos+8]) AS g
+      FROM gp),
+    dup AS (
+      SELECT g FROM (
+        SELECT g, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY g) WHERE nd >= 2),
+    hits AS (
+      SELECT doc_id, pos AS s, pos + 7 AS e FROM g JOIN dup USING (g)),
+    brk AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s <= COALESCE(MAX(e) OVER (
+                      PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9) + 1
+                  THEN 0 ELSE 1 END AS is_new
+      FROM hits),
+    isl AS (
+      SELECT doc_id, s, e,
+             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY s) AS gid
+      FROM brk),
+    ext AS (
+      SELECT doc_id, gid, MIN(s) AS span_start, MAX(e) AS span_end,
+             COUNT(*) AS n_grams
+      FROM isl GROUP BY doc_id, gid),
+    ntok AS (SELECT doc_id, len(toks) AS n_toks FROM tk)
+    SELECT e.doc_id,
+           COUNT(*) AS n_extents,
+           MAX(e.span_end - e.span_start + 1) AS longest_extent_toks,
+           CAST(SUM(e.span_end - e.span_start + 1) AS BIGINT) AS covered_toks,
+           ROUND(CAST(SUM(e.span_end - e.span_start + 1) AS DOUBLE)
+                 / MAX(n.n_toks), 6) AS covered_frac
+    FROM ext e JOIN ntok n ON e.doc_id = n.doc_id
+    GROUP BY e.doc_id
+    ORDER BY e.doc_id
+"""
+
+
+@query(
+    "doc_duplicate_span_extents",
+    oracle=_SPAN_EXTENT_ORACLE,
+    doc="Maximal repeated-span extents (the substring-fidelity step of "
+    "Lee et al. 2022 dedup): duplicated word-8-gram hits are stitched "
+    "into maximal per-doc token intervals — overlapping or adjacent "
+    "[pos, pos+7] hits merge via gaps-and-islands (running MAX(end) "
+    "window, break when a hit starts past it), then per-doc extent "
+    "count / longest / covered tokens / coverage fraction. Pure "
+    "interval algebra over the SAME memoized span-hit relation as "
+    "doc_duplicate_spans — no new corpus scan; every window is "
+    "partitioned by doc_id, so the plan holds at 100 TB.",
+)
+def doc_duplicate_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = 8
+    d = _docs(spark, sf_dir)
+    from ..operators.text_dedup import token_stream
+
+    def build() -> DataFrame:
+        tok = token_stream(d, "doc_id", "text").withColumnRenamed("_id", "doc_id")
+        w = W.partitionBy("doc_id").orderBy("_pos")
+        leads = [F.lead("_tok", j).over(w) for j in range(1, n)]
+        return (
+            tok.select(
+                "doc_id",
+                F.col("_pos"),
+                F.concat_ws(" ", F.col("_tok"), *leads).alias("_g"),
+                leads[-1].alias("_last"),
+            )
+            .where(F.col("_last").isNotNull())
+            .select("doc_id", "_pos", "_g")
+        )
+
+    grams = _memo(d, ("span_index", n), build)
+    dup = (
+        grams.groupBy("_g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("_g")
+    )
+    hits = grams.join(dup, "_g", "left_semi").select(
+        "doc_id", F.col("_pos").alias("s"), (F.col("_pos") + n - 1).alias("e")
+    )
+    w_run = (
+        W.partitionBy("doc_id").orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    )
+    brk = hits.withColumn(
+        "is_new",
+        F.when(
+            F.col("s") <= F.coalesce(F.max("e").over(w_run), F.lit(-9)) + 1, 0
+        ).otherwise(1),
+    )
+    isl = brk.withColumn(
+        "gid", F.sum("is_new").over(W.partitionBy("doc_id").orderBy("s"))
+    )
+    ext = isl.groupBy("doc_id", "gid").agg(
+        F.min("s").alias("span_start"), F.max("e").alias("span_end")
+    )
+    ntok = (
+        token_stream(d, "doc_id", "text")
+        .groupBy(F.col("_id").alias("doc_id"))
+        .agg(F.count("*").alias("n_toks"))
+    )
+    span_len = F.col("span_end") - F.col("span_start") + 1
+    return (
+        ext.join(ntok, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_extents"),
+            F.max(span_len).alias("longest_extent_toks"),
+            F.sum(span_len).alias("covered_toks"),
+            F.round(
+                F.sum(span_len).cast("double") / F.max("n_toks"), 6
+            ).alias("covered_frac"),
         )
         .orderBy("doc_id")
     )
