@@ -88,6 +88,14 @@ def fold_into_state(
         merged = merge(spark.read.parquet(state_dir), batch_cells)
     else:
         merged = batch_cells
+    swap_in_state(state_dir, batch_id, merged)
+
+
+def swap_in_state(state_dir: str, batch_id: int, merged: DataFrame) -> None:
+    """Atomically replace the state table with ``merged`` and record
+    ``batch_id`` in the same swap. ``merged`` may lazily READ the live
+    ``state_dir`` — it is fully materialized into the ``.tmp-*`` sibling
+    before any rename touches the live dir."""
     tmp = f"{state_dir}.tmp-{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, _BATCH_ID_FILE), "w", encoding="ascii") as f:

@@ -1674,3 +1674,122 @@ def test_bloom_membership_report_matches_batch_probe(spark, tmp_path):
         r.bit for r in spark.read.parquet(str(tmp_path / "state")).collect()
     }
     assert state_bits == batch_bits
+
+
+# ---------------------------------------------------------------------------
+# streaming SCD2 dimension maintenance (CDC-fed warehouse path)
+# ---------------------------------------------------------------------------
+
+_SCD2_T1, _SCD2_T2 = "1995-01-01 00:00:00", "1998-06-01 00:00:00"
+
+
+def _scd2_batches(spark):
+    """The two deterministic customer batches of the certified batch query
+    (plans/warehouse_queries.py::scd2_dim_two_batches), each with an
+    event-time column for the stream to derive its batch timestamp from."""
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    b1 = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(_SCD2_T1).alias("event_ts"),
+    )
+    b2 = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.when(F.col("c_custkey") % 7 == 0, "MACHINERY")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.lit(_SCD2_T2).alias("event_ts"),
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 97 == 0).select(
+            (F.col("c_custkey") + 10_000_000).alias("custkey"),
+            F.lit("NEWSEGMENT").alias("segment"),
+            F.lit(_SCD2_T2).alias("event_ts"),
+        )
+    )
+    return b1, b2
+
+
+def _dim_rows(df):
+    return {
+        (
+            r.custkey,
+            r.segment,
+            str(r._valid_from),
+            str(r._valid_to),
+            r._is_current,
+        )
+        for r in df.collect()
+    }
+
+
+def test_scd2_stream_equals_batch(spark, tmp_path):
+    # Two micro-batches through the streaming maintenance loop must land
+    # the EXACT dimension the batch operator produces for the same two
+    # batches (stream-equals-batch for the warehouse path, SURVEY §7.6).
+    from date_warehouse___airline_project_spark.operators.scd2 import (
+        scd2_init,
+        scd2_merge,
+    )
+    from date_warehouse___airline_project_spark.streaming.scd2_stream import (
+        run_scd2_stream,
+    )
+
+    b1, b2 = _scd2_batches(spark)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    dim_dir = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "custkey LONG, segment STRING, event_ts STRING"
+
+    for n, b in enumerate((b1, b2)):
+        b.coalesce(1).write.mode("overwrite").parquet(str(in_dir / f"b{n}"))
+        updates = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(in_dir))
+        )
+        q = run_scd2_stream(
+            updates, dim_dir, ckpt, ["custkey"], ["segment"], "event_ts"
+        )
+        q.awaitTermination(120)
+
+    want = scd2_merge(
+        scd2_init(b1.drop("event_ts"), _SCD2_T1),
+        b2.drop("event_ts"),
+        ["custkey"],
+        ["segment"],
+        _SCD2_T2,
+    )
+    got = spark.read.parquet(dim_dir)
+    assert _dim_rows(got) == _dim_rows(want)
+    # at most one current row per key (SCD2 invariant)
+    cur = got.filter("_is_current").groupBy("custkey").count().filter("count > 1")
+    assert cur.count() == 0
+
+
+def test_scd2_stream_replay_and_crash_recovery(spark, tmp_path):
+    from date_warehouse___airline_project_spark.streaming.scd2_stream import (
+        apply_scd2_batch,
+    )
+
+    b1, b2 = _scd2_batches(spark)
+    dim_dir = str(tmp_path / "dim")
+    apply_scd2_batch(spark, dim_dir, b1, 0, ["custkey"], ["segment"], "event_ts")
+    apply_scd2_batch(spark, dim_dir, b2, 1, ["custkey"], ["segment"], "event_ts")
+    before = _dim_rows(spark.read.parquet(dim_dir))
+
+    # (a) redelivered batch id: guard must skip, state byte-identical
+    apply_scd2_batch(spark, dim_dir, b2, 1, ["custkey"], ["segment"], "event_ts")
+    assert _dim_rows(spark.read.parquet(dim_dir)) == before
+
+    # (b) crash window mid-swap: live dir renamed aside, redelivery must
+    # restore the backup and then skip via the recorded batch id
+    os.rename(dim_dir, dim_dir + ".old-deadbeef")
+    apply_scd2_batch(spark, dim_dir, b2, 1, ["custkey"], ["segment"], "event_ts")
+    assert _dim_rows(spark.read.parquet(dim_dir)) == before
+    assert not os.path.exists(dim_dir + ".old-deadbeef")
+
+    # (c) same update rows under a NEW batch id: SCD2 no-op semantics —
+    # nothing changed, nothing closed, no duplicate versions
+    apply_scd2_batch(spark, dim_dir, b2, 2, ["custkey"], ["segment"], "event_ts")
+    assert _dim_rows(spark.read.parquet(dim_dir)) == before
