@@ -27,7 +27,7 @@ Ties everywhere break on the lower id, making top-k cuts stable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 
@@ -747,6 +747,17 @@ def save_ivf_index(
         .partitionBy("centroid_id")
         .parquet(f"{path}/assignments")
     )
+    # training-time cell populations — the baseline the drift monitor
+    # (ivf_cell_drift) compares live cell counts against to signal retrain
+    spark = emb.sparkSession
+    (
+        spark.read.parquet(f"{path}/assignments")
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n_train"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/cell_stats")
+    )
     # codebook stays persisted: it is shared via the kmeans_lloyd memo
 
 
@@ -831,4 +842,41 @@ def append_to_ivf_index(
         .write.mode("append")
         .partitionBy("centroid_id")
         .parquet(f"{path}/assignments")
+    )
+
+
+def ivf_cell_drift(
+    spark: SparkSession, path: str, retrain_threshold: float = 0.25
+) -> DataFrame:
+    """Per-cell drift of a persisted IVF index: live assignment counts vs
+    the training-time populations saved by ``save_ivf_index``.
+
+    Appends (``append_to_ivf_index``) grow cells without retraining; once
+    a cell's added fraction passes ``retrain_threshold`` the codebook no
+    longer reflects the data distribution and the probe's recall decays —
+    the flag is the retrain signal. Counting rows per ``centroid_id`` over
+    a centroid-PARTITIONED layout is a metadata-cheap scan (no vector
+    column read), and the result is one row per cell — bounded by the
+    codebook size regardless of corpus volume.
+    """
+    stats = spark.read.parquet(f"{path}/cell_stats")
+    cur = (
+        spark.read.parquet(f"{path}/assignments")
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n_current"))
+    )
+    added = F.col("n_current") - F.col("n_train")
+    frac = added.cast("double") / F.col("n_train")
+    return (
+        stats.join(cur, "centroid_id", "left")
+        .na.fill({"n_current": 0})
+        .select(
+            "centroid_id",
+            "n_train",
+            "n_current",
+            added.alias("n_added"),
+            F.round(frac, 6).alias("added_frac"),
+            F.when(frac > retrain_threshold, 1).otherwise(0).alias("retrain_flag"),
+        )
+        .orderBy("centroid_id")
     )

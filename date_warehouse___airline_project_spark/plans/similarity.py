@@ -229,6 +229,74 @@ def emb_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_indexed(e, path, query_id=0, k=10, nprobe=2)
 
 
+_IVF_DRIFT_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id % 25 = 0),
+    samp AS (SELECT vec_id, emb FROM e WHERE vec_id % 4 = 0),
+    {_iter_sql(1, 'c0')},
+    {_iter_sql(2, 'c1')},
+    af AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_rank_sql('e.emb', 'c.cvec')} DESC, c.cid) AS rn
+        FROM e, c2 c) WHERE rn = 1),
+    train AS (SELECT cid, COUNT(*) AS n_train FROM af GROUP BY cid),
+    added AS (
+      SELECT cid, COUNT(*) AS n_added FROM af WHERE vec_id % 3 = 1 GROUP BY cid)
+    SELECT t.cid AS centroid_id,
+           t.n_train,
+           CAST(t.n_train + COALESCE(a.n_added, 0) AS BIGINT) AS n_current,
+           CAST(COALESCE(a.n_added, 0) AS BIGINT) AS n_added,
+           ROUND(CAST(COALESCE(a.n_added, 0) AS DOUBLE) / t.n_train, 6)
+               AS added_frac,
+           CASE WHEN CAST(COALESCE(a.n_added, 0) AS DOUBLE) / t.n_train > 0.25
+                THEN 1 ELSE 0 END AS retrain_flag
+    FROM train t LEFT JOIN added a USING (cid)
+    ORDER BY centroid_id
+"""
+
+
+@query(
+    "emb_ivf_cell_drift",
+    oracle=_IVF_DRIFT_ORACLE,
+    doc="IVF index drift monitor (operators/similarity.py::ivf_cell_drift): "
+    "after a frozen-codebook append (vec_id % 3 == 1 re-ingested as "
+    "vec_id + 1M via append_to_ivf_index), compare live per-cell counts "
+    "against the training-time populations persisted in cell_stats — "
+    "added fraction > 0.25 flags the cell for retrain. The oracle replays "
+    "the Lloyd training and assigns both the corpus and the appended "
+    "batch (identical vectors → identical cells). One row per cell, "
+    "bounded by codebook size at any corpus scale; counting a "
+    "centroid-partitioned layout reads no vector data.",
+)
+def emb_ivf_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.similarity import (
+        append_to_ivf_index,
+        ivf_cell_drift,
+        save_ivf_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir, 25, 4, 2, "drift")
+    path = _IVF_INDEX_MEMO.get(key)
+    if path is None:
+        # own index copy — the shared emb_ivf_indexed_topk index must keep
+        # its training-time populations un-drifted
+        path = tempfile.mkdtemp(prefix="spark_graft_ivf_drift_")
+        save_ivf_index(e, path, centroid_mod=25, sample_mod=4, iters=2)
+        append_to_ivf_index(
+            e.filter(F.col("vec_id") % 3 == 1).withColumn(
+                "vec_id", F.col("vec_id") + 1_000_000
+            ),
+            path,
+        )
+        _IVF_INDEX_MEMO[key] = path
+    return ivf_cell_drift(spark, path)
+
+
 _NEARDUP_BUCKET_SQL = "||".join(
     f"(CASE WHEN embedding[{d + 1}] >= 0 THEN '1' ELSE '0' END)" for d in range(4)
 )
