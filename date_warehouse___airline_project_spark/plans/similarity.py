@@ -13,7 +13,7 @@ as a belt-and-braces measure.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -1290,4 +1290,65 @@ def emb_ivf_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hits") / 10.0, 4).alias("recall_at_10"),
         )
         .orderBy("nprobe")
+    )
+
+
+# ---------------------------------------------------------------------------
+# batch k-NN join: top-k neighbors for EVERY query in a query set, in one
+# pass — the shape a retrieval/eval pipeline needs (one query at a time
+# would re-scan the corpus per query).
+# ---------------------------------------------------------------------------
+
+_KNN_JOIN_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.qid, e.vec_id, e.label,
+             {_cos_sql('e.embedding', 'q.qv')} AS cs
+      FROM embeddings e, q WHERE e.vec_id <> q.qid)
+    SELECT qid, vec_id, label, ROUND(cs, 6) AS cos_sim
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) <= 3
+    ORDER BY qid, cos_sim DESC, vec_id
+"""
+
+
+@query(
+    "emb_knn_join",
+    oracle=_KNN_JOIN_ORACLE,
+    doc="Batch k-NN join: exact cosine top-3 for every query in a "
+    "broadcast query set (vec_id % 100 == 0) in ONE corpus pass. "
+    "Two-phase top-k: a salted window (qid, salt) takes per-slice "
+    "top-3 with balanced partitions, then a final window over the "
+    "Q x salt x 3 survivors — the corpus-scale shuffle is never "
+    "partitioned by qid alone, so a small query set cannot skew "
+    "reducers at 100 TB. Scoring is map-side (query set broadcast).",
+)
+def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 3
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("qv")).alias("_cs"),
+            F.pmod(F.hash("vec_id"), F.lit(32)).alias("_salt"),
+        )
+    )
+    w1 = W.partitionBy("qid", "_salt").orderBy(F.desc("_cs"), F.asc("vec_id"))
+    w2 = W.partitionBy("qid").orderBy(F.desc("_cs"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= k)
+        .select("qid", "vec_id", "label", F.round("_cs", 6).alias("cos_sim"))
+        .orderBy("qid", F.desc("cos_sim"), "vec_id")
     )

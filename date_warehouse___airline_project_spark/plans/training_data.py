@@ -1355,3 +1355,100 @@ def doc_curation_accounting_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return accounting_of(
         batch_curate_v2(d, None, None, winners=winners, sig=win_sig)
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# per-source token-budget allocation (sqrt-proportional data mixing)
+# ---------------------------------------------------------------------------
+
+_BUDGET_ORACLE = """
+    WITH tk AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
+      FROM documents),
+    src AS (
+      SELECT source, CAST(SUM(n_tok) AS BIGINT) AS t_src
+      FROM tk GROUP BY source),
+    tot AS (
+      SELECT CAST(FLOOR(0.4 * SUM(t_src)) AS BIGINT) AS budget,
+             CAST(SUM(CAST(ROUND(SQRT(t_src), 8) AS DECIMAL(27,10))) AS DOUBLE)
+                 AS sum_rsqrt
+      FROM src),
+    alloc AS (
+      SELECT s.source, s.t_src,
+             CAST(FLOOR(CAST(t.budget AS DOUBLE) * ROUND(SQRT(s.t_src), 8)
+                        / t.sum_rsqrt) AS BIGINT) AS alloc_tokens
+      FROM src s, tot t),
+    cum AS (
+      SELECT doc_id, source, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_before
+      FROM tk),
+    kept AS (
+      SELECT c.source, c.n_tok FROM cum c JOIN alloc a USING (source)
+      WHERE c.cum_before < a.alloc_tokens)
+    SELECT a.source, a.t_src AS total_tokens, a.alloc_tokens,
+           COALESCE(k.n_docs, 0) AS n_docs_kept,
+           COALESCE(k.tok, 0) AS tokens_kept
+    FROM alloc a LEFT JOIN (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS tok
+      FROM kept GROUP BY source) k USING (source)
+    ORDER BY a.source
+"""
+
+
+@query(
+    "doc_token_budget_allocation",
+    oracle=_BUDGET_ORACLE,
+    doc="Sqrt-proportional token-budget allocation across sources (the "
+    "data-mixing step of a training run with a fixed token budget): a "
+    "global budget of 40% of corpus tokens is split per source "
+    "proportional to sqrt(source tokens) — temperature-style "
+    "up-weighting of small sources — then each source keeps docs in "
+    "doc_id order while the running total stays under its allocation. "
+    "Two bounded relations (one row per source) + one source-partitioned "
+    "cumulative window over the corpus; the sqrt-sum folds in DECIMAL on "
+    "8dp-rounded terms so allocations are partition-order-invariant.",
+)
+def doc_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tk = d.select("doc_id", "source", F.size(tokens("text")).alias("n_tok"))
+    src = tk.groupBy("source").agg(F.sum("n_tok").alias("t_src"))
+    rsqrt = F.round(F.sqrt(F.col("t_src").cast("double")), 8)
+    tot = src.agg(
+        F.floor(F.lit(0.4) * F.sum("t_src")).cast("bigint").alias("budget"),
+        F.sum(rsqrt.cast("decimal(27,10)")).cast("double").alias("sum_rsqrt"),
+    )
+    alloc = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "t_src",
+        F.floor(
+            F.col("budget").cast("double") * rsqrt / F.col("sum_rsqrt")
+        ).cast("bigint").alias("alloc_tokens"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = tk.withColumn("cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    kept = (
+        cum.join(alloc.select("source", "alloc_tokens"), "source")
+        .filter(F.col("cum_before") < F.col("alloc_tokens"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("tok"))
+    )
+    return (
+        alloc.join(kept, "source", "left")
+        .na.fill({"n_docs": 0, "tok": 0})
+        .select(
+            "source",
+            F.col("t_src").alias("total_tokens"),
+            "alloc_tokens",
+            F.col("n_docs").alias("n_docs_kept"),
+            F.col("tok").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )

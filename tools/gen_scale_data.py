@@ -87,9 +87,10 @@ def _gen_documents(out_dir: str, k: int, rng: np.random.Generator) -> None:
     lang = rng.choice(LANGS, size=n, p=LANG_P)
     source = np.array([f"src{i}" for i in rng.integers(0, N_SOURCES, size=n)])
     lengths = rng.integers(40, 72, size=n)
+    vocab_p = globals().get("_VOCAB_P")  # open-vocab mode: Zipf weights
     texts: list[str] = []
     for i in range(n):
-        toks = rng.choice(VOCAB, size=lengths[i])
+        toks = rng.choice(VOCAB, size=lengths[i], p=vocab_p)
         texts.append(" ".join(toks))
     # plant duplicates at a fixed rate, always pointing at EARLIER docs so
     # density is uniform in corpus position (no boundary artifacts)
@@ -135,14 +136,28 @@ def _gen_embeddings(out_dir: str, k: int, rng: np.random.Generator) -> None:
 
 def main() -> None:
     out_dir, k = sys.argv[1], int(sys.argv[2])
+    opts = sys.argv[3:]
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(42 + k)
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events"):
-        _copy_shift(t, out_dir, k)
+    if "--open-vocab" in opts:
+        # Open-vocabulary corpus: the driver corpus's closed 30-word vocab
+        # saturates every possible shingle past any df-cap at ~10× scale
+        # (27,000 possible trigrams, all with df ≈ 100 at k=10), which
+        # makes inverted-index families measure nothing. A Zipf-ish open
+        # vocab keeps the df distribution scale-stable — the realistic
+        # shape for web-scale text.
+        global VOCAB
+        ranks = np.arange(1, 5001)
+        weights = 1.0 / ranks
+        VOCAB = [f"w{i}" for i in ranks]
+        globals()["_VOCAB_P"] = weights / weights.sum()
+    if "--docs-only" not in opts:
+        for t in ("region", "nation", "customer", "supplier", "part", "orders",
+                  "lineitem", "events"):
+            _copy_shift(t, out_dir, k)
+        _gen_embeddings(out_dir, k, rng)
     _gen_documents(out_dir, k, rng)
-    _gen_embeddings(out_dir, k, rng)
-    print(f"wrote {out_dir} at k={k}")
+    print(f"wrote {out_dir} at k={k} {' '.join(opts)}")
 
 
 if __name__ == "__main__":

@@ -63,6 +63,11 @@ ALLOW = {
     "neardup_degree_distribution": {"NESTED-LOOP"},  # (a) 1-row totals attach
     # (b) source × vocabulary dense grid — both sides domain-bounded
     "jsd_source_divergence": {"NESTED-LOOP"},
+    # (b) broadcast query-set grid (vec_id % 100, constant-size in the
+    # corpus) — scoring is map-side; top-k windows are salted/partitioned
+    "emb_knn_join": {"NESTED-LOOP"},
+    # (a) 1-row budget/sqrt-sum scalar attach to the per-source relation
+    "doc_token_budget_allocation": {"NESTED-LOOP"},
     "market_share_by_segment": {"GLOBAL-WINDOW"},  # window over 5-row agg
     "sql_forecast_revenue_change": {"GLOBAL-WINDOW"},  # lag over 7-row agg
     # (a)+(b): 1-row total attach + 3-probe theta-join, both against the

@@ -43,17 +43,22 @@ def main() -> None:
     results_path = (
         sys.argv[3] if len(sys.argv) > 3 else "scale_data/scaling_results.jsonl"
     )
+    queries = sys.argv[4].split(",") if len(sys.argv) > 4 else QUERIES
     import __spark_entry__ as entry_mod
     from date_warehouse___airline_project_spark.session import get_spark
 
     spark = get_spark(f"scaling-k{k}")
     qs = entry_mod.queries()
-    # warmup: JVM + Arrow worker spawn, not counted
-    entry_mod.plans.REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).collect()
+    # warmup: JVM + Arrow worker spawn, not counted (docs-only sweep dirs
+    # have no lineitem, so fall back to a documents scan there)
+    if os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
+        entry_mod.plans.REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).collect()
+    else:
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
     spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
-    for name in QUERIES:
+    for name in queries:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
