@@ -182,6 +182,72 @@ def doc_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_LANG_CONFUSION_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+    h AS (
+      SELECT doc_id, lang,
+           {_langid_hits_sql()},
+           greatest(h_en, h_de, h_fr, h_es) AS g
+      FROM t),
+    p AS (
+      SELECT lang AS declared_lang,
+             CASE WHEN g = 0 THEN 'und'
+                  WHEN h_en = g THEN 'en'
+                  WHEN h_de = g THEN 'de'
+                  WHEN h_fr = g THEN 'fr'
+                  ELSE 'es' END AS predicted_lang
+      FROM h),
+    d AS (SELECT declared_lang, CAST(COUNT(*) AS BIGINT) AS n_declared
+          FROM p GROUP BY declared_lang)
+    SELECT p.declared_lang, p.predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(d.n_declared), 6) AS frac,
+           CASE WHEN p.declared_lang = p.predicted_lang THEN 1 ELSE 0 END
+               AS agree
+    FROM p JOIN d USING (declared_lang)
+    GROUP BY p.declared_lang, p.predicted_lang
+    ORDER BY p.declared_lang, p.predicted_lang
+"""
+
+
+@query(
+    "doc_lang_confusion",
+    oracle=_LANG_CONFUSION_ORACLE,
+    doc="Declared-vs-detected language confusion matrix — the "
+    "data-quality audit a curation pipeline runs on its lang metadata: "
+    "per (declared, predicted) pair the doc count and share of that "
+    "declared lang, with an agreement flag. One pass over the langid "
+    "heuristic's per-doc verdicts + a langs² grouped aggregate "
+    "(bounded by the language inventory, not the corpus).",
+)
+def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    verdicts = doc_langid_heuristic(spark, sf_dir).select(
+        "declared_lang", "predicted_lang"
+    )
+    declared = verdicts.groupBy("declared_lang").agg(
+        F.count("*").alias("n_declared")
+    )
+    return (
+        verdicts.groupBy("declared_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .join(declared, "declared_lang")
+        .select(
+            "declared_lang",
+            "predicted_lang",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("n_declared"), 6).alias(
+                "frac"
+            ),
+            F.when(F.col("declared_lang") == F.col("predicted_lang"), 1)
+            .otherwise(0)
+            .alias("agree"),
+        )
+        .orderBy("declared_lang", "predicted_lang")
+    )
+
+
 # GPT-2-style pre-tokenizer shape: contraction suffixes, space-prefixed
 # letter runs, digit runs, punctuation runs, residual whitespace. Both
 # engines compile it the same way (no lookarounds).
