@@ -1203,3 +1203,127 @@ def quantile_sketch_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "p")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom false-positive-rate curve: measured vs theoretical across sizes
+# ---------------------------------------------------------------------------
+
+_FPR_MS = (256, 1024, 4096)
+
+
+def _fpr_block_sql(m: int) -> str:
+    h_build = _HASH_SQL.format(
+        c="CONCAT(CAST(j AS VARCHAR), ':', CAST(k AS VARCHAR))"
+    )
+    h_probe = _HASH_SQL.format(
+        c="CONCAT(CAST(s.j AS VARCHAR), ':', CAST(p.k AS VARCHAR))"
+    )
+    return f"""
+    SELECT CAST({m} AS BIGINT) AS m, CAST({_BLOOM_K} AS BIGINT) AS k,
+           n_keys, n_bits_set, n_nonmembers, n_false_positives,
+           ROUND(CAST(n_false_positives AS DOUBLE) / n_nonmembers, 6)
+               AS measured_fpr,
+           ROUND(POWER(1 - POWER(1 - 1.0 / {m},
+                                 {_BLOOM_K} * CAST(n_keys AS DOUBLE)),
+                       {_BLOOM_K}), 6) AS theoretical_fpr
+    FROM (
+      WITH build_keys AS (
+        SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 400000),
+      seeds AS (SELECT UNNEST(range(0, {_BLOOM_K})) AS j),
+      build_bits AS (
+        SELECT DISTINCT {h_build} % {m} AS bit FROM build_keys, seeds),
+      nonmember AS (
+        SELECT c.c_custkey AS k FROM customer c
+        LEFT JOIN build_keys b ON c.c_custkey = b.k WHERE b.k IS NULL),
+      hits AS (
+        SELECT p.k, SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        FROM nonmember p CROSS JOIN seeds s
+        LEFT JOIN build_bits b ON {h_probe} % {m} = b.bit
+        GROUP BY p.k),
+      fp AS (SELECT k FROM hits WHERE n_hit = {_BLOOM_K})
+      SELECT (SELECT COUNT(*) FROM build_keys) AS n_keys,
+             (SELECT COUNT(*) FROM build_bits) AS n_bits_set,
+             (SELECT COUNT(*) FROM nonmember) AS n_nonmembers,
+             (SELECT COUNT(*) FROM fp) AS n_false_positives)
+    """
+
+
+_FPR_CURVE_ORACLE = (
+    "\nUNION ALL\n".join(_fpr_block_sql(m) for m in _FPR_MS) + "\nORDER BY m"
+)
+
+
+@query(
+    "bloom_fpr_curve",
+    oracle=_FPR_CURVE_ORACLE,
+    doc=f"Bloom-filter false-positive-rate curve: the SAME big-spender key "
+    f"set built into k={_BLOOM_K} filters at m={list(_FPR_MS)}, every "
+    f"NON-member customer probed, measured FPR next to the theoretical "
+    f"(1-(1-1/m)^kn)^k — the honesty metric a sketch deployment sizes "
+    f"its filters with (the ANN-recall analogue for bloom_membership_"
+    f"sketch). Per size: bits relation bounded by m, probe verdicts one "
+    f"keyed aggregate; output is 3 rows regardless of corpus scale.",
+)
+def bloom_fpr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seeds = F.array(*[F.lit(j) for j in range(_BLOOM_K)])
+    build_keys = (
+        o.filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    nonmember = c.select(F.col("c_custkey").alias("k")).join(
+        build_keys, "k", "left_anti"
+    )
+    rows = None
+    for m in _FPR_MS:
+        build_bits = (
+            build_keys.select(F.explode(seeds).alias("j"), "k")
+            .select(seeded_bucket(F.col("k"), F.col("j"), m).alias("bit"))
+            .distinct()
+        )
+        probe_bits = nonmember.select("k", F.explode(seeds).alias("j")).select(
+            "k", seeded_bucket(F.col("k"), F.col("j"), m).alias("bit")
+        )
+        hits = (
+            probe_bits.join(
+                F.broadcast(build_bits.withColumn("_f", F.lit(1))), "bit", "left"
+            )
+            .groupBy("k")
+            .agg(F.sum(F.coalesce(F.col("_f"), F.lit(0))).alias("n_hit"))
+        )
+        fp_cnt = hits.filter(F.col("n_hit") == _BLOOM_K).agg(
+            F.count("*").alias("n_false_positives")
+        )
+        theo = F.pow(
+            1
+            - F.pow(
+                F.lit(1.0) - 1.0 / m,
+                F.lit(_BLOOM_K) * F.col("n_keys").cast("double"),
+            ),
+            F.lit(_BLOOM_K),
+        )
+        row = (
+            build_keys.agg(F.count("*").alias("n_keys"))
+            .crossJoin(build_bits.agg(F.count("*").alias("n_bits_set")))
+            .crossJoin(nonmember.agg(F.count("*").alias("n_nonmembers")))
+            .crossJoin(fp_cnt)
+            .select(
+                F.lit(m).cast("bigint").alias("m"),
+                F.lit(_BLOOM_K).cast("bigint").alias("k"),
+                "n_keys",
+                "n_bits_set",
+                "n_nonmembers",
+                "n_false_positives",
+                F.round(
+                    F.col("n_false_positives").cast("double")
+                    / F.col("n_nonmembers"),
+                    6,
+                ).alias("measured_fpr"),
+                F.round(theo, 6).alias("theoretical_fpr"),
+            )
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.orderBy("m")

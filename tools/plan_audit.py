@@ -45,6 +45,7 @@ ALLOW = {
     "trailing_distinct_users": {"NESTED-LOOP"},  # (a) date-bounds scalar
     "funnel_stage_counts": {"NESTED-LOOP"},  # (a) stage-total scalar
     "bloom_membership_sketch": {"NESTED-LOOP"},  # (a) 1-row stat aggregates
+    "bloom_fpr_curve": {"NESTED-LOOP"},  # (a) 1-row stat aggregates per size
     "hll_distinct_sketch": {"NESTED-LOOP"},  # (a) 1-row stat aggregates
     "hll_set_algebra": {"NESTED-LOOP"},  # (a) 1-row sketch summaries + exact stats
     "dedup_method_agreement": {"NESTED-LOOP"},  # (a) 1-row count aggregates
