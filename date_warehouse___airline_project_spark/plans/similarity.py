@@ -1352,3 +1352,105 @@ def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id", "label", F.round("_cs", 6).alias("cos_sim"))
         .orderBy("qid", F.desc("cos_sim"), "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# dimension-truncation retrieval quality (Matryoshka-style compression)
+# ---------------------------------------------------------------------------
+
+_TRUNC_DIMS = 16
+
+
+def _cos_trunc_sql(a: str, b: str, d: int) -> str:
+    sa, sb = f"{a}[1:{d}]", f"{b}[1:{d}]"
+    return (
+        f"list_dot_product(CAST({sa} AS DOUBLE[]), CAST({sb} AS DOUBLE[]))"
+        f" / (SQRT(list_dot_product(CAST({sa} AS DOUBLE[]), CAST({sa} AS DOUBLE[])))"
+        f" * SQRT(list_dot_product(CAST({sb} AS DOUBLE[]), CAST({sb} AS DOUBLE[]))))"
+    )
+
+
+_TRUNC_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 100 = 0),
+    full_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY {_cos_sql('e.embedding', 'q.qv')} DESC, e.vec_id) AS rn
+        FROM embeddings e, q WHERE e.vec_id <> q.qid) WHERE rn <= 10),
+    trunc_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY {_cos_trunc_sql('e.embedding', 'q.qv', _TRUNC_DIMS)}
+                            DESC, e.vec_id) AS rn
+        FROM embeddings e, q WHERE e.vec_id <> q.qid) WHERE rn <= 10)
+    SELECT f.qid,
+           CAST(COUNT(t.vec_id) AS BIGINT) AS n_overlap_at_10,
+           ROUND(COUNT(t.vec_id) / 10.0, 6) AS overlap_frac
+    FROM full_top f LEFT JOIN trunc_top t USING (qid, vec_id)
+    GROUP BY f.qid
+    ORDER BY f.qid
+"""
+
+
+@query(
+    "emb_dim_truncation_overlap",
+    oracle=_TRUNC_ORACLE,
+    doc=f"Dimension-truncation retrieval quality (Matryoshka-style "
+    f"compression audit): per query (vec_id % 100), overlap@10 between "
+    f"the FULL 64d cosine top-10 and the top-10 using only the first "
+    f"{_TRUNC_DIMS} dims — the measurement that decides whether a "
+    f"truncated index is good enough before switching storage to it. "
+    f"Both rankings come from the same broadcast query-set pass "
+    f"(slice() is computed inline, no second corpus materialization); "
+    f"output is one row per query regardless of corpus size.",
+)
+def emb_dim_truncation_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("qv")).alias("_cs_full"),
+            cosine(
+                F.slice(F.col("embedding"), 1, _TRUNC_DIMS),
+                F.slice(F.col("qv"), 1, _TRUNC_DIMS),
+            ).alias("_cs_trunc"),
+            F.pmod(F.hash("vec_id"), F.lit(32)).alias("_salt"),
+        )
+    )
+
+    def top10(score_col: str) -> DataFrame:
+        # salted two-phase top-k (same scale discipline as emb_knn_join):
+        # the corpus-scale window partitions by (qid, salt), never qid alone
+        w1 = W.partitionBy("qid", "_salt").orderBy(F.desc(score_col), F.asc("vec_id"))
+        w2 = W.partitionBy("qid").orderBy(F.desc(score_col), F.asc("vec_id"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= 10)
+            .withColumn("_rn2", F.row_number().over(w2))
+            .filter(F.col("_rn2") <= 10)
+            .select("qid", "vec_id")
+        )
+
+    full_top = top10("_cs_full")
+    trunc_top = top10("_cs_trunc").withColumn("_hit", F.lit(1))
+    return (
+        full_top.join(trunc_top, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_overlap_at_10"))
+        .select(
+            "qid",
+            "n_overlap_at_10",
+            F.round(F.col("n_overlap_at_10") / 10.0, 6).alias("overlap_frac"),
+        )
+        .orderBy("qid")
+    )

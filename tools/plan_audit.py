@@ -67,6 +67,7 @@ ALLOW = {
     # (b) broadcast query-set grid (vec_id % 100, constant-size in the
     # corpus) — scoring is map-side; top-k windows are salted/partitioned
     "emb_knn_join": {"NESTED-LOOP"},
+    "emb_dim_truncation_overlap": {"NESTED-LOOP"},  # same broadcast grid
     # (a) 1-row budget/sqrt-sum scalar attach to the per-source relation
     "doc_token_budget_allocation": {"NESTED-LOOP"},
     "market_share_by_segment": {"GLOBAL-WINDOW"},  # window over 5-row agg
