@@ -301,3 +301,107 @@ def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# binned two-sample Kolmogorov-Smirnov test
+# ---------------------------------------------------------------------------
+
+_KS_BINW = 10000.0
+_KS_NBINS = 50
+_KS_CRIT = 1.358  # c(alpha) at alpha = 0.05
+
+
+_KS_ORACLE = f"""
+    WITH o AS (
+      SELECT LEAST(CAST(FLOOR(o_totalprice / {_KS_BINW}) AS BIGINT),
+                   {_KS_NBINS - 1}) AS bin,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b' END AS g
+      FROM orders),
+    counts AS (
+      SELECT bin,
+             SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS cb
+      FROM o GROUP BY bin),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      FROM counts),
+    cum AS (
+      SELECT bin,
+             SUM(ca) OVER (ORDER BY bin) AS cum_a,
+             SUM(cb) OVER (ORDER BY bin) AS cum_b
+      FROM counts),
+    gaps AS (
+      SELECT c.bin,
+             ABS(CAST(c.cum_a AS DOUBLE) / t.na
+                 - CAST(c.cum_b AS DOUBLE) / t.nb) AS gap
+      FROM cum c, tot t)
+    SELECT t.na AS n_a, t.nb AS n_b,
+           ROUND(MAX(g.gap), 6) AS ks_stat,
+           ROUND({_KS_CRIT} * SQRT((t.na + t.nb) / (CAST(t.na AS DOUBLE) * t.nb)),
+                 6) AS ks_critical,
+           CASE WHEN MAX(g.gap) > {_KS_CRIT}
+                     * SQRT((t.na + t.nb) / (CAST(t.na AS DOUBLE) * t.nb))
+                THEN 1 ELSE 0 END AS reject_same_dist
+    FROM gaps g, tot t
+    GROUP BY t.na, t.nb
+"""
+
+
+@query(
+    "ks_test_priority_totalprice",
+    oracle=_KS_ORACLE,
+    doc=f"Binned two-sample Kolmogorov-Smirnov test: does the totalprice "
+    f"distribution of URGENT orders differ from the rest? One scan tags "
+    f"({_KS_NBINS}-bin, group), a {_KS_NBINS}-row grouped count is the "
+    f"complete sufficient state (mergeable cell-wise, the same shape as "
+    f"the PSI monitor above), then cumulative CDFs and the max gap vs "
+    f"the alpha=0.05 critical value run over the bin relation only — "
+    f"corpus-scale work is one aggregate regardless of volume.",
+)
+def ks_test_priority_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    binned = o.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / _KS_BINW).cast("bigint"),
+            F.lit(_KS_NBINS - 1),
+        ).alias("bin"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", "a").otherwise("b").alias("g"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("g") == "a", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("g") == "b", 1).otherwise(0)).alias("cb"),
+    )
+    tot = counts.agg(
+        F.sum("ca").cast("bigint").alias("na"), F.sum("cb").cast("bigint").alias("nb")
+    )
+    from pyspark.sql import Window as W
+
+    # cumulative CDF over the <=50-row bin relation (bounded global window,
+    # same allowlisted shape as quantile_sketch_totalprice)
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    cum = counts.select(
+        "bin", F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
+    )
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        F.abs(
+            F.col("cum_a").cast("double") / F.col("na")
+            - F.col("cum_b").cast("double") / F.col("nb")
+        ).alias("gap"),
+        "na",
+        "nb",
+    )
+    crit = F.lit(_KS_CRIT) * F.sqrt(
+        (F.col("na") + F.col("nb")) / (F.col("na").cast("double") * F.col("nb"))
+    )
+    return (
+        gaps.groupBy("na", "nb")
+        .agg(F.max("gap").alias("_ks"))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.round(F.col("_ks"), 6).alias("ks_stat"),
+            F.round(crit, 6).alias("ks_critical"),
+            F.when(F.col("_ks") > crit, 1).otherwise(0).alias("reject_same_dist"),
+        )
+    )

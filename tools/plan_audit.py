@@ -75,6 +75,9 @@ ALLOW = {
     # (a)+(b): 1-row total attach + 3-probe theta-join, both against the
     # ≤300-row bin relation; cumsum window runs over that bin relation
     "quantile_sketch_totalprice": {"NESTED-LOOP", "GLOBAL-WINDOW"},
+    # (a) 1-row totals attach; CDF cumsum window over the ≤50-row bin
+    # relation — corpus-scale work ended at the grouped bin count
+    "ks_test_priority_totalprice": {"NESTED-LOOP", "GLOBAL-WINDOW"},
     # (b) 2-probe grid against the groups×bins-bounded cum relation
     # (cumsum window is PARTITIONED by group — no global window here)
     "quantile_sketch_by_priority": {"NESTED-LOOP"},
