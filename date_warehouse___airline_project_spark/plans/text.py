@@ -1047,3 +1047,126 @@ def jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training rounds (tokenizer induction over the vocabulary)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One BPE training round as chained CTEs: adjacent-symbol pairs
+    weighted by word frequency → argmax pair (ties lexicographic) →
+    apply the merge to every word's symbol sequence (space-sentinel
+    replace, left-to-right non-overlapping — greedy BPE application)."""
+    prev = f"v{r - 1}"
+    return f"""
+    p{r} AS (
+      SELECT s, CAST(SUM(freq) AS BIGINT) AS w FROM (
+        SELECT freq,
+               unnest(list_transform(range(1, len(ts)),
+                      i -> ts[i] || ' ' || ts[i+1])) AS s
+        FROM (SELECT freq, string_split(trim(seq), ' ') AS ts FROM {prev})
+      ) GROUP BY s),
+    b{r} AS (SELECT s, w FROM p{r} ORDER BY w DESC, s LIMIT 1),
+    v{r} AS (
+      SELECT tok, freq,
+             replace(seq, ' ' || b.s || ' ',
+                     ' ' || replace(b.s, ' ', '') || ' ') AS seq
+      FROM {prev}, b{r} b)"""
+
+
+_BPE_MERGE_ORACLE = (
+    """
+    WITH tk AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents),
+    vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM tk GROUP BY tok),
+    v0 AS (
+      SELECT tok, freq,
+             ' ' || array_to_string(regexp_extract_all(tok, '.'), ' ') || ' '
+                 AS seq
+      FROM vocab),"""
+    + ",".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))
+    + "\n    "
+    + "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, s AS merged_pair, "
+        f"replace(s, ' ', '') AS new_symbol, w AS pair_weight FROM b{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    + "\n    ORDER BY round"
+)
+
+
+@query(
+    "bpe_merge_rounds",
+    oracle=_BPE_MERGE_ORACLE,
+    doc=f"BPE tokenizer-training rounds (Sennrich et al. 2016): words "
+    f"split to characters, then {_BPE_ROUNDS} merge rounds — each round "
+    f"counts adjacent symbol pairs weighted by corpus word frequency, "
+    f"merges the heaviest pair (ties lexicographic), and rewrites every "
+    f"word's symbol sequence (space-sentinel replace = greedy "
+    f"left-to-right application). ALL per-round work runs on the "
+    f"VOCABULARY relation (distinct words + frequencies), never the "
+    f"corpus — the one corpus pass is the frequency count, so the loop "
+    f"cost is Heaps-law-bounded at any corpus scale. No end-of-word "
+    f"marker (simplification; the merge algebra is unchanged).",
+)
+def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+    vocab = (
+        d.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    chars = F.regexp_extract_all(F.col("tok"), F.lit("."), F.lit(0))
+    v = vocab.select(
+        "tok",
+        "freq",
+        F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" ")).alias("seq"),
+    )
+    out = None
+    for r in range(1, _BPE_ROUNDS + 1):
+        ts = F.split(F.trim(F.col("seq")), " ")
+        idx = F.when(
+            F.size(ts) >= 2, F.sequence(F.lit(1), F.size(ts) - 1)
+        ).otherwise(F.array().cast("array<int>"))  # sequence(1,0) DESCENDS
+        pairs = v.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.concat(
+                        F.element_at(ts, i), F.lit(" "), F.element_at(ts, i + 1)
+                    ),
+                )
+            ).alias("s"),
+        )
+        best = (
+            pairs.groupBy("s")
+            .agg(F.sum("freq").cast("bigint").alias("w"))
+            .orderBy(F.desc("w"), F.asc("s"))
+            .limit(1)
+        )
+        row = best.select(
+            F.lit(r).cast("bigint").alias("round"),
+            F.col("s").alias("merged_pair"),
+            F.replace(F.col("s"), F.lit(" "), F.lit("")).alias("new_symbol"),
+            F.col("w").alias("pair_weight"),
+        )
+        out = row if out is None else out.unionByName(row)
+        v = v.crossJoin(F.broadcast(best.select("s"))).select(
+            "tok",
+            "freq",
+            F.replace(
+                F.col("seq"),
+                F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
+                F.concat(
+                    F.lit(" "), F.replace(F.col("s"), F.lit(" "), F.lit("")), F.lit(" ")
+                ),
+            ).alias("seq"),
+        )
+    return out.orderBy("round")

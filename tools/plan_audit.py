@@ -64,6 +64,9 @@ ALLOW = {
     "neardup_degree_distribution": {"NESTED-LOOP"},  # (a) 1-row totals attach
     # (b) source × vocabulary dense grid — both sides domain-bounded
     "jsd_source_divergence": {"NESTED-LOOP"},
+    # (a) 1-row best-pair attach per merge round, applied to the
+    # vocabulary relation (Heaps-bounded, never the corpus)
+    "bpe_merge_rounds": {"NESTED-LOOP"},
     # (b) broadcast query-set grid (vec_id % 100, constant-size in the
     # corpus) — scoring is map-side; top-k windows are salted/partitioned
     "emb_knn_join": {"NESTED-LOOP"},
