@@ -203,3 +203,68 @@ def media_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "media_id")
         .limit(10)
     )
+
+
+_MEDIA_DEDUP_ORACLE = """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             md5(text) AS content_md5,
+             octet_length(encode(text)) AS nb
+      FROM m0),
+    g AS (
+      SELECT media_type, content_md5,
+             COUNT(*) AS n_copies, MIN(nb) AS nb
+      FROM m GROUP BY media_type, content_md5)
+    SELECT media_type,
+           CAST(SUM(n_copies) AS BIGINT) AS n_blobs,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_groups,
+           CAST(SUM((n_copies - 1) * nb) AS BIGINT) AS wasted_bytes
+    FROM g
+    GROUP BY media_type
+    ORDER BY media_type
+""".replace("FROM m0", "FROM documents")
+
+
+@query(
+    "media_exact_dedup",
+    oracle=_MEDIA_DEDUP_ORACLE,
+    doc="Exact media-blob dedup accounting: md5 over the BINARY content "
+    "column (JVM-side, no Python stage - the digest never needs a "
+    "decode), hash-groupBy per (media_type, digest), then a per-type "
+    "summary: blob count, distinct count, duplicate groups, reclaimable "
+    "bytes. The blob dedup every multimodal ingest runs before storage; "
+    "one shuffle on a 16-byte key at any corpus scale, 3-row output.",
+)
+def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    groups = (
+        media.select(
+            "media_id",
+            "media_type",
+            F.md5(F.col("content")).alias("content_md5"),
+            F.length(F.col("content")).alias("nb"),
+        )
+        .groupBy("media_type", "content_md5")
+        .agg(F.count("*").alias("n_copies"), F.min("nb").alias("nb"))
+    )
+    return (
+        groups.groupBy("media_type")
+        .agg(
+            F.sum("n_copies").cast("bigint").alias("n_blobs"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_groups"),
+            F.sum((F.col("n_copies") - 1) * F.col("nb"))
+            .cast("bigint")
+            .alias("wasted_bytes"),
+        )
+        .orderBy("media_type")
+    )
