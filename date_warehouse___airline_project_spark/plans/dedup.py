@@ -815,3 +815,71 @@ def neardup_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_total") - F.col("n_nodes")).cast("bigint").alias("n_docs"),
     )
     return dist.unionByName(zero).orderBy("degree")
+
+
+_SOURCE_MATRIX_ORACLE = f"""
+    WITH {_SHINGLES_CTE},
+    inv0 AS (SELECT doc_id, unnest(sh) AS g FROM d),
+    kept AS (SELECT g FROM inv0 GROUP BY g HAVING COUNT(*) <= 20),
+    inv AS (SELECT inv0.doc_id, inv0.g FROM inv0 JOIN kept USING (g)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT s.doc_a, s.doc_b
+      FROM shared s
+      JOIN sizes na ON na.doc_id = s.doc_a
+      JOIN sizes nb ON nb.doc_id = s.doc_b
+      WHERE CAST(s.inter AS DOUBLE) / (na.n + nb.n - s.inter) >= 0.5),
+    labeled AS (
+      SELECT LEAST(da.source, db.source) AS source_a,
+             GREATEST(da.source, db.source) AS source_b
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b)
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CASE WHEN source_a = source_b THEN 0 ELSE 1 END AS cross_source
+    FROM labeled
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+"""
+
+
+@query(
+    "neardup_source_matrix",
+    oracle=_SOURCE_MATRIX_ORACLE,
+    doc="Cross-source near-dup matrix (content-syndication accounting): "
+    "exact word-3-gram jaccard >= 0.5 pairs labeled with their docs' "
+    "sources (unordered pair normalized LEAST/GREATEST), counted per "
+    "source pair with a cross-source flag — which sources copy from "
+    "which, the signal for source-level dedup priorities. Reuses the "
+    "memoized df-capped pair base (no new corpus scan); the source "
+    "join touches only pair ids, so the matrix is candidate-scale.",
+)
+def neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=20)
+    src = d.select("doc_id", "source")
+    labeled = (
+        pairs.select("doc_a", "doc_b")
+        .join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "_sa"), "doc_a")
+        .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "_sb"), "doc_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+    )
+    return (
+        labeled.groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            F.when(F.col("source_a") == F.col("source_b"), 0).otherwise(1).alias("cross_source"),
+        )
+        .orderBy("source_a", "source_b")
+    )
