@@ -29,3 +29,4 @@ def load_all() -> None:
     from . import training_data  # noqa: F401
     from . import sketches  # noqa: F401
     from . import mining  # noqa: F401
+    from . import layout  # noqa: F401

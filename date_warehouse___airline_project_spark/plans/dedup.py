@@ -883,3 +883,119 @@ def neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH band-parameter tuning: the (bands, rows) S-curve sweep
+# ---------------------------------------------------------------------------
+
+
+def _band_tuning_cfg_sql(bands: int) -> str:
+    rows = _K // bands
+    band_sel = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({concat}) AS h FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(_K)
+    )
+    return f"""
+    SELECT {bands} AS bands, {rows} AS rows_per_band,
+           ROUND(POWER(1.0 / {bands}, 1.0 / {rows}), 4) AS s_threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           ROUND(CAST(SUM(n_agree) AS DOUBLE) / ({_K} * COUNT(*)), 6)
+             AS mean_est_jaccard,
+           CAST(SUM(CASE WHEN n_agree * 2 >= {_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_est_ge_half
+    FROM (
+      SELECT c.doc_a, c.doc_b, ({agree}) AS n_agree
+      FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM ({band_sel}) a
+            JOIN ({band_sel}) b
+              ON a.band_idx = b.band_idx AND a.h = b.h
+             AND a.doc_id < b.doc_id) c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b)"""
+
+
+_BAND_TUNING_ORACLE = f"""
+    WITH {_SHINGLES_CTE},
+    ex AS (
+      SELECT doc_id,
+             {_HEX56.format(src="'a:' || g")} AS ha,
+             {_HEX56.format(src="'b:' || g")} AS hb
+      FROM (SELECT doc_id, unnest(sh) AS g FROM d)),
+    sig AS (
+      SELECT doc_id,
+             {_MH_MINS}
+      FROM ex GROUP BY doc_id)
+    {" UNION ALL ".join(_band_tuning_cfg_sql(b) for b in (16, 8, 4, 2))}
+    ORDER BY bands DESC
+"""
+
+
+@query(
+    "lsh_band_tuning",
+    oracle=_BAND_TUNING_ORACLE,
+    doc=f"LSH parameter sweep over (bands, rows-per-band) splits of the "
+    f"SAME {_K}-hash MinHash signatures — the S-curve tuning table a "
+    f"dedup pipeline consults before committing to a banding: per config, "
+    f"the candidate-pair volume, the theoretical 50%-detection threshold "
+    f"(1/b)^(1/r), the mean signature-estimated jaccard of candidates, "
+    f"and how many clear 0.5. Signatures are computed once (session "
+    f"memo, shared with the dedup family); each config re-bands those "
+    f"{_K} integers and equi-joins its buckets — candidates stay "
+    f"Σ bucket² bounded, never all-pairs.",
+)
+def lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_dedup import band_rows, minhash_signatures
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", n=3, k=_K)
+    out = None
+    for bands in (16, 8, 4, 2):
+        rows = _K // bands
+        banded = band_rows(sig, _K, bands)
+        left = banded.select(F.col("_id").alias("doc_a"), "_band_idx", "_band_hash")
+        right = banded.select(F.col("_id").alias("doc_b"), "_band_idx", "_band_hash")
+        cand = (
+            left.join(right, ["_band_idx", "_band_hash"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        sa = sig.select(
+            F.col("_id").alias("doc_a"), *[F.col(f"_mh{i}").alias(f"a{i}") for i in range(_K)]
+        )
+        sb = sig.select(
+            F.col("_id").alias("doc_b"), *[F.col(f"_mh{i}").alias(f"b{i}") for i in range(_K)]
+        )
+        n_agree = sum(
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(_K)
+        )
+        cfg = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select(n_agree.alias("n_agree"))
+            .agg(
+                F.lit(bands).alias("bands"),
+                F.lit(rows).alias("rows_per_band"),
+                F.round(F.pow(F.lit(1.0 / bands), 1.0 / rows), 4).alias(
+                    "s_threshold"
+                ),
+                F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+                F.round(
+                    F.sum("n_agree").cast("double") / (_K * F.count(F.lit(1))), 6
+                ).alias("mean_est_jaccard"),
+                F.sum(F.when(F.col("n_agree") * 2 >= _K, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_est_ge_half"),
+            )
+        )
+        out = cfg if out is None else out.unionByName(cfg)
+    return out.orderBy(F.desc("bands"))

@@ -405,3 +405,384 @@ def ks_test_priority_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_ks") > crit, 1).otherwise(0).alias("reject_same_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# One-pass Pearson correlation matrix from mergeable moments.
+#
+# Every pairwise correlation among k numeric columns needs only the moment
+# vector (n, Sx_i, Sx_i^2, Sx_i*x_j) — k(k+3)/2 partial-aggregable sums, ONE
+# scan, one 1-row reduce regardless of volume. Each product term is rounded
+# to a fixed scale and summed as DECIMAL so the result is identical under
+# any partitioning (and matches the oracle bit-for-bit); corr is then closed
+# -form from the sums. This is how a 100 TB profiler computes a correlation
+# matrix: never one job per pair.
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_DEC = "DECIMAL(38,6)"
+
+
+def _corr_pairs() -> list[tuple[str, str]]:
+    return [
+        (_CORR_COLS[i], _CORR_COLS[j])
+        for i in range(len(_CORR_COLS))
+        for j in range(i + 1, len(_CORR_COLS))
+    ]
+
+
+def _corr_oracle() -> str:
+    sums = ["COUNT(*) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"SUM(CAST(ROUND({c}, 6) AS {_CORR_DEC})) AS s_{c}")
+        sums.append(f"SUM(CAST(ROUND({c} * {c}, 6) AS {_CORR_DEC})) AS s2_{c}")
+    for a, b in _corr_pairs():
+        sums.append(f"SUM(CAST(ROUND({a} * {b}, 6) AS {_CORR_DEC})) AS sp_{a}_{b}")
+    arms = []
+    for a, b in _corr_pairs():
+        num = f"(n * sp_{a}_{b} - s_{a} * s_{b})"
+        den = (
+            f"SQRT(CAST(n * s2_{a} - s_{a} * s_{a} AS DOUBLE))"
+            f" * SQRT(CAST(n * s2_{b} - s_{b} * s_{b} AS DOUBLE))"
+        )
+        arms.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, n,"
+            f" ROUND(CAST({num} AS DOUBLE) / ({den}), 6) AS pearson_r FROM m"
+        )
+    return "WITH m AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n" + "\nUNION ALL ".join(arms) + "\nORDER BY col_x, col_y"
+
+
+@query(
+    "corr_matrix_lineitem",
+    oracle=_corr_oracle(),
+    doc="Pairwise Pearson correlation matrix over 4 lineitem measures from "
+    "ONE moment pass: 14 DECIMAL-summed partial aggregates (per-term "
+    "rounding makes the sums partition-order invariant), then closed-form "
+    "corr per pair off the 1-row moment relation. One scan regardless of "
+    "pair count — the mergeable-state shape that survives 100 TB.",
+)
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    dec = _CORR_DEC.lower()
+    for c in _CORR_COLS:
+        aggs.append(F.sum(F.round(F.col(c), 6).cast(dec)).alias(f"s_{c}"))
+        aggs.append(
+            F.sum(F.round(F.col(c) * F.col(c), 6).cast(dec)).alias(f"s2_{c}")
+        )
+    for a, b in _corr_pairs():
+        aggs.append(
+            F.sum(F.round(F.col(a) * F.col(b), 6).cast(dec)).alias(f"sp_{a}_{b}")
+        )
+    m = li.agg(*aggs)
+    rows = []
+    for a, b in _corr_pairs():
+        num = F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        den = F.sqrt(
+            (F.col("n") * F.col(f"s2_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast(
+                "double"
+            )
+        ) * F.sqrt(
+            (F.col("n") * F.col(f"s2_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast(
+                "double"
+            )
+        )
+        rows.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col("n").alias("n"),
+                F.round(num.cast("double") / den, 6).alias("pearson_r"),
+            )
+        )
+    return (
+        m.select(F.explode(F.array(*rows)).alias("p"))
+        .select("p.col_x", "p.col_y", "p.n", "p.pearson_r")
+        .orderBy("col_x", "col_y")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample location tests, completing the KS test above: Welch's t
+# (parametric, from per-group sufficient statistics) and a tie-corrected
+# Mann-Whitney U computed on the SAME mergeable bin relation as the KS
+# test. Neither needs a global sort or rank: the t-test is two DECIMAL
+# moment rows; the rank-sum statistic falls out of binned cumulative
+# counts with the standard midrank + tie-corrected normal approximation.
+# ---------------------------------------------------------------------------
+
+_TT_ORACLE = """
+    WITH m AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b' END AS g,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(38,6))) AS s1,
+             SUM(CAST(ROUND(o_totalprice * o_totalprice, 4) AS DECIMAL(38,4))) AS s2
+      FROM orders GROUP BY 1),
+    w AS (
+      SELECT
+        MAX(CASE WHEN g='a' THEN n END) AS na,
+        MAX(CASE WHEN g='b' THEN n END) AS nb,
+        CAST(MAX(CASE WHEN g='a' THEN s1 END) AS DOUBLE) AS sa1,
+        CAST(MAX(CASE WHEN g='b' THEN s1 END) AS DOUBLE) AS sb1,
+        CAST(MAX(CASE WHEN g='a' THEN s2 END) AS DOUBLE) AS sa2,
+        CAST(MAX(CASE WHEN g='b' THEN s2 END) AS DOUBLE) AS sb2
+      FROM m),
+    s AS (
+      SELECT na, nb, sa1/na AS ma, sb1/nb AS mb,
+             (sa2 - sa1*sa1/na) / (na - 1) AS va,
+             (sb2 - sb1*sb1/nb) / (nb - 1) AS vb
+      FROM w)
+    SELECT na AS n_a, nb AS n_b,
+           ROUND(ma, 4) AS mean_a, ROUND(mb, 4) AS mean_b,
+           ROUND((ma - mb) / SQRT(va/na + vb/nb), 6) AS t_stat,
+           ROUND(POWER(va/na + vb/nb, 2)
+                 / (POWER(va/na, 2)/(na-1) + POWER(vb/nb, 2)/(nb-1)), 2) AS welch_df,
+           CASE WHEN ABS((ma - mb) / SQRT(va/na + vb/nb)) > 1.96
+                THEN 1 ELSE 0 END AS reject_equal_means
+    FROM s
+"""
+
+
+@query(
+    "welch_ttest_urgent",
+    oracle=_TT_ORACLE,
+    doc="Welch's unequal-variance t-test (URGENT orders' totalprice vs the "
+    "rest) from per-group sufficient statistics only: one grouped DECIMAL "
+    "moment aggregate (n, sum, sum-of-squares — partial-aggregable, "
+    "partition-order invariant), then the t statistic and Welch-"
+    "Satterthwaite df closed-form off the 2-row relation. Large-sample "
+    "normal cutoff 1.96 at alpha=0.05. The parametric twin of "
+    "ks_test_priority_totalprice.",
+)
+def welch_ttest_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    m = (
+        o.select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", "a")
+            .otherwise("b")
+            .alias("g"),
+            F.col("o_totalprice").alias("x"),
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("x"), 6).cast("decimal(38,6)")).alias("s1"),
+            F.sum(F.round(F.col("x") * F.col("x"), 4).cast("decimal(38,4)")).alias(
+                "s2"
+            ),
+        )
+    )
+    w = m.agg(
+        F.max(F.when(F.col("g") == "a", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("g") == "b", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("g") == "a", F.col("s1"))).cast("double").alias("sa1"),
+        F.max(F.when(F.col("g") == "b", F.col("s1"))).cast("double").alias("sb1"),
+        F.max(F.when(F.col("g") == "a", F.col("s2"))).cast("double").alias("sa2"),
+        F.max(F.when(F.col("g") == "b", F.col("s2"))).cast("double").alias("sb2"),
+    )
+    ma = F.col("sa1") / F.col("na")
+    mb = F.col("sb1") / F.col("nb")
+    va = (F.col("sa2") - F.col("sa1") * F.col("sa1") / F.col("na")) / (
+        F.col("na") - F.lit(1)
+    )
+    vb = (F.col("sb2") - F.col("sb1") * F.col("sb1") / F.col("nb")) / (
+        F.col("nb") - F.lit(1)
+    )
+    se2 = va / F.col("na") + vb / F.col("nb")
+    t = (ma - mb) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        F.pow(va / F.col("na"), 2) / (F.col("na") - F.lit(1))
+        + F.pow(vb / F.col("nb"), 2) / (F.col("nb") - F.lit(1))
+    )
+    return w.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(ma, 4).alias("mean_a"),
+        F.round(mb, 4).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 2).alias("welch_df"),
+        F.when(F.abs(t) > 1.96, 1).otherwise(0).alias("reject_equal_means"),
+    )
+
+
+_MW_ORACLE = f"""
+    WITH o AS (
+      SELECT LEAST(CAST(FLOOR(o_totalprice / {_KS_BINW}) AS BIGINT),
+                   {_KS_NBINS - 1}) AS bin,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b' END AS g
+      FROM orders),
+    counts AS (
+      SELECT bin,
+             SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS cb
+      FROM o GROUP BY bin),
+    cum AS (
+      SELECT bin, ca, cb, ca + cb AS t,
+             COALESCE(SUM(ca + cb) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_t
+      FROM counts),
+    s AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+             CAST(SUM(ca * (2 * before_t + t + 1)) AS BIGINT) AS r2a,
+             CAST(SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS DOUBLE) AS ties
+      FROM cum),
+    z AS (
+      SELECT na, nb, r2a - na * (na + 1) AS u2,
+             (CAST(na AS DOUBLE) * nb / 12.0)
+             * ((na + nb + 1) - ties / (CAST(na + nb AS DOUBLE)
+                                        * (na + nb - 1))) AS var
+      FROM s)
+    SELECT na AS n_a, nb AS n_b,
+           ROUND(u2 / 2.0, 1) AS u_stat,
+           ROUND((u2 - CAST(na AS DOUBLE) * nb) / (2.0 * SQRT(var)), 6) AS z_score,
+           CASE WHEN ABS((u2 - CAST(na AS DOUBLE) * nb) / (2.0 * SQRT(var))) > 1.96
+                THEN 1 ELSE 0 END AS reject_same_location
+    FROM z
+"""
+
+
+@query(
+    "mannwhitney_urgent_totalprice",
+    oracle=_MW_ORACLE,
+    doc=f"Tie-corrected Mann-Whitney U rank-sum test on the SAME {_KS_NBINS}-"
+    "bin mergeable count relation as the KS test — no global sort or rank "
+    "ever touches the corpus. Midranks come from binned cumulative counts "
+    "(doubled to stay integer-exact), U and the tie-corrected normal "
+    "variance are closed-form off the bin relation, ties summed as "
+    "DECIMAL to stay overflow-safe at any n. Completes the two-sample "
+    "battery: KS (shape), Welch t (means), MW (location/rank).",
+)
+def mannwhitney_urgent_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    binned = o.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / _KS_BINW).cast("bigint"),
+            F.lit(_KS_NBINS - 1),
+        ).alias("bin"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", "a").otherwise("b").alias("g"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("g") == "a", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("g") == "b", 1).otherwise(0)).alias("cb"),
+    )
+    # bounded global window over the <=_KS_NBINS-row bin relation (same
+    # allowlisted shape as the KS cumulative CDF)
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, -1)
+    cum = counts.select(
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("t"),
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0)).alias(
+            "before_t"
+        ),
+    )
+    s = cum.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.sum(F.col("ca") * (2 * F.col("before_t") + F.col("t") + 1))
+        .cast("bigint")
+        .alias("r2a"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t") - F.col("t")
+        )
+        .cast("double")
+        .alias("ties"),
+    )
+    u2 = F.col("r2a") - F.col("na") * (F.col("na") + 1)
+    var = (F.col("na").cast("double") * F.col("nb") / 12.0) * (
+        (F.col("na") + F.col("nb") + 1)
+        - F.col("ties")
+        / ((F.col("na") + F.col("nb")).cast("double") * (F.col("na") + F.col("nb") - 1))
+    )
+    z = (u2 - F.col("na").cast("double") * F.col("nb")) / (2.0 * F.sqrt(var))
+    return s.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(u2 / 2.0, 1).alias("u_stat"),
+        F.round(z, 6).alias("z_score"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).alias("reject_same_location"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Privacy / data-governance accounting: k-anonymity of a quasi-identifier
+# tuple. Before a table (or a training corpus's metadata) ships, the
+# governance question is "how many rows sit in quasi-identifier groups
+# small enough to re-identify?" — a two-level aggregate: group sizes on
+# the QI tuple, then a band histogram over group sizes. Both levels are
+# plain hash aggregates; nothing grows beyond the distinct-QI count.
+# ---------------------------------------------------------------------------
+
+_KANON_ORACLE = """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             COUNT(*) AS k
+      FROM customer
+      GROUP BY 1, 2, 3),
+    b AS (
+      SELECT CASE WHEN k = 1 THEN '1 (unique)'
+                  WHEN k < 5 THEN '2-4'
+                  WHEN k < 10 THEN '5-9'
+                  WHEN k < 20 THEN '10-19'
+                  ELSE '20+' END AS k_band,
+             CASE WHEN k = 1 THEN 0 WHEN k < 5 THEN 1
+                  WHEN k < 10 THEN 2 WHEN k < 20 THEN 3 ELSE 4 END AS band_ord,
+             k
+      FROM g),
+    t AS (SELECT CAST(SUM(k) AS BIGINT) AS total_rows FROM b)
+    SELECT k_band, band_ord,
+           COUNT(*) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           ROUND(100.0 * SUM(k) / MAX(t.total_rows), 2) AS pct_rows
+    FROM b, t
+    GROUP BY k_band, band_ord
+    ORDER BY band_ord
+"""
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle=_KANON_ORACLE,
+    doc="k-anonymity histogram of the (nation, market segment, account-"
+    "balance band) quasi-identifier on customer: group sizes k by QI "
+    "tuple, banded into re-identification-risk buckets with row shares. "
+    "Two hash aggregates (QI-tuple sizes, then the <=5-row band rollup) "
+    "+ a 1-row total attach — the governance pre-flight a training-data "
+    "pipeline runs before metadata leaves the building.",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    b = g.select(
+        F.when(F.col("k") == 1, "1 (unique)")
+        .when(F.col("k") < 5, "2-4")
+        .when(F.col("k") < 10, "5-9")
+        .when(F.col("k") < 20, "10-19")
+        .otherwise("20+")
+        .alias("k_band"),
+        F.when(F.col("k") == 1, 0)
+        .when(F.col("k") < 5, 1)
+        .when(F.col("k") < 10, 2)
+        .when(F.col("k") < 20, 3)
+        .otherwise(4)
+        .alias("band_ord"),
+        F.col("k"),
+    )
+    t = b.agg(F.sum("k").cast("bigint").alias("total_rows"))
+    return (
+        b.crossJoin(F.broadcast(t))
+        .groupBy("k_band", "band_ord")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("k").cast("bigint").alias("n_rows"),
+            F.round(100.0 * F.sum("k") / F.max("total_rows"), 2).alias("pct_rows"),
+        )
+        .orderBy("band_ord")
+    )

