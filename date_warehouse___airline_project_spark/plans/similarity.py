@@ -1454,3 +1454,276 @@ def emb_dim_truncation_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-quality accounting: simplified silhouette over the trained
+# codebook. Completes the k-means stack (train -> assign -> drift ->
+# recall) with the "should I even trust these clusters" metric.
+# ---------------------------------------------------------------------------
+
+_SILHOUETTE_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id % 25 = 0),
+    samp AS (SELECT vec_id, emb FROM e WHERE vec_id % 4 = 0),
+    {_iter_sql(1, 'c0')},
+    {_iter_sql(2, 'c1')},
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             {_rank_sql('e.emb', 'c.cvec')} AS rnk,
+             1.0 - ({_cos_sql('e.emb', 'c.cvec')}) AS dist
+      FROM e, c2 c),
+    own AS (
+      SELECT vec_id, cid, dist AS a_dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY rnk DESC, cid) AS rn
+        FROM scored) WHERE rn = 1),
+    nb AS (
+      SELECT s.vec_id, MIN(s.dist) AS b_dist
+      FROM scored s JOIN own o ON s.vec_id = o.vec_id AND s.cid <> o.cid
+      GROUP BY s.vec_id),
+    sil AS (
+      SELECT o.cid,
+             ROUND((nb.b_dist - o.a_dist)
+                   / GREATEST(o.a_dist, nb.b_dist), 8) AS s,
+             ROUND(o.a_dist, 8) AS a_r, ROUND(nb.b_dist, 8) AS b_r
+      FROM own o JOIN nb ON nb.vec_id = o.vec_id)
+    SELECT cid AS cluster_id, COUNT(*) AS n_members,
+           ROUND(CAST(SUM(CAST(s AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_silhouette,
+           ROUND(CAST(SUM(CAST(a_r AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_intra_dist,
+           ROUND(CAST(SUM(CAST(b_r AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_nearest_other,
+           CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misfit
+    FROM sil
+    GROUP BY cid
+    ORDER BY cid
+"""
+
+
+@query(
+    "emb_cluster_silhouette",
+    oracle=_SILHOUETTE_ORACLE,
+    doc="Simplified (centroid-based) silhouette per trained cluster: a = "
+    "cosine distance to the OWN centroid, b = distance to the nearest "
+    "OTHER centroid, s = (b-a)/max(a,b); per-cluster mean s / a / b and "
+    "the misfit count (s<0 — rows closer to another cell than their "
+    "own, exactly what IVF probe quality degrades on). Centroids are "
+    "the SAME 2-round Lloyd codebook as the IVF family (shared session "
+    "memo); scoring is the broadcast n x k grid every assignment "
+    "already pays — full-pairwise silhouette is quadratic and dead at "
+    "scale, the centroid form is the standard approximation. Rounded "
+    "per-term DECIMAL means keep the reduce partition-order invariant.",
+)
+def emb_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_lloyd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_lloyd(e, centroid_mod=25, sample_mod=4, iters=2)
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        F.col("_cid").alias("cid"),
+        (dot(F.col("embedding"), F.col("_cvec"))
+         / F.sqrt(dot(F.col("_cvec"), F.col("_cvec")))).alias("rnk"),
+        (F.lit(1.0) - cosine(F.col("embedding"), F.col("_cvec"))).alias("dist"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("rnk"), "cid")
+    own = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", F.col("dist").alias("a_dist"))
+    )
+    nb = (
+        scored.join(own.select("vec_id", F.col("cid").alias("own_cid")), "vec_id")
+        .filter(F.col("cid") != F.col("own_cid"))
+        .groupBy("vec_id")
+        .agg(F.min("dist").alias("b_dist"))
+    )
+    sil = own.join(nb, "vec_id").select(
+        "cid",
+        F.round(
+            (F.col("b_dist") - F.col("a_dist"))
+            / F.greatest(F.col("a_dist"), F.col("b_dist")),
+            8,
+        ).alias("s"),
+        F.round("a_dist", 8).alias("a_r"),
+        F.round("b_dist", 8).alias("b_r"),
+    )
+    return (
+        sil.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(18,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_silhouette"),
+            F.round(
+                F.sum(F.col("a_r").cast("decimal(18,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_intra_dist"),
+            F.round(
+                F.sum(F.col("b_r").cast("decimal(18,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_nearest_other"),
+            F.sum(F.when(F.col("s") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_misfit"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCA via one-pass moment matrix + power iteration — the embedding-
+# preprocessing op (whitening / dimensionality diagnostics) of a
+# training-data pipeline.
+# ---------------------------------------------------------------------------
+
+_PCA_D = 64
+_PCA_ITERS = 16
+
+
+def _pca_iter_sql(k: int) -> str:
+    return f"""
+    u{k} AS MATERIALIZED (
+      SELECT c.i, SUM(c.c * v.v) AS u
+      FROM cov c JOIN v{k - 1} v ON c.j = v.i GROUP BY c.i),
+    n{k} AS MATERIALIZED (SELECT SQRT(SUM(u * u)) AS nrm FROM u{k}),
+    v{k} AS MATERIALIZED (
+      SELECT u{k}.i, u{k}.u / n{k}.nrm AS v FROM u{k}, n{k})"""
+
+
+_PCA_ORACLE = f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    cells AS (
+      SELECT i.i, j.j,
+             CAST(ROUND(emb[i.i + 1] * emb[j.j + 1], 8) AS DECIMAL(27,12)) AS p
+      FROM e,
+           UNNEST(GENERATE_SERIES(0, {_PCA_D - 1})) AS i(i),
+           UNNEST(GENERATE_SERIES(0, {_PCA_D - 1})) AS j(j)),
+    s2 AS (SELECT i, j, SUM(p) AS s2 FROM cells GROUP BY i, j),
+    s1 AS (
+      SELECT i.i AS i,
+             SUM(CAST(ROUND(emb[i.i + 1], 8) AS DECIMAL(27,12))) AS s1
+      FROM e, UNNEST(GENERATE_SERIES(0, {_PCA_D - 1})) AS i(i)
+      GROUP BY i.i),
+    nn AS (SELECT COUNT(*) AS n FROM e),
+    cov AS MATERIALIZED (
+      SELECT s2.i, s2.j,
+             CAST(s2.s2 AS DOUBLE) / nn.n
+             - (CAST(a.s1 AS DOUBLE) / nn.n) * (CAST(b.s1 AS DOUBLE) / nn.n) AS c
+      FROM s2, s1 a, s1 b, nn
+      WHERE a.i = s2.i AND b.i = s2.j),
+    v0 AS (SELECT i AS i, 1.0 / SQRT({_PCA_D}) AS v
+           FROM UNNEST(GENERATE_SERIES(0, {_PCA_D - 1})) AS t(i)),
+    {",".join(_pca_iter_sql(k) for k in range(1, _PCA_ITERS + 1))},
+    lam AS (
+      SELECT SUM(CAST(ROUND(c.c * va.v * vb.v, 8) AS DECIMAL(18,8))) AS l
+      FROM cov c
+      JOIN v{_PCA_ITERS} va ON va.i = c.i
+      JOIN v{_PCA_ITERS} vb ON vb.i = c.j),
+    tr AS (
+      SELECT SUM(CAST(ROUND(c, 8) AS DECIMAL(18,8))) AS t
+      FROM cov WHERE i = j),
+    top AS (
+      SELECT i, v FROM v{_PCA_ITERS} ORDER BY ABS(v) DESC, i LIMIT 1)
+    SELECT nn.n AS n_vectors, {_PCA_D} AS dim,
+           ROUND(CAST(lam.l AS DOUBLE), 6) AS lambda1,
+           ROUND(CAST(tr.t AS DOUBLE), 6) AS cov_trace,
+           ROUND(100.0 * CAST(lam.l AS DOUBLE) / CAST(tr.t AS DOUBLE), 4)
+             AS var_explained_pct,
+           top.i AS top_dim,
+           ROUND(top.v, 5) AS top_loading
+    FROM nn, lam, tr, top
+"""
+
+
+@query(
+    "emb_pca_power_iteration",
+    oracle=_PCA_ORACLE,
+    doc=f"Top principal component of the embedding corpus: ONE moment pass "
+    f"(per-term-rounded DECIMAL sums of x_i, x_i*x_j — {_PCA_D}x{_PCA_D} "
+    f"mergeable cells, exact under any partitioning), covariance closed-"
+    f"form from the sums, then {_PCA_ITERS} power-iteration steps on the "
+    f"collected {_PCA_D}x{_PCA_D} matrix (a documented bounded driver "
+    f"fold, like the Lloyd codebook) with the eigvector re-broadcast as "
+    f"literals so lambda1 = v'Cv and the variance-explained share are "
+    f"computed back on the cell relation. Corpus-scale cost is d^2 "
+    f"multiplies per row in one scan — how PCA preprocessing actually "
+    f"runs at 100 TB; the oracle unrolls the identical {_PCA_ITERS} "
+    f"iterations as CTEs.",
+)
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    d = _PCA_D
+    emb = F.col("embedding").cast("array<double>")
+    prods = F.flatten(
+        F.transform(emb, lambda x: F.transform(emb, lambda y: x * y))
+    )
+    cells = (
+        e.select(F.posexplode(prods).alias("idx", "p"))
+        .groupBy(
+            (F.col("idx") / d).cast("int").alias("i"),
+            (F.col("idx") % d).alias("j"),
+        )
+        .agg(F.sum(F.round(F.col("p"), 8).cast("decimal(27,12)")).alias("s2"))
+    )
+    s1 = (
+        e.select(F.posexplode(emb).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum(F.round(F.col("x"), 8).cast("decimal(27,12)")).alias("s1"))
+    )
+    n = e.count()
+    mean = {int(r["i"]): float(r["s1"]) / n for r in s1.collect()}
+    cov_rows = {
+        (int(r["i"]), int(r["j"])): float(r["s2"]) / n
+        - mean[int(r["i"])] * mean[int(r["j"])]
+        for r in cells.collect()
+    }
+    # power iteration on the collected d x d matrix — bounded driver fold
+    # (4096 cells regardless of corpus size); sums run j-ascending in
+    # pure Python floats (IEEE double, same as both engines)
+    v = [1.0 / (d**0.5)] * d
+    for _ in range(_PCA_ITERS):
+        u = [sum(cov_rows[(i, j)] * v[j] for j in range(d)) for i in range(d)]
+        nrm = sum(x * x for x in u) ** 0.5
+        v = [x / nrm for x in u]
+    vlit = F.array(*[F.lit(x) for x in v])
+    # lambda1 = v'Cv and trace re-computed ON the cell relation with the
+    # eigvector as broadcast literals (per-term-rounded DECIMAL sums)
+    cov_c = (
+        F.col("s2").cast("double") / n
+        - (F.lit(1.0) * F.array([F.lit(mean[i]) for i in range(d)])[F.col("i")])
+        * F.array([F.lit(mean[i]) for i in range(d)])[F.col("j")]
+    )
+    scored = cells.select(
+        "i",
+        "j",
+        F.round(
+            cov_c * vlit[F.col("i")] * vlit[F.col("j")],
+            8,
+        )
+        .cast("decimal(18,8)")
+        .alias("lam_term"),
+        F.when(F.col("i") == F.col("j"), F.round(cov_c, 8).cast("decimal(18,8)"))
+        .otherwise(F.lit(None))
+        .alias("tr_term"),
+    )
+    top_i = max(range(d), key=lambda i: (abs(v[i]), -i))
+    return scored.agg(
+        F.lit(n).cast("bigint").alias("n_vectors"),
+        F.lit(d).alias("dim"),
+        F.round(F.sum("lam_term").cast("double"), 6).alias("lambda1"),
+        F.round(F.sum("tr_term").cast("double"), 6).alias("cov_trace"),
+        F.round(
+            100.0 * F.sum("lam_term").cast("double") / F.sum("tr_term").cast("double"),
+            4,
+        ).alias("var_explained_pct"),
+        F.lit(top_i).alias("top_dim"),
+        F.lit(round(v[top_i], 5)).alias("top_loading"),
+    )

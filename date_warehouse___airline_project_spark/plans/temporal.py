@@ -242,3 +242,81 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "last_touch_attribution",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, event_type FROM (
+        SELECT user_id, ts, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type IN ('click', 'view', 'signup')) WHERE rn = 1),
+    p AS (SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'purchase'),
+    a AS (
+      SELECT p.event_id, p.value,
+             COALESCE(t.event_type, 'direct') AS channel
+      FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.ts >= t.ts),
+    g AS (
+      SELECT channel, COUNT(*) AS n_purchases,
+             SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS rev
+      FROM a GROUP BY channel),
+    tot AS (SELECT SUM(rev) AS total_rev FROM g)
+    SELECT channel, n_purchases,
+           CAST(rev AS DOUBLE) AS revenue,
+           ROUND(100.0 * rev / tot.total_rev, 2) AS revenue_pct
+    FROM g, tot
+    ORDER BY channel
+    """,
+    doc="Last-touch marketing attribution: every purchase's value is "
+    "credited to the user's most recent preceding touch event (click/"
+    "view/signup; 'direct' when none) via the SAME backward as-of join "
+    "operator as asof_purchase_before_error (operators/asof.py — one "
+    "user_id shuffle, sort-merge asymptotics, deterministic per-(user,"
+    "ts) tie winner), then a channel-bounded revenue rollup with "
+    "DECIMAL-summed shares. The canonical events-to-revenue accounting "
+    "query of a behavioral warehouse.",
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    wdd = W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view", "signup"))
+        .withColumn("_rn", F.row_number().over(wdd))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "event_type")
+    )
+    joined = asof_join_backward(
+        left=purchases,
+        right=touches,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["event_type"],
+    )
+    g = (
+        joined.select(
+            F.coalesce(F.col("event_type_matched"), F.lit("direct")).alias("channel"),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")).alias("rev"),
+        )
+    )
+    tot = g.agg(F.sum("rev").alias("total_rev"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "n_purchases",
+            F.col("rev").cast("double").alias("revenue"),
+            F.round(100.0 * F.col("rev") / F.col("total_rev"), 2).alias("revenue_pct"),
+        )
+        .orderBy("channel")
+    )

@@ -91,6 +91,11 @@ ALLOW = {
     # 1-row total-rows attach broadcast to the <=distinct-QI-count band
     # relation
     "privacy_k_anonymity": {"NESTED-LOOP"},
+    # broadcast n x k centroid grid (codebook <= 20 rows) — the same
+    # bounded scoring grid as the IVF family
+    "emb_cluster_silhouette": {"NESTED-LOOP"},
+    # 1-row total-revenue attach broadcast to the <=5-row channel rollup
+    "last_touch_attribution": {"NESTED-LOOP"},
     # (b) 2-probe grid against the groups×bins-bounded cum relation
     # (cumsum window is PARTITIONED by group — no global window here)
     "quantile_sketch_by_priority": {"NESTED-LOOP"},
