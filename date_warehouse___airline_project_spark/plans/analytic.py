@@ -510,3 +510,98 @@ def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("order_date"), "price", "o_orderkey")
     )
+
+
+@query(
+    "winsorized_price_stats",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderpriority, o_totalprice,
+             CUME_DIST() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice) AS cd
+      FROM orders),
+    b AS (
+      SELECT o_orderpriority,
+             MIN(CASE WHEN cd >= 0.05 THEN o_totalprice END) AS lo,
+             MIN(CASE WHEN cd >= 0.95 THEN o_totalprice END) AS hi
+      FROM w GROUP BY o_orderpriority),
+    j AS (
+      SELECT o.o_orderpriority, o.o_totalprice, b.lo, b.hi,
+             GREATEST(b.lo, LEAST(b.hi, o.o_totalprice)) AS clipped
+      FROM orders o JOIN b ON b.o_orderpriority = o.o_orderpriority)
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / COUNT(*), 4) AS mean_raw,
+           CAST(MIN(lo) AS DOUBLE) AS p05,
+           CAST(MAX(hi) AS DOUBLE) AS p95,
+           ROUND(CAST(SUM(CAST(ROUND(clipped, 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / COUNT(*), 4) AS mean_winsorized,
+           ROUND(CAST(SUM(CASE WHEN o_totalprice BETWEEN lo AND hi
+                               THEN CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6))
+                               END) AS DOUBLE)
+                 / SUM(CASE WHEN o_totalprice BETWEEN lo AND hi
+                            THEN 1 ELSE 0 END), 4) AS mean_trimmed,
+           CAST(SUM(CASE WHEN o_totalprice < lo OR o_totalprice > hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM j
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Robust per-group location estimates: 5%/95% winsorized and "
+    "trimmed means of order totals per priority. Clip bounds are ANSI "
+    "percentile_disc values (actual data points, so both engines clip "
+    "on identical doubles — no interpolation-parity risk), attached by "
+    "a broadcast join of the 5-row bound relation; all means are per-"
+    "term-rounded DECIMAL sums. The outlier-hardened profile a cleaning "
+    "pipeline reports next to raw means.",
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    b = o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("lo"),
+        F.expr(
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("hi"),
+    )
+    j = o.join(F.broadcast(b), "o_orderpriority").select(
+        "o_orderpriority",
+        "o_totalprice",
+        "lo",
+        "hi",
+        F.greatest("lo", F.least("hi", F.col("o_totalprice"))).alias("clipped"),
+    )
+    dec = lambda c: F.round(c, 6).cast("decimal(18,6)")  # noqa: E731
+    in_band = F.col("o_totalprice").between(F.col("lo"), F.col("hi"))
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(dec(F.col("o_totalprice"))).cast("double") / F.count(F.lit(1)),
+                4,
+            ).alias("mean_raw"),
+            F.min("lo").cast("double").alias("p05"),
+            F.max("hi").cast("double").alias("p95"),
+            F.round(
+                F.sum(dec(F.col("clipped"))).cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_winsorized"),
+            F.round(
+                F.sum(F.when(in_band, dec(F.col("o_totalprice")))).cast("double")
+                / F.sum(F.when(in_band, 1).otherwise(0)),
+                4,
+            ).alias("mean_trimmed"),
+            F.sum(
+                F.when(
+                    (F.col("o_totalprice") < F.col("lo"))
+                    | (F.col("o_totalprice") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clipped"),
+        )
+        .orderBy("o_orderpriority")
+    )

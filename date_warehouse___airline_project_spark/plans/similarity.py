@@ -1727,3 +1727,99 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(top_i).alias("top_dim"),
         F.lit(round(v[top_i], 5)).alias("top_loading"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN label-noise audit: does each labeled vector's neighborhood agree
+# with its label? The standard curation check before training on a
+# labeled corpus (mislabeled rows sit in neighborhoods that outvote
+# them).
+# ---------------------------------------------------------------------------
+
+_KNN_AUDIT_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, emb AS qv, label AS true_label FROM e
+          WHERE vec_id % 50 = 0),
+    nn AS (
+      SELECT qid, true_label, label FROM (
+        SELECT q.qid, q.true_label, e.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {_cos_sql('e.emb', 'q.qv')} DESC, e.vec_id) AS rn
+        FROM e JOIN q ON e.vec_id <> q.qid)
+      WHERE rn <= 10),
+    votes AS (
+      SELECT qid, true_label, label AS predicted_label,
+             CAST(COUNT(*) AS BIGINT) AS votes
+      FROM nn GROUP BY qid, true_label, label),
+    win AS (
+      SELECT qid, true_label, predicted_label, votes FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY votes DESC, predicted_label) AS rn
+        FROM votes)
+      WHERE rn = 1)
+    SELECT qid, true_label, predicted_label, votes,
+           CASE WHEN predicted_label = true_label THEN 1 ELSE 0 END AS is_correct
+    FROM win
+    ORDER BY qid
+"""
+
+
+@query(
+    "emb_knn_label_audit",
+    oracle=_KNN_AUDIT_ORACLE,
+    doc="k-NN label-noise audit: for each probe vector (vec_id % 50 == 0) "
+    "the majority label of its 10 exact-cosine nearest neighbors "
+    "(self excluded, ties to the smaller label) vs its own label — "
+    "rows their neighborhood outvotes are the mislabel candidates a "
+    "labeled corpus gets cleaned on. Same salted two-phase top-k as "
+    "emb_knn_join (corpus shuffle partitioned by (qid, salt), never "
+    "qid alone), then a votes rollup bounded by probes x labels.",
+)
+def emb_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 10
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "true_label",
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("qv")).alias("_cs"),
+            F.pmod(F.hash("vec_id"), F.lit(32)).alias("_salt"),
+        )
+    )
+    w1 = W.partitionBy("qid", "_salt").orderBy(F.desc("_cs"), F.asc("vec_id"))
+    w2 = W.partitionBy("qid").orderBy(F.desc("_cs"), F.asc("vec_id"))
+    nn = (
+        scored.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= k)
+    )
+    votes = nn.groupBy(
+        "qid", "true_label", F.col("label").alias("predicted_label")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+    wv = W.partitionBy("qid").orderBy(F.desc("votes"), "predicted_label")
+    return (
+        votes.withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "qid",
+            "true_label",
+            "predicted_label",
+            "votes",
+            F.when(F.col("predicted_label") == F.col("true_label"), 1)
+            .otherwise(0)
+            .alias("is_correct"),
+        )
+        .orderBy("qid")
+    )

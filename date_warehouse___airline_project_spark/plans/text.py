@@ -1170,3 +1170,80 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seq"),
         )
     return out.orderBy("round")
+
+
+@query(
+    "token_source_concentration",
+    oracle=r"""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(LENGTH(regexp_extract_all(text, '\S+'))) AS BIGINT)
+               AS toks
+      FROM documents GROUP BY source),
+    o AS (
+      SELECT source, toks,
+             ROW_NUMBER() OVER (ORDER BY toks, source) AS i
+      FROM s),
+    t AS (SELECT CAST(SUM(toks) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n FROM s)
+    SELECT t.n AS n_sources, t.total AS total_tokens,
+           ROUND(SUM(POWER(CAST(o.toks AS DOUBLE) / t.total, 2)), 6) AS hhi,
+           ROUND(2.0 * SUM(CAST(o.i AS DOUBLE) * o.toks)
+                 / (t.n * CAST(t.total AS DOUBLE))
+                 - (t.n + 1.0) / t.n, 6) AS gini,
+           ROUND(CAST(MAX(o.toks) AS DOUBLE) / t.total, 6) AS top_source_share
+    FROM o, t
+    GROUP BY t.n, t.total
+    """,
+    doc="Corpus-mixture concentration accounting: per-source token mass "
+    "reduced to the two standard concentration indices — HHI (sum of "
+    "squared shares) and the Gini coefficient (rank-weighted form over "
+    "sources sorted ascending) — plus the top source's share. One "
+    "corpus-scale token-count aggregate; the index arithmetic (and its "
+    "rank window) runs on the |sources|-bounded relation only. The "
+    "pre-flight a mixture planner runs before setting sampling weights "
+    "(doc_source_weighted_sample / doc_token_budget_allocation).",
+)
+def token_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.sum(
+            F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0))).cast(
+                "bigint"
+            )
+        ).alias("toks")
+    )
+    # rank window over the |sources|-bounded relation (allowlisted)
+    o = s.withColumn("i", F.row_number().over(W.orderBy("toks", "source")))
+    t = s.agg(
+        F.sum("toks").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return (
+        o.crossJoin(F.broadcast(t))
+        .groupBy("n", "total")
+        .agg(
+            F.round(
+                F.sum(F.pow(F.col("toks").cast("double") / F.col("total"), 2)), 6
+            ).alias("hhi"),
+            F.round(
+                2.0
+                * F.sum(F.col("i").cast("double") * F.col("toks"))
+                / (F.col("n") * F.col("total").cast("double"))
+                - (F.col("n") + 1.0) / F.col("n"),
+                6,
+            ).alias("gini"),
+            F.round(F.max("toks").cast("double") / F.col("total"), 6).alias(
+                "top_source_share"
+            ),
+        )
+        .select(
+            F.col("n").alias("n_sources"),
+            F.col("total").alias("total_tokens"),
+            "hhi",
+            "gini",
+            "top_source_share",
+        )
+    )

@@ -242,3 +242,55 @@ def funnel_conversion_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    t AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM s WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type),
+    r AS (SELECT prev_type, SUM(n) AS row_n FROM t GROUP BY prev_type)
+    SELECT t.prev_type, t.next_type, t.n,
+           ROUND(CAST(t.n AS DOUBLE) / r.row_n, 6) AS p_transition
+    FROM t JOIN r ON r.prev_type = t.prev_type
+    ORDER BY t.prev_type, t.next_type
+    """,
+    doc="First-order Markov transition matrix over user event streams: "
+    "per-user LAG pairs (one user_id-partitioned window — the shuffle "
+    "every sessionization already pays), then a type x type-bounded "
+    "count matrix with row-normalized transition probabilities (exact "
+    "integer ratios). The behavioral-model summary (next-action "
+    "prediction, funnel leak detection) that reads a corpus once and "
+    "returns |event_types|^2 rows regardless of volume.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    t = s.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    r = t.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return (
+        t.join(r, "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("row_n"), 6).alias(
+                "p_transition"
+            ),
+        )
+        .orderBy("prev_type", "next_type")
+    )

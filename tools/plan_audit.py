@@ -96,6 +96,13 @@ ALLOW = {
     "emb_cluster_silhouette": {"NESTED-LOOP"},
     # 1-row total-revenue attach broadcast to the <=5-row channel rollup
     "last_touch_attribution": {"NESTED-LOOP"},
+    # rank window + 1-row totals attach over the |sources|-bounded
+    # (~20-row) token-mass relation — corpus-scale work ended at the
+    # per-source token aggregate
+    "token_source_concentration": {"GLOBAL-WINDOW", "NESTED-LOOP"},
+    # broadcast probe-set grid (vec_id % 50 queries) against the corpus —
+    # the same bounded scoring grid as emb_knn_join
+    "emb_knn_label_audit": {"NESTED-LOOP"},
     # (b) 2-probe grid against the groups×bins-bounded cum relation
     # (cumsum window is PARTITIONED by group — no global window here)
     "quantile_sketch_by_priority": {"NESTED-LOOP"},
