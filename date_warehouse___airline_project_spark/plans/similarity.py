@@ -1823,3 +1823,113 @@ def emb_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+_EMB_OUTLIER_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id % 25 = 0),
+    samp AS (SELECT vec_id, emb FROM e WHERE vec_id % 4 = 0),
+    {_iter_sql(1, 'c0')},
+    {_iter_sql(2, 'c1')},
+    own AS (
+      SELECT vec_id, cid,
+             ROUND(1.0 - ({_cos_sql('emb', 'cvec')}), 8) AS dist FROM (
+        SELECT e.vec_id, e.emb, c.cid, c.cvec,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_rank_sql('e.emb', 'c.cvec')} DESC,
+                                           c.cid) AS rn
+        FROM e, c2 c) WHERE rn = 1),
+    st AS (
+      SELECT cid, COUNT(*) AS n,
+             CAST(SUM(CAST(dist AS DECIMAL(18,8))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(ROUND(dist * dist, 10) AS DECIMAL(18,10)))
+                  AS DOUBLE) AS s2
+      FROM own GROUP BY cid),
+    stats AS (
+      SELECT cid, n, s1 / n AS mean_dist,
+             SQRT(GREATEST((s2 - s1 * s1 / n) / (n - 1), 0)) AS std_dist
+      FROM st WHERE n > 1)
+    SELECT s.cid AS cluster_id, s.n AS n_members,
+           ROUND(s.mean_dist, 6) AS mean_dist,
+           ROUND(s.std_dist, 6) AS std_dist,
+           CAST(SUM(CASE WHEN o.dist > s.mean_dist + 3 * s.std_dist
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM own o JOIN stats s ON s.cid = o.cid
+    GROUP BY s.cid, s.n, s.mean_dist, s.std_dist
+    ORDER BY cluster_id
+"""
+
+
+@query(
+    "emb_outlier_distance",
+    oracle=_EMB_OUTLIER_ORACLE,
+    doc="Embedding outlier (OOD) detection per trained cluster: cosine "
+    "distance to the own Lloyd centroid, per-cell mean/std from per-"
+    "term-rounded DECIMAL moments, members beyond mean + 3 std flagged "
+    "— the anomaly screen a curation pipeline runs before trusting an "
+    "embedding batch. Same shared codebook and broadcast scoring grid "
+    "as the silhouette/IVF family; all corpus-scale work is one "
+    "assignment pass + a cell-bounded stats join.",
+)
+def emb_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_lloyd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_lloyd(e, centroid_mod=25, sample_mod=4, iters=2)
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        F.col("_cid").alias("cid"),
+        (
+            dot(F.col("embedding"), F.col("_cvec"))
+            / F.sqrt(dot(F.col("_cvec"), F.col("_cvec")))
+        ).alias("rnk"),
+        F.round(
+            F.lit(1.0) - cosine(F.col("embedding"), F.col("_cvec")), 8
+        ).alias("dist"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("rnk"), "cid")
+    own = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "dist")
+    )
+    st = own.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("dist").cast("decimal(18,8)")).cast("double").alias("s1"),
+        F.sum(F.round(F.col("dist") * F.col("dist"), 10).cast("decimal(18,10)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    stats = st.filter(F.col("n") > 1).select(
+        "cid",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean_dist"),
+        F.sqrt(
+            F.greatest(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / (F.col("n") - 1),
+                F.lit(0.0),
+            )
+        ).alias("std_dist"),
+    )
+    return (
+        own.join(F.broadcast(stats), "cid")
+        .groupBy("cid", "n", "mean_dist", "std_dist")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dist") > F.col("mean_dist") + 3 * F.col("std_dist"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            F.col("cid").alias("cluster_id"),
+            F.col("n").alias("n_members"),
+            F.round("mean_dist", 6).alias("mean_dist"),
+            F.round("std_dist", 6).alias("std_dist"),
+            "n_outliers",
+        )
+        .orderBy("cluster_id")
+    )

@@ -294,3 +294,87 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "seasonality_decomposition_revenue",
+    oracle="""
+    WITH m AS (
+      SELECT DATE_TRUNC('month', o_orderdate) AS mon,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1),
+    o AS (SELECT mon, rev, ROW_NUMBER() OVER (ORDER BY mon) AS i FROM m),
+    tr AS (
+      SELECT a.mon, a.rev,
+             (0.5 * MAX(CASE WHEN b.i = a.i - 6 THEN b.rev END)
+              + SUM(CASE WHEN b.i BETWEEN a.i - 5 AND a.i + 5 THEN b.rev END)
+              + 0.5 * MAX(CASE WHEN b.i = a.i + 6 THEN b.rev END)) / 12.0
+               AS trend
+      FROM o a JOIN o b ON b.i BETWEEN a.i - 6 AND a.i + 6
+      GROUP BY a.mon, a.rev, a.i
+      HAVING COUNT(*) = 13),
+    r AS (
+      SELECT CAST(MONTH(mon) AS INTEGER) AS month_num,
+             ROUND(rev / trend, 8) AS ratio
+      FROM tr)
+    SELECT month_num, COUNT(*) AS n_obs,
+           ROUND(CAST(SUM(CAST(ratio AS DECIMAL(18,8))) AS DOUBLE)
+                 / COUNT(*), 6) AS seasonal_index
+    FROM r
+    GROUP BY month_num
+    ORDER BY month_num
+    """,
+    doc="Classical multiplicative seasonal decomposition of monthly "
+    "revenue: centered 2x12 moving-average trend (the textbook "
+    "even-window form: half-weight end months), per-month actual/trend "
+    "ratios, seasonal index = mean ratio per calendar month. Corpus-"
+    "scale work is ONE monthly aggregate; the MA and index run on the "
+    "<=84-row month relation (self-join window form so both engines "
+    "share exact arithmetic; DECIMAL-summed means).",
+)
+def seasonality_decomposition_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("rev")
+    )
+    # rank window over the <=84-row month relation (allowlisted)
+    om = m.withColumn("i", F.row_number().over(Window.orderBy("mon")))
+    a = om.select(F.col("mon"), F.col("rev"), F.col("i"))
+    b = om.select(F.col("i").alias("j"), F.col("rev").alias("rev_b"))
+    tr = (
+        a.join(F.broadcast(b), (F.col("j") >= F.col("i") - 6) & (F.col("j") <= F.col("i") + 6))
+        .groupBy("mon", "rev", "i")
+        .agg(
+            (
+                (
+                    0.5 * F.max(F.when(F.col("j") == F.col("i") - 6, F.col("rev_b")))
+                    + F.sum(
+                        F.when(
+                            F.col("j").between(F.col("i") - 5, F.col("i") + 5),
+                            F.col("rev_b"),
+                        )
+                    )
+                    + 0.5 * F.max(F.when(F.col("j") == F.col("i") + 6, F.col("rev_b")))
+                )
+                / 12.0
+            ).alias("trend"),
+            F.count(F.lit(1)).alias("w"),
+        )
+        .filter(F.col("w") == 13)
+    )
+    r = tr.select(
+        F.month("mon").cast("int").alias("month_num"),
+        F.round(F.col("rev") / F.col("trend"), 8).alias("ratio"),
+    )
+    return (
+        r.groupBy("month_num")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(
+                F.sum(F.col("ratio").cast("decimal(18,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("seasonal_index"),
+        )
+        .orderBy("month_num")
+    )

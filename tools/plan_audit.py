@@ -103,6 +103,16 @@ ALLOW = {
     # broadcast probe-set grid (vec_id % 50 queries) against the corpus —
     # the same bounded scoring grid as emb_knn_join
     "emb_knn_label_audit": {"NESTED-LOOP"},
+    # rank window + 13-wide self-join MA, both over the <=84-row month
+    # relation — corpus-scale work ended at the monthly aggregate
+    "seasonality_decomposition_revenue": {
+        "GLOBAL-WINDOW",
+        "GLOBAL-SORT",
+        "NESTED-LOOP",
+    },
+    # broadcast n x k centroid grid + <=20-row per-cell stats attach —
+    # same bounded shapes as the silhouette/IVF family
+    "emb_outlier_distance": {"NESTED-LOOP"},
     # (b) 2-probe grid against the groups×bins-bounded cum relation
     # (cumsum window is PARTITIONED by group — no global window here)
     "quantile_sketch_by_priority": {"NESTED-LOOP"},
