@@ -880,3 +880,84 @@ def ivf_cell_drift(
         )
         .orderBy("centroid_id")
     )
+
+
+def pca_moment_cells(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    d: int = 64,
+    scale: float = 1e8,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Scaled-integer second-moment cells ``(i, j, s2)`` of a vector column:
+    s2(i, j) = SUM over rows of round_half_away(x_i * x_j * scale) as BIGINT.
+
+    Per-term integer scaling makes the corpus reduce EXACT under any
+    partitioning (plain long addition), which is what lets the Arrow lane
+    below be bit-identical to the relational fold — there is no float
+    accumulation to order. |x| < 1 and scale 1e8 keep the sum int64-safe
+    beyond 1e9 rows; switch to DECIMAL sums past that.
+
+    ``impl="sql"`` is the relational fold (nested transform -> posexplode
+    -> groupBy); ``impl="arrow"`` computes per-batch outer products in
+    NumPy via mapInPandas and emits per-slice integer partials — ~10x on
+    the interpreted higher-order-lambda path, certified equal by
+    tests/test_operators.py::test_pca_moment_lane_equivalence.
+    """
+    if impl == "arrow":
+        return _pca_moment_cells_arrow(emb, vec_col, d, scale)
+    col = F.col(vec_col).cast("array<double>")
+    prods = F.flatten(F.transform(col, lambda x: F.transform(col, lambda y: x * y)))
+    return (
+        emb.select(F.posexplode(prods).alias("idx", "p"))
+        .groupBy(
+            (F.col("idx") / d).cast("int").alias("i"),
+            (F.col("idx") % d).cast("int").alias("j"),
+        )
+        .agg(
+            F.sum(F.round(F.col("p") * scale, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("s2")
+        )
+    )
+
+
+def _pca_moment_cells_arrow(
+    emb: DataFrame, vec_col: str, d: int, scale: float
+) -> DataFrame:
+    """Arrow lane for ``pca_moment_cells``: per-slice NumPy outer products,
+    rounded half-away-from-zero EXACTLY like F.round/duckdb ROUND (fraction
+    compared exactly — no ``floor(x + 0.5)`` absorption bug), summed as
+    int64 partials; one (i, j, partial) block per input batch slice."""
+    import numpy as np
+    import pandas as pd
+
+    def fold(batches):
+        acc = np.zeros((d, d), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            for lo in range(0, M.shape[0], 512):
+                sl = M[lo : lo + 512]
+                P = np.einsum("ri,rj->rij", sl, sl) * scale
+                a = np.abs(P)
+                fl = np.floor(a)
+                r = (fl + (a - fl >= 0.5)) * np.sign(P)
+                acc += r.astype(np.int64).sum(axis=0)
+                seen = True
+        if seen:
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype("int32"),
+                    "j": jj.ravel().astype("int32"),
+                    "p": acc.ravel(),
+                }
+            )
+
+    partials = emb.select(F.col(vec_col).cast("array<double>").alias(vec_col)).mapInPandas(
+        fold, schema="i int, j int, p long"
+    )
+    return partials.groupBy("i", "j").agg(F.sum("p").cast("bigint").alias("s2"))

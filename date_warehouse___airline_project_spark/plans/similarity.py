@@ -1521,26 +1521,48 @@ def emb_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_lloyd(e, centroid_mod=25, sample_mod=4, iters=2)
-    scored = e.crossJoin(F.broadcast(cents)).select(
+    # ONE dot fold per (row, centroid) pair: row and centroid norms are
+    # hoisted out of the grid (computed once per row / per codebook entry),
+    # and rnk = dot/|c|, dist = 1 - dot/(|e||c|) reuse the same fold —
+    # bit-identical to the oracle's per-pair cosine (same product-then-
+    # divide order) at a quarter of the interpreted-lambda cost
+    cn = cents.select(
+        "_cid", "_cvec", F.sqrt(dot(F.col("_cvec"), F.col("_cvec"))).alias("_cnorm")
+    )
+    en = e.withColumn(
+        "_enorm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    )
+    dp = dot(F.col("embedding"), F.col("_cvec"))
+    scored = en.crossJoin(F.broadcast(cn)).select(
         "vec_id",
         F.col("_cid").alias("cid"),
-        (dot(F.col("embedding"), F.col("_cvec"))
-         / F.sqrt(dot(F.col("_cvec"), F.col("_cvec")))).alias("rnk"),
-        (F.lit(1.0) - cosine(F.col("embedding"), F.col("_cvec"))).alias("dist"),
+        dp.alias("_dp"),
+        "_enorm",
+        "_cnorm",
+    ).select(
+        "vec_id",
+        "cid",
+        (F.col("_dp") / F.col("_cnorm")).alias("rnk"),
+        (F.lit(1.0) - F.col("_dp") / (F.col("_enorm") * F.col("_cnorm"))).alias(
+            "dist"
+        ),
     )
+    # single pass over the scored grid: the assignment row_number and the
+    # min-over-others both run on ONE vec_id shuffle — no second grid
+    # computation, no self-join (the rnk window and the unordered min
+    # share the exchange)
     w = W.partitionBy("vec_id").orderBy(F.desc("rnk"), "cid")
-    own = (
+    wp = W.partitionBy("vec_id")
+    sil_rows = (
         scored.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "b_dist",
+            F.min(F.when(F.col("rn") != 1, F.col("dist"))).over(wp),
+        )
         .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", F.col("dist").alias("a_dist"))
+        .select("vec_id", "cid", F.col("dist").alias("a_dist"), "b_dist")
     )
-    nb = (
-        scored.join(own.select("vec_id", F.col("cid").alias("own_cid")), "vec_id")
-        .filter(F.col("cid") != F.col("own_cid"))
-        .groupBy("vec_id")
-        .agg(F.min("dist").alias("b_dist"))
-    )
-    sil = own.join(nb, "vec_id").select(
+    sil = sil_rows.select(
         "cid",
         F.round(
             (F.col("b_dist") - F.col("a_dist"))
@@ -1602,21 +1624,24 @@ _PCA_ORACLE = f"""
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
     cells AS (
       SELECT i.i, j.j,
-             CAST(ROUND(emb[i.i + 1] * emb[j.j + 1], 8) AS DECIMAL(27,12)) AS p
+             CAST(ROUND(emb[i.i + 1] * emb[j.j + 1] * 100000000.0, 0)
+                  AS BIGINT) AS p
       FROM e,
            UNNEST(GENERATE_SERIES(0, {_PCA_D - 1})) AS i(i),
            UNNEST(GENERATE_SERIES(0, {_PCA_D - 1})) AS j(j)),
-    s2 AS (SELECT i, j, SUM(p) AS s2 FROM cells GROUP BY i, j),
+    s2 AS (SELECT i, j, CAST(SUM(p) AS BIGINT) AS s2 FROM cells GROUP BY i, j),
     s1 AS (
       SELECT i.i AS i,
-             SUM(CAST(ROUND(emb[i.i + 1], 8) AS DECIMAL(27,12))) AS s1
+             CAST(SUM(CAST(ROUND(emb[i.i + 1] * 100000000.0, 0) AS BIGINT))
+                  AS BIGINT) AS s1
       FROM e, UNNEST(GENERATE_SERIES(0, {_PCA_D - 1})) AS i(i)
       GROUP BY i.i),
     nn AS (SELECT COUNT(*) AS n FROM e),
     cov AS MATERIALIZED (
       SELECT s2.i, s2.j,
-             CAST(s2.s2 AS DOUBLE) / nn.n
-             - (CAST(a.s1 AS DOUBLE) / nn.n) * (CAST(b.s1 AS DOUBLE) / nn.n) AS c
+             CAST(s2.s2 AS DOUBLE) / 100000000.0 / nn.n
+             - (CAST(a.s1 AS DOUBLE) / 100000000.0 / nn.n)
+               * (CAST(b.s1 AS DOUBLE) / 100000000.0 / nn.n) AS c
       FROM s2, s1 a, s1 b, nn
       WHERE a.i = s2.i AND b.i = s2.j),
     v0 AS (SELECT i AS i, 1.0 / SQRT({_PCA_D}) AS v
@@ -1647,41 +1672,50 @@ _PCA_ORACLE = f"""
     "emb_pca_power_iteration",
     oracle=_PCA_ORACLE,
     doc=f"Top principal component of the embedding corpus: ONE moment pass "
-    f"(per-term-rounded DECIMAL sums of x_i, x_i*x_j — {_PCA_D}x{_PCA_D} "
-    f"mergeable cells, exact under any partitioning), covariance closed-"
-    f"form from the sums, then {_PCA_ITERS} power-iteration steps on the "
-    f"collected {_PCA_D}x{_PCA_D} matrix (a documented bounded driver "
-    f"fold, like the Lloyd codebook) with the eigvector re-broadcast as "
-    f"literals so lambda1 = v'Cv and the variance-explained share are "
-    f"computed back on the cell relation. Corpus-scale cost is d^2 "
-    f"multiplies per row in one scan — how PCA preprocessing actually "
+    f"(scaled-integer sums of x_i*x_j — {_PCA_D}x{_PCA_D} mergeable "
+    f"cells, EXACT under any partitioning, via the Arrow outer-product "
+    f"lane operators/similarity.py::pca_moment_cells whose integer "
+    f"partials are bit-identical to the relational fold), covariance "
+    f"closed-form from the sums, then {_PCA_ITERS} power-iteration steps "
+    f"on the collected {_PCA_D}x{_PCA_D} matrix (a documented bounded "
+    f"driver fold, like the Lloyd codebook) with the eigvector re-"
+    f"broadcast as literals so lambda1 = v'Cv and the variance-explained "
+    f"share are computed back on the cell relation. Corpus-scale cost is "
+    f"d^2 multiplies per row in one scan — how PCA preprocessing actually "
     f"runs at 100 TB; the oracle unrolls the identical {_PCA_ITERS} "
-    f"iterations as CTEs.",
+    f"iterations as materialized CTEs.",
 )
 def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     d = _PCA_D
     emb = F.col("embedding").cast("array<double>")
-    prods = F.flatten(
-        F.transform(emb, lambda x: F.transform(emb, lambda y: x * y))
-    )
+    # scaled-long moment sums (operators/similarity.py::pca_moment_cells):
+    # round(term * 1e8) summed as BIGINT — exact integer merge under any
+    # partitioning, which is what makes the Arrow/NumPy outer-product lane
+    # bit-identical to the relational fold (no float accumulation order).
+    # |x| < 1 here, so the sum stays int64-safe far beyond 1e9 rows.
+    from ..operators.similarity import pca_moment_cells
+
     cells = (
-        e.select(F.posexplode(prods).alias("idx", "p"))
-        .groupBy(
-            (F.col("idx") / d).cast("int").alias("i"),
-            (F.col("idx") % d).alias("j"),
-        )
-        .agg(F.sum(F.round(F.col("p"), 8).cast("decimal(27,12)")).alias("s2"))
+        pca_moment_cells(e, "embedding", d=d, scale=1e8, impl="arrow")
+        # materialize the 4096-cell moment relation ONCE: the driver fold
+        # below collects it and the returned plan re-reads the same
+        # checkpoint instead of re-running the d^2-per-row corpus pass
+        .localCheckpoint(eager=True)
     )
     s1 = (
         e.select(F.posexplode(emb).alias("i", "x"))
         .groupBy("i")
-        .agg(F.sum(F.round(F.col("x"), 8).cast("decimal(27,12)")).alias("s1"))
+        .agg(
+            F.sum(F.round(F.col("x") * 1e8, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("s1")
+        )
     )
     n = e.count()
-    mean = {int(r["i"]): float(r["s1"]) / n for r in s1.collect()}
+    mean = {int(r["i"]): float(r["s1"]) / 1e8 / n for r in s1.collect()}
     cov_rows = {
-        (int(r["i"]), int(r["j"])): float(r["s2"]) / n
+        (int(r["i"]), int(r["j"])): float(r["s2"]) / 1e8 / n
         - mean[int(r["i"])] * mean[int(r["j"])]
         for r in cells.collect()
     }
@@ -1697,7 +1731,7 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lambda1 = v'Cv and trace re-computed ON the cell relation with the
     # eigvector as broadcast literals (per-term-rounded DECIMAL sums)
     cov_c = (
-        F.col("s2").cast("double") / n
+        F.col("s2").cast("double") / 1e8 / n
         - (F.lit(1.0) * F.array([F.lit(mean[i]) for i in range(d)])[F.col("i")])
         * F.array([F.lit(mean[i]) for i in range(d)])[F.col("j")]
     )
@@ -1784,16 +1818,25 @@ def emb_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
         F.col("label").alias("true_label"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("_qnorm"),
+    )
+    # hoisted norms: one dot fold per (row, probe) pair; cosine =
+    # dot/(|e||q|) in the oracle's exact product-then-divide order
+    en = e.withColumn(
+        "_enorm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
     )
     scored = (
-        e.crossJoin(F.broadcast(q))
+        en.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "true_label",
             "vec_id",
             "label",
-            cosine(F.col("embedding"), F.col("qv")).alias("_cs"),
+            (
+                dot(F.col("embedding"), F.col("qv"))
+                / (F.col("_enorm") * F.col("_qnorm"))
+            ).alias("_cs"),
             F.pmod(F.hash("vec_id"), F.lit(32)).alias("_salt"),
         )
     )
@@ -1876,15 +1919,26 @@ def emb_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_lloyd(e, centroid_mod=25, sample_mod=4, iters=2)
-    scored = e.crossJoin(F.broadcast(cents)).select(
+    # hoisted norms + one dot fold per pair — the same quarter-cost grid
+    # as emb_cluster_silhouette, bit-identical to the oracle's cosine
+    cn = cents.select(
+        "_cid", "_cvec", F.sqrt(dot(F.col("_cvec"), F.col("_cvec"))).alias("_cnorm")
+    )
+    en = e.withColumn(
+        "_enorm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    )
+    scored = en.crossJoin(F.broadcast(cn)).select(
         "vec_id",
         F.col("_cid").alias("cid"),
-        (
-            dot(F.col("embedding"), F.col("_cvec"))
-            / F.sqrt(dot(F.col("_cvec"), F.col("_cvec")))
-        ).alias("rnk"),
+        dot(F.col("embedding"), F.col("_cvec")).alias("_dp"),
+        "_enorm",
+        "_cnorm",
+    ).select(
+        "vec_id",
+        "cid",
+        (F.col("_dp") / F.col("_cnorm")).alias("rnk"),
         F.round(
-            F.lit(1.0) - cosine(F.col("embedding"), F.col("_cvec")), 8
+            F.lit(1.0) - F.col("_dp") / (F.col("_enorm") * F.col("_cnorm")), 8
         ).alias("dist"),
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("rnk"), "cid")
@@ -1893,28 +1947,36 @@ def emb_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cid", "dist")
     )
-    st = own.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("dist").cast("decimal(18,8)")).cast("double").alias("s1"),
-        F.sum(F.round(F.col("dist") * F.col("dist"), 10).cast("decimal(18,10)"))
-        .cast("double")
-        .alias("s2"),
-    )
-    stats = st.filter(F.col("n") > 1).select(
-        "cid",
-        "n",
-        (F.col("s1") / F.col("n")).alias("mean_dist"),
-        F.sqrt(
-            F.greatest(
-                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
-                / (F.col("n") - 1),
-                F.lit(0.0),
-            )
-        ).alias("std_dist"),
+    # per-cell stats as window aggregates over the SAME cid partitioning
+    # the final rollup needs — one pass over the assignment relation, no
+    # stats join, no second scoring-grid computation
+    wc = W.partitionBy("cid")
+    flagged = (
+        own.withColumn("n", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            "s1", F.sum(F.col("dist").cast("decimal(18,8)")).over(wc).cast("double")
+        )
+        .withColumn(
+            "s2",
+            F.sum(F.round(F.col("dist") * F.col("dist"), 10).cast("decimal(18,10)"))
+            .over(wc)
+            .cast("double"),
+        )
+        .filter(F.col("n") > 1)
+        .withColumn("mean_dist", F.col("s1") / F.col("n"))
+        .withColumn(
+            "std_dist",
+            F.sqrt(
+                F.greatest(
+                    (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                    / (F.col("n") - 1),
+                    F.lit(0.0),
+                )
+            ),
+        )
     )
     return (
-        own.join(F.broadcast(stats), "cid")
-        .groupBy("cid", "n", "mean_dist", "std_dist")
+        flagged.groupBy("cid", "n", "mean_dist", "std_dist")
         .agg(
             F.sum(
                 F.when(
