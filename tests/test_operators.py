@@ -404,3 +404,51 @@ def test_salted_join_left_outer_keeps_unmatched(spark):
     out = salted_join(big, small, on=["k"], n_salts=3, how="left")
     rows = {(r.k, r.v, r.tag) for r in out.collect()}
     assert rows == {(1, 1, "a"), (9, 2, None)}
+
+
+def test_pca_moment_lane_equivalence(spark):
+    """The Arrow outer-product lane must be BIT-identical to the relational
+    fold: both round each scaled product half-away-from-zero to int64 and
+    merge by plain integer addition, so no float-accumulation order can
+    leak in. Certified cell-for-cell on the real embeddings table."""
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        pca_moment_cells,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    arrow = {
+        (r["i"], r["j"]): r["s2"]
+        for r in pca_moment_cells(e, impl="arrow").collect()
+    }
+    sql = {
+        (r["i"], r["j"]): r["s2"]
+        for r in pca_moment_cells(e, impl="sql").collect()
+    }
+    assert arrow == sql
+    assert len(sql) == 64 * 64
+
+
+def test_pca_moment_rounding_edge(spark):
+    """Half-away-from-zero edge: the arrow lane compares the fraction
+    exactly (no floor(x+0.5) absorption), so values that sit just under
+    .5 after scaling stay down and exact .5 goes away from zero — in
+    BOTH lanes, including negatives."""
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        pca_moment_cells,
+    )
+
+    rows = [
+        (1, [0.5, -0.5]),        # products: 0.25, -0.25, 0.25 -> .5 ties at scale 2
+        (2, [0.75, 0.25]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for impl in ("arrow", "sql"):
+        got = {
+            (r["i"], r["j"]): r["s2"]
+            for r in pca_moment_cells(df, d=2, scale=2.0, impl=impl).collect()
+        }
+        # row1: [0.25*2=0.5 -> 1, -0.5 -> -1]; row2: [1.125->1.0... ]
+        # 0.5625*2=1.125 -> 1; 0.1875*2=0.375 -> 0; 0.0625*2=0.125 -> 0
+        assert got[(0, 0)] == 1 + 1, got   # 0.5->1 plus 1.125->1
+        assert got[(0, 1)] == -1 + 0, got  # -0.5 -> -1 (away from zero)
+        assert got[(1, 1)] == 1 + 0, got   # 0.5->1, 0.125->0
