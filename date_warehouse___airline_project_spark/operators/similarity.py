@@ -961,3 +961,117 @@ def _pca_moment_cells_arrow(
         fold, schema="i int, j int, p long"
     )
     return partials.groupBy("i", "j").agg(F.sum("p").cast("bigint").alias("s2"))
+
+
+def centroid_distance_profile(
+    data: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "arrow",
+) -> DataFrame:
+    """Per-row centroid distance profile ``(id, cid, a_dist, b_dist)``:
+    the own-cell assignment (rank = dot/|c|, ties to the lower cid — the
+    family's standard ranking) plus RAW cosine distances to the own
+    centroid (a) and to the nearest OTHER centroid (b). The two numbers
+    every cluster-quality audit (silhouette, OOD screen) needs, reduced
+    worker-side so the n x k grid never materializes as rows.
+
+    Distances are returned UNROUNDED: both lanes produce bit-identical
+    doubles (dot folds run sequentially over dims; cosine divides the dot
+    by the norm PRODUCT), and the consuming plan applies its own F.round
+    JVM-side, so numpy never rounds (F.round is half-up, np.round is
+    banker's — the repo rule).
+
+    ``impl="sql"`` scores the broadcast grid relationally (two window
+    functions on one vec_id shuffle); ``impl="arrow"`` streams Arrow
+    batches through the same fold vectorized across rows. Equivalence is
+    pinned by tests/test_operators.py::test_distance_profile_lane_equivalence.
+    """
+    if impl == "arrow":
+        return _centroid_distance_profile_arrow(data, cents, id_col, vec_col)
+    cn = cents.select(
+        "_cid", "_cvec", F.sqrt(dot(F.col("_cvec"), F.col("_cvec"))).alias("_cnorm")
+    ).filter(F.col("_cnorm") > 0)
+    en = data.withColumn(
+        "_enorm", F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+    )
+    scored = en.crossJoin(F.broadcast(cn)).select(
+        F.col(id_col),
+        F.col("_cid").alias("cid"),
+        dot(F.col(vec_col), F.col("_cvec")).alias("_dp"),
+        "_enorm",
+        "_cnorm",
+    ).select(
+        F.col(id_col),
+        "cid",
+        (F.col("_dp") / F.col("_cnorm")).alias("_rnk"),
+        (F.lit(1.0) - F.col("_dp") / (F.col("_enorm") * F.col("_cnorm"))).alias(
+            "_dist"
+        ),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("_rnk"), "cid")
+    wp = W.partitionBy(id_col)
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "b_dist", F.min(F.when(F.col("_rn") != 1, F.col("_dist"))).over(wp)
+        )
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), "cid", F.col("_dist").alias("a_dist"), "b_dist")
+    )
+
+
+def _centroid_distance_profile_arrow(
+    data: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Arrow lane for ``centroid_distance_profile``: scores vectorized
+    across rows, dims folded SEQUENTIALLY (bit-identical to the relational
+    aggregate fold), own cell by first-max over cid-ascending columns
+    (== rank desc, cid asc), b by masked min."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(cents.select("_cid", "_cvec").collect(), key=lambda r: r["_cid"])
+    cids = np.array([r["_cid"] for r in rows], dtype=np.int64)
+    C = np.array([list(r["_cvec"]) for r in rows], dtype=np.float64)
+    k, dim = C.shape
+    acc = np.zeros(k)
+    for d in range(dim):
+        acc = acc + C[:, d] * C[:, d]
+    norms = np.sqrt(acc)
+    keep = norms > 0
+    cids, C, norms = cids[keep], C[keep], norms[keep]
+    k = int(keep.sum())
+
+    def profile(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+            n = X.shape[0]
+            dp = np.zeros((n, k))
+            en = np.zeros(n)
+            for d in range(dim):
+                dp = dp + X[:, d : d + 1] * C[None, :, d]
+                en = en + X[:, d] * X[:, d]
+            en = np.sqrt(en)
+            rnk = dp / norms[None, :]
+            dist = 1.0 - dp / (en[:, None] * norms[None, :])
+            own = np.argmax(rnk, axis=1)
+            a = dist[np.arange(n), own]
+            masked = dist.copy()
+            masked[np.arange(n), own] = np.inf
+            b = masked.min(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cid": cids[own],
+                    "a_dist": a,
+                    "b_dist": b,
+                }
+            )
+
+    return data.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).mapInPandas(profile, schema=f"{id_col} long, cid long, a_dist double, b_dist double")

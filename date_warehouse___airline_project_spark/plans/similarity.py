@@ -1302,7 +1302,8 @@ def emb_ivf_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_JOIN_ORACLE = f"""
     WITH q AS (
       SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-      FROM embeddings WHERE vec_id % 100 = 0),
+      FROM embeddings WHERE vec_id % 100 = 0
+      ORDER BY vec_id LIMIT 100),
     scored AS (
       SELECT q.qid, e.vec_id, e.label,
              {_cos_sql('e.embedding', 'q.qv')} AS cs
@@ -1328,17 +1329,35 @@ _KNN_JOIN_ORACLE = f"""
 def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 3
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    # probe set CAPPED at the first 100 ids: a probe modulus alone grows
+    # with the corpus and the grid goes quadratic (measured, SCALING.md);
+    # the cap is a no-op at certification SFs
+    q = (
+        e.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(100)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("_qnorm"),
+        )
+    )
+    # hoisted norms: one dot fold per (row, probe) pair; cos = dp/(|e||q|)
+    # in the oracle's exact product-then-divide order
+    en = e.withColumn(
+        "_enorm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
     )
     scored = (
-        e.crossJoin(F.broadcast(q))
+        en.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
             "label",
-            cosine(F.col("embedding"), F.col("qv")).alias("_cs"),
+            (
+                dot(F.col("embedding"), F.col("qv"))
+                / (F.col("_enorm") * F.col("_qnorm"))
+            ).alias("_cs"),
             F.pmod(F.hash("vec_id"), F.lit(32)).alias("_salt"),
         )
     )
@@ -1373,7 +1392,8 @@ def _cos_trunc_sql(a: str, b: str, d: int) -> str:
 _TRUNC_ORACLE = f"""
     WITH q AS (
       SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-      FROM embeddings WHERE vec_id % 100 = 0),
+      FROM embeddings WHERE vec_id % 100 = 0
+      ORDER BY vec_id LIMIT 100),
     full_top AS (
       SELECT qid, vec_id FROM (
         SELECT q.qid, e.vec_id,
@@ -1410,19 +1430,42 @@ _TRUNC_ORACLE = f"""
 )
 def emb_dim_truncation_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    # probe set CAPPED at the first 100 ids: a probe modulus alone grows
+    # with the corpus and the grid goes quadratic (measured, SCALING.md);
+    # the cap is a no-op at certification SFs
+    q = (
+        e.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(100)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     )
+    # hoisted norms for BOTH metrics (full and first-_TRUNC_DIMS slice):
+    # two dot folds per pair instead of six, same product-then-divide
+    # cosine as the oracle
+    qn = q.select(
+        "qid",
+        "qv",
+        F.sqrt(dot(F.col("qv"), F.col("qv"))).alias("_qnorm"),
+        F.slice(F.col("qv"), 1, _TRUNC_DIMS).alias("_qvt"),
+    ).withColumn("_qnorm_t", F.sqrt(dot(F.col("_qvt"), F.col("_qvt"))))
+    en = e.withColumn(
+        "_enorm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    ).withColumn(
+        "_et", F.slice(F.col("embedding"), 1, _TRUNC_DIMS)
+    ).withColumn("_enorm_t", F.sqrt(dot(F.col("_et"), F.col("_et"))))
     scored = (
-        e.crossJoin(F.broadcast(q))
+        en.crossJoin(F.broadcast(qn))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
-            cosine(F.col("embedding"), F.col("qv")).alias("_cs_full"),
-            cosine(
-                F.slice(F.col("embedding"), 1, _TRUNC_DIMS),
-                F.slice(F.col("qv"), 1, _TRUNC_DIMS),
+            (
+                dot(F.col("embedding"), F.col("qv"))
+                / (F.col("_enorm") * F.col("_qnorm"))
+            ).alias("_cs_full"),
+            (
+                dot(F.col("_et"), F.col("_qvt"))
+                / (F.col("_enorm_t") * F.col("_qnorm_t"))
             ).alias("_cs_trunc"),
             F.pmod(F.hash("vec_id"), F.lit(32)).alias("_salt"),
         )
@@ -1462,17 +1505,20 @@ def emb_dim_truncation_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recall) with the "should I even trust these clusters" metric.
 # ---------------------------------------------------------------------------
 
+_AUDIT_CENTS = 200  # corpus-independent audit codebook cap
+
 _SILHOUETTE_ORACLE = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
     c0 AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id % 25 = 0),
     samp AS (SELECT vec_id, emb FROM e WHERE vec_id % 4 = 0),
     {_iter_sql(1, 'c0')},
     {_iter_sql(2, 'c1')},
+    c2c AS (SELECT cid, cvec FROM c2 ORDER BY cid LIMIT {_AUDIT_CENTS}),
     scored AS (
       SELECT e.vec_id, c.cid,
              {_rank_sql('e.emb', 'c.cvec')} AS rnk,
              1.0 - ({_cos_sql('e.emb', 'c.cvec')}) AS dist
-      FROM e, c2 c),
+      FROM e, c2c c),
     own AS (
       SELECT vec_id, cid, dist AS a_dist FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -1517,51 +1563,22 @@ _SILHOUETTE_ORACLE = f"""
     "per-term DECIMAL means keep the reduce partition-order invariant.",
 )
 def emb_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import kmeans_lloyd
+    from ..operators.similarity import centroid_distance_profile, kmeans_lloyd
 
     e = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_lloyd(e, centroid_mod=25, sample_mod=4, iters=2)
-    # ONE dot fold per (row, centroid) pair: row and centroid norms are
-    # hoisted out of the grid (computed once per row / per codebook entry),
-    # and rnk = dot/|c|, dist = 1 - dot/(|e||c|) reuse the same fold —
-    # bit-identical to the oracle's per-pair cosine (same product-then-
-    # divide order) at a quarter of the interpreted-lambda cost
-    cn = cents.select(
-        "_cid", "_cvec", F.sqrt(dot(F.col("_cvec"), F.col("_cvec"))).alias("_cnorm")
-    )
-    en = e.withColumn(
-        "_enorm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-    )
-    dp = dot(F.col("embedding"), F.col("_cvec"))
-    scored = en.crossJoin(F.broadcast(cn)).select(
-        "vec_id",
-        F.col("_cid").alias("cid"),
-        dp.alias("_dp"),
-        "_enorm",
-        "_cnorm",
-    ).select(
-        "vec_id",
-        "cid",
-        (F.col("_dp") / F.col("_cnorm")).alias("rnk"),
-        (F.lit(1.0) - F.col("_dp") / (F.col("_enorm") * F.col("_cnorm"))).alias(
-            "dist"
-        ),
-    )
-    # single pass over the scored grid: the assignment row_number and the
-    # min-over-others both run on ONE vec_id shuffle — no second grid
-    # computation, no self-join (the rnk window and the unordered min
-    # share the exchange)
-    w = W.partitionBy("vec_id").orderBy(F.desc("rnk"), "cid")
-    wp = W.partitionBy("vec_id")
-    sil_rows = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .withColumn(
-            "b_dist",
-            F.min(F.when(F.col("rn") != 1, F.col("dist"))).over(wp),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", F.col("dist").alias("a_dist"), "b_dist")
-    )
+    # audit codebook = the shared Lloyd codebook CAPPED at the first 200
+    # cells (cid-ordered, deterministic): an audit's cost must not grow
+    # with the corpus-derived codebook spec. A no-op at certification SFs
+    # (sf0.1 trains exactly 200 cells) — the cap is the 100 TB contract.
+    cents = kmeans_lloyd(e, centroid_mod=25, sample_mod=4, iters=2).orderBy(
+        "_cid"
+    ).limit(_AUDIT_CENTS)
+    # worker-side distance profile (operators/similarity.py::
+    # centroid_distance_profile, Arrow lane): the n x k grid reduces to
+    # one (cid, a, b) row per vector inside the scan — the grid never
+    # materializes as rows, and the raw doubles are bit-identical to the
+    # relational fold (lane-equivalence test)
+    sil_rows = centroid_distance_profile(e, cents, impl="arrow")
     sil = sil_rows.select(
         "cid",
         F.round(
@@ -1774,7 +1791,7 @@ _KNN_AUDIT_ORACLE = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
                FROM embeddings),
     q AS (SELECT vec_id AS qid, emb AS qv, label AS true_label FROM e
-          WHERE vec_id % 50 = 0),
+          WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 100),
     nn AS (
       SELECT qid, true_label, label FROM (
         SELECT q.qid, q.true_label, e.label,
@@ -1814,11 +1831,18 @@ _KNN_AUDIT_ORACLE = f"""
 def emb_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 10
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qv"),
-        F.col("label").alias("true_label"),
-        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("_qnorm"),
+    # probe set capped at the first 100 ids (see emb_knn_join) — bounded
+    # audit cost at any corpus size, no-op at certification SFs
+    q = (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(100)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("true_label"),
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("_qnorm"),
+        )
     )
     # hoisted norms: one dot fold per (row, probe) pair; cosine =
     # dot/(|e||q|) in the oracle's exact product-then-divide order
@@ -1874,6 +1898,7 @@ _EMB_OUTLIER_ORACLE = f"""
     samp AS (SELECT vec_id, emb FROM e WHERE vec_id % 4 = 0),
     {_iter_sql(1, 'c0')},
     {_iter_sql(2, 'c1')},
+    c2c AS (SELECT cid, cvec FROM c2 ORDER BY cid LIMIT {_AUDIT_CENTS}),
     own AS (
       SELECT vec_id, cid,
              ROUND(1.0 - ({_cos_sql('emb', 'cvec')}), 8) AS dist FROM (
@@ -1881,7 +1906,7 @@ _EMB_OUTLIER_ORACLE = f"""
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                   ORDER BY {_rank_sql('e.emb', 'c.cvec')} DESC,
                                            c.cid) AS rn
-        FROM e, c2 c) WHERE rn = 1),
+        FROM e, c2c c) WHERE rn = 1),
     st AS (
       SELECT cid, COUNT(*) AS n,
              CAST(SUM(CAST(dist AS DECIMAL(18,8))) AS DOUBLE) AS s1,
@@ -1915,37 +1940,17 @@ _EMB_OUTLIER_ORACLE = f"""
     "assignment pass + a cell-bounded stats join.",
 )
 def emb_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import kmeans_lloyd
+    from ..operators.similarity import centroid_distance_profile, kmeans_lloyd
 
     e = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_lloyd(e, centroid_mod=25, sample_mod=4, iters=2)
-    # hoisted norms + one dot fold per pair — the same quarter-cost grid
-    # as emb_cluster_silhouette, bit-identical to the oracle's cosine
-    cn = cents.select(
-        "_cid", "_cvec", F.sqrt(dot(F.col("_cvec"), F.col("_cvec"))).alias("_cnorm")
-    )
-    en = e.withColumn(
-        "_enorm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-    )
-    scored = en.crossJoin(F.broadcast(cn)).select(
-        "vec_id",
-        F.col("_cid").alias("cid"),
-        dot(F.col("embedding"), F.col("_cvec")).alias("_dp"),
-        "_enorm",
-        "_cnorm",
-    ).select(
-        "vec_id",
-        "cid",
-        (F.col("_dp") / F.col("_cnorm")).alias("rnk"),
-        F.round(
-            F.lit(1.0) - F.col("_dp") / (F.col("_enorm") * F.col("_cnorm")), 8
-        ).alias("dist"),
-    )
-    w = W.partitionBy("vec_id").orderBy(F.desc("rnk"), "cid")
-    own = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "dist")
+    # same capped audit codebook + worker-side Arrow distance profile as
+    # emb_cluster_silhouette (the rounding to 8 stays JVM-side, on the
+    # lane-identical raw doubles)
+    cents = kmeans_lloyd(e, centroid_mod=25, sample_mod=4, iters=2).orderBy(
+        "_cid"
+    ).limit(_AUDIT_CENTS)
+    own = centroid_distance_profile(e, cents, impl="arrow").select(
+        "vec_id", "cid", F.round("a_dist", 8).alias("dist")
     )
     # per-cell stats as window aggregates over the SAME cid partitioning
     # the final rollup needs — one pass over the assignment relation, no

@@ -452,3 +452,25 @@ def test_pca_moment_rounding_edge(spark):
         assert got[(0, 0)] == 1 + 1, got   # 0.5->1 plus 1.125->1
         assert got[(0, 1)] == -1 + 0, got  # -0.5 -> -1 (away from zero)
         assert got[(1, 1)] == 1 + 0, got   # 0.5->1, 0.125->0
+
+
+def test_distance_profile_lane_equivalence(spark):
+    """Arrow distance-profile lane vs the relational window form: raw
+    (unrounded) doubles for own-cell assignment and a/b distances must be
+    BIT-identical (sequential-over-dims folds, product-then-divide cosine,
+    first-max == rank desc / cid asc)."""
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        centroid_distance_profile,
+        kmeans_lloyd,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_lloyd(e, centroid_mod=25, sample_mod=4, iters=2)
+    arrow = sorted(
+        tuple(r) for r in centroid_distance_profile(e, cents, impl="arrow").collect()
+    )
+    sql = sorted(
+        tuple(r) for r in centroid_distance_profile(e, cents, impl="sql").collect()
+    )
+    assert arrow == sql
+    assert len(arrow) == e.count()
