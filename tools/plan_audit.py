@@ -70,7 +70,10 @@ ALLOW = {
     # (b) broadcast query-set grid (vec_id % 100, constant-size in the
     # corpus) — scoring is map-side; top-k windows are salted/partitioned
     "emb_knn_join": {"NESTED-LOOP"},
-    "emb_dim_truncation_overlap": {"NESTED-LOOP"},  # same broadcast grid
+    # same broadcast grid; final orderBy("qid") sorts the probe-bounded
+    # (≤100-row) grouped overlap relation — corpus-scale work ended at
+    # the per-qid top-k; same class as its allowlisted kNN siblings
+    "emb_dim_truncation_overlap": {"NESTED-LOOP", "GLOBAL-SORT"},
     # (a) 1-row budget/sqrt-sum scalar attach to the per-source relation
     "doc_token_budget_allocation": {"NESTED-LOOP"},
     "market_share_by_segment": {"GLOBAL-WINDOW"},  # window over 5-row agg
@@ -91,8 +94,9 @@ ALLOW = {
     # 1-row total-rows attach broadcast to the <=distinct-QI-count band
     # relation
     "privacy_k_anonymity": {"NESTED-LOOP"},
-    # broadcast n x k centroid grid (codebook <= 20 rows) — the same
-    # bounded scoring grid as the IVF family
+    # broadcast n x k centroid grid (audit codebook capped at
+    # _AUDIT_CENTS = 200 cells, corpus-independent) — the same bounded
+    # scoring grid as the IVF family
     "emb_cluster_silhouette": {"NESTED-LOOP"},
     # 1-row total-revenue attach broadcast to the <=5-row channel rollup
     "last_touch_attribution": {"NESTED-LOOP"},
@@ -110,8 +114,9 @@ ALLOW = {
         "GLOBAL-SORT",
         "NESTED-LOOP",
     },
-    # broadcast n x k centroid grid + <=20-row per-cell stats attach —
-    # same bounded shapes as the silhouette/IVF family
+    # broadcast n x k centroid grid (capped at _AUDIT_CENTS = 200 cells)
+    # + per-cell stats attach — same bounded shapes as the
+    # silhouette/IVF family
     "emb_outlier_distance": {"NESTED-LOOP"},
     # (b) 2-probe grid against the groups×bins-bounded cum relation
     # (cumsum window is PARTITIONED by group — no global window here)
