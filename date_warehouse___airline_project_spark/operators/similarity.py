@@ -866,17 +866,29 @@ def ivf_cell_drift(
         .agg(F.count("*").alias("n_current"))
     )
     added = F.col("n_current") - F.col("n_train")
-    frac = added.cast("double") / F.col("n_train")
+    frac = F.when(
+        F.col("n_train") > 0, added.cast("double") / F.col("n_train")
+    )
+    # FULL outer: a centroid with zero training assignments (no cell_stats
+    # row) that gains appended vectors is the MOST drifted cell — a left
+    # join from stats would silently drop it. n_train = 0 leaves
+    # added_frac null (division by zero is not a fraction) and flags
+    # retrain directly whenever anything landed in the empty cell.
     return (
-        stats.join(cur, "centroid_id", "left")
-        .na.fill({"n_current": 0})
+        stats.join(cur, "centroid_id", "full")
+        .na.fill({"n_current": 0, "n_train": 0})
         .select(
             "centroid_id",
             "n_train",
             "n_current",
             added.alias("n_added"),
             F.round(frac, 6).alias("added_frac"),
-            F.when(frac > retrain_threshold, 1).otherwise(0).alias("retrain_flag"),
+            F.when(
+                (F.col("n_train") == 0) & (added > 0), 1
+            )
+            .when(frac > retrain_threshold, 1)
+            .otherwise(0)
+            .alias("retrain_flag"),
         )
         .orderBy("centroid_id")
     )
@@ -1006,9 +1018,13 @@ def centroid_distance_profile(
         F.col(id_col),
         "cid",
         (F.col("_dp") / F.col("_cnorm")).alias("_rnk"),
-        (F.lit(1.0) - F.col("_dp") / (F.col("_enorm") * F.col("_cnorm"))).alias(
-            "_dist"
-        ),
+        # try_divide: a zero-norm data vector divides 0/0 — the degenerate
+        # contract is NULL (matching the Arrow lane), and ANSI mode would
+        # otherwise raise DIVIDE_BY_ZERO
+        (
+            F.lit(1.0)
+            - F.try_divide(F.col("_dp"), F.col("_enorm") * F.col("_cnorm"))
+        ).alias("_dist"),
     )
     w = W.partitionBy(id_col).orderBy(F.desc("_rnk"), "cid")
     wp = W.partitionBy(id_col)
@@ -1046,7 +1062,9 @@ def _centroid_distance_profile_arrow(
 
     def profile(batches):
         for pdf in batches:
-            if len(pdf) == 0:
+            if len(pdf) == 0 or k == 0:
+                # zero surviving centroids: the relational lane's
+                # crossJoin against an empty codebook emits no rows
                 continue
             X = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
             n = X.shape[0]
@@ -1063,12 +1081,22 @@ def _centroid_distance_profile_arrow(
             masked = dist.copy()
             masked[np.arange(n), own] = np.inf
             b = masked.min(axis=1)
+            # Degenerate-input contract (matches the relational lane,
+            # which yields NULL for both): a single surviving centroid
+            # leaves the masked min over an empty set (+inf here, empty
+            # MIN there), and a zero-norm data vector divides 0/0 (NaN
+            # here, NULL there). Map every non-finite to null so the
+            # lane-equivalence claim holds on ALL inputs.
+            a_s = pd.array(np.where(np.isfinite(a), a, np.nan), dtype="Float64")
+            b_s = pd.array(np.where(np.isfinite(b), b, np.nan), dtype="Float64")
+            a_s[~np.isfinite(a)] = pd.NA
+            b_s[(~np.isfinite(b)) | (k < 2)] = pd.NA
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
                     "cid": cids[own],
-                    "a_dist": a,
-                    "b_dist": b,
+                    "a_dist": a_s,
+                    "b_dist": b_s,
                 }
             )
 

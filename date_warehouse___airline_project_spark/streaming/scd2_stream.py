@@ -65,10 +65,14 @@ def apply_scd2_batch(
             return  # nothing to version yet and nothing to guard
         merged = spark.read.parquet(dim_dir)
     else:
+        # Keep fractional seconds: two micro-batches whose max event times
+        # fall within the same second must still produce distinct
+        # _valid_from/_valid_to edges, or the SCD2 intervals collapse to
+        # zero width. isoformat preserves microseconds when present.
         batch_ts = (
             head["m"]
             if isinstance(head["m"], str)
-            else head["m"].strftime("%Y-%m-%d %H:%M:%S")
+            else head["m"].isoformat(sep=" ")
         )
         updates = up.drop("_ts")
         if exists:

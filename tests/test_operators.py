@@ -474,3 +474,73 @@ def test_distance_profile_lane_equivalence(spark):
     )
     assert arrow == sql
     assert len(arrow) == e.count()
+
+
+def test_ivf_cell_drift_empty_training_cell(spark, tmp_path):
+    """A centroid with ZERO training assignments (no cell_stats row) that
+    gains appended vectors must still appear in the drift report with
+    n_train=0, added_frac null, retrain_flag=1 — the maximally-drifted
+    cell is exactly the one a stats-side left join would drop."""
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        ivf_cell_drift,
+    )
+
+    path = str(tmp_path / "ivf")
+    spark.createDataFrame(
+        [(0, 3)], "centroid_id long, n_train long"
+    ).write.parquet(f"{path}/cell_stats")
+    spark.createDataFrame(
+        [(10, 0), (11, 0), (12, 0), (20, 1), (21, 1)],
+        "vec_id long, centroid_id long",
+    ).write.partitionBy("centroid_id").parquet(f"{path}/assignments")
+    got = {r["centroid_id"]: r for r in ivf_cell_drift(spark, path).collect()}
+    assert got[0]["n_train"] == 3 and got[0]["n_added"] == 0
+    assert got[0]["retrain_flag"] == 0 and got[0]["added_frac"] == 0.0
+    assert got[1]["n_train"] == 0 and got[1]["n_current"] == 2
+    assert got[1]["n_added"] == 2
+    assert got[1]["added_frac"] is None  # 2/0 is not a fraction
+    assert got[1]["retrain_flag"] == 1
+
+
+def test_distance_profile_degenerate_inputs(spark):
+    """Lane-equivalence contract on degenerate inputs: a single surviving
+    centroid yields b_dist NULL in BOTH lanes (not +inf), and a zero-norm
+    data vector yields NULL distances in BOTH lanes (not NaN)."""
+    import math
+
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        centroid_distance_profile,
+    )
+
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    one_cent = spark.createDataFrame(
+        [(0, [1.0, 1.0])], "_cid long, _cvec array<double>"
+    )
+    two_cents = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [-1.0, 1.0])], "_cid long, _cvec array<double>"
+    )
+    for cents in (one_cent, two_cents):
+        lanes = {
+            impl: {
+                r["vec_id"]: r
+                for r in centroid_distance_profile(e, cents, impl=impl).collect()
+            }
+            for impl in ("arrow", "sql")
+        }
+        for impl, rows in lanes.items():
+            # zero-norm vector: both distances null, never NaN
+            assert rows[2]["a_dist"] is None, (impl, rows[2])
+            assert rows[2]["b_dist"] is None, (impl, rows[2])
+        if cents is one_cent:
+            for impl, rows in lanes.items():
+                assert rows[1]["b_dist"] is None, (impl, rows[1])
+        else:
+            for impl, rows in lanes.items():
+                assert rows[1]["b_dist"] is not None
+                assert not math.isnan(rows[1]["b_dist"])
+        assert sorted(tuple(r) for r in lanes["arrow"].values()) == sorted(
+            tuple(r) for r in lanes["sql"].values()
+        )
