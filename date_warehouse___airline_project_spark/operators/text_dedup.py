@@ -818,3 +818,51 @@ def greedy_keep(universe: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -
     return free.unionByName(
         status.select(F.col(id_col), F.col("_kept").alias("kept"))
     )
+
+
+def paragraph_stream(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_tokens: int = 0,
+    sep_regex: str = r"\n{2,}",
+) -> DataFrame:
+    """Positional paragraph stream (``_id``, ``_para_idx``, ``_ptxt``) —
+    the granularity between whole-document fingerprints and duplicate
+    spans that web-corpus releases (RefinedWeb/Falcon) dedup at.
+
+    Two segmentations:
+    - ``block_tokens == 0`` (default): split ``text_col`` on blank lines
+      (``sep_regex``), the shape real multi-paragraph corpora use.
+    - ``block_tokens = B``: non-overlapping B-token blocks off the shared
+      memoized token stream — the pseudo-paragraph fallback for
+      single-line corpora (the synthetic test corpus has no newlines).
+
+    Both run fully relational (posexplode / window-free groupBy on the
+    token stream); paragraph text is normalized (lower, collapsed
+    whitespace) so the downstream fingerprint is layout-insensitive.
+    """
+    if block_tokens <= 0:
+        parts = F.split(F.col(text_col), sep_regex)
+        return spread(df).select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(parts).alias("_para_idx", "_raw"),
+        ).select(
+            "_id",
+            "_para_idx",
+            F.trim(F.regexp_replace(F.lower("_raw"), r"\s+", " ")).alias("_ptxt"),
+        ).filter(F.col("_ptxt") != "")
+    tok = token_stream(df, id_col, text_col)
+    blk = F.floor(F.col("_pos") / block_tokens).cast("long")
+    return (
+        tok.groupBy(F.col("_id"), blk.alias("_para_idx"))
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                    lambda s: s["_tok"],
+                ),
+            ).alias("_ptxt")
+        )
+    )

@@ -999,3 +999,76 @@ def lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = cfg if out is None else out.unionByName(cfg)
     return out.orderBy(F.desc("bands"))
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (RefinedWeb/Falcon granularity)
+# ---------------------------------------------------------------------------
+
+_PARA_B = 16
+
+_PARA_DEDUP_ORACLE = f"""
+    WITH tk AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+      FROM documents),
+    t AS (
+      SELECT doc_id, unnest(toks) AS tok, unnest(range(0, len(toks))) AS pos
+      FROM tk),
+    p AS (
+      SELECT doc_id, pos // {_PARA_B} AS para_idx,
+             string_agg(tok, ' ' ORDER BY pos) AS ptxt
+      FROM t GROUP BY doc_id, pos // {_PARA_B}),
+    r AS (
+      SELECT doc_id, para_idx,
+             ROW_NUMBER() OVER (PARTITION BY md5(ptxt)
+                                ORDER BY doc_id, para_idx) AS rn
+      FROM p)
+    SELECT doc_id,
+           COUNT(*) AS n_paragraphs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           ROUND(CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS surviving_ratio
+    FROM r GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "doc_paragraph_dedup",
+    oracle=_PARA_DEDUP_ORACLE,
+    doc="Paragraph-level exact dedup — the RefinedWeb/Falcon granularity "
+    "between whole-doc fingerprints and duplicate spans: segment every "
+    "doc into paragraphs (16-token pseudo-paragraph blocks here — the "
+    "synthetic corpus is single-line; operators/text_dedup.py::"
+    "paragraph_stream splits real corpora on blank lines with the same "
+    "downstream plan), md5-fingerprint each, keep the first occurrence "
+    "per fingerprint corpus-wide (min doc_id then paragraph position), "
+    "report per-doc paragraph counts and surviving ratio. One shuffle on "
+    "the fingerprint (the keep-first window), one on doc_id (the per-doc "
+    "rollup) — at 100 TB both key on high-cardinality hashes with no "
+    "skew, and the paragraph relation is strictly smaller than the token "
+    "stream it derives from.",
+)
+def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.text_dedup import paragraph_stream
+
+    d = load_table(spark, sf_dir, "documents")
+    p = paragraph_stream(d, "doc_id", "text", block_tokens=_PARA_B)
+    w = W.partitionBy(F.md5("_ptxt")).orderBy("_id", "_para_idx")
+    r = p.withColumn("rn", F.row_number().over(w))
+    kept = F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+    return (
+        r.groupBy(F.col("_id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_paragraphs"),
+            kept.alias("n_kept"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_removed"),
+            F.round(kept.cast("double") / F.count("*"), 6).alias(
+                "surviving_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )

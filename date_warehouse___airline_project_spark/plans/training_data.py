@@ -1452,3 +1452,153 @@ def doc_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-span REMOVAL: rewrite the corpus minus non-canonical extents
+# ---------------------------------------------------------------------------
+
+_SPAN_REMOVED_ORACLE = """
+    WITH tk AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+    gp AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks) - 7, 0))) AS pos
+      FROM tk WHERE len(toks) >= 8),
+    g AS (
+      SELECT doc_id, pos,
+             concat_ws(' ', toks[pos+1], toks[pos+2], toks[pos+3], toks[pos+4],
+                       toks[pos+5], toks[pos+6], toks[pos+7], toks[pos+8]) AS g
+      FROM gp),
+    dup AS (
+      SELECT g, MIN(doc_id) AS keeper FROM g
+      GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (
+      SELECT d.doc_id, d.pos AS s, d.pos + 7 AS e
+      FROM g d JOIN dup USING (g) WHERE d.doc_id <> dup.keeper),
+    brk AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s <= COALESCE(MAX(e) OVER (
+                      PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9) + 1
+                  THEN 0 ELSE 1 END AS is_new
+      FROM hits),
+    isl AS (
+      SELECT doc_id, s, e,
+             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY s) AS gid
+      FROM brk),
+    ext AS (
+      SELECT doc_id, gid, MIN(s) AS span_start, MAX(e) AS span_end
+      FROM isl GROUP BY doc_id, gid),
+    perdoc AS (
+      SELECT doc_id, COUNT(*) AS n_removed_extents,
+             SUM(span_end - span_start + 1) AS removed_toks
+      FROM ext GROUP BY doc_id),
+    ntok AS (SELECT doc_id, len(toks) AS n_toks FROM tk)
+    SELECT n.doc_id, n.n_toks,
+           CAST(COALESCE(p.n_removed_extents, 0) AS BIGINT) AS n_removed_extents,
+           CAST(COALESCE(p.removed_toks, 0) AS BIGINT) AS removed_toks,
+           CAST(n.n_toks - COALESCE(p.removed_toks, 0) AS BIGINT) AS kept_toks,
+           ROUND(CAST(COALESCE(p.removed_toks, 0) AS DOUBLE) / n.n_toks, 6)
+               AS removed_frac
+    FROM ntok n LEFT JOIN perdoc p USING (doc_id)
+    ORDER BY n.doc_id
+"""
+
+
+@query(
+    "doc_span_removed_corpus",
+    oracle=_SPAN_REMOVED_ORACLE,
+    doc="Duplicate-span REMOVAL — the corpus-rewrite step completing "
+    "Lee et al. 2022 substring dedup (doc_duplicate_span_extents finds "
+    "extents; this subtracts them). One canonical occurrence per "
+    "cross-doc duplicated 8-gram survives (min doc_id wins, so the "
+    "keeper doc's text stays whole); every other doc's hits merge into "
+    "maximal extents (gaps-and-islands, windows partitioned by doc_id) "
+    "and are subtracted: per-doc rewritten token count, removed-token "
+    "accounting, removal fraction. Pure interval algebra over the SAME "
+    "memoized span-hit relation as doc_duplicate_spans — no extra "
+    "corpus scan; the only corpus-wide shuffle is the per-gram "
+    "keeper/count aggregate, identical in shape to the dup-set groupBy "
+    "that already holds at 100 TB.",
+)
+def doc_span_removed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = 8
+    d = _docs(spark, sf_dir)
+    from ..operators.text_dedup import token_stream
+
+    def build() -> DataFrame:
+        tok = token_stream(d, "doc_id", "text").withColumnRenamed("_id", "doc_id")
+        w = W.partitionBy("doc_id").orderBy("_pos")
+        leads = [F.lead("_tok", j).over(w) for j in range(1, n)]
+        return (
+            tok.select(
+                "doc_id",
+                F.col("_pos"),
+                F.concat_ws(" ", F.col("_tok"), *leads).alias("_g"),
+                leads[-1].alias("_last"),
+            )
+            .where(F.col("_last").isNotNull())
+            .select("doc_id", "_pos", "_g")
+        )
+
+    grams = _memo(d, ("span_index", n), build)
+    dup = (
+        grams.groupBy("_g")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("_keeper"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("_g", "_keeper")
+    )
+    hits = (
+        grams.join(dup, "_g")
+        .filter(F.col("doc_id") != F.col("_keeper"))
+        .select(
+            "doc_id", F.col("_pos").alias("s"), (F.col("_pos") + n - 1).alias("e")
+        )
+    )
+    w_run = (
+        W.partitionBy("doc_id").orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    )
+    brk = hits.withColumn(
+        "is_new",
+        F.when(
+            F.col("s") <= F.coalesce(F.max("e").over(w_run), F.lit(-9)) + 1, 0
+        ).otherwise(1),
+    )
+    isl = brk.withColumn(
+        "gid", F.sum("is_new").over(W.partitionBy("doc_id").orderBy("s"))
+    )
+    span_len = F.col("span_end") - F.col("span_start") + 1
+    perdoc = (
+        isl.groupBy("doc_id", "gid")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_removed_extents"),
+            F.sum(span_len).alias("removed_toks"),
+        )
+    )
+    ntok = (
+        token_stream(d, "doc_id", "text")
+        .groupBy(F.col("_id").alias("doc_id"))
+        .agg(F.count("*").alias("n_toks"))
+    )
+    return (
+        ntok.join(perdoc, "doc_id", "left")
+        .na.fill({"n_removed_extents": 0, "removed_toks": 0})
+        .select(
+            "doc_id",
+            "n_toks",
+            "n_removed_extents",
+            "removed_toks",
+            (F.col("n_toks") - F.col("removed_toks")).alias("kept_toks"),
+            F.round(
+                F.col("removed_toks").cast("double") / F.col("n_toks"), 6
+            ).alias("removed_frac"),
+        )
+        .orderBy("doc_id")
+    )
