@@ -208,3 +208,94 @@ def embed_media(media: DataFrame, dims: int = 8, decode: bool = False) -> DataFr
         ]
     )
     return media.mapInPandas(batches, schema)
+
+
+def media_simhash_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    nbits: int = 48,
+    max_hamming: int = 5,
+    gram_bytes: int = 4,
+) -> DataFrame:
+    """Binary fuzzy-fingerprint near-dup pairs (ssdeep/TLSH-shaped) over a
+    BINARY column — no codec, no decode: SimHash over byte-``gram_bytes``
+    -gram multisets of the raw blob, byte-block LSH candidate buckets,
+    exact hamming verify.
+
+    Everything runs JVM-side: the blob is hex-encoded once, grams are
+    substrings of the hex string (relational posexplode — no interpreted
+    array lambdas), each distinct (blob, gram) is md5-hashed once over
+    the gram-count relation, and the signature is a 48-bit bit-majority
+    fold. Blocking is the pigeonhole split of ``text_dedup.simhash_pairs``:
+    ``nbits // 8 = 6`` disjoint 8-bit blocks guarantee every pair within
+    hamming ``max_hamming <= 5`` shares at least one block, so candidates
+    come from an equi-join on (block_idx, block_val) — never all-pairs.
+    At 100 TB the gram relation is corpus-bytes-scale but collapses
+    map-side (groupBy combine) before the only wide shuffle, and the
+    block join keys on uniform hash bytes (no skew).
+    """
+    from .text_dedup import _hash_bit, _hash_int
+
+    assert nbits % 8 == 0 and max_hamming < nbits // 8, "pigeonhole bound"
+    hexed = media.filter(F.length(content_col) >= gram_bytes).select(
+        F.col(id_col).alias("_id"),
+        F.lower(F.hex(F.col(content_col))).alias("_hx"),
+        F.length(F.col(content_col)).alias("_nb"),
+    )
+    grams = hexed.select(
+        "_id",
+        F.posexplode(F.sequence(F.lit(0), F.col("_nb") - gram_bytes)).alias(
+            "_i", "_pos"
+        ),
+        "_hx",
+    ).select(
+        "_id",
+        F.substring(F.col("_hx"), F.col("_pos") * 2 + 1, gram_bytes * 2).alias(
+            "_gram"
+        ),
+    )
+    counts = grams.groupBy("_id", "_gram").agg(F.count("*").alias("_cnt"))
+    h = counts.withColumn("_h", _hash_int(F.md5(F.col("_gram")), nbits))
+    sums = h.groupBy("_id").agg(
+        *[
+            F.sum((2 * _hash_bit(F.col("_h"), b) - 1) * F.col("_cnt")).alias(
+                f"_s{b}"
+            )
+            for b in range(nbits)
+        ]
+    )
+    sig_expr = None
+    for b in range(nbits):
+        term = F.when(F.col(f"_s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    sigs = sums.select("_id", sig_expr.cast("bigint").alias("_sig"))
+    nblocks = nbits // 8
+    blocked = sigs.select(
+        "_id",
+        "_sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("_sig"), 8 * i).bitwiseAND(F.lit(255))
+                    for i in range(nblocks)
+                ]
+            )
+        ).alias("_bi", "_bv"),
+    )
+    left = blocked.select(
+        F.col("_id").alias("media_a"), F.col("_sig").alias("_sa"), "_bi", "_bv"
+    )
+    right = blocked.select(
+        F.col("_id").alias("media_b"), F.col("_sig").alias("_sb"), "_bi", "_bv"
+    )
+    return (
+        left.join(right, ["_bi", "_bv"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["media_a", "media_b"])
+        .select("media_a", "media_b", "hamming")
+    )

@@ -90,3 +90,93 @@ def scd2_merge(
     return history.select(cols).unionByName(closed.select(cols)).unionByName(
         surviving.select(cols)
     ).unionByName(opened)
+
+
+def scd2_point_in_time(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    fact_ts: str,
+    dim_key: str,
+    tracked: Sequence[str],
+    prefix: str = "",
+) -> DataFrame:
+    """Resolve each fact row to the dim VERSION valid at its event time:
+    equi-join on the natural key (that join carries the shuffle), the
+    effective-date range as a post-join filter, LEFT so a fact whose dim
+    row doesn't exist yet — the late-arriving-dimension case — survives
+    with null attributes instead of disappearing."""
+    d = dim.select(
+        F.col(dim_key).alias("_dk"),
+        "_valid_from",
+        "_valid_to",
+        *[F.col(c).alias(f"{prefix}{c}") for c in tracked],
+    )
+    cond = (
+        (F.col(fact_key) == F.col("_dk"))
+        & (F.col(fact_ts) >= F.col("_valid_from"))
+        & (F.col("_valid_to").isNull() | (F.col(fact_ts) < F.col("_valid_to")))
+    )
+    return (
+        facts.join(d, cond, "left")
+        .withColumn(f"{prefix}_resolved", F.col("_dk").isNotNull())
+        .drop("_dk", "_valid_from", "_valid_to")
+    )
+
+
+def scd2_reconcile(
+    facts: DataFrame,
+    dim_old: DataFrame,
+    dim_new: DataFrame,
+    fact_key: str,
+    fact_ts: str,
+    dim_key: str,
+    tracked: Sequence[str],
+) -> DataFrame:
+    """Late-arriving-dimension reconciliation: facts whose event-time dim
+    version CHANGED between two dim states (a correction or late dim row
+    landing after the facts were loaded).
+
+    Each fact is point-in-time-resolved against both states (two key
+    equi-joins — the range predicates are post-join filters, never a
+    fact-side BNLJ); rows where any tracked attribute differs null-safely
+    survive, tagged:
+
+    - ``late_dim_arrival``  — no version at event time in the old state,
+      one exists now (the dim row arrived after the fact)
+    - ``dim_version_lost``  — resolved before, unresolved now (a
+      retroactive effective-date moved past the fact)
+    - ``retro_correction``  — resolved in both, attribute(s) differ
+
+    Output = fact columns + ``old_<attr>`` / ``new_<attr>`` + change_type.
+    """
+    resolved = scd2_point_in_time(
+        scd2_point_in_time(
+            facts, dim_old, fact_key, fact_ts, dim_key, tracked, "old_"
+        ),
+        dim_new,
+        fact_key,
+        fact_ts,
+        dim_key,
+        tracked,
+        "new_",
+    )
+    changed = ~F.col("old__resolved").eqNullSafe(F.col("new__resolved"))
+    for c in tracked:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    return (
+        resolved.filter(changed)
+        .withColumn(
+            "change_type",
+            F.when(
+                ~F.col("old__resolved") & F.col("new__resolved"),
+                "late_dim_arrival",
+            )
+            .when(
+                F.col("old__resolved") & ~F.col("new__resolved"),
+                "dim_version_lost",
+            )
+            .otherwise("retro_correction"),
+        )
+        .drop("old__resolved", "new__resolved")
+    )

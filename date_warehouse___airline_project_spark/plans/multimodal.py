@@ -268,3 +268,81 @@ def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# binary fuzzy fingerprint near-dup (ssdeep/TLSH-shaped, no decode)
+# ---------------------------------------------------------------------------
+
+_MF_NBITS = 48
+_MF_HAM = 5
+_MF_BIT_SUMS = ",\n             ".join(
+    "SUM((2 * ((strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1) >> {o} & 1) - 1)"
+    " * cnt) AS s{b}".format(p=_MF_NBITS // 4 - b // 4, o=b % 4, b=b)
+    for b in range(_MF_NBITS)
+)
+_MF_SIG_EXPR = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_MF_NBITS)
+)
+_MF_BLOCK_SELECTS = "\n      UNION ALL ".join(
+    f"SELECT media_id, sig, {i} AS bi, (sig >> {8 * i}) & 255 AS bv FROM sigs"
+    for i in range(_MF_NBITS // 8)
+)
+
+_MEDIA_FUZZY_ORACLE = f"""
+    WITH media AS (
+      SELECT doc_id AS media_id, encode(text) AS content FROM documents),
+    hb AS (
+      SELECT media_id, lower(hex(content)) AS h,
+             octet_length(content) AS nb
+      FROM media),
+    g AS (
+      SELECT media_id, substr(h, pos * 2 + 1, 8) AS gram
+      FROM hb, unnest(range(0, greatest(nb - 3, 0))) t(pos)
+      WHERE nb >= 4),
+    hc AS (
+      SELECT media_id, md5(gram) AS hx, COUNT(*) AS cnt
+      FROM g GROUP BY media_id, gram),
+    sums AS (
+      SELECT media_id,
+             {_MF_BIT_SUMS}
+      FROM hc GROUP BY media_id),
+    sigs AS (SELECT media_id, CAST({_MF_SIG_EXPR} AS BIGINT) AS sig FROM sums),
+    blocks AS (
+      {_MF_BLOCK_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.media_id AS media_a, a.sig AS sa,
+                      b.media_id AS media_b, b.sig AS sb
+      FROM blocks a JOIN blocks b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.media_id < b.media_id)
+    SELECT media_a, media_b,
+           CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= {_MF_HAM}
+    ORDER BY media_a, media_b
+"""
+
+
+@query(
+    "media_fuzzy_dedup",
+    oracle=_MEDIA_FUZZY_ORACLE,
+    doc="Binary fuzzy-fingerprint near-dup (ssdeep/TLSH shape, "
+    "operators/multimodal.py::media_simhash_pairs): SimHash(48-bit) over "
+    "byte-4-gram multisets of the BINARY content column — hex-substring "
+    "gram extraction, md5 per distinct (blob, gram), bit-majority fold — "
+    "then 6x8-bit pigeonhole block buckets and exact hamming <= 5 "
+    "verify. Catches re-encoded/trimmed blob variants that "
+    "media_exact_dedup's whole-blob digest misses, without ever "
+    "decoding; all JVM-side, blob bytes deterministic, full oracle.",
+)
+def media_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import media_simhash_pairs
+
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    return (
+        media_simhash_pairs(media, nbits=_MF_NBITS, max_hamming=_MF_HAM)
+        .select("media_a", "media_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("media_a", "media_b")
+    )

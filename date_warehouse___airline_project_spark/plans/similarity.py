@@ -598,9 +598,29 @@ _PQ_ORACLE = f"""
 )
 def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    gs = F.array(*[F.lit(i) for i in range(_PQ_G)])
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    cents = (
+    cents = _pq_cents_fixed(e)
+    cand = _pq_adc_candidates(e, cents, q).limit(50)
+    return (
+        F.broadcast(cand)
+        .join(e.select("vec_id", "embedding"), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round("approx_dot", 6).alias("approx_dot"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+def _pq_cents_fixed(e: DataFrame) -> DataFrame:
+    """The deterministic seed codebook: stride-25 rows sliced into
+    ``_PQ_G`` subspace sub-vectors — (code, g, cvec)."""
+    gs = F.array(*[F.lit(i) for i in range(_PQ_G)])
+    return (
         e.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 25 * _PQ_K))
         .select(
             F.expr("vec_id div 25").cast("int").alias("code"),
@@ -613,6 +633,32 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("embedding", F.col("g") * _PQ_D + 1, _PQ_D).alias("cvec"),
         )
     )
+
+
+def _pq_sub_assign(subs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-L2 code per (vector, subspace) against a broadcast
+    codebook — ties to the lower code. ``subs`` carries ``svec``;
+    output keeps every input column plus ``code``."""
+    from pyspark.sql import Window
+
+    d2 = (
+        dot(F.col("svec"), F.col("svec"))
+        - 2 * dot(F.col("svec"), F.col("cvec"))
+        + dot(F.col("cvec"), F.col("cvec"))
+    )
+    scored = subs.join(F.broadcast(cents.select("g", "code", "cvec")), "g")
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id", "g").orderBy(d2.alias("d2"), "code")
+    )
+    keep = [c for c in subs.columns] + ["code"]
+    return scored.withColumn("rn", rn).filter(F.col("rn") == 1).select(*keep)
+
+
+def _pq_adc_candidates(e: DataFrame, cents: DataFrame, q: DataFrame) -> DataFrame:
+    """Compressed-domain candidates (vec_id, label, approx_dot), sorted:
+    nearest-L2 code assignment per subspace, one G x K broadcast ADC table
+    of query-side dots, approx dot = G lookups summed in a fixed order."""
+    gs = F.array(*[F.lit(i) for i in range(_PQ_G)])
     subs = (
         e.filter(F.col("vec_id") != 0)
         .select("vec_id", "label", F.explode(gs).alias("g"), "embedding")
@@ -623,22 +669,7 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("embedding", F.col("g") * _PQ_D + 1, _PQ_D).alias("svec"),
         )
     )
-    d2 = (
-        dot(F.col("svec"), F.col("svec"))
-        - 2 * dot(F.col("svec"), F.col("cvec"))
-        + dot(F.col("cvec"), F.col("cvec"))
-    )
-    scored = subs.join(F.broadcast(cents), "g").select(
-        "vec_id", "label", "g", "code", d2.alias("d2")
-    )
-    from pyspark.sql import Window
-
-    rn = F.row_number().over(
-        Window.partitionBy("vec_id", "g").orderBy("d2", "code")
-    )
-    assigned = scored.withColumn("rn", rn).filter(F.col("rn") == 1).select(
-        "vec_id", "label", "g", "code"
-    )
+    assigned = _pq_sub_assign(subs, cents).select("vec_id", "label", "g", "code")
     adc = cents.crossJoin(F.broadcast(q)).select(
         "g",
         "code",
@@ -657,23 +688,8 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = F.col("w0")
     for i in range(1, _PQ_G):
         approx = approx + F.col(f"w{i}")
-    cand = (
-        appx.select("vec_id", "label", approx.alias("approx_dot"))
-        .orderBy(F.desc("approx_dot"), "vec_id")
-        .limit(50)
-    )
-    return (
-        F.broadcast(cand)
-        .join(e.select("vec_id", "embedding"), "vec_id")
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            "label",
-            F.round("approx_dot", 6).alias("approx_dot"),
-            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
-        )
-        .orderBy(F.desc("cos_sim"), "vec_id")
-        .limit(10)
+    return appx.select("vec_id", "label", approx.alias("approx_dot")).orderBy(
+        F.desc("approx_dot"), "vec_id"
     )
 
 
@@ -1999,4 +2015,411 @@ def emb_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
         .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TRAINED product quantization: one deterministic Lloyd round per subspace
+# (init = the fixed stride-25 codebook, sample = vec_id % 4, nearest-L2
+# assignment, exact-DECIMAL per-dimension means — the IVF training
+# convention applied per subspace), then the same ADC search. A second
+# query reports compressed-domain recall@10 of the trained codebook vs
+# the fixed one against the exact cosine ground truth.
+# ---------------------------------------------------------------------------
+
+_PQT_CENTS0 = f"""
+    groups AS (SELECT UNNEST(range(0, {_PQ_G})) AS g),
+    codes AS (SELECT UNNEST(range(0, {_PQ_K})) AS code),
+    c0 AS (
+      SELECT codes.code, g.g,
+             list_slice(CAST(e.embedding AS DOUBLE[]),
+                        g.g * {_PQ_D} + 1, (g.g + 1) * {_PQ_D}) AS cvec
+      FROM codes
+      JOIN embeddings e ON e.vec_id = codes.code * 25
+      CROSS JOIN groups g),
+    sampsubs AS (
+      SELECT e.vec_id, g.g,
+             list_slice(CAST(e.embedding AS DOUBLE[]),
+                        g.g * {_PQ_D} + 1, (g.g + 1) * {_PQ_D}) AS svec
+      FROM embeddings e CROSS JOIN groups g
+      WHERE e.vec_id % 4 = 0),
+    ta AS (
+      SELECT vec_id, g, svec, code FROM (
+        SELECT s.vec_id, s.g, s.svec, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.g
+                   ORDER BY list_dot_product(s.svec, s.svec)
+                          - 2 * list_dot_product(s.svec, c.cvec)
+                          + list_dot_product(c.cvec, c.cvec), c.code) AS rn
+        FROM sampsubs s JOIN c0 c ON c.g = s.g) WHERE rn = 1),
+    tu AS (
+      SELECT g, code, pos,
+             CAST(SUM(CAST(svec[pos] AS DECIMAL(27,10))) AS DOUBLE)
+               / COUNT(*) AS comp
+      FROM ta, UNNEST(GENERATE_SERIES(1, {_PQ_D})) AS t(pos)
+      GROUP BY g, code, pos),
+    c1 AS (SELECT g, code, LIST(comp ORDER BY pos) AS cvec FROM tu GROUP BY g, code)
+"""
+
+
+def _pq_adc_sql(cents_cte: str, sfx: str = "") -> str:
+    """The ADC scoring tail of _PQ_ORACLE, parameterized on the codebook
+    CTE name — assignment, query-side lookup table, summed approx dot.
+    ``sfx`` suffixes every internal CTE name so two variants can coexist
+    in one WITH chain (the recall-compare oracle)."""
+    return f"""
+    subs{sfx} AS (
+      SELECT e.vec_id, e.label, g.g,
+             list_slice(CAST(e.embedding AS DOUBLE[]),
+                        g.g * {_PQ_D} + 1, (g.g + 1) * {_PQ_D}) AS svec
+      FROM embeddings e CROSS JOIN groups g
+      WHERE e.vec_id <> 0),
+    assigned{sfx} AS (
+      SELECT vec_id, label, g, code FROM (
+        SELECT s.vec_id, s.label, s.g, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.g
+                   ORDER BY list_dot_product(s.svec, s.svec)
+                          - 2 * list_dot_product(s.svec, c.cvec)
+                          + list_dot_product(c.cvec, c.cvec), c.code) AS rn
+        FROM subs{sfx} s JOIN {cents_cte} c ON c.g = s.g) WHERE rn = 1),
+    adc{sfx} AS (
+      SELECT c.g, c.code,
+             list_dot_product(list_slice(CAST(q.qv AS DOUBLE[]),
+                                         c.g * {_PQ_D} + 1, (c.g + 1) * {_PQ_D}),
+                              c.cvec) AS w
+      FROM {cents_cte} c, q),
+    appx{sfx} AS (
+      SELECT a.vec_id, a.label, {_PQ_W_COLS}
+      FROM assigned{sfx} a JOIN adc{sfx} adc ON adc.g = a.g AND adc.code = a.code
+      GROUP BY a.vec_id, a.label)
+"""
+
+
+_PQ_TRAINED_ORACLE = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    {_PQT_CENTS0},
+    {_pq_adc_sql('c1')},
+    cand AS (
+      SELECT vec_id, label, {_PQ_W_SUM} AS approx_dot
+      FROM appx ORDER BY approx_dot DESC, vec_id LIMIT 50),
+    rer AS (
+      SELECT cand.vec_id, cand.label,
+             ROUND(cand.approx_dot, 6) AS approx_dot,
+             ROUND({_cos_sql('CAST(e.embedding AS DOUBLE[])', 'CAST(q.qv AS DOUBLE[])')}, 6) AS cos_sim
+      FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id, q)
+    SELECT vec_id, label, approx_dot, cos_sim FROM rer
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def _pq_cents_trained(e: DataFrame) -> DataFrame:
+    """One deterministic Lloyd round per PQ subspace: assign the
+    vec_id % 4 sample to the fixed seed codebook by nearest L2, then
+    exact-DECIMAL per-dimension means re-packed per (g, code). The same
+    cross-engine-exact training convention as kmeans_lloyd, run on the
+    G sub-vector spaces at once (g is just a grouping column)."""
+    gs = F.array(*[F.lit(i) for i in range(_PQ_G)])
+    samp = (
+        e.filter(F.col("vec_id") % 4 == 0)
+        .select("vec_id", F.explode(gs).alias("g"), "embedding")
+        .select(
+            "vec_id",
+            "g",
+            F.slice("embedding", F.col("g") * _PQ_D + 1, _PQ_D).alias("svec"),
+        )
+    )
+    assigned = _pq_sub_assign(samp, _pq_cents_fixed(e))
+    comps = (
+        assigned.select("g", "code", F.posexplode("svec").alias("_pos", "_val"))
+        .groupBy("g", "code", "_pos")
+        .agg(
+            (
+                F.sum(F.col("_val").cast("double").cast("decimal(27,10)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("_comp")
+        )
+    )
+    return comps.groupBy("g", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_comp"))),
+            lambda s: s["_comp"],
+        ).alias("cvec")
+    )
+
+
+@query(
+    "emb_pq_trained_topk",
+    oracle=_PQ_TRAINED_ORACLE,
+    doc=f"TRAINED product quantization: {_PQ_G}x{_PQ_K} codebooks refined "
+    "by one deterministic Lloyd round per subspace (init = the fixed "
+    "stride-25 seed, sample = vec_id %% 4, nearest-L2 assignment, "
+    "exact-DECIMAL means so centroids match DuckDB bit-for-bit), then "
+    "identical ADC search + exact top-10 re-rank as emb_pq_topk. "
+    "Training cost: one broadcast scoring pass over the sample's "
+    "sub-vectors + one (g, code, dim) mean — bounded by G*K*D cells "
+    "regardless of corpus size.",
+)
+def emb_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cand = _pq_adc_candidates(e, _pq_cents_trained(e), q).limit(50)
+    return (
+        F.broadcast(cand)
+        .join(e.select("vec_id", "embedding"), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round("approx_dot", 6).alias("approx_dot"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+_PQ_RECALL_ORACLE = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    {_PQT_CENTS0},
+    exact10 AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id,
+               {_cos_sql('CAST(e.embedding AS DOUBLE[])', 'CAST(q.qv AS DOUBLE[])')} AS cs
+        FROM embeddings e, q WHERE e.vec_id <> 0
+        ORDER BY cs DESC, e.vec_id LIMIT 10)),
+    {_pq_adc_sql('c0', '_f')},
+    cand0 AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, {_PQ_W_SUM} AS approx_dot
+        FROM appx_f ORDER BY approx_dot DESC, vec_id LIMIT 50)),
+    {_pq_adc_sql('c1', '_t')},
+    cand1 AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, {_PQ_W_SUM} AS approx_dot
+        FROM appx_t ORDER BY approx_dot DESC, vec_id LIMIT 50))
+    SELECT variant, n_captured,
+           ROUND(CAST(n_captured AS DOUBLE) / 10, 6) AS recall_at10
+    FROM (
+      SELECT 'fixed' AS variant, COUNT(*) AS n_captured
+      FROM exact10 JOIN cand0 USING (vec_id)
+      UNION ALL
+      SELECT 'trained', COUNT(*) FROM exact10 JOIN cand1 USING (vec_id))
+    ORDER BY variant
+"""
+
+
+@query(
+    "emb_pq_recall_compare",
+    oracle=_PQ_RECALL_ORACLE,
+    doc="Compressed-domain recall@10 of the TRAINED PQ codebook vs the "
+    "fixed seed codebook: how many of the exact cosine top-10 each "
+    "variant's top-50 ADC candidate set captures — the codebook-quality "
+    "number a production ANN service tracks when deciding whether "
+    "training paid for itself. Ground truth is one brute-force pass; "
+    "both candidate sets reuse the bounded ADC plan.",
+)
+def emb_pq_recall_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    exact10 = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(F.col("embedding"), F.col("qv")).alias("_cs"))
+        .orderBy(F.desc("_cs"), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    out = None
+    for variant, cents in (
+        ("fixed", _pq_cents_fixed(e)),
+        ("trained", _pq_cents_trained(e)),
+    ):
+        cand = _pq_adc_candidates(e, cents, q).limit(50).select("vec_id")
+        row = (
+            cand.join(F.broadcast(exact10), "vec_id", "inner")
+            .agg(F.count("*").alias("n_captured"))
+            .select(
+                F.lit(variant).alias("variant"),
+                "n_captured",
+                F.round(F.col("n_captured").cast("double") / 10, 6).alias(
+                    "recall_at10"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("variant")
+
+
+# ---------------------------------------------------------------------------
+# nprobe auto-tuning: the smallest probe depth whose batch recall@10 meets
+# a target — the knob a production ANN service actually tunes. Reuses the
+# recall accounting (brute ground truth vs probe-pruned candidates) over a
+# 20-query batch, one level grid 1..4.
+# ---------------------------------------------------------------------------
+
+_TUNE_NQ, _TUNE_MAXP, _TUNE_TARGET = 20, 4, 0.8
+
+_NPROBE_TUNE_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    cents AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id % 25 = 0),
+    qs AS (SELECT vec_id AS qid, emb AS qv FROM e WHERE vec_id % 100 = 0
+           ORDER BY vec_id LIMIT {_TUNE_NQ}),
+    nq AS (SELECT COUNT(*) AS n_queries FROM qs),
+    assigned AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT e.vec_id, e.emb, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_rank_sql('e.emb', 'c.cvec')} DESC, c.cid) AS rn
+        FROM e, cents c) WHERE rn = 1),
+    cid_rank AS (
+      SELECT qid, qv, cid, prank FROM (
+        SELECT q.qid, q.qv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY {_cos_sql('c.cvec', 'q.qv')} DESC, c.cid) AS prank
+        FROM qs q, cents c) WHERE prank <= {_TUNE_MAXP}),
+    cand AS (
+      SELECT r.qid, r.prank, a.vec_id,
+             ROUND({_cos_sql('a.emb', 'r.qv')}, 6) AS cs
+      FROM assigned a JOIN cid_rank r ON a.cid = r.cid
+      WHERE a.vec_id <> r.qid),
+    tg AS (
+      SELECT q.qid, e.vec_id, ROUND({_cos_sql('e.emb', 'q.qv')}, 6) AS cs
+      FROM e, qs q WHERE e.vec_id <> q.qid),
+    truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS rn
+        FROM tg) WHERE rn <= 10),
+    levels AS (SELECT UNNEST(range(1, {_TUNE_MAXP} + 1)) AS nprobe),
+    hits AS (
+      SELECT nprobe, qid, vec_id FROM (
+        SELECT l.nprobe, c.qid, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY l.nprobe, c.qid
+                                  ORDER BY c.cs DESC, c.vec_id) AS rn
+        FROM cand c JOIN levels l ON c.prank <= l.nprobe) WHERE rn <= 10),
+    lvl AS (
+      SELECT l.nprobe, COALESCE(h.n, 0) AS n_hits
+      FROM levels l LEFT JOIN (
+        SELECT nprobe, COUNT(*) AS n
+        FROM hits JOIN truth USING (qid, vec_id) GROUP BY nprobe) h USING (nprobe)),
+    sel AS (
+      SELECT MIN(nprobe) AS minp FROM lvl, nq
+      WHERE CAST(n_hits AS DOUBLE) / (n_queries * 10) >= {_TUNE_TARGET})
+    SELECT CAST(l.nprobe AS BIGINT) AS nprobe,
+           nq.n_queries,
+           CAST(l.n_hits AS BIGINT) AS n_hits,
+           ROUND(CAST(l.n_hits AS DOUBLE) / (nq.n_queries * 10), 4) AS mean_recall,
+           CAST(l.n_hits AS DOUBLE) / (nq.n_queries * 10) >= {_TUNE_TARGET}
+               AS meets_target,
+           COALESCE(l.nprobe = sel.minp, FALSE) AS chosen
+    FROM lvl l, nq, sel
+    ORDER BY nprobe
+"""
+
+
+@query(
+    "emb_ivf_nprobe_autotune",
+    oracle=_NPROBE_TUNE_ORACLE,
+    doc=f"nprobe auto-tuning: batch recall@10 of the IVF probe path at "
+    f"nprobe = 1..{_TUNE_MAXP} over a {_TUNE_NQ}-query batch, and the "
+    f"SMALLEST level meeting the {_TUNE_TARGET} recall target flagged "
+    f"chosen — the knob a production ANN service tunes per workload. "
+    f"One brute ground-truth pass (salted two-phase top-10, the "
+    f"emb_knn_join discipline), one probe-pruned candidate relation "
+    f"(corpus joins only its queries' top-{_TUNE_MAXP} cells), level "
+    f"grid evaluated by windows over those candidates.",
+)
+def emb_ivf_nprobe_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import assign_to_centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("_cid"), F.col("embedding").alias("_cvec")
+    )
+    qs = (
+        e.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(_TUNE_NQ)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    )
+    assigned = assign_to_centroids(e, cents, impl="arrow").select(
+        "vec_id", "embedding", F.col("centroid_id").alias("_cid")
+    )
+    w_probe = W.partitionBy("qid").orderBy(
+        F.desc(cosine(F.col("_cvec"), F.col("qv"))), F.asc("_cid")
+    )
+    cid_rank = (
+        qs.crossJoin(F.broadcast(cents))
+        .withColumn("prank", F.row_number().over(w_probe))
+        .filter(F.col("prank") <= _TUNE_MAXP)
+        .select("qid", "qv", "_cid", "prank")
+    )
+    cand = (
+        assigned.join(F.broadcast(cid_rank), "_cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "prank",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cs"),
+        )
+    )
+    # ground truth: one exact corpus x batch pass, salted two-phase top-10
+    # (the emb_knn_join discipline — the corpus-scale shuffle is never
+    # keyed by qid alone)
+    grid = (
+        e.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cs"),
+            F.pmod(F.hash("vec_id"), F.lit(32)).alias("_salt"),
+        )
+    )
+    w1 = W.partitionBy("qid", "_salt").orderBy(F.desc("cs"), F.asc("vec_id"))
+    w2 = W.partitionBy("qid").orderBy(F.desc("cs"), F.asc("vec_id"))
+    truth = (
+        grid.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= 10)
+        .withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= 10)
+        .select("qid", "vec_id")
+    )
+    w_hit = W.partitionBy("qid").orderBy(F.desc("cs"), F.asc("vec_id"))
+    lvl = None
+    for p in range(1, _TUNE_MAXP + 1):
+        hits = (
+            cand.filter(F.col("prank") <= p)
+            .withColumn("_rn", F.row_number().over(w_hit))
+            .filter(F.col("_rn") <= 10)
+            .join(truth, ["qid", "vec_id"], "left_semi")
+            .agg(F.count("*").alias("n_hits"))
+            .select(F.lit(p).cast("bigint").alias("nprobe"), "n_hits")
+        )
+        lvl = hits if lvl is None else lvl.unionByName(hits)
+    nq = qs.agg(F.count("*").alias("n_queries"))
+    recall = F.col("n_hits").cast("double") / (F.col("n_queries") * 10)
+    lvl = lvl.crossJoin(F.broadcast(nq)).select(
+        "nprobe",
+        "n_queries",
+        "n_hits",
+        F.round(recall, 4).alias("mean_recall"),
+        (recall >= _TUNE_TARGET).alias("meets_target"),
+    )
+    sel = lvl.filter(F.col("meets_target")).agg(F.min("nprobe").alias("_minp"))
+    return (
+        lvl.crossJoin(F.broadcast(sel))
+        .select(
+            "nprobe",
+            "n_queries",
+            "n_hits",
+            "mean_recall",
+            "meets_target",
+            F.coalesce(F.col("nprobe") == F.col("_minp"), F.lit(False)).alias(
+                "chosen"
+            ),
+        )
+        .orderBy("nprobe")
     )

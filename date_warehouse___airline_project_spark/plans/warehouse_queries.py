@@ -250,3 +250,124 @@ def mv_incremental_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-arriving dimension reconciliation (the classic warehouse headache the
+# reference's SCD2 config implies): dim state A is missing 20% of keys (they
+# arrive late) and state B additionally retro-corrects segments at T2P.
+# Facts point-in-time-resolved against BOTH states; rows whose event-time
+# version changed are classified and aggregated.
+# ---------------------------------------------------------------------------
+
+_RECON_ORACLE = f"""
+    WITH b1 AS (
+      SELECT c_custkey AS custkey, c_mktsegment AS segment FROM customer
+      WHERE c_custkey % 5 <> 0),
+    b2 AS (
+      SELECT c_custkey AS custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN 'MACHINERY' ELSE c_mktsegment END AS segment
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 10000000, 'NEWSEGMENT' FROM customer WHERE c_custkey % 97 = 0),
+    dima AS (
+      SELECT custkey, segment, TIMESTAMP '{T1P}' AS vf,
+             CAST(NULL AS TIMESTAMP) AS vt
+      FROM b1),
+    changed AS (
+      SELECT b2.custkey, b2.segment AS new_seg, b1.segment AS old_seg
+      FROM b2 JOIN b1 USING (custkey) WHERE b1.segment <> b2.segment),
+    new_keys AS (
+      SELECT custkey, segment FROM b2
+      WHERE custkey NOT IN (SELECT custkey FROM b1)),
+    dimb AS (
+      SELECT custkey, old_seg AS segment, TIMESTAMP '{T1P}' AS vf,
+             TIMESTAMP '{T2P}' AS vt
+      FROM changed
+      UNION ALL
+      SELECT custkey, new_seg, TIMESTAMP '{T2P}', CAST(NULL AS TIMESTAMP) FROM changed
+      UNION ALL
+      SELECT b1.custkey, b1.segment, TIMESTAMP '{T1P}', CAST(NULL AS TIMESTAMP)
+      FROM b1 WHERE b1.custkey NOT IN (SELECT custkey FROM changed)
+      UNION ALL
+      SELECT custkey, segment, TIMESTAMP '{T2P}', CAST(NULL AS TIMESTAMP) FROM new_keys),
+    fa AS (
+      SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, d.segment AS old_segment
+      FROM orders o LEFT JOIN dima d
+        ON o.o_custkey = d.custkey AND o.o_orderdate >= d.vf
+       AND (d.vt IS NULL OR o.o_orderdate < d.vt)),
+    fb AS (
+      SELECT o.o_orderkey, d.segment AS new_segment
+      FROM orders o LEFT JOIN dimb d
+        ON o.o_custkey = d.custkey AND o.o_orderdate >= d.vf
+       AND (d.vt IS NULL OR o.o_orderdate < d.vt)),
+    r AS (
+      SELECT fa.o_custkey, fa.o_totalprice, fa.old_segment, fb.new_segment,
+             CASE WHEN fa.old_segment IS NULL THEN 'late_dim_arrival'
+                  WHEN fb.new_segment IS NULL THEN 'dim_version_lost'
+                  ELSE 'retro_correction' END AS change_type
+      FROM fa JOIN fb ON fa.o_orderkey = fb.o_orderkey
+      WHERE fa.old_segment IS DISTINCT FROM fb.new_segment)
+    SELECT change_type, old_segment, new_segment,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+    FROM r GROUP BY 1, 2, 3
+    ORDER BY change_type, old_segment NULLS FIRST, new_segment NULLS FIRST
+"""
+
+
+@query(
+    "late_dim_reconciliation",
+    oracle=_RECON_ORACLE,
+    doc="Late-arriving-dimension reconciliation (operators/scd2.py::"
+    "scd2_reconcile): dim state A lacks 20% of customer keys (late rows) "
+    "and state B retro-corrects segments effective T2P; every order is "
+    "point-in-time-resolved against both states (key equi-joins carry "
+    "the shuffles, date ranges are post-join filters) and orders whose "
+    "event-time version changed are tagged late_dim_arrival / "
+    "retro_correction / dim_version_lost and rolled up by old/new "
+    "segment. The reconciliation a warehouse runs after a late dim load "
+    "to know which facts must be restated.",
+)
+def late_dim_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd2 import scd2_reconcile
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    b1 = c.filter(F.col("c_custkey") % 5 != 0).select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    b2 = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.when(F.col("c_custkey") % 7 == 0, "MACHINERY")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 97 == 0).select(
+            (F.col("c_custkey") + 10_000_000).alias("custkey"),
+            F.lit("NEWSEGMENT").alias("segment"),
+        )
+    )
+    dim_a = scd2_init(b1, T1P)
+    dim_b = scd2_merge(dim_a, b2, ["custkey"], ["segment"], T2P)
+    recon = scd2_reconcile(
+        o.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        dim_a,
+        dim_b,
+        "o_custkey",
+        "o_orderdate",
+        "custkey",
+        ["segment"],
+    )
+    return (
+        recon.groupBy("change_type", "old_segment", "new_segment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_totalprice"),
+        )
+        .orderBy("change_type", "old_segment", "new_segment")
+    )

@@ -1793,3 +1793,94 @@ def test_scd2_stream_replay_and_crash_recovery(spark, tmp_path):
     # nothing changed, nothing closed, no duplicate versions
     apply_scd2_batch(spark, dim_dir, b2, 2, ["custkey"], ["segment"], "event_ts")
     assert _dim_rows(spark.read.parquet(dim_dir)) == before
+
+
+# ---------------------------------------------------------------------------
+# streaming IVF index maintenance
+# ---------------------------------------------------------------------------
+
+
+def _ivf_fixture(spark, tmp_path, name):
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        save_ivf_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / name)
+    save_ivf_index(e, path, centroid_mod=25, sample_mod=4, iters=1)
+    new = e.filter("vec_id % 3 = 1").selectExpr(
+        "vec_id + 1000000 AS vec_id", "embedding"
+    )
+    return e, path, new
+
+
+def test_ivf_stream_equals_batch(spark, tmp_path):
+    # Feeding the appends through the streaming maintenance loop must land
+    # the EXACT drift report the batch append produces for the same rows.
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_cell_drift,
+        save_ivf_index,
+    )
+    from date_warehouse___airline_project_spark.streaming.ivf_stream import (
+        ivf_cell_drift_streamed,
+        run_ivf_append_stream,
+    )
+
+    e, batch_path, new = _ivf_fixture(spark, tmp_path, "ivf_batch")
+    append_to_ivf_index(new, batch_path)
+
+    stream_path = str(tmp_path / "ivf_stream")
+    save_ivf_index(e, stream_path, centroid_mod=25, sample_mod=4, iters=1)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # two micro-batches, split deterministically
+    new.filter("vec_id % 2 = 0").coalesce(1).write.parquet(str(in_dir / "b0"))
+    new.filter("vec_id % 2 = 1").coalesce(1).write.parquet(str(in_dir / "b1"))
+    feed = (
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(in_dir))
+    )
+    q = run_ivf_append_stream(feed, stream_path, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    want = [tuple(r) for r in ivf_cell_drift(spark, batch_path).collect()]
+    got = [tuple(r) for r in ivf_cell_drift_streamed(spark, stream_path).collect()]
+    assert got == want
+    assert any(r[3] > 0 for r in got)  # appends actually landed
+
+
+def test_ivf_stream_replay_and_crash_recovery(spark, tmp_path):
+    import os
+
+    from date_warehouse___airline_project_spark.streaming.ivf_stream import (
+        apply_ivf_append_batch,
+        ivf_cell_drift_streamed,
+        recover_appends,
+    )
+
+    _, path, new = _ivf_fixture(spark, tmp_path, "ivf")
+    apply_ivf_append_batch(spark, path, new, 0)
+    before = [tuple(r) for r in ivf_cell_drift_streamed(spark, path).collect()]
+
+    # redelivered batch id: byte-for-byte no-op (directory presence guard)
+    apply_ivf_append_batch(spark, path, new, 0)
+    assert [tuple(r) for r in ivf_cell_drift_streamed(spark, path).collect()] == before
+
+    # crash mid-write: an orphaned .tmp dir is swept and never read
+    orphan = f"{path}/appends/.tmp-crashed"
+    os.makedirs(orphan)
+    with open(f"{orphan}/junk", "w") as f:
+        f.write("partial")
+    recover_appends(path)
+    assert not os.path.exists(orphan)
+    assert [tuple(r) for r in ivf_cell_drift_streamed(spark, path).collect()] == before
+
+    # a NEW batch id applies on top exactly once
+    extra = new.limit(7).selectExpr("vec_id + 5000000 AS vec_id", "embedding")
+    apply_ivf_append_batch(spark, path, extra, 1)
+    after = {r["centroid_id"]: r for r in ivf_cell_drift_streamed(spark, path).collect()}
+    assert sum(r["n_current"] for r in after.values()) == sum(
+        r[2] for r in before
+    ) + 7

@@ -121,6 +121,16 @@ ALLOW = {
     # (b) 2-probe grid against the groups×bins-bounded cum relation
     # (cumsum window is PARTITIONED by group — no global window here)
     "quantile_sketch_by_priority": {"NESTED-LOOP"},
+    # (a)+(b): 1-row query-vector attaches + the G×K (8×16) broadcast
+    # ADC codebook grid — same bounded shapes as emb_pq_topk
+    "emb_pq_trained_topk": {"NESTED-LOOP"},
+    # same ADC grids twice (fixed + trained) + 1-row query attach; the
+    # recall join is a 10-row broadcast semi-join
+    "emb_pq_recall_compare": {"NESTED-LOOP"},
+    # (a) 1-row n_queries / chosen-level attaches to the 4-row level
+    # relation + (b) the 20-query × 25-centroid broadcast probe grid —
+    # corpus-scale work is the assignment scan and the salted truth pass
+    "emb_ivf_nprobe_autotune": {"NESTED-LOOP"},
     # rank window (and its sort) over the vocabulary-bounded frequency
     # relation — corpus-scale work ended at the token-count aggregate
     "zipf_rank_frequency": {"GLOBAL-WINDOW", "GLOBAL-SORT"},
