@@ -635,10 +635,16 @@ def _pq_cents_fixed(e: DataFrame) -> DataFrame:
     )
 
 
-def _pq_sub_assign(subs: DataFrame, cents: DataFrame) -> DataFrame:
+def _pq_sub_assign(
+    subs: DataFrame, cents: DataFrame, carry: tuple = ("label",)
+) -> DataFrame:
     """Nearest-L2 code per (vector, subspace) against a broadcast
-    codebook — ties to the lower code. ``subs`` carries ``svec``;
-    output keeps every input column plus ``code``."""
+    codebook — ties to the lower code. ``subs`` carries ``svec``; output
+    is (vec_id, g, *carry, code). The scoring grid is projected down to
+    (keys, carry, d2) BEFORE the per-vector window so its shuffle never
+    carries the sub-vector/codebook arrays — carry ``svec`` explicitly
+    (training does, on its sample-sized relation) when it's needed
+    post-assignment."""
     from pyspark.sql import Window
 
     d2 = (
@@ -646,12 +652,17 @@ def _pq_sub_assign(subs: DataFrame, cents: DataFrame) -> DataFrame:
         - 2 * dot(F.col("svec"), F.col("cvec"))
         + dot(F.col("cvec"), F.col("cvec"))
     )
-    scored = subs.join(F.broadcast(cents.select("g", "code", "cvec")), "g")
-    rn = F.row_number().over(
-        Window.partitionBy("vec_id", "g").orderBy(d2.alias("d2"), "code")
+    scored = subs.join(F.broadcast(cents.select("g", "code", "cvec")), "g").select(
+        "vec_id", "g", *carry, "code", d2.alias("d2")
     )
-    keep = [c for c in subs.columns] + ["code"]
-    return scored.withColumn("rn", rn).filter(F.col("rn") == 1).select(*keep)
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id", "g").orderBy("d2", "code")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "g", *carry, "code")
+    )
 
 
 def _pq_adc_candidates(e: DataFrame, cents: DataFrame, q: DataFrame) -> DataFrame:
@@ -669,7 +680,9 @@ def _pq_adc_candidates(e: DataFrame, cents: DataFrame, q: DataFrame) -> DataFram
             F.slice("embedding", F.col("g") * _PQ_D + 1, _PQ_D).alias("svec"),
         )
     )
-    assigned = _pq_sub_assign(subs, cents).select("vec_id", "label", "g", "code")
+    assigned = _pq_sub_assign(subs, cents, carry=("label",)).select(
+        "vec_id", "label", "g", "code"
+    )
     adc = cents.crossJoin(F.broadcast(q)).select(
         "g",
         "code",
@@ -2111,12 +2124,25 @@ _PQ_TRAINED_ORACLE = f"""
 """
 
 
+_PQ_TRAINED_MEMO: dict[tuple, DataFrame] = {}
+
+
 def _pq_cents_trained(e: DataFrame) -> DataFrame:
     """One deterministic Lloyd round per PQ subspace: assign the
     vec_id % 4 sample to the fixed seed codebook by nearest L2, then
     exact-DECIMAL per-dimension means re-packed per (g, code). The same
     cross-engine-exact training convention as kmeans_lloyd, run on the
-    G sub-vector spaces at once (g is just a grouping column)."""
+    G sub-vector spaces at once (g is just a grouping column).
+
+    The G x K trained codebook (128 tiny rows) is session-memoized and
+    persisted, kmeans_lloyd-style: emb_pq_trained_topk and
+    emb_pq_recall_compare share one training pass per corpus."""
+    try:
+        key = (e.sparkSession.sparkContext.applicationId, e.semanticHash())
+    except Exception:  # pragma: no cover - semanticHash unavailable
+        key = None
+    if key is not None and key in _PQ_TRAINED_MEMO:
+        return _PQ_TRAINED_MEMO[key]
     gs = F.array(*[F.lit(i) for i in range(_PQ_G)])
     samp = (
         e.filter(F.col("vec_id") % 4 == 0)
@@ -2127,7 +2153,7 @@ def _pq_cents_trained(e: DataFrame) -> DataFrame:
             F.slice("embedding", F.col("g") * _PQ_D + 1, _PQ_D).alias("svec"),
         )
     )
-    assigned = _pq_sub_assign(samp, _pq_cents_fixed(e))
+    assigned = _pq_sub_assign(samp, _pq_cents_fixed(e), carry=("svec",))
     comps = (
         assigned.select("g", "code", F.posexplode("svec").alias("_pos", "_val"))
         .groupBy("g", "code", "_pos")
@@ -2140,12 +2166,16 @@ def _pq_cents_trained(e: DataFrame) -> DataFrame:
             ).alias("_comp")
         )
     )
-    return comps.groupBy("g", "code").agg(
+    out = comps.groupBy("g", "code").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("_pos", "_comp"))),
             lambda s: s["_comp"],
         ).alias("cvec")
     )
+    if key is not None:
+        out = out.persist()
+        _PQ_TRAINED_MEMO[key] = out
+    return out
 
 
 @query(

@@ -1602,3 +1602,233 @@ def doc_span_removed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup funnel: the full corpus-release cascade with exact accounting
+# raw → exact-doc dedup → paragraph dedup → duplicate-span removal
+# ---------------------------------------------------------------------------
+
+_FUNNEL_B = 16
+
+_FUNNEL_ORACLE = f"""
+    WITH tk AS MATERIALIZED (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+    raw AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS toks FROM tk),
+    fp AS (SELECT doc_id, md5(lower(text)) AS f FROM documents),
+    k1 AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+        FROM fp) WHERE rn = 1),
+    s1 AS (
+      SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS toks
+      FROM k1 JOIN tk USING (doc_id)),
+    t AS (
+      SELECT tk.doc_id, unnest(toks) AS tok, unnest(range(0, len(toks))) AS pos
+      FROM tk JOIN k1 USING (doc_id)),
+    p AS (
+      SELECT doc_id, pos // {_FUNNEL_B} AS para_idx,
+             string_agg(tok, ' ' ORDER BY pos) AS ptxt, COUNT(*) AS ntok
+      FROM t GROUP BY doc_id, pos // {_FUNNEL_B}),
+    kp AS MATERIALIZED (
+      SELECT doc_id, para_idx, ptxt, ntok FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(ptxt)
+                                     ORDER BY doc_id, para_idx) AS rn
+        FROM p) WHERE rn = 1),
+    s2 AS (SELECT COUNT(DISTINCT doc_id) AS n_docs, SUM(ntok) AS toks FROM kp),
+    rw AS (
+      SELECT doc_id, string_agg(ptxt, ' ' ORDER BY para_idx) AS text
+      FROM kp GROUP BY doc_id),
+    rtk AS MATERIALIZED (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM rw),
+    gp AS (
+      SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 7, 0))) AS pos
+      FROM rtk WHERE len(toks) >= 8),
+    g AS (
+      SELECT doc_id, pos,
+             concat_ws(' ', toks[pos+1], toks[pos+2], toks[pos+3], toks[pos+4],
+                       toks[pos+5], toks[pos+6], toks[pos+7], toks[pos+8]) AS g
+      FROM gp),
+    dup AS (
+      SELECT g, MIN(doc_id) AS keeper FROM g
+      GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (
+      SELECT d.doc_id, d.pos AS s, d.pos + 7 AS e
+      FROM g d JOIN dup USING (g) WHERE d.doc_id <> dup.keeper),
+    brk AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s <= COALESCE(MAX(e) OVER (
+                      PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9) + 1
+                  THEN 0 ELSE 1 END AS is_new
+      FROM hits),
+    isl AS (
+      SELECT doc_id, s, e,
+             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY s) AS gid
+      FROM brk),
+    rem AS (
+      SELECT doc_id, SUM(span_end - span_start + 1) AS removed FROM (
+        SELECT doc_id, gid, MIN(s) AS span_start, MAX(e) AS span_end
+        FROM isl GROUP BY doc_id, gid) GROUP BY doc_id),
+    perdoc3 AS (
+      SELECT r.doc_id, len(r.toks) - COALESCE(m.removed, 0) AS kept
+      FROM rtk r LEFT JOIN rem m ON r.doc_id = m.doc_id),
+    s3 AS (
+      SELECT COUNT(*) FILTER (kept > 0) AS n_docs, SUM(kept) AS toks
+      FROM perdoc3)
+    SELECT stage_idx, stage, n_docs, total_tokens,
+           ROUND(CAST(total_tokens AS DOUBLE)
+                 / (SELECT toks FROM raw), 6) AS pct_of_raw
+    FROM (
+      SELECT 0 AS stage_idx, 'raw' AS stage,
+             CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(toks AS BIGINT) AS total_tokens FROM raw
+      UNION ALL
+      SELECT 1, 'exact_doc_dedup', CAST(n_docs AS BIGINT), CAST(toks AS BIGINT) FROM s1
+      UNION ALL
+      SELECT 2, 'paragraph_dedup', CAST(n_docs AS BIGINT), CAST(toks AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, 'span_removal', CAST(n_docs AS BIGINT), CAST(toks AS BIGINT) FROM s3)
+    ORDER BY stage_idx
+"""
+
+
+@query(
+    "doc_dedup_funnel",
+    oracle=_FUNNEL_ORACLE,
+    doc="The full corpus-release dedup CASCADE with exact accounting — "
+    "raw -> exact-doc dedup (md5 keep-min-id) -> paragraph dedup "
+    "(16-token blocks, corpus-wide keep-first) -> duplicate-span "
+    "removal RE-RUN ON THE REWRITTEN corpus (kept paragraphs "
+    "re-concatenated, 8-gram extents of non-canonical spans "
+    "subtracted): docs and tokens surviving each stage plus the "
+    "fraction of raw tokens. Each stage is the certified standalone "
+    "operator applied to the previous stage's output — the composition "
+    "a real data release runs, with the token ledger reviewers ask "
+    "for. All shuffles key on fingerprints/doc ids; stage relations "
+    "strictly shrink, so the cascade costs less than 3 independent "
+    "passes at any scale.",
+)
+def doc_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_dedup import paragraph_stream, token_stream
+
+    d = _docs(spark, sf_dir)
+    tok = token_stream(d, "doc_id", "text")
+    ntok = tok.groupBy(F.col("_id").alias("doc_id")).agg(
+        F.count("*").alias("n_toks")
+    )
+    raw = d.join(ntok, "doc_id", "left").na.fill({"n_toks": 0}).agg(
+        F.count("*").alias("n_docs"), F.sum("n_toks").alias("toks")
+    )
+    # stage 1: exact whole-doc dedup, min doc_id keeps
+    w_fp = W.partitionBy(F.md5(F.lower("text"))).orderBy("doc_id")
+    k1 = (
+        d.withColumn("_rn", F.row_number().over(w_fp))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "text")
+    )
+    s1 = k1.join(ntok, "doc_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_toks").alias("toks")
+    )
+    # stage 2: paragraph dedup over the exact-surviving docs
+    paras = paragraph_stream(k1, "doc_id", "text", block_tokens=_FUNNEL_B)
+    w_p = W.partitionBy(F.md5("_ptxt")).orderBy("_id", "_para_idx")
+    kp = (
+        paras.withColumn("_rn", F.row_number().over(w_p))
+        .filter(F.col("_rn") == 1)
+        .select("_id", "_para_idx", "_ptxt", F.size(F.split("_ptxt", " ")).alias("_ntok"))
+    )
+    s2 = kp.agg(
+        F.count_distinct("_id").alias("n_docs"), F.sum("_ntok").alias("toks")
+    )
+    # stage 3: span removal on the REWRITTEN corpus (kept paragraphs
+    # re-concatenated in order — 8-grams across removed-paragraph
+    # boundaries are genuinely new grams, by design)
+    rw = kp.groupBy(F.col("_id").alias("doc_id")).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_para_idx", "_ptxt"))),
+                lambda s: s["_ptxt"],
+            ),
+        ).alias("text")
+    )
+    rtok = token_stream(rw, "doc_id", "text", memo=False).withColumnRenamed(
+        "_id", "doc_id"
+    )
+    n = 8
+    w_lead = W.partitionBy("doc_id").orderBy("_pos")
+    leads = [F.lead("_tok", j).over(w_lead) for j in range(1, n)]
+    grams = (
+        rtok.select(
+            "doc_id",
+            F.col("_pos"),
+            F.concat_ws(" ", F.col("_tok"), *leads).alias("_g"),
+            leads[-1].alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .select("doc_id", "_pos", "_g")
+    )
+    dup = (
+        grams.groupBy("_g")
+        .agg(F.count_distinct("doc_id").alias("nd"), F.min("doc_id").alias("_keeper"))
+        .filter(F.col("nd") >= 2)
+        .select("_g", "_keeper")
+    )
+    hits = (
+        grams.join(dup, "_g")
+        .filter(F.col("doc_id") != F.col("_keeper"))
+        .select("doc_id", F.col("_pos").alias("s"), (F.col("_pos") + n - 1).alias("e"))
+    )
+    w_run = W.partitionBy("doc_id").orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    isl = hits.withColumn(
+        "is_new",
+        F.when(F.col("s") <= F.coalesce(F.max("e").over(w_run), F.lit(-9)) + 1, 0)
+        .otherwise(1),
+    ).withColumn("gid", F.sum("is_new").over(W.partitionBy("doc_id").orderBy("s")))
+    rem = (
+        isl.groupBy("doc_id", "gid")
+        .agg(F.min("s").alias("ss"), F.max("e").alias("ee"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("ee") - F.col("ss") + 1).alias("removed"))
+    )
+    rn_tok = rtok.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    perdoc3 = (
+        rn_tok.join(rem, "doc_id", "left")
+        .na.fill({"removed": 0})
+        .select("doc_id", (F.col("n_toks") - F.col("removed")).alias("kept"))
+    )
+    s3 = perdoc3.agg(
+        F.sum(F.when(F.col("kept") > 0, 1).otherwise(0)).alias("n_docs"),
+        F.sum("kept").alias("toks"),
+    )
+    stages = None
+    for idx, name, rel in (
+        (0, "raw", raw),
+        (1, "exact_doc_dedup", s1),
+        (2, "paragraph_dedup", s2),
+        (3, "span_removal", s3),
+    ):
+        row = rel.select(
+            F.lit(idx).cast("bigint").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("toks").cast("bigint").alias("total_tokens"),
+        )
+        stages = row if stages is None else stages.unionByName(row)
+    raw_toks = raw.select(F.col("toks").alias("_raw_toks"))
+    return (
+        stages.crossJoin(F.broadcast(raw_toks))
+        .select(
+            "stage_idx",
+            "stage",
+            "n_docs",
+            "total_tokens",
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("_raw_toks"), 6
+            ).alias("pct_of_raw"),
+        )
+        .orderBy("stage_idx")
+    )

@@ -131,6 +131,9 @@ ALLOW = {
     # relation + (b) the 20-query × 25-centroid broadcast probe grid —
     # corpus-scale work is the assignment scan and the salted truth pass
     "emb_ivf_nprobe_autotune": {"NESTED-LOOP"},
+    # (a) 1-row raw-token-total attach to the 4-row stage ledger —
+    # corpus-scale work ended at the per-stage aggregates
+    "doc_dedup_funnel": {"NESTED-LOOP"},
     # rank window (and its sort) over the vocabulary-bounded frequency
     # relation — corpus-scale work ended at the token-count aggregate
     "zipf_rank_frequency": {"GLOBAL-WINDOW", "GLOBAL-SORT"},
