@@ -572,3 +572,48 @@ def test_greedy_lanes_agree(spark, monkeypatch):
     monkeypatch.setattr(td, "_GREEDY_DRIVER_MAX_EDGES", -1)  # force distributed
     slow = {r.doc_id: r.kept for r in td.greedy_keep(docs, pairs).collect()}
     assert fast == slow and len(fast) == docs.count()
+
+
+def test_paragraph_stream_blank_line_mode(spark):
+    """Real-corpus mode: split on blank lines, normalize whitespace,
+    drop empty paragraphs, keep positional order."""
+    from date_warehouse___airline_project_spark.operators.text_dedup import (
+        paragraph_stream,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "First  Para here\n\nsecond one\n\n\n  \n\nTHIRD"),
+            (2, "single paragraph only"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["_id"], r["_para_idx"], r["_ptxt"])
+        for r in paragraph_stream(docs, "doc_id", "text").collect()
+    )
+    assert rows == [
+        (1, 0, "first para here"),
+        (1, 1, "second one"),
+        # the whitespace-only middle split collapses to "" and is dropped
+        # (greedy \n{2,} merges the triple newline into one separator)
+        (1, 3, "third"),
+        (2, 0, "single paragraph only"),
+    ]
+
+
+def test_paragraph_stream_block_mode_tail(spark):
+    """Block mode keeps the partial tail block and preserves token order."""
+    from date_warehouse___airline_project_spark.operators.text_dedup import (
+        paragraph_stream,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["_para_idx"], r["_ptxt"])
+        for r in paragraph_stream(docs, "doc_id", "text", block_tokens=3).collect()
+    )
+    assert rows == [(0, "a b c"), (1, "d e f"), (2, "g")]

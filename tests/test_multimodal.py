@@ -81,3 +81,28 @@ def test_embed_media_feeds_the_ann_stack(media, spark):
     assert all(0.0 <= v <= 255.0 for r in rows for v in r.embedding)
     # operator-compatibility: runs end to end (pair count is data-dependent)
     neardup_pairs_bucketed(emb, threshold=0.99, nplanes=2).collect()
+
+
+def test_media_simhash_pairs_edges(spark):
+    """Blobs shorter than one gram are excluded (no pairs, no error);
+    identical blobs pair at hamming 0; a disjoint-content blob pairs
+    with neither."""
+    from date_warehouse___airline_project_spark.operators.multimodal import (
+        media_simhash_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    media = spark.createDataFrame(
+        [
+            (1, b"the quick brown fox jumps over the lazy dog " * 4),
+            (2, b"the quick brown fox jumps over the lazy dog " * 4),
+            (3, b"zZ"),  # < 4 bytes: no grams, excluded entirely
+            (4, bytes(range(256)) * 2),
+        ],
+        "media_id long, content binary",
+    )
+    pairs = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in media_simhash_pairs(media).collect()
+    }
+    assert pairs == {(1, 2): 0}

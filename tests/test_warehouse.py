@@ -332,3 +332,40 @@ def test_backfill_overwrites_only_named_partitions(spark, tmp_path):
     n_after = after.count()
     backfill_partitions(fixed, path, "month")
     assert spark.read.parquet(path).count() == n_after
+
+
+def test_scd2_reconcile_version_lost(spark):
+    """A retroactive effective-date moving PAST a fact must surface as
+    dim_version_lost — the class the certified query's data cannot
+    produce (its corrections only add versions)."""
+    from date_warehouse___airline_project_spark.operators.scd2 import (
+        scd2_init,
+        scd2_reconcile,
+    )
+
+    facts = spark.createDataFrame(
+        [(100, 1, "2020-06-01"), (101, 2, "2020-06-01")],
+        "fact_id long, key long, ts string",
+    ).selectExpr("fact_id", "key", "CAST(ts AS TIMESTAMP) AS ts")
+    dim_rows = spark.createDataFrame(
+        [(1, "A"), (2, "B")], "key long, attr string"
+    )
+    dim_old = scd2_init(dim_rows, "2020-01-01 00:00:00")
+    # the corrected state says key 1's history only STARTS in July —
+    # the June fact no longer resolves to any version
+    dim_new = scd2_init(
+        spark.createDataFrame([(1, "A")], "key long, attr string"),
+        "2020-07-01 00:00:00",
+    ).unionByName(
+        scd2_init(
+            spark.createDataFrame([(2, "B")], "key long, attr string"),
+            "2020-01-01 00:00:00",
+        )
+    )
+    out = {
+        r["fact_id"]: (r["change_type"], r["old_attr"], r["new_attr"])
+        for r in scd2_reconcile(
+            facts, dim_old, dim_new, "key", "ts", "key", ["attr"]
+        ).collect()
+    }
+    assert out == {100: ("dim_version_lost", "A", None)}
