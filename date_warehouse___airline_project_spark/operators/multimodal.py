@@ -234,7 +234,31 @@ def media_simhash_pairs(
     At 100 TB the gram relation is corpus-bytes-scale but collapses
     map-side (groupBy combine) before the only wide shuffle, and the
     block join keys on uniform hash bytes (no skew).
+
+    The verified pair set is session-memoized (the text-dedup lane
+    discipline): the standalone pair query and the clustering /
+    accounting consumers share one signature build + block join per
+    (corpus, params).
     """
+    from .text_dedup import _memo
+
+    return _memo(
+        media,
+        ("media_simhash_pairs", id_col, content_col, nbits, max_hamming, gram_bytes),
+        lambda: _media_simhash_pairs_build(
+            media, id_col, content_col, nbits, max_hamming, gram_bytes
+        ),
+    )
+
+
+def _media_simhash_pairs_build(
+    media: DataFrame,
+    id_col: str,
+    content_col: str,
+    nbits: int,
+    max_hamming: int,
+    gram_bytes: int,
+) -> DataFrame:
     from .text_dedup import _hash_bit, _hash_int
 
     assert nbits % 8 == 0 and max_hamming < nbits // 8, "pigeonhole bound"

@@ -32,6 +32,8 @@ SimHash bit extraction from hex: bit ``b`` of a token's 32-bit hash is
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -542,6 +544,16 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b")
                 F.least(F.col("_lbl"), F.coalesce(F.col("_nlbl"), F.col("_lbl"))).alias("_lbl"),
             )
         )
+        if os.environ.get("SPARK_GRAFT_PLAN_FINGERPRINT"):
+            # Fingerprint lane: _materialize is a no-op here (lineage must
+            # stay visible), so every extra round NESTS the full pair-
+            # generation subtree again — a wide pair plan (e.g. the 48-agg
+            # media simhash) blows the analyzer's heap by round 3. One
+            # round exposes the complete per-round plan (pair generation,
+            # neighbor-min join, label fold); the convergence rule itself
+            # is covered by the fingerprint's transitive source walk.
+            labels = new_labels
+            break
         changed = (
             labels.alias("old")
             .join(new_labels.alias("new"), "_node")

@@ -346,3 +346,73 @@ def media_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_a", "media_b", F.col("hamming").cast("int").alias("hamming"))
         .orderBy("media_a", "media_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# media near-dup clusters + reclaimable-bytes accounting
+# ---------------------------------------------------------------------------
+
+_MEDIA_CLUSTER_ORACLE = (
+    "WITH RECURSIVE "
+    + _MEDIA_FUZZY_ORACLE.split("WITH ", 1)[1].rsplit("SELECT media_a", 1)[0]
+    + f""",
+    verified AS (
+      SELECT media_a, media_b FROM cand
+      WHERE bit_count(xor(sa, sb)) <= {_MF_HAM}),
+    edges AS (
+      SELECT media_a AS u, media_b AS v FROM verified
+      UNION SELECT media_b, media_a FROM verified),
+    reach AS (
+      SELECT u AS node, u AS lbl FROM edges
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node),
+    cl AS (SELECT node AS media_id, MIN(lbl) AS cluster FROM reach GROUP BY node),
+    sz AS (
+      SELECT media_id, octet_length(content) AS nb FROM media)
+    SELECT c.cluster,
+           COUNT(*) AS n_blobs,
+           CAST(SUM(s.nb) AS BIGINT) AS total_bytes,
+           CAST(SUM(CASE WHEN c.media_id <> c.cluster THEN s.nb ELSE 0 END)
+                AS BIGINT) AS reclaimable_bytes
+    FROM cl c JOIN sz s USING (media_id)
+    GROUP BY c.cluster
+    ORDER BY c.cluster
+"""
+)
+
+
+@query(
+    "media_neardup_clusters",
+    oracle=_MEDIA_CLUSTER_ORACLE,
+    doc="Near-dup blob clusters + storage accounting: connected components "
+    "over the media_fuzzy_dedup pair graph (min reachable id = canonical "
+    "keeper, the shared dedup_clusters min-label propagation), then "
+    "per-cluster blob count / total bytes / bytes reclaimable by keeping "
+    "only the canonical copy — the dedup-savings number a blob store "
+    "reports. The component loop runs on the pair graph (candidate "
+    "scale, never corpus scale); byte sizes come from one metadata "
+    "projection of the media relation.",
+)
+def media_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import media_simhash_pairs
+    from ..operators.text_dedup import dedup_clusters
+
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    pairs = media_simhash_pairs(media, nbits=_MF_NBITS, max_hamming=_MF_HAM)
+    cl = dedup_clusters(pairs, "media_a", "media_b")
+    sz = media.select("media_id", F.length("content").alias("nb"))
+    return (
+        cl.select(F.col("doc").alias("media_id"), "cluster")
+        .join(sz, "media_id")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_blobs"),
+            F.sum("nb").cast("bigint").alias("total_bytes"),
+            F.sum(F.when(F.col("media_id") != F.col("cluster"), F.col("nb")).otherwise(0))
+            .cast("bigint")
+            .alias("reclaimable_bytes"),
+        )
+        .orderBy("cluster")
+    )
