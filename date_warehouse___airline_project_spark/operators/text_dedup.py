@@ -126,6 +126,18 @@ def shingle_index(
     return _memo(df, ("shingle_index", id_col, text_col, n), build)
 
 
+def fingerprint_session() -> bool:
+    """True only in a process that OPTED IN to plan-fingerprint mode by
+    setting SPARK_GRAFT_PLAN_FINGERPRINT to its OWN pid (tools/recert.py,
+    the test_entry determinism subprocess). Fingerprint processes only
+    build/analyze plans, never execute them, so truncated iterative loops
+    and skipped checkpoints are safe there. Pinning the value to the pid
+    means an INHERITED or hand-set env var in a session that actually
+    collects results fails the check and takes the normal fully-converged
+    path — the variable cannot silently poison real cluster labels."""
+    return os.environ.get("SPARK_GRAFT_PLAN_FINGERPRINT") == str(os.getpid())
+
+
 def _materialize(df: DataFrame) -> DataFrame:
     """Materialize a small intermediate relation that the downstream plan
     references multiple times (self-joins, size lookups). Spark recomputes
@@ -138,9 +150,7 @@ def _materialize(df: DataFrame) -> DataFrame:
     skipped: it replaces the logical plan with an opaque LogicalRDD, which
     would hide upstream behavior changes from the re-certification
     fingerprint (the r03 simhash blocking change was invisible this way)."""
-    import os
-
-    if os.environ.get("SPARK_GRAFT_PLAN_FINGERPRINT"):
+    if fingerprint_session():
         return df
     return df.localCheckpoint(eager=False)
 
@@ -544,7 +554,7 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b")
                 F.least(F.col("_lbl"), F.coalesce(F.col("_nlbl"), F.col("_lbl"))).alias("_lbl"),
             )
         )
-        if os.environ.get("SPARK_GRAFT_PLAN_FINGERPRINT"):
+        if fingerprint_session():
             # Fingerprint lane: _materialize is a no-op here (lineage must
             # stay visible), so every extra round NESTS the full pair-
             # generation subtree again — a wide pair plan (e.g. the 48-agg

@@ -2124,9 +2124,6 @@ _PQ_TRAINED_ORACLE = f"""
 """
 
 
-_PQ_TRAINED_MEMO: dict[tuple, DataFrame] = {}
-
-
 def _pq_cents_trained(e: DataFrame) -> DataFrame:
     """One deterministic Lloyd round per PQ subspace: assign the
     vec_id % 4 sample to the fixed seed codebook by nearest L2, then
@@ -2134,48 +2131,46 @@ def _pq_cents_trained(e: DataFrame) -> DataFrame:
     cross-engine-exact training convention as kmeans_lloyd, run on the
     G sub-vector spaces at once (g is just a grouping column).
 
-    The G x K trained codebook (128 tiny rows) is session-memoized and
-    persisted, kmeans_lloyd-style: emb_pq_trained_topk and
-    emb_pq_recall_compare share one training pass per corpus."""
-    try:
-        key = (e.sparkSession.sparkContext.applicationId, e.semanticHash())
-    except Exception:  # pragma: no cover - semanticHash unavailable
-        key = None
-    if key is not None and key in _PQ_TRAINED_MEMO:
-        return _PQ_TRAINED_MEMO[key]
-    gs = F.array(*[F.lit(i) for i in range(_PQ_G)])
-    samp = (
-        e.filter(F.col("vec_id") % 4 == 0)
-        .select("vec_id", F.explode(gs).alias("g"), "embedding")
-        .select(
-            "vec_id",
-            "g",
-            F.slice("embedding", F.col("g") * _PQ_D + 1, _PQ_D).alias("svec"),
+    The G x K trained codebook (128 tiny rows) is session-memoized
+    through text_dedup's bounded-LRU ``_memo`` (keyed by app id + corpus
+    semantic hash + params), so emb_pq_trained_topk and
+    emb_pq_recall_compare share one training pass per corpus AND a
+    long-lived session over many corpora evicts+unpersists old codebooks
+    instead of accumulating persisted RDDs."""
+    from ..operators.text_dedup import _memo
+
+    def build() -> DataFrame:
+        gs = F.array(*[F.lit(i) for i in range(_PQ_G)])
+        samp = (
+            e.filter(F.col("vec_id") % 4 == 0)
+            .select("vec_id", F.explode(gs).alias("g"), "embedding")
+            .select(
+                "vec_id",
+                "g",
+                F.slice("embedding", F.col("g") * _PQ_D + 1, _PQ_D).alias("svec"),
+            )
         )
-    )
-    assigned = _pq_sub_assign(samp, _pq_cents_fixed(e), carry=("svec",))
-    comps = (
-        assigned.select("g", "code", F.posexplode("svec").alias("_pos", "_val"))
-        .groupBy("g", "code", "_pos")
-        .agg(
-            (
-                F.sum(F.col("_val").cast("double").cast("decimal(27,10)")).cast(
-                    "double"
-                )
-                / F.count("*")
-            ).alias("_comp")
+        assigned = _pq_sub_assign(samp, _pq_cents_fixed(e), carry=("svec",))
+        comps = (
+            assigned.select("g", "code", F.posexplode("svec").alias("_pos", "_val"))
+            .groupBy("g", "code", "_pos")
+            .agg(
+                (
+                    F.sum(
+                        F.col("_val").cast("double").cast("decimal(27,10)")
+                    ).cast("double")
+                    / F.count("*")
+                ).alias("_comp")
+            )
         )
-    )
-    out = comps.groupBy("g", "code").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("_pos", "_comp"))),
-            lambda s: s["_comp"],
-        ).alias("cvec")
-    )
-    if key is not None:
-        out = out.persist()
-        _PQ_TRAINED_MEMO[key] = out
-    return out
+        return comps.groupBy("g", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_comp"))),
+                lambda s: s["_comp"],
+            ).alias("cvec")
+        )
+
+    return _memo(e, ("pq_cents_trained", _PQ_G, _PQ_K, _PQ_D), build)
 
 
 @query(

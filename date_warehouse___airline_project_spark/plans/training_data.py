@@ -1729,7 +1729,10 @@ def doc_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("doc_id", "text")
     )
-    s1 = k1.join(ntok, "doc_id").agg(
+    # left join + fill, mirroring the raw stage: a surviving doc with no
+    # alphanumeric tokens has no ntok row but must still count in n_docs
+    # (the oracle's tk CTE has a row for every doc with an empty list).
+    s1 = k1.join(ntok, "doc_id", "left").na.fill({"n_toks": 0}).agg(
         F.count("*").alias("n_docs"), F.sum("n_toks").alias("toks")
     )
     # stage 2: paragraph dedup over the exact-surviving docs

@@ -20,13 +20,22 @@ same note for folded state).
 
 Inside each batch directory the rows stay partitioned by ``centroid_id``,
 so probe-side partition pruning works across base + appends alike; the
-accumulated small per-batch files are exactly what
-``sources.sinks.compact_parquet`` reclaims per cell, after which the
-batch dirs fold into the base assignments.
+accumulated small per-batch files are reclaimed by
+``compact_ivf_appends`` below: one centroid-keyed rewrite of
+base+appends with a marker-file commit, crash-idempotent, preserving the
+(id, centroid_id) relation row-for-row so the drift report is unchanged.
+
+All commit mechanics here are DRIVER-LOCAL (``os.rename``/``os.listdir``)
+and every entry point asserts the path is local disk via
+``_require_local_path`` — on HDFS/S3 these calls would silently see
+nothing, so a remote path fails fast instead of silently dropping
+appends. The remote-store version of this protocol is the Hadoop
+FileSystem API or a transactional table format's txnAppId/txnVersion.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -35,9 +44,54 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _require_local_path(path: str, spark: SparkSession | None = None) -> str:
+    """Fail FAST when the index path is not driver-local.
+
+    The batch-commit protocol in this module (tmp write + ``os.rename``,
+    presence-guard idempotence, marker-file compaction) is driver-local by
+    construction. Against HDFS/S3 the ``os.*`` calls see an empty local
+    directory: appends would silently vanish from reads and the
+    redelivery guard would never fire — a silent-wrong-results mode. A
+    remote store needs the Hadoop FileSystem API or a transactional table
+    format; until then, reject anything that is not local disk."""
+    if "://" in path:
+        scheme = path.split("://", 1)[0]
+        if scheme != "file":
+            raise ValueError(
+                f"ivf_stream maintains its index with driver-local rename "
+                f"commits; path {path!r} (scheme {scheme!r}) is a remote "
+                f"filesystem where os.rename/os.listdir see nothing — the "
+                f"appends would be silently dropped from reads. Use a "
+                f"local path, or port the commit protocol to the Hadoop "
+                f"FileSystem API / a transactional format first."
+            )
+        path = path.split("://", 1)[1]
+        if not path.startswith("/"):
+            # file://host/... — only the empty-authority form is local
+            raise ValueError(
+                "file:// paths must use the empty-authority form "
+                "file:///abs/path for ivf_stream's driver-local commits"
+            )
+    if spark is not None:
+        default_fs = spark.sparkContext._jsc.hadoopConfiguration().get(
+            "fs.defaultFS", "file:///"
+        )
+        if not default_fs.startswith("file:"):
+            raise ValueError(
+                f"ivf_stream path {path!r} is scheme-less but "
+                f"fs.defaultFS={default_fs!r}: Spark would read/write the "
+                f"remote store while the commit protocol renames local "
+                f"disk — appends would be silently dropped. Pass an "
+                f"explicit local path on a local-FS cluster, or port the "
+                f"commit protocol before pointing at a remote store."
+            )
+    return path
+
+
 def recover_appends(path: str) -> None:
     """Sweep orphaned ``.tmp-*`` batch writes (crash between write and
     rename). Completed ``batch=*`` dirs are never touched."""
+    path = _require_local_path(path)
     adir = f"{path}/appends"
     if not os.path.isdir(adir):
         return
@@ -62,6 +116,7 @@ def apply_ivf_append_batch(
     checkpoint already owns source progress)."""
     from ..operators.similarity import assign_to_centroids
 
+    path = _require_local_path(path, spark)
     bdir = f"{path}/appends/batch={batch_id}"
     if os.path.exists(bdir):
         return  # redelivered batch — already fully applied
@@ -91,7 +146,11 @@ def ivf_assignments_with_appends(spark: SparkSession, path: str) -> DataFrame:
     """The index's full (id, centroid_id) relation: base assignments plus
     every applied streaming batch. Both sides stay partitioned by
     ``centroid_id``, so a probe's partition filter prunes base and append
-    files alike."""
+    files alike. Self-healing: a commit marker left by a compaction crash
+    is rolled forward first (cheap local renames/deletes — see
+    ``recover_compaction``), so a reader never sees a folded batch twice."""
+    path = _require_local_path(path, spark)
+    recover_compaction(path)
     base = spark.read.parquet(f"{path}/assignments")
     adir = f"{path}/appends"
     if not os.path.isdir(adir) or not any(
@@ -100,6 +159,107 @@ def ivf_assignments_with_appends(spark: SparkSession, path: str) -> DataFrame:
         return base
     appends = spark.read.parquet(adir).select(*base.columns)
     return base.unionByName(appends)
+
+
+_COMPACT_MARKER = "compact.commit"
+
+
+def recover_compaction(path: str) -> None:
+    """Finish or undo an interrupted ``compact_ivf_appends``.
+
+    The marker file is the commit point. If it exists, the merged
+    assignments table was fully written, so roll FORWARD (every step is
+    an existence-guarded local rename/delete — re-runnable from any crash
+    point). If only ``.compact-tmp-*`` dirs exist (crash before the
+    marker), roll BACK by deleting them — the live index was never
+    touched. Single-maintainer discipline, like the append stream itself:
+    one process runs appends/compaction for an index at a time."""
+    path = _require_local_path(path)
+    marker = os.path.join(path, _COMPACT_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            state = json.load(f)
+        token, batches = state["token"], state["batches"]
+        tmp = os.path.join(path, f".compact-tmp-{token}")
+        old = os.path.join(path, f".compact-old-{token}")
+        live = os.path.join(path, "assignments")
+        if os.path.isdir(tmp):
+            # swap merged table live (two renames; re-entrant either side)
+            if os.path.isdir(live) and not os.path.isdir(old):
+                os.rename(live, old)
+            if not os.path.isdir(live):
+                os.rename(tmp, live)
+            else:  # crashed between old-rename and tmp-rename last time
+                shutil.rmtree(tmp, ignore_errors=True)
+        for b in batches:
+            shutil.rmtree(os.path.join(path, "appends", b), ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        os.remove(marker)
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            if name.startswith(".compact-tmp-"):
+                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+            elif name.startswith(f".{_COMPACT_MARKER}-"):
+                os.remove(os.path.join(path, name))  # orphaned marker tmp
+
+
+def compact_ivf_appends(spark: SparkSession, path: str) -> int:
+    """Fold the applied ``appends/batch=*`` dirs into the base
+    ``assignments`` table — the reclaim step the module docstring
+    promises. Returns the number of batch dirs folded.
+
+    Why: every streamed micro-batch adds ncells-ish small files; probes
+    pay the open cost forever. The fold rewrites base+appends as one
+    centroid-partitioned table (one exchange, shuffle keyed on
+    ``centroid_id``) and removes the folded batch dirs, so the per-cell
+    file count drops back to shuffle-partitions-per-cell.
+
+    Crash protocol (all driver-local, guarded by ``_require_local_path``):
+    merged table → ``.compact-tmp-<token>``; marker file written via
+    tmp+``os.replace`` = the commit point; then swap live and delete the
+    folded batch dirs. ``recover_compaction`` rolls an interrupted run
+    forward from the marker or back from a markerless tmp, so the fold is
+    idempotent under crash at any step (pinned by the crash tests).
+
+    ``cell_stats`` is deliberately NOT touched: ``n_train`` is the
+    training-time baseline and folding appends is not a retrain — the
+    drift report is bit-identical across a compaction (pinned by test),
+    because the (id, centroid_id) relation is preserved row-for-row.
+
+    Batches that land AFTER the listing (the stream keeps running) are
+    untouched: only the pinned batch list is folded and deleted."""
+    path = _require_local_path(path, spark)
+    recover_compaction(path)
+    adir = os.path.join(path, "appends")
+    if not os.path.isdir(adir):
+        return 0
+    batches = sorted(n for n in os.listdir(adir) if n.startswith("batch="))
+    if not batches:
+        return 0
+    base = spark.read.parquet(f"{path}/assignments")
+    # basePath pins partition discovery to the appends root so the pinned
+    # batch list reads as one relation (batch= and centroid_id= both
+    # surface as partition columns; the select drops batch)
+    appended = (
+        spark.read.option("basePath", adir)
+        .parquet(*[os.path.join(adir, b) for b in batches])
+        .select(*base.columns)
+    )
+    token = uuid.uuid4().hex[:12]
+    tmp = os.path.join(path, f".compact-tmp-{token}")
+    (
+        base.unionByName(appended)
+        .repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(tmp)
+    )
+    marker_tmp = os.path.join(path, f".{_COMPACT_MARKER}-{token}")
+    with open(marker_tmp, "w") as f:
+        json.dump({"token": token, "batches": batches}, f)
+    os.replace(marker_tmp, os.path.join(path, _COMPACT_MARKER))  # commit
+    recover_compaction(path)  # roll the committed fold forward
+    return len(batches)
 
 
 def ivf_cell_drift_streamed(
@@ -145,7 +305,9 @@ def run_ivf_append_stream(
 ):
     """Maintain a persisted IVF index off a stream of new vectors.
     Returns the StreamingQuery."""
+    path = _require_local_path(path, new_vectors.sparkSession)
     recover_appends(path)
+    recover_compaction(path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         apply_ivf_append_batch(

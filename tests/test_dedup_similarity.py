@@ -617,3 +617,23 @@ def test_paragraph_stream_block_mode_tail(spark):
         for r in paragraph_stream(docs, "doc_id", "text", block_tokens=3).collect()
     )
     assert rows == [(0, "a b c"), (1, "d e f"), (2, "g")]
+
+
+def test_fingerprint_session_is_pid_pinned(monkeypatch):
+    # A leaked/inherited SPARK_GRAFT_PLAN_FINGERPRINT must NOT truncate
+    # iterative plans in a session that executes them: only the process
+    # that set the variable to its OWN pid is a fingerprint session.
+    import os
+
+    from date_warehouse___airline_project_spark.operators.text_dedup import (
+        fingerprint_session,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_PLAN_FINGERPRINT", raising=False)
+    assert not fingerprint_session()
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_FINGERPRINT", "1")  # leaked form
+    assert not fingerprint_session()
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_FINGERPRINT", str(os.getpid() + 1))
+    assert not fingerprint_session()
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_FINGERPRINT", str(os.getpid()))
+    assert fingerprint_session()

@@ -193,7 +193,7 @@ from tools import recert
 from date_warehouse___airline_project_spark import plans
 from date_warehouse___airline_project_spark.session import get_spark
 import os
-os.environ["SPARK_GRAFT_PLAN_FINGERPRINT"] = "1"
+os.environ["SPARK_GRAFT_PLAN_FINGERPRINT"] = str(os.getpid())
 plans.load_all()
 spark = get_spark("fp_determinism")
 spark.conf.set("spark.sql.debug.maxToStringFields", "100000")

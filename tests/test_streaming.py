@@ -1884,3 +1884,126 @@ def test_ivf_stream_replay_and_crash_recovery(spark, tmp_path):
     assert sum(r["n_current"] for r in after.values()) == sum(
         r[2] for r in before
     ) + 7
+
+
+def test_ivf_compaction_fold_equals_rebuild(spark, tmp_path):
+    # Folding appends/batch=* into the base assignments must preserve the
+    # (id, centroid_id) relation row-for-row and leave the drift report
+    # bit-identical (n_train is a training baseline, not refreshed).
+    import os
+
+    from date_warehouse___airline_project_spark.streaming.ivf_stream import (
+        apply_ivf_append_batch,
+        compact_ivf_appends,
+        ivf_assignments_with_appends,
+        ivf_cell_drift_streamed,
+    )
+
+    _, path, new = _ivf_fixture(spark, tmp_path, "ivf_cmp")
+    apply_ivf_append_batch(spark, path, new, 0)
+    extra = new.limit(7).selectExpr("vec_id + 5000000 AS vec_id", "embedding")
+    apply_ivf_append_batch(spark, path, extra, 1)
+
+    rel_before = sorted(
+        tuple(r) for r in ivf_assignments_with_appends(spark, path).collect()
+    )
+    drift_before = [tuple(r) for r in ivf_cell_drift_streamed(spark, path).collect()]
+
+    assert compact_ivf_appends(spark, path) == 2
+    assert not any(
+        n.startswith("batch=") for n in os.listdir(f"{path}/appends")
+    )
+    # no leftover protocol artifacts
+    assert not any(n.startswith(".compact") for n in os.listdir(path))
+    rel_after = sorted(
+        tuple(r) for r in ivf_assignments_with_appends(spark, path).collect()
+    )
+    assert rel_after == rel_before
+    assert [
+        tuple(r) for r in ivf_cell_drift_streamed(spark, path).collect()
+    ] == drift_before
+    # re-run with nothing to fold: no-op
+    assert compact_ivf_appends(spark, path) == 0
+
+
+def test_ivf_compaction_crash_recovery(spark, tmp_path):
+    import json
+    import os
+    import shutil
+
+    from date_warehouse___airline_project_spark.streaming.ivf_stream import (
+        _COMPACT_MARKER,
+        apply_ivf_append_batch,
+        ivf_assignments_with_appends,
+        recover_compaction,
+    )
+
+    _, path, new = _ivf_fixture(spark, tmp_path, "ivf_crash")
+    apply_ivf_append_batch(spark, path, new, 0)
+    rel = sorted(tuple(r) for r in ivf_assignments_with_appends(spark, path).collect())
+
+    # (a) crash BEFORE the marker: orphaned tmp rolled back, appends intact
+    orphan = f"{path}/.compact-tmp-deadbeef"
+    os.makedirs(orphan)
+    with open(f"{orphan}/junk", "w") as f:
+        f.write("partial")
+    recover_compaction(path)
+    assert not os.path.exists(orphan)
+    assert os.path.isdir(f"{path}/appends/batch=0")
+    assert sorted(
+        tuple(r) for r in ivf_assignments_with_appends(spark, path).collect()
+    ) == rel
+
+    # (b) crash AFTER the marker (merged tmp complete, live not yet
+    # swapped): recovery must roll FORWARD — swap merged live, delete the
+    # folded batch dir, clear the marker. Build the committed state by
+    # hand, exactly what compact_ivf_appends does before its final step.
+    base = spark.read.parquet(f"{path}/assignments")
+    appended = spark.read.parquet(f"{path}/appends/batch=0").select(*base.columns)
+    tmp = f"{path}/.compact-tmp-cafe01"
+    (
+        base.unionByName(appended)
+        .repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(tmp)
+    )
+    with open(f"{path}/{_COMPACT_MARKER}", "w") as f:
+        json.dump({"token": "cafe01", "batches": ["batch=0"]}, f)
+    recover_compaction(path)
+    assert not os.path.exists(f"{path}/{_COMPACT_MARKER}")
+    assert not os.path.exists(f"{path}/appends/batch=0")
+    assert sorted(
+        tuple(r) for r in ivf_assignments_with_appends(spark, path).collect()
+    ) == rel
+
+    # (c) crash BETWEEN the two renames (live moved aside, tmp not yet
+    # live): roll-forward completes from either side. Rebuild that state.
+    shutil.copytree(f"{path}/assignments", tmp)
+    os.rename(f"{path}/assignments", f"{path}/.compact-old-cafe01")
+    with open(f"{path}/{_COMPACT_MARKER}", "w") as f:
+        json.dump({"token": "cafe01", "batches": []}, f)
+    recover_compaction(path)
+    assert os.path.isdir(f"{path}/assignments")
+    assert not any(n.startswith(".compact") for n in os.listdir(path))
+    assert sorted(
+        tuple(r) for r in ivf_assignments_with_appends(spark, path).collect()
+    ) == rel
+
+
+def test_ivf_stream_rejects_remote_paths(spark):
+    # The commit protocol is driver-local os.rename; a remote path would
+    # silently drop appends from reads, so it must fail FAST instead.
+    import pytest
+
+    from date_warehouse___airline_project_spark.streaming.ivf_stream import (
+        _require_local_path,
+        recover_appends,
+    )
+
+    with pytest.raises(ValueError, match="remote filesystem"):
+        recover_appends("s3://bucket/ivf")
+    with pytest.raises(ValueError, match="remote filesystem"):
+        _require_local_path("hdfs://namenode/ivf", spark)
+    assert _require_local_path("file:///tmp/ivf_x") == "/tmp/ivf_x"
+    assert _require_local_path("/tmp/ivf_x", spark) == "/tmp/ivf_x"

@@ -254,8 +254,11 @@ def fingerprint_versions(
 
 def compute_fingerprints(versions=(FP_VERSION,)) -> dict[str, dict[str, str]]:
     """{query: {version: digest}} for every registry query."""
-    # Full lineage, not checkpoint-truncated LogicalRDDs (see _materialize)
-    os.environ["SPARK_GRAFT_PLAN_FINGERPRINT"] = "1"
+    # Full lineage, not checkpoint-truncated LogicalRDDs (see _materialize).
+    # Value = OUR pid: fingerprint_session() in text_dedup only honors the
+    # variable in the process that set it, so a leaked/inherited copy can't
+    # truncate iterative plans in a session that executes them.
+    os.environ["SPARK_GRAFT_PLAN_FINGERPRINT"] = str(os.getpid())
 
     from date_warehouse___airline_project_spark import plans
     from date_warehouse___airline_project_spark.session import get_spark
