@@ -187,6 +187,41 @@ def clear_derived_cache() -> None:
             pass
 
 
+# --- bench-only memo attribution -------------------------------------------
+# Memoized relations are lazy: their build cost lands inside whichever
+# query happens to consume them FIRST, so per-query bench numbers shift
+# with registry order (two r7 "regressions" were exactly this artifact).
+# With instrumentation ON, a memo miss materializes the cache eagerly and
+# records (label, seconds); bench.py drains these per query and reports
+# them as their own memo:* line items, leaving the query rows comparable
+# across rounds. OFF by default — production sessions keep lazy builds.
+_MEMO_EAGER = False
+_MEMO_TIMINGS: list[tuple[str, float]] = []
+
+
+def set_memo_instrumentation(on: bool) -> None:
+    global _MEMO_EAGER
+    _MEMO_EAGER = on
+    _MEMO_TIMINGS.clear()
+
+
+def record_memo_timing(label: str, seconds: float) -> None:
+    """Entry point for OTHER memo layers (kmeans_lloyd's codebook memo)
+    to report their build cost into the same drain."""
+    if _MEMO_EAGER:
+        _MEMO_TIMINGS.append((label, seconds))
+
+
+def memo_instrumentation_on() -> bool:
+    return _MEMO_EAGER
+
+
+def drain_memo_timings() -> list[tuple[str, float]]:
+    out = list(_MEMO_TIMINGS)
+    _MEMO_TIMINGS.clear()
+    return out
+
+
 def _memo(df: DataFrame, key_parts: tuple, build) -> DataFrame:
     try:
         key = (
@@ -200,7 +235,17 @@ def _memo(df: DataFrame, key_parts: tuple, build) -> DataFrame:
     if hit is not None:
         _DERIVED_CACHE.move_to_end(key)
         return hit
-    out = build().cache()
+    if _MEMO_EAGER:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        out = build().cache()
+        out.count()  # populate the cache now, on the memo's own clock
+        _MEMO_TIMINGS.append(
+            ("/".join(str(p) for p in key_parts), _time.perf_counter() - t0)
+        )
+    else:
+        out = build().cache()
     _DERIVED_CACHE[key] = out
     while len(_DERIVED_CACHE) > _DERIVED_CACHE_MAX:
         _, evicted = _DERIVED_CACHE.popitem(last=False)

@@ -1835,3 +1835,377 @@ def doc_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus-release manifest: funnel -> mix -> budget -> shards
+# ---------------------------------------------------------------------------
+
+_REL_P = 2147483647  # Mersenne prime 2^31-1: modular content-checksum field
+
+
+def _release_docs(d: DataFrame) -> DataFrame:
+    """The RELEASED corpus: (doc_id, source, n_tok, text) for every doc
+    surviving the full dedup funnel, with ``text`` the actual post-funnel
+    content — exact-dedup keep-min, paragraph dedup on 16-token blocks,
+    then duplicate-span removal ON the paragraph-rewritten text (kept
+    tokens re-concatenated in position order; docs rewritten to zero
+    tokens drop out). Same stage semantics as ``doc_dedup_funnel``
+    (which reports the ledger; this materializes the survivors), and the
+    k1 / paragraph relations are shared with it through the session memo.
+
+    Scale: every stage shuffles on fingerprints/doc ids; the span
+    subtraction is one anti-join of the rewritten token stream against
+    the per-doc extent list (equi on doc_id, range as join predicate),
+    and final-text assembly is a per-doc sort of that doc's own tokens —
+    windows and collects all partition by doc_id, never global."""
+    from ..operators.text_dedup import paragraph_stream, token_stream
+
+    def build() -> DataFrame:
+        w_fp = W.partitionBy(F.md5(F.lower("text"))).orderBy("doc_id")
+        k1 = (
+            d.withColumn("_rn", F.row_number().over(w_fp))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", "text")
+        )
+        paras = paragraph_stream(k1, "doc_id", "text", block_tokens=_FUNNEL_B)
+        w_p = W.partitionBy(F.md5("_ptxt")).orderBy("_id", "_para_idx")
+        kp = (
+            paras.withColumn("_rn", F.row_number().over(w_p))
+            .filter(F.col("_rn") == 1)
+            .select("_id", "_para_idx", "_ptxt")
+        )
+        rw = kp.groupBy(F.col("_id").alias("doc_id")).agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_para_idx", "_ptxt"))),
+                    lambda s: s["_ptxt"],
+                ),
+            ).alias("text")
+        )
+        rtok = token_stream(rw, "doc_id", "text", memo=False).withColumnRenamed(
+            "_id", "doc_id"
+        )
+        n = 8
+        w_lead = W.partitionBy("doc_id").orderBy("_pos")
+        leads = [F.lead("_tok", j).over(w_lead) for j in range(1, n)]
+        grams = (
+            rtok.select(
+                "doc_id",
+                F.col("_pos"),
+                F.concat_ws(" ", F.col("_tok"), *leads).alias("_g"),
+                leads[-1].alias("_last"),
+            )
+            .where(F.col("_last").isNotNull())
+            .select("doc_id", "_pos", "_g")
+        )
+        dup = (
+            grams.groupBy("_g")
+            .agg(
+                F.count_distinct("doc_id").alias("nd"),
+                F.min("doc_id").alias("_keeper"),
+            )
+            .filter(F.col("nd") >= 2)
+            .select("_g", "_keeper")
+        )
+        hits = (
+            grams.join(dup, "_g")
+            .filter(F.col("doc_id") != F.col("_keeper"))
+            .select(
+                "doc_id",
+                F.col("_pos").alias("s"),
+                (F.col("_pos") + n - 1).alias("e"),
+            )
+        )
+        w_run = (
+            W.partitionBy("doc_id").orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+        )
+        ext = (
+            hits.withColumn(
+                "is_new",
+                F.when(
+                    F.col("s") <= F.coalesce(F.max("e").over(w_run), F.lit(-9)) + 1,
+                    0,
+                ).otherwise(1),
+            )
+            .withColumn(
+                "gid", F.sum("is_new").over(W.partitionBy("doc_id").orderBy("s"))
+            )
+            .groupBy("doc_id", "gid")
+            .agg(F.min("s").alias("ss"), F.max("e").alias("ee"))
+        )
+        kept = rtok.alias("t").join(
+            ext.alias("x"),
+            (F.col("t.doc_id") == F.col("x.doc_id"))
+            & (F.col("t._pos") >= F.col("x.ss"))
+            & (F.col("t._pos") <= F.col("x.ee")),
+            "left_anti",
+        )
+        final = kept.groupBy("doc_id").agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                    lambda s: s["_tok"],
+                ),
+            ).alias("text"),
+        )
+        return final.join(
+            d.select("doc_id", "source"), "doc_id"
+        ).select("doc_id", "source", "n_tok", "text")
+
+    return _memo(d, ("release_docs", _FUNNEL_B, 8), build)
+
+
+def _release_assignment(d: DataFrame) -> DataFrame:
+    """Released docs -> (shard, pos) assignment: the funnel survivors pass
+    the source-weighted mix gate (rate = 1 + h56(source) % 10 tenths,
+    per-doc hash gate — ``doc_source_weighted_sample`` semantics), then
+    each source keeps docs in doc_id order under its sqrt-proportional
+    share of a 40%% token budget (``doc_token_budget_allocation``
+    semantics over the RELEASED token counts), then shard = h56(doc_id)
+    %% NSHARDS with pos = hash-rank within the shard
+    (``doc_shard_export_assignment`` semantics). One relation drives BOTH
+    the manifest query and the shard writer, so manifest == files is
+    structural, and the roundtrip test pins it."""
+    rel = _release_docs(d)
+    mixed = rel.filter(
+        _hash56(F.col("doc_id")) % 10 < 1 + _hash56(F.col("source")) % 10
+    )
+    src = mixed.groupBy("source").agg(F.sum("n_tok").alias("t_src"))
+    rsqrt = F.round(F.sqrt(F.col("t_src").cast("double")), 8)
+    tot = src.agg(
+        F.floor(F.lit(0.4) * F.sum("t_src")).cast("bigint").alias("budget"),
+        F.sum(rsqrt.cast("decimal(27,10)")).cast("double").alias("sum_rsqrt"),
+    )
+    alloc = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(F.col("budget").cast("double") * rsqrt / F.col("sum_rsqrt"))
+        .cast("bigint")
+        .alias("alloc_tokens"),
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    cum = mixed.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    )
+    kept = cum.join(alloc, "source").filter(
+        F.col("cum_before") < F.col("alloc_tokens")
+    )
+    h = kept.withColumn("h56", _hash56(F.col("doc_id")))
+    w_s = W.partitionBy(F.col("h56") % _NSHARDS).orderBy("h56", "doc_id")
+    return h.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "text",
+        (F.col("h56") % _NSHARDS).cast("bigint").alias("shard"),
+        F.row_number().over(w_s).cast("bigint").alias("pos"),
+    )
+
+
+def _release_manifest_of(asg: DataFrame) -> DataFrame:
+    """Manifest rows from a (shard, pos, doc_id, source, n_tok, text)
+    assignment — also run over the WRITTEN shard files by the roundtrip
+    test. content_checksum is an order-sensitive mergeable fold (the
+    position-weighted modular sum Σ (pos·h56(text)) mod 2^31-1): exact on
+    both engines in integer arithmetic, and a plain SUM at any scale —
+    no per-shard string concatenation that would balloon at 10^6 docs
+    per shard."""
+    term = (
+        (F.col("pos") % _REL_P) * (_hash56(F.col("text")) % _REL_P)
+    ) % _REL_P
+    per_src = asg.groupBy("shard", "source").agg(F.count("*").alias("n"))
+    comp = per_src.groupBy("shard").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "n"))),
+                lambda s: F.concat(s["source"], F.lit("="), s["n"].cast("string")),
+            ),
+        ).alias("composition")
+    )
+    main = asg.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        (F.sum(term.cast("decimal(38,0)")) % _REL_P)
+        .cast("bigint")
+        .alias("content_checksum"),
+    )
+    return (
+        main.join(comp, "shard")
+        .select("shard", "n_docs", "n_tokens", "composition", "content_checksum")
+        .orderBy("shard")
+    )
+
+
+def write_release_shards(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Materialize the release: one parquet dir per shard
+    (``shard=<k>``), rows (pos, doc_id, source, n_tok, text). The
+    repartition-by-shard before the partitioned write keeps files at one
+    per shard per shuffle partition instead of tasks x shards slivers
+    (same discipline as the IVF assignments writer)."""
+    asg = _release_assignment(_docs(spark, sf_dir))
+    (
+        asg.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+
+
+def release_manifest_from_files(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Recompute the manifest FROM the written shard files — the
+    roundtrip check that what the manifest claims is what was shipped."""
+    files = spark.read.parquet(out_dir)
+    # partition-column discovery reads shard= back as int; restore bigint
+    return _release_manifest_of(
+        files.withColumn("shard", F.col("shard").cast("bigint"))
+    )
+
+
+_RELEASE_ORACLE = f"""
+    WITH fp AS (SELECT doc_id, md5(lower(text)) AS f FROM documents),
+    k1 AS MATERIALIZED (
+      SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+        FROM fp) WHERE rn = 1),
+    tk AS MATERIALIZED (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+    t AS (
+      SELECT tk.doc_id, unnest(toks) AS tok, unnest(range(0, len(toks))) AS pos
+      FROM tk JOIN k1 USING (doc_id)),
+    p AS (
+      SELECT doc_id, pos // {_FUNNEL_B} AS para_idx,
+             string_agg(tok, ' ' ORDER BY pos) AS ptxt
+      FROM t GROUP BY doc_id, pos // {_FUNNEL_B}),
+    kp AS MATERIALIZED (
+      SELECT doc_id, para_idx, ptxt FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(ptxt)
+                                     ORDER BY doc_id, para_idx) AS rn
+        FROM p) WHERE rn = 1),
+    rw AS (
+      SELECT doc_id, string_agg(ptxt, ' ' ORDER BY para_idx) AS text
+      FROM kp GROUP BY doc_id),
+    rtk AS MATERIALIZED (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM rw),
+    gp AS (
+      SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 7, 0))) AS pos
+      FROM rtk WHERE len(toks) >= 8),
+    g AS (
+      SELECT doc_id, pos,
+             concat_ws(' ', toks[pos+1], toks[pos+2], toks[pos+3], toks[pos+4],
+                       toks[pos+5], toks[pos+6], toks[pos+7], toks[pos+8]) AS g
+      FROM gp),
+    dup AS (
+      SELECT g, MIN(doc_id) AS keeper FROM g
+      GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (
+      SELECT d.doc_id, d.pos AS s, d.pos + 7 AS e
+      FROM g d JOIN dup USING (g) WHERE d.doc_id <> dup.keeper),
+    brk AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s <= COALESCE(MAX(e) OVER (
+                      PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9) + 1
+                  THEN 0 ELSE 1 END AS is_new
+      FROM hits),
+    isl AS (
+      SELECT doc_id, s, e,
+             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY s) AS gid
+      FROM brk),
+    ext AS MATERIALIZED (
+      SELECT doc_id, gid, MIN(s) AS ss, MAX(e) AS ee
+      FROM isl GROUP BY doc_id, gid),
+    tok3 AS (
+      SELECT doc_id, unnest(toks) AS tok, unnest(range(0, len(toks))) AS pos
+      FROM rtk),
+    keptt AS (
+      SELECT k.doc_id, k.pos, k.tok FROM tok3 k
+      WHERE NOT EXISTS (SELECT 1 FROM ext x
+                        WHERE x.doc_id = k.doc_id
+                          AND k.pos BETWEEN x.ss AND x.ee)),
+    final AS MATERIALIZED (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             string_agg(tok, ' ' ORDER BY pos) AS text
+      FROM keptt GROUP BY doc_id),
+    rel AS (
+      SELECT f.doc_id, d.source, f.n_tok, f.text
+      FROM final f JOIN documents d USING (doc_id)),
+    mixed AS MATERIALIZED (
+      SELECT * FROM rel
+      WHERE {_HASH_SQL.format(c='doc_id')} % 10
+            < 1 + {_HASH_SQL.format(c='source')} % 10),
+    src AS (
+      SELECT source, CAST(SUM(n_tok) AS BIGINT) AS t_src
+      FROM mixed GROUP BY source),
+    tot AS (
+      SELECT CAST(FLOOR(0.4 * SUM(t_src)) AS BIGINT) AS budget,
+             CAST(SUM(CAST(ROUND(SQRT(t_src), 8) AS DECIMAL(27,10))) AS DOUBLE)
+                 AS sum_rsqrt
+      FROM src),
+    alloc AS (
+      SELECT s.source,
+             CAST(FLOOR(CAST(t.budget AS DOUBLE) * ROUND(SQRT(s.t_src), 8)
+                        / t.sum_rsqrt) AS BIGINT) AS alloc_tokens
+      FROM src s, tot t),
+    cum AS (
+      SELECT doc_id, source, n_tok, text,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_before
+      FROM mixed),
+    keptd AS (
+      SELECT c.doc_id, c.source, c.n_tok, c.text
+      FROM cum c JOIN alloc a USING (source)
+      WHERE c.cum_before < a.alloc_tokens),
+    sh AS (
+      SELECT doc_id, source, n_tok, text,
+             {_HASH_SQL.format(c='doc_id')} AS h56
+      FROM keptd),
+    asg AS MATERIALIZED (
+      SELECT doc_id, source, n_tok, text,
+             h56 % {_NSHARDS} AS shard,
+             ROW_NUMBER() OVER (PARTITION BY h56 % {_NSHARDS}
+                                ORDER BY h56, doc_id) AS pos
+      FROM sh),
+    comp AS (
+      SELECT shard, string_agg(source || '=' || CAST(n AS VARCHAR), ','
+                               ORDER BY source) AS composition
+      FROM (SELECT shard, source, COUNT(*) AS n
+            FROM asg GROUP BY shard, source)
+      GROUP BY shard)
+    SELECT a.shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(a.n_tok) AS BIGINT) AS n_tokens,
+           c.composition,
+           CAST(CAST(SUM((a.pos % {_REL_P})
+                         * ({_HASH_SQL.format(c='a.text')} % {_REL_P})
+                         % {_REL_P}) AS HUGEINT) % {_REL_P} AS BIGINT)
+               AS content_checksum
+    FROM asg a JOIN comp c USING (shard)
+    GROUP BY a.shard, c.composition
+    ORDER BY a.shard
+"""
+
+
+@query(
+    "doc_release_manifest",
+    oracle=_RELEASE_ORACLE,
+    doc="The ONE artifact a corpus release ships: funnel-surviving docs "
+    "(exact dedup -> paragraph dedup -> span removal, actual rewritten "
+    "text) pass the source-weighted mix gate, each source keeps docs "
+    "under its sqrt-proportional share of a 40% token budget, docs land "
+    "in hash shards with hash-rank positions — and each shard reports "
+    "doc count, token count, per-source composition string, and an "
+    "order-sensitive modular content checksum over the SHIPPED text. "
+    "The same assignment relation drives write_release_shards; the "
+    "roundtrip test pins manifest == recompute-from-written-files. "
+    "Every stage shuffles on a bounded key (fingerprint, doc_id, "
+    "source, shard); the checksum is a plain mergeable SUM, not a "
+    "per-shard string concat.",
+)
+def doc_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _release_manifest_of(_release_assignment(_docs(spark, sf_dir)))

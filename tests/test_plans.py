@@ -416,3 +416,38 @@ def test_mining_plans_scale_shapes(spark):
     assert "FullOuter" in plan or "full_outer" in plan
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "o_custkey" not in read_schema  # columns pruned to compared set
+
+
+def test_release_manifest_roundtrip(spark, tmp_path):
+    """The manifest must describe EXACTLY what write_release_shards wrote:
+    recomputing the manifest from the written shard files reproduces the
+    query's rows (counts, tokens, composition, content checksum), and the
+    on-disk shard dirs are the manifest's shard ids."""
+    import os
+
+    from date_warehouse___airline_project_spark.plans.training_data import (
+        doc_release_manifest,
+        release_manifest_from_files,
+        write_release_shards,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "release")
+    write_release_shards(spark, sf, out)
+    want = [tuple(r) for r in doc_release_manifest(spark, sf).collect()]
+    got = [tuple(r) for r in release_manifest_from_files(spark, out).collect()]
+    assert want and got == want
+    shard_dirs = sorted(
+        int(n.split("=")[1]) for n in os.listdir(out) if n.startswith("shard=")
+    )
+    assert shard_dirs == sorted(r[0] for r in want)
+    # the writer shipped the rewritten text, not the raw corpus: token
+    # counts in the files match the n_tok column the manifest summed
+    import pyspark.sql.functions as F
+
+    files = spark.read.parquet(out)
+    bad = files.filter(
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0)))
+        != F.col("n_tok")
+    ).count()
+    assert bad == 0
