@@ -2448,3 +2448,385 @@ def emb_ivf_nprobe_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+# ---------------------------------------------------------------------------
+# TRAINED IVF-PQ: trained coarse quantizer (2-round Lloyd, the
+# emb_ivf_trained_topk codebook) x trained sub-quantizers (1-round
+# per-subspace Lloyd, the emb_pq_trained_topk codebooks), ADC scoring only
+# inside the probed cells, exact top-10 re-rank — the full production ANN
+# stack with BOTH quantizer levels trained. r7 shipped the legs
+# separately (trained IVF; trained PQ over the whole corpus); this
+# composes them. Both codebooks come from the session memos, so a session
+# that already ran either trained leg pays no extra training.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_TRAINED_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id % 25 = 0),
+    samp AS (SELECT vec_id, emb FROM e WHERE vec_id % 4 = 0),
+    {_iter_sql(1, 'c0')},
+    {_iter_sql(2, 'c1')},
+    q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c.cid, {_cos_sql('c.cvec', 'q.qv')} AS cq
+        FROM c2 c, q ORDER BY cq DESC, cid LIMIT 2)),
+    af AS (
+      SELECT vec_id, label, emb, cid FROM (
+        SELECT e.vec_id, e.label, e.emb, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_rank_sql('e.emb', 'c.cvec')} DESC, c.cid) AS rn
+        FROM e, c2 c) WHERE rn = 1),
+    hits AS MATERIALIZED (
+      SELECT af.vec_id, af.label, af.emb
+      FROM af JOIN probe p ON af.cid = p.cid
+      WHERE af.vec_id <> 0),
+    groups AS (SELECT UNNEST(range(0, {_PQ_G})) AS g),
+    codes AS (SELECT UNNEST(range(0, {_PQ_K})) AS code),
+    pc0 AS (
+      SELECT codes.code, g.g,
+             list_slice(CAST(e2.embedding AS DOUBLE[]),
+                        g.g * {_PQ_D} + 1, (g.g + 1) * {_PQ_D}) AS cvec
+      FROM codes
+      JOIN embeddings e2 ON e2.vec_id = codes.code * 25
+      CROSS JOIN groups g),
+    psub AS (
+      SELECT e.vec_id, g.g,
+             list_slice(e.emb, g.g * {_PQ_D} + 1, (g.g + 1) * {_PQ_D}) AS svec
+      FROM e CROSS JOIN groups g
+      WHERE e.vec_id % 4 = 0),
+    pta AS (
+      SELECT vec_id, g, svec, code FROM (
+        SELECT s.vec_id, s.g, s.svec, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.g
+                   ORDER BY list_dot_product(s.svec, s.svec)
+                          - 2 * list_dot_product(s.svec, c.cvec)
+                          + list_dot_product(c.cvec, c.cvec), c.code) AS rn
+        FROM psub s JOIN pc0 c ON c.g = s.g) WHERE rn = 1),
+    ptu AS (
+      SELECT g, code, pos,
+             CAST(SUM(CAST(svec[pos] AS DECIMAL(27,10))) AS DOUBLE)
+               / COUNT(*) AS comp
+      FROM pta, UNNEST(GENERATE_SERIES(1, {_PQ_D})) AS t(pos)
+      GROUP BY g, code, pos),
+    pc1 AS MATERIALIZED (
+      SELECT g, code, LIST(comp ORDER BY pos) AS cvec FROM ptu GROUP BY g, code),
+    hsubs AS (
+      SELECT h.vec_id, h.label, g.g,
+             list_slice(h.emb, g.g * {_PQ_D} + 1, (g.g + 1) * {_PQ_D}) AS svec
+      FROM hits h CROSS JOIN groups g),
+    hassign AS (
+      SELECT vec_id, label, g, code FROM (
+        SELECT s.vec_id, s.label, s.g, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.g
+                   ORDER BY list_dot_product(s.svec, s.svec)
+                          - 2 * list_dot_product(s.svec, c.cvec)
+                          + list_dot_product(c.cvec, c.cvec), c.code) AS rn
+        FROM hsubs s JOIN pc1 c ON c.g = s.g) WHERE rn = 1),
+    adc AS (
+      SELECT c.g, c.code,
+             list_dot_product(list_slice(CAST(q.qv AS DOUBLE[]),
+                                         c.g * {_PQ_D} + 1, (c.g + 1) * {_PQ_D}),
+                              c.cvec) AS w
+      FROM pc1 c, q),
+    appx AS (
+      SELECT a.vec_id, a.label, {_PQ_W_COLS}
+      FROM hassign a JOIN adc ON adc.g = a.g AND adc.code = a.code
+      GROUP BY a.vec_id, a.label),
+    cand AS (
+      SELECT vec_id, label, {_PQ_W_SUM} AS approx_dot
+      FROM appx ORDER BY approx_dot DESC, vec_id LIMIT 50),
+    rer AS (
+      SELECT cand.vec_id, cand.label,
+             ROUND(cand.approx_dot, 6) AS approx_dot,
+             ROUND({_cos_sql('e.emb', 'q.qv')}, 6) AS cos_sim
+      FROM cand JOIN e ON e.vec_id = cand.vec_id, q)
+    SELECT vec_id, label, approx_dot, cos_sim FROM rer
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def _ivfpq_cand(
+    e: DataFrame, q: DataFrame, cents: DataFrame, pq: DataFrame
+) -> DataFrame:
+    """Top-50 ADC candidates (vec_id, label, approx_dot) INSIDE the
+    nprobe=2 cells of coarse codebook ``cents`` (_cid, _cvec), scored
+    against sub-quantizer codebooks ``pq`` (g, code, cvec) — the shared
+    IVF-PQ candidate leg for the trained query and the recall compare."""
+    from ..operators.similarity import assign_to_centroids
+
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("_cos_q", cosine(F.col("_cvec"), F.col("qv")))
+        .orderBy(F.desc("_cos_q"), F.asc("_cid"))
+        .limit(2)
+        .select(F.col("_cid").alias("centroid_id"))
+    )
+    assigned = assign_to_centroids(
+        e.repartition(e.sparkSession.sparkContext.defaultParallelism),
+        cents,
+        impl="arrow",
+    )
+    hits = (
+        assigned.join(F.broadcast(probe), "centroid_id", "left_semi")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", "embedding")
+    )
+    gs = F.array(*[F.lit(i) for i in range(_PQ_G)])
+    subs = hits.select(
+        "vec_id", "label", F.explode(gs).alias("g"), "embedding"
+    ).select(
+        "vec_id",
+        "label",
+        "g",
+        F.slice("embedding", F.col("g") * _PQ_D + 1, _PQ_D).alias("svec"),
+    )
+    pqassign = _pq_sub_assign(subs, pq, carry=("label",))
+    adc = pq.crossJoin(F.broadcast(q)).select(
+        "g",
+        "code",
+        dot(F.slice("qv", F.col("g") * _PQ_D + 1, _PQ_D), F.col("cvec")).alias("w"),
+    )
+    appx = (
+        pqassign.join(F.broadcast(adc), ["g", "code"])
+        .groupBy("vec_id", "label")
+        .agg(*[
+            F.max(F.when(F.col("g") == i, F.col("w"))).alias(f"w{i}")
+            for i in range(_PQ_G)
+        ])
+    )
+    approx = F.col("w0")
+    for i in range(1, _PQ_G):
+        approx = approx + F.col(f"w{i}")
+    return (
+        appx.select("vec_id", "label", approx.alias("approx_dot"))
+        .orderBy(F.desc("approx_dot"), "vec_id")
+        .limit(50)
+    )
+
+
+@query(
+    "emb_ivfpq_trained_topk",
+    oracle=_IVFPQ_TRAINED_ORACLE,
+    doc=f"TRAINED IVF-PQ composed search: Lloyd-trained coarse centroids "
+    f"(2 iterations, identical to emb_ivf_trained_topk) prune the corpus "
+    f"at nprobe=2, then TRAINED {_PQ_G}x{_PQ_K} sub-quantizers "
+    f"(per-subspace Lloyd round, identical to emb_pq_trained_topk) score "
+    f"only the probed cells' vectors via ADC, and exact cosine re-ranks "
+    f"the final top-10. Both quantizer levels come from the session "
+    f"memos (kmeans_lloyd / _pq_cents_trained), so the marginal cost "
+    f"over the fixed-codebook emb_ivfpq_topk is just the two bounded "
+    f"training passes — the from-scratch cost of the real index build "
+    f"a production deployment runs once and persists.",
+)
+def emb_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_lloyd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cents = kmeans_lloyd(e, centroid_mod=25, sample_mod=4, iters=2)
+    cand = _ivfpq_cand(e, q, cents, _pq_cents_trained(e))
+    return (
+        F.broadcast(cand)
+        .join(e.select("vec_id", "embedding"), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round("approx_dot", 6).alias("approx_dot"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ recall compare: does training the quantizers buy recall, and what
+# does cell-pruning cost vs corpus-wide PQ? Three candidate generators,
+# one exact ground truth, one row each.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_RECALL_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+    q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+    exact10 AS MATERIALIZED (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY {_cos_sql('e.emb', 'q.qv')} DESC, vec_id) AS rn
+        FROM e, q WHERE vec_id <> 0) WHERE rn <= 10),
+    groups AS (SELECT UNNEST(range(0, {_PQ_G})) AS g),
+    codes AS (SELECT UNNEST(range(0, {_PQ_K})) AS code),
+    pc0 AS MATERIALIZED (
+      SELECT codes.code, g.g,
+             list_slice(e2.emb, g.g * {_PQ_D} + 1, (g.g + 1) * {_PQ_D}) AS cvec
+      FROM codes JOIN e e2 ON e2.vec_id = codes.code * 25
+      CROSS JOIN groups g),
+    psub AS (
+      SELECT e.vec_id, g.g,
+             list_slice(e.emb, g.g * {_PQ_D} + 1, (g.g + 1) * {_PQ_D}) AS svec
+      FROM e CROSS JOIN groups g WHERE e.vec_id % 4 = 0),
+    pta AS (
+      SELECT vec_id, g, svec, code FROM (
+        SELECT s.vec_id, s.g, s.svec, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.g
+                   ORDER BY list_dot_product(s.svec, s.svec)
+                          - 2 * list_dot_product(s.svec, c.cvec)
+                          + list_dot_product(c.cvec, c.cvec), c.code) AS rn
+        FROM psub s JOIN pc0 c ON c.g = s.g) WHERE rn = 1),
+    ptu AS (
+      SELECT g, code, pos,
+             CAST(SUM(CAST(svec[pos] AS DECIMAL(27,10))) AS DOUBLE)
+               / COUNT(*) AS comp
+      FROM pta, UNNEST(GENERATE_SERIES(1, {_PQ_D})) AS t(pos)
+      GROUP BY g, code, pos),
+    pc1 AS MATERIALIZED (
+      SELECT g, code, LIST(comp ORDER BY pos) AS cvec FROM ptu GROUP BY g, code),
+    c0 AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id % 25 = 0),
+    samp AS (SELECT vec_id, emb FROM e WHERE vec_id % 4 = 0),
+    {_iter_sql(1, 'c0')},
+    {_iter_sql(2, 'c1')},
+    subsall AS MATERIALIZED (
+      SELECT e.vec_id, g.g,
+             list_slice(e.emb, g.g * {_PQ_D} + 1, (g.g + 1) * {_PQ_D}) AS svec
+      FROM e CROSS JOIN groups g WHERE e.vec_id <> 0),
+    probef AS (
+      SELECT cid FROM (
+        SELECT c.cid, {_cos_sql('c.cvec', 'q.qv')} AS cq
+        FROM c0 c, q ORDER BY cq DESC, cid LIMIT 2)),
+    aff AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_rank_sql('e.emb', 'c.cvec')} DESC, c.cid) AS rn
+        FROM e, c0 c) WHERE rn = 1),
+    hitsf AS (SELECT a.vec_id FROM aff a JOIN probef p ON a.cid = p.cid
+              WHERE a.vec_id <> 0),
+    probet AS (
+      SELECT cid FROM (
+        SELECT c.cid, {_cos_sql('c.cvec', 'q.qv')} AS cq
+        FROM c2 c, q ORDER BY cq DESC, cid LIMIT 2)),
+    aft AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_rank_sql('e.emb', 'c.cvec')} DESC, c.cid) AS rn
+        FROM e, c2 c) WHERE rn = 1),
+    hitst AS (SELECT a.vec_id FROM aft a JOIN probet p ON a.cid = p.cid
+              WHERE a.vec_id <> 0),
+    asg0 AS MATERIALIZED (
+      SELECT vec_id, g, code FROM (
+        SELECT s.vec_id, s.g, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.g
+                   ORDER BY list_dot_product(s.svec, s.svec)
+                          - 2 * list_dot_product(s.svec, c.cvec)
+                          + list_dot_product(c.cvec, c.cvec), c.code) AS rn
+        FROM subsall s JOIN pc0 c ON c.g = s.g) WHERE rn = 1),
+    asg1 AS MATERIALIZED (
+      SELECT vec_id, g, code FROM (
+        SELECT s.vec_id, s.g, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.g
+                   ORDER BY list_dot_product(s.svec, s.svec)
+                          - 2 * list_dot_product(s.svec, c.cvec)
+                          + list_dot_product(c.cvec, c.cvec), c.code) AS rn
+        FROM subsall s JOIN pc1 c ON c.g = s.g) WHERE rn = 1),
+    adc0 AS (
+      SELECT c.g, c.code,
+             list_dot_product(list_slice(CAST(q.qv AS DOUBLE[]),
+                                         c.g * {_PQ_D} + 1, (c.g + 1) * {_PQ_D}),
+                              c.cvec) AS w
+      FROM pc0 c, q),
+    adc1 AS (
+      SELECT c.g, c.code,
+             list_dot_product(list_slice(CAST(q.qv AS DOUBLE[]),
+                                         c.g * {_PQ_D} + 1, (c.g + 1) * {_PQ_D}),
+                              c.cvec) AS w
+      FROM pc1 c, q),
+    cand_pf AS (
+      SELECT vec_id FROM (
+        SELECT a.vec_id, {_PQ_W_COLS}
+        FROM asg0 a JOIN adc0 adc ON adc.g = a.g AND adc.code = a.code
+        GROUP BY a.vec_id)
+      ORDER BY {_PQ_W_SUM} DESC, vec_id LIMIT 50),
+    cand_if AS (
+      SELECT vec_id FROM (
+        SELECT a.vec_id, {_PQ_W_COLS}
+        FROM asg0 a JOIN adc0 adc ON adc.g = a.g AND adc.code = a.code
+        WHERE a.vec_id IN (SELECT vec_id FROM hitsf)
+        GROUP BY a.vec_id)
+      ORDER BY {_PQ_W_SUM} DESC, vec_id LIMIT 50),
+    cand_it AS (
+      SELECT vec_id FROM (
+        SELECT a.vec_id, {_PQ_W_COLS}
+        FROM asg1 a JOIN adc1 adc ON adc.g = a.g AND adc.code = a.code
+        WHERE a.vec_id IN (SELECT vec_id FROM hitst)
+        GROUP BY a.vec_id)
+      ORDER BY {_PQ_W_SUM} DESC, vec_id LIMIT 50)
+    SELECT variant, n_captured,
+           ROUND(CAST(n_captured AS DOUBLE) / 10, 6) AS recall_at10
+    FROM (
+      SELECT 'ivfpq_fixed' AS variant,
+             (SELECT COUNT(*) FROM cand_if JOIN exact10 USING (vec_id))
+                 AS n_captured
+      UNION ALL
+      SELECT 'ivfpq_trained',
+             (SELECT COUNT(*) FROM cand_it JOIN exact10 USING (vec_id))
+      UNION ALL
+      SELECT 'pq_fixed',
+             (SELECT COUNT(*) FROM cand_pf JOIN exact10 USING (vec_id)))
+    ORDER BY variant
+"""
+
+
+@query(
+    "emb_ivfpq_recall_compare",
+    oracle=_IVFPQ_RECALL_ORACLE,
+    doc="Recall@10 of three ANN candidate generators against the exact "
+    "cosine top-10: corpus-wide fixed-codebook PQ (no cell pruning), "
+    "fixed-codebook IVF-PQ (nprobe=2), and fully TRAINED IVF-PQ "
+    "(Lloyd coarse + per-subspace Lloyd sub-quantizers) — the "
+    "measurement that justifies (or vetoes) paying for training and "
+    "for cell pruning. All candidate legs are the certified generators "
+    "of emb_pq_topk / emb_ivfpq_topk / emb_ivfpq_trained_topk; "
+    "codebooks come from the session memos.",
+)
+def emb_ivfpq_recall_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_lloyd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    exact10 = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(F.col("embedding"), F.col("qv")).alias("_cs"))
+        .orderBy(F.desc("_cs"), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    fixed_cells = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("_cid"), F.col("embedding").alias("_cvec")
+    )
+    trained_cells = kmeans_lloyd(e, centroid_mod=25, sample_mod=4, iters=2)
+    variants = (
+        ("ivfpq_fixed", _ivfpq_cand(e, q, fixed_cells, _pq_cents_fixed(e))),
+        ("ivfpq_trained", _ivfpq_cand(e, q, trained_cells, _pq_cents_trained(e))),
+        ("pq_fixed", _pq_adc_candidates(e, _pq_cents_fixed(e), q).limit(50)),
+    )
+    out = None
+    for variant, cand in variants:
+        row = (
+            cand.select("vec_id")
+            .join(F.broadcast(exact10), "vec_id", "inner")
+            .agg(F.count("*").alias("n_captured"))
+            .select(
+                F.lit(variant).alias("variant"),
+                "n_captured",
+                F.round(F.col("n_captured").cast("double") / 10, 6).alias(
+                    "recall_at10"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("variant")
