@@ -371,3 +371,103 @@ def late_dim_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type", "old_segment", "new_segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-arriving FACT revision into the incremental MV — the dual of
+# late_dim_reconciliation. mv_incremental_monthly_revenue merges
+# forward-only deltas; here facts REVISE closed months: late rows arrive
+# for months the base partial already covered, and previously-loaded rows
+# are restated (price correction) via retraction+insertion delta rows.
+# Because every MV cell is algebraic (COUNT, exact-DECIMAL SUM), the
+# revision delta is just more rows in the same cell-wise SUM merge — a
+# retraction is a row with cnt=-1, rev=-old_value. No base rescan, no
+# special casing: out-of-order data costs one extra delta partial.
+# ---------------------------------------------------------------------------
+
+_MVR_ORACLE = f"""
+    WITH rev AS (
+      SELECT o_orderkey, o_orderdate,
+             CASE WHEN o_orderkey % 17 = 0 AND o_orderkey % 13 <> 0
+                       AND o_orderdate < TIMESTAMP '{_MV_CUTOFF}'
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) + 100.00
+                  ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price,
+             CASE WHEN o_orderkey % 13 = 0
+                       AND o_orderdate < TIMESTAMP '{_MV_CUTOFF}'
+                  THEN 1 ELSE 0 END AS is_late,
+             CASE WHEN o_orderkey % 17 = 0 AND o_orderkey % 13 <> 0
+                       AND o_orderdate < TIMESTAMP '{_MV_CUTOFF}'
+                  THEN 1 ELSE 0 END AS is_revised
+      FROM orders)
+    SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m') AS month,
+           COUNT(*) AS order_cnt,
+           CAST(SUM(price) AS DOUBLE) AS revenue,
+           CAST(SUM(is_late) AS BIGINT) AS n_late_facts,
+           CAST(SUM(is_revised) AS BIGINT) AS n_revised
+    FROM rev
+    GROUP BY 1
+    ORDER BY month
+"""
+
+
+@query(
+    "late_fact_mv_revision",
+    oracle=_MVR_ORACLE,
+    doc=f"Out-of-order MV maintenance: the monthly-revenue MV's base "
+    f"partial misses late facts (orderkey %% 13, closed months) and "
+    f"holds stale prices for restated orders (orderkey %% 17); the "
+    f"late-arrival delta adds the missing rows and the revision delta "
+    f"restates prices as RETRACTION (cnt=-1, rev=-old) plus INSERTION "
+    f"(cnt=+1, rev=new) rows in the same mergeable cells — closed "
+    f"months are corrected by cell-wise SUM without rescanning the "
+    f"base. The oracle recomputes the MV from the fully-corrected fact "
+    f"table, certifying merge-with-revisions == recompute; the "
+    f"n_late_facts / n_revised columns pin that closed months really "
+    f"absorbed out-of-order rows. Exact-DECIMAL cells make retraction "
+    f"cancellation exact on both engines.",
+)
+def late_fact_mv_revision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_MV_CUTOFF).cast("timestamp")
+    month = F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+        "month"
+    )
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    is_closed = F.col("o_orderdate") < cutoff
+    is_late = (F.col("o_orderkey") % 13 == 0) & is_closed
+    is_revised = (
+        (F.col("o_orderkey") % 17 == 0) & (F.col("o_orderkey") % 13 != 0) & is_closed
+    )
+
+    def partial(df: DataFrame, cnt, rev, late, revised) -> DataFrame:
+        return df.groupBy(month).agg(
+            F.sum(cnt).cast("bigint").alias("cnt"),
+            F.sum(rev).cast("decimal(30,2)").alias("rev"),
+            F.sum(late).cast("bigint").alias("late"),
+            F.sum(revised).cast("bigint").alias("revised"),
+        )
+
+    zero = F.lit(0)
+    one = F.lit(1)
+    base = partial(o.filter(is_closed & ~is_late), one, price, zero, zero)
+    fwd = partial(o.filter(~is_closed), one, price, zero, zero)
+    late_delta = partial(o.filter(is_late), one, price, one, zero)
+    restated = o.filter(is_revised)
+    retract = partial(restated, F.lit(-1), -price, zero, zero)
+    insert = partial(
+        restated, one, price + F.lit(100).cast("decimal(18,2)"), zero, one
+    )
+    return (
+        base.unionByName(fwd)
+        .unionByName(late_delta)
+        .unionByName(retract)
+        .unionByName(insert)
+        .groupBy("month")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("order_cnt"),
+            F.sum("rev").cast("double").alias("revenue"),
+            F.sum("late").cast("bigint").alias("n_late_facts"),
+            F.sum("revised").cast("bigint").alias("n_revised"),
+        )
+        .orderBy("month")
+    )
