@@ -128,3 +128,110 @@ def run_incremental_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-granularity incremental dedup — the streaming form of
+# plans/dedup.py::doc_paragraph_dedup (RefinedWeb granularity). Same three
+# layers as the whole-doc stream above, but the unit of state is the
+# PARAGRAPH fingerprint md5(ptxt): within-batch keep-first on
+# (doc_id, para_idx), anti-join against the persistent seen-paragraph
+# state, fold accepted fingerprints. A doc whose paragraphs all repeat
+# earlier content contributes nothing; a doc repeating only some
+# paragraphs survives partially — exactly the batch operator's semantics
+# when batches arrive in doc_id order (pinned by the
+# stream-equals-batch test).
+# ---------------------------------------------------------------------------
+
+_PARA_BLOCK_TOKENS = 16
+
+
+def paragraph_fingerprints(
+    docs: DataFrame, block_tokens: int = _PARA_BLOCK_TOKENS
+) -> DataFrame:
+    """(doc_id, para_idx, ptxt, pfp) off the shared batch segmentation
+    (operators/text_dedup.py::paragraph_stream) so stream and batch agree
+    on paragraph boundaries and normalization."""
+    from ..operators.text_dedup import paragraph_stream
+
+    p = paragraph_stream(docs, "doc_id", "text", block_tokens=block_tokens)
+    return p.select(
+        F.col("_id").alias("doc_id"),
+        F.col("_para_idx").alias("para_idx"),
+        F.col("_ptxt").alias("ptxt"),
+        F.md5("_ptxt").alias("pfp"),
+    )
+
+
+def dedup_paragraph_batch(docs: DataFrame, state: DataFrame | None) -> DataFrame:
+    """Layers 1+2 for one batch at paragraph granularity: keep the first
+    (doc_id, para_idx) occurrence per fingerprint within the batch, then
+    anti-join the persistent seen-paragraph state. Returns accepted
+    paragraph rows (doc_id, para_idx, ptxt, pfp)."""
+    from pyspark.sql import Window
+
+    paras = paragraph_fingerprints(docs)
+    w = Window.partitionBy("pfp").orderBy("doc_id", "para_idx")
+    first = (
+        paras.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if state is None:
+        return first
+    return first.join(state.select(F.col("pfp")), "pfp", "left_anti")
+
+
+def run_incremental_paragraph_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuously accept only never-seen PARAGRAPHS from a JSON-lines
+    drop dir (``{"doc_id": ..., "text": ...}`` per line). Output
+    ``out_dir/batch=<id>`` holds the accepted paragraph rows; the state
+    table holds one row per seen paragraph fingerprint. Same idempotence
+    discipline as run_incremental_dedup_stream: whole-batch redelivery
+    guard + per-batch overwrite output."""
+    import os
+
+    recover_state(state_dir)
+    schema = "doc_id LONG, text STRING"
+    raw = (
+        spark.readStream.format("text")
+        .load(input_dir)
+        .select(F.from_json("value", schema).alias("_r"))
+        .select("_r.doc_id", "_r.text")
+        .where(F.col("doc_id").isNotNull())
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        recover_state(state_dir)
+        if batch_id <= last_applied_batch_id(state_dir):
+            return
+        state = (
+            spark.read.parquet(state_dir) if os.path.exists(state_dir) else None
+        )
+        accepted = dedup_paragraph_batch(batch_df, state)
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        fold_into_state(
+            spark,
+            state_dir,
+            batch_id,
+            accepted.select("pfp").distinct(),
+            merge_fingerprints,
+        )
+
+    writer = (
+        raw.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("incremental_paragraph_dedup_stream")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -2007,3 +2007,128 @@ def test_ivf_stream_rejects_remote_paths(spark):
         _require_local_path("hdfs://namenode/ivf", spark)
     assert _require_local_path("file:///tmp/ivf_x") == "/tmp/ivf_x"
     assert _require_local_path("/tmp/ivf_x", spark) == "/tmp/ivf_x"
+
+
+def test_incremental_paragraph_dedup_stream_equals_batch(spark, tmp_path):
+    """Feeding the corpus through the paragraph-dedup stream in doc_id
+    order must reproduce doc_paragraph_dedup's per-doc ledger exactly:
+    kept paragraphs per doc from the accepted outputs, totals from the
+    shared segmentation."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from date_warehouse___airline_project_spark.plans.dedup import (
+        doc_paragraph_dedup,
+    )
+    from date_warehouse___airline_project_spark.streaming.dedup_stream import (
+        paragraph_fingerprints,
+        run_incremental_paragraph_dedup_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    rows = sorted(
+        ((r["doc_id"], r["text"]) for r in docs.collect()), key=lambda x: x[0]
+    )
+    mid = rows[len(rows) // 2][0]
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+
+    def jl(batch):
+        return "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in batch)
+
+    # two micro-batches in doc_id order (keep-first order = arrival order)
+    (input_dir / "b1.jsonl").write_text(jl([r for r in rows if r[0] < mid]))
+    q = run_incremental_paragraph_dedup_stream(
+        spark, str(input_dir), state, out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    (input_dir / "b2.jsonl").write_text(jl([r for r in rows if r[0] >= mid]))
+    q = run_incremental_paragraph_dedup_stream(
+        spark, str(input_dir), state, out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    kept = (
+        spark.read.parquet(out)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    total = paragraph_fingerprints(docs).groupBy("doc_id").agg(
+        F.count("*").alias("n_paragraphs")
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_paragraphs"],
+            r["n_kept"],
+            r["n_paragraphs"] - r["n_kept"],
+            round(r["n_kept"] / r["n_paragraphs"], 6),
+        )
+        for r in total.join(kept, "doc_id", "left")
+        .na.fill({"n_kept": 0})
+        .collect()
+    }
+    want = {
+        r["doc_id"]: (
+            r["n_paragraphs"],
+            r["n_kept"],
+            r["n_removed"],
+            r["surviving_ratio"],
+        )
+        for r in doc_paragraph_dedup(spark, sf).collect()
+    }
+    assert got == want
+
+
+def test_incremental_paragraph_dedup_stream_redelivery(spark, tmp_path):
+    """Replaying batch 0 against a state that already holds its paragraph
+    fingerprints must not clobber the accepted output (whole-batch guard),
+    and the state stays at its post-batch size."""
+    import json
+
+    from date_warehouse___airline_project_spark.streaming.dedup_stream import (
+        run_incremental_paragraph_dedup_stream,
+    )
+    from date_warehouse___airline_project_spark.streaming.state_table import (
+        last_applied_batch_id,
+    )
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    body = " ".join(f"w{i}" for i in range(32))  # 2 paragraph blocks
+    (input_dir / "b1.jsonl").write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": t})
+            for i, t in [(1, body), (2, body), (3, "unique words only here")]
+        )
+    )
+    q = run_incremental_paragraph_dedup_stream(
+        spark, str(input_dir), state, out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert last_applied_batch_id(state) == 0
+    before = sorted(
+        (r["doc_id"], r["para_idx"], r["pfp"])
+        for r in spark.read.parquet(f"{out}/batch=0").collect()
+    )
+    # doc 2 duplicates doc 1's paragraphs wholesale: only doc 1's copies kept
+    assert {d for d, _, _ in before} == {1, 3}
+    n_state = spark.read.parquet(state).count()
+
+    shutil.rmtree(tmp_path / "ckpt")  # forces redelivery of batch 0
+    q = run_incremental_paragraph_dedup_stream(
+        spark, str(input_dir), state, out, str(tmp_path / "ckpt2")
+    )
+    q.awaitTermination(120)
+    after = sorted(
+        (r["doc_id"], r["para_idx"], r["pfp"])
+        for r in spark.read.parquet(f"{out}/batch=0").collect()
+    )
+    assert after == before, "redelivery clobbered the accepted output"
+    assert spark.read.parquet(state).count() == n_state
