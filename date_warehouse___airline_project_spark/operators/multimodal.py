@@ -312,16 +312,7 @@ def _media_simhash_pairs_build(
     # hash once per DISTINCT gram (vocabulary relation, ≤ 2^(8·gram_bytes)
     # rows) and join back — not once per (blob, gram) row. Word w holds
     # signature bits [48w, 48w+48): md5 hex chars 12w+1 .. 12w+12.
-    # Bit-majority sums ride PACKED lanes (the text lane's trick sized
-    # for blobs): lane j packs the set-bit COUNT of bit j of every word
-    # in 31-bit fields (field w = bits [31w, 31w+31)), so the wide
-    # shuffle/agg carries nbits/nwords lane columns instead of nbits
-    # per-bit columns — measured ~1.6× on the k-sweep at nbits=96. The
-    # 31-bit field holds per-blob gram totals up to 2^31 (a ~2 GB blob at
-    # gram stride 1) — gated loudly below, vs the text lane's 2^20-token
-    # bound that blob-scale inputs would trip.
     word_bits = [min(48, nbits - 48 * w) for w in range(nwords)]
-    nlanes = max(word_bits)
     vocab = counts.select("_gram").distinct().select(
         "_gram",
         *[
@@ -335,50 +326,22 @@ def _media_simhash_pairs_build(
             for w in range(nwords)
         ],
     )
-    pats = []
-    for j in range(nlanes):
-        pat = None
-        for w in range(nwords):
-            if j >= word_bits[w]:
-                continue
-            term = F.shiftleft(_hash_bit(F.col(f"_h{w}"), j), 31 * w)
-            pat = term if pat is None else pat + term
-        pats.append(pat.alias(f"_p{j}"))
-    vocab = vocab.select("_gram", *pats)
-    _OVF = 1 << 31
-    _OVF_MSG = (
-        " exceeds 2^31 grams; packed-lane sums would overflow — chunk "
-        "oversized blobs before fingerprinting"
+    h = counts.join(vocab, "_gram")
+    sums = h.groupBy("_id").agg(
+        *[
+            F.sum(
+                (2 * _hash_bit(F.col(f"_h{b // 48}"), b % 48) - 1) * F.col("_cnt")
+            ).alias(f"_s{b}")
+            for b in range(nbits)
+        ]
     )
-
-    def _gated(col):
-        return F.when(col < F.lit(_OVF), col).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("media_simhash: blob "),
-                    F.col("_id").cast("string"),
-                    F.lit(_OVF_MSG),
-                )
-            ).cast("bigint")
-        )
-
-    contrib = counts.join(vocab, "_gram").select(
-        "_id",
-        "_cnt",
-        *[(_gated(F.col("_cnt")) * F.col(f"_p{j}")).alias(f"_l{j}") for j in range(nlanes)],
-    )
-    sums = contrib.groupBy("_id").agg(
-        F.sum("_cnt").alias("_tot"),
-        *[F.sum(f"_l{j}").alias(f"_l{j}") for j in range(nlanes)],
-    )
-    tot = _gated(F.col("_tot"))
-    mask31 = F.lit((1 << 31) - 1)
     sig_words = []
     for w in range(nwords):
         sig_expr = None
         for lb in range(word_bits[w]):
-            p_b = F.shiftright(F.col(f"_l{lb}"), 31 * w).bitwiseAND(mask31)
-            term = F.when(p_b * 2 > tot, F.lit(1 << lb)).otherwise(F.lit(0))
+            term = F.when(
+                F.col(f"_s{48 * w + lb}") > 0, F.lit(1 << lb)
+            ).otherwise(F.lit(0))
             sig_expr = term if sig_expr is None else sig_expr + term
         sig_words.append(sig_expr.cast("bigint").alias(f"_sig{w}"))
     sigs = sums.select("_id", *sig_words)
