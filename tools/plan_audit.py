@@ -52,6 +52,9 @@ ALLOW = {
     "emb_mmr_diverse_topk": {"NESTED-LOOP"},  # (a) 1-row query vector + bounded pool
     "emb_pq_topk": {"NESTED-LOOP"},  # (a) 1-row query vector + 50-row re-rank
     "emb_ivfpq_topk": {"NESTED-LOOP"},  # (a) 1-row query vector + 50-row re-rank
+    "emb_ivfpq_trained_topk": {"NESTED-LOOP"},  # (a) 1-row query vector + 50-row re-rank
+    "emb_ivfpq_recall_compare": {"NESTED-LOOP"},  # (a) 1-row query vector; 10-row truth broadcast
+    "doc_release_manifest": {"NESTED-LOOP"},  # (a) 1-row token-budget scalar attach
     "media_embedding_topk": {"NESTED-LOOP"},  # (a) 1-row query vector
     "emb_ivf_recall_at10": {"NESTED-LOOP"},  # (a) 1-row query vector + 10-row truth
     "profile_drift_psi": {"NESTED-LOOP"},  # (a) 1-row window-totals attach
