@@ -1748,64 +1748,15 @@ def doc_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # stage 3: span removal on the REWRITTEN corpus (kept paragraphs
     # re-concatenated in order — 8-grams across removed-paragraph
-    # boundaries are genuinely new grams, by design)
-    rw = kp.groupBy(F.col("_id").alias("doc_id")).agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_para_idx", "_ptxt"))),
-                lambda s: s["_ptxt"],
-            ),
-        ).alias("text")
-    )
-    rtok = token_stream(rw, "doc_id", "text", memo=False).withColumnRenamed(
-        "_id", "doc_id"
-    )
-    n = 8
-    w_lead = W.partitionBy("doc_id").orderBy("_pos")
-    leads = [F.lead("_tok", j).over(w_lead) for j in range(1, n)]
-    grams = (
-        rtok.select(
-            "doc_id",
-            F.col("_pos"),
-            F.concat_ws(" ", F.col("_tok"), *leads).alias("_g"),
-            leads[-1].alias("_last"),
-        )
-        .where(F.col("_last").isNotNull())
-        .select("doc_id", "_pos", "_g")
-    )
-    dup = (
-        grams.groupBy("_g")
-        .agg(F.count_distinct("doc_id").alias("nd"), F.min("doc_id").alias("_keeper"))
-        .filter(F.col("nd") >= 2)
-        .select("_g", "_keeper")
-    )
-    hits = (
-        grams.join(dup, "_g")
-        .filter(F.col("doc_id") != F.col("_keeper"))
-        .select("doc_id", F.col("_pos").alias("s"), (F.col("_pos") + n - 1).alias("e"))
-    )
-    w_run = W.partitionBy("doc_id").orderBy("s").rowsBetween(W.unboundedPreceding, -1)
-    isl = hits.withColumn(
-        "is_new",
-        F.when(F.col("s") <= F.coalesce(F.max("e").over(w_run), F.lit(-9)) + 1, 0)
-        .otherwise(1),
-    ).withColumn("gid", F.sum("is_new").over(W.partitionBy("doc_id").orderBy("s")))
-    rem = (
-        isl.groupBy("doc_id", "gid")
-        .agg(F.min("s").alias("ss"), F.max("e").alias("ee"))
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("ee") - F.col("ss") + 1).alias("removed"))
-    )
-    rn_tok = rtok.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
-    perdoc3 = (
-        rn_tok.join(rem, "doc_id", "left")
-        .na.fill({"removed": 0})
-        .select("doc_id", (F.col("n_toks") - F.col("removed")).alias("kept"))
-    )
-    s3 = perdoc3.agg(
-        F.sum(F.when(F.col("kept") > 0, 1).otherwise(0)).alias("n_docs"),
-        F.sum("kept").alias("toks"),
+    # boundaries are genuinely new grams, by design). The per-doc
+    # survivors relation is the session-memoized _release_docs — the
+    # exact same cascade doc_release_manifest ships — so a session
+    # running both the ledger and the manifest pays the span-index pass
+    # once. Docs rewritten to zero tokens are absent from the relation,
+    # matching the kept>0 filter the inline formulation applied.
+    rel = _release_docs(d)
+    s3 = rel.agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("toks")
     )
     stages = None
     for idx, name, rel in (
