@@ -1072,3 +1072,72 @@ def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket-occupancy histogram: the shuffle-skew diagnostic
+# ---------------------------------------------------------------------------
+
+_BUCKET_OCC_ORACLE = f"""
+    WITH {_SHINGLES_CTE},
+    ex AS (
+      SELECT doc_id,
+             {_HEX56.format(src="'a:' || g")} AS ha,
+             {_HEX56.format(src="'b:' || g")} AS hb
+      FROM (SELECT doc_id, unnest(sh) AS g FROM d)),
+    sig AS (
+      SELECT doc_id,
+             {_MH_MINS}
+      FROM ex GROUP BY doc_id),
+    bands AS (
+      {_BAND_SELECTS}),
+    bk AS (
+      SELECT band_idx, h, COUNT(*) AS sz
+      FROM bands GROUP BY band_idx, h)
+    SELECT band_idx,
+           CAST(sz AS BIGINT) AS bucket_size,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(COUNT(*) * sz * (sz - 1) / 2 AS BIGINT) AS candidate_pairs
+    FROM bk GROUP BY band_idx, sz
+    ORDER BY band_idx, bucket_size
+"""
+
+
+@query(
+    "lsh_bucket_occupancy",
+    oracle=_BUCKET_OCC_ORACLE,
+    doc=f"LSH bucket-occupancy histogram for the production MinHash({_K})/"
+    f"{_BANDS}-band index — THE diagnostic that decides whether the "
+    f"candidate join survives a 100 TB corpus: per (band, bucket-size) "
+    f"the number of buckets at that size and the candidate pairs they "
+    f"contribute (size*(size-1)/2 each; Σ over the histogram IS the "
+    f"join's output volume, the quantity the text lane's widest-block "
+    f"discipline at operators/text_dedup.py and the r8 media SimHash "
+    f"redesign both minimize). A heavy tail here means the band hash is "
+    f"under-discriminating (rows-per-band too small) and the equi-join "
+    f"degenerates toward all-pairs inside hot buckets. Two shuffles "
+    f"total, both on hash keys (bucket count, then size rollup); rides "
+    f"the session-memoized signature relation shared with the dedup "
+    f"family, so the marginal cost is the bucket groupBy alone.",
+)
+def lsh_bucket_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_dedup import band_rows, minhash_signatures
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", n=3, k=_K)
+    bk = band_rows(sig, _K, _BANDS).groupBy("_band_idx", "_band_hash").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        bk.groupBy(F.col("_band_idx").alias("band_idx"), "sz")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .select(
+            "band_idx",
+            F.col("sz").cast("bigint").alias("bucket_size"),
+            F.col("n_buckets").cast("bigint"),
+            (F.col("n_buckets") * F.col("sz") * (F.col("sz") - 1) / 2)
+            .cast("bigint")
+            .alias("candidate_pairs"),
+        )
+        .orderBy("band_idx", "bucket_size")
+    )

@@ -2016,7 +2016,10 @@ def release_manifest_from_files(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
-_RELEASE_ORACLE = f"""
+# The WITH-chain through the released-shard assignment (asg), shared by
+# the manifest, the takedown diff, and the provenance oracles — one
+# definition so all three certify the SAME cascade.
+_RELEASE_CTES = f"""
     WITH fp AS (SELECT doc_id, md5(lower(text)) AS f FROM documents),
     k1 AS MATERIALIZED (
       SELECT doc_id FROM (
@@ -2122,7 +2125,9 @@ _RELEASE_ORACLE = f"""
              h56 % {_NSHARDS} AS shard,
              ROW_NUMBER() OVER (PARTITION BY h56 % {_NSHARDS}
                                 ORDER BY h56, doc_id) AS pos
-      FROM sh),
+      FROM sh)"""
+
+_RELEASE_ORACLE = _RELEASE_CTES + f""",
     comp AS (
       SELECT shard, string_agg(source || '=' || CAST(n AS VARCHAR), ','
                                ORDER BY source) AS composition
@@ -2160,3 +2165,219 @@ _RELEASE_ORACLE = f"""
 )
 def doc_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _release_manifest_of(_release_assignment(_docs(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# takedown reprocessing: remove a doc list from the shipped release, diff
+# ---------------------------------------------------------------------------
+
+_TD_MOD = 17  # deterministic takedown list: h56(doc_id) % 17 == 0 (~6%)
+
+_TD_CHK = (
+    "CAST(CAST(SUM(({pos} % {p}) * ({h} % {p}) % {p}) AS HUGEINT) "
+    "% {p} AS BIGINT)"
+)
+
+_TAKEDOWN_ORACLE = _RELEASE_CTES + f""",
+    bt AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs_before,
+             CAST(SUM(n_tok) AS BIGINT) AS tks_b,
+             {_TD_CHK.format(pos='pos', p=_REL_P,
+                             h=_HASH_SQL.format(c='text'))}
+                 AS checksum_before
+      FROM asg GROUP BY shard),
+    kp2 AS (
+      SELECT shard, n_tok, text,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY pos) AS pos2
+      FROM asg WHERE {_HASH_SQL.format(c='doc_id')} % {_TD_MOD} <> 0),
+    at AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs_after,
+             CAST(SUM(n_tok) AS BIGINT) AS tks_a,
+             {_TD_CHK.format(pos='pos2', p=_REL_P,
+                             h=_HASH_SQL.format(c='text'))}
+                 AS checksum_after
+      FROM kp2 GROUP BY shard)
+    SELECT b.shard,
+           b.n_docs_before,
+           COALESCE(a.n_docs_after, 0) AS n_docs_after,
+           b.n_docs_before - COALESCE(a.n_docs_after, 0) AS docs_removed,
+           b.tks_b - COALESCE(a.tks_a, 0) AS tokens_removed,
+           b.checksum_before,
+           COALESCE(a.checksum_after, 0) AS checksum_after,
+           CAST(CASE WHEN b.n_docs_before <> COALESCE(a.n_docs_after, 0)
+                       OR b.checksum_before <> COALESCE(a.checksum_after, 0)
+                     THEN 1 ELSE 0 END AS INTEGER) AS changed
+    FROM bt b LEFT JOIN at a USING (shard)
+    ORDER BY b.shard
+"""
+
+
+@query(
+    "doc_release_takedown_diff",
+    oracle=_TAKEDOWN_ORACLE,
+    doc="Takedown reprocessing over the SHIPPED release — the "
+    "GDPR/right-to-be-forgotten path a corpus owner runs between "
+    "releases: a deterministic takedown list (h56(doc_id) % 17 == 0 "
+    "stands in for the legal list) is removed from the shard "
+    "assignment, surviving docs keep their shard (shard = hash(doc_id) "
+    "is takedown-stable by construction) and re-rank positions, and "
+    "the per-shard diff reports docs/tokens removed plus the "
+    "before/after content checksums — exactly which shard files must "
+    "be rewritten (changed=1) and which ship unchanged. Rides the "
+    "session-memoized release cascade, so the marginal cost is two "
+    "aggregates over the shipped relation; at 100 TB the re-rank is "
+    "one window per shard key and untouched shards are provably "
+    "skippable by checksum equality.",
+)
+def doc_release_takedown_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    asg = _release_assignment(_docs(spark, sf_dir))
+    term_b = (
+        (F.col("pos") % _REL_P) * (_hash56(F.col("text")) % _REL_P)
+    ) % _REL_P
+    before = asg.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs_before"),
+        F.sum("n_tok").cast("bigint").alias("tks_b"),
+        (F.sum(term_b.cast("decimal(38,0)")) % _REL_P)
+        .cast("bigint")
+        .alias("checksum_before"),
+    )
+    kept = asg.filter(_hash56(F.col("doc_id")) % _TD_MOD != 0)
+    w = W.partitionBy("shard").orderBy("pos")
+    kp2 = kept.withColumn("pos2", F.row_number().over(w).cast("bigint"))
+    term_a = (
+        (F.col("pos2") % _REL_P) * (_hash56(F.col("text")) % _REL_P)
+    ) % _REL_P
+    after = kp2.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs_after"),
+        F.sum("n_tok").cast("bigint").alias("tks_a"),
+        (F.sum(term_a.cast("decimal(38,0)")) % _REL_P)
+        .cast("bigint")
+        .alias("checksum_after"),
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        before.join(after, "shard", "left")
+        .select(
+            "shard",
+            "n_docs_before",
+            F.coalesce("n_docs_after", z).alias("n_docs_after"),
+            (F.col("n_docs_before") - F.coalesce("n_docs_after", z)).alias(
+                "docs_removed"
+            ),
+            (F.col("tks_b") - F.coalesce("tks_a", z)).alias("tokens_removed"),
+            "checksum_before",
+            F.coalesce("checksum_after", z).alias("checksum_after"),
+            F.when(
+                (F.col("n_docs_before") != F.coalesce("n_docs_after", z))
+                | (F.col("checksum_before") != F.coalesce("checksum_after", z)),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("changed"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source funnel provenance: who loses what, stage by stage
+# ---------------------------------------------------------------------------
+
+_PROVENANCE_ORACLE = _RELEASE_CTES + """,
+    raws AS (
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs_raw,
+             CAST(SUM(len(t.toks)) AS BIGINT) AS raw_tokens
+      FROM documents d JOIN tk t USING (doc_id) GROUP BY d.source),
+    rels AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_released,
+             CAST(SUM(n_tok) AS BIGINT) AS released_tokens
+      FROM rel GROUP BY source),
+    shps AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_shipped,
+             CAST(SUM(n_tok) AS BIGINT) AS shipped_tokens
+      FROM asg GROUP BY source)
+    SELECT r.source, r.n_docs_raw, r.raw_tokens,
+           COALESCE(e.n_docs_released, 0) AS n_docs_released,
+           COALESCE(e.released_tokens, 0) AS released_tokens,
+           COALESCE(s.n_docs_shipped, 0) AS n_docs_shipped,
+           COALESCE(s.shipped_tokens, 0) AS shipped_tokens,
+           ROUND(CAST(COALESCE(e.released_tokens, 0) AS DOUBLE)
+                 / r.raw_tokens, 6) AS released_token_frac,
+           ROUND(CAST(COALESCE(s.shipped_tokens, 0) AS DOUBLE)
+                 / r.raw_tokens, 6) AS shipped_token_frac
+    FROM raws r
+    LEFT JOIN rels e USING (source)
+    LEFT JOIN shps s USING (source)
+    ORDER BY r.source
+"""
+
+
+@query(
+    "doc_release_provenance",
+    oracle=_PROVENANCE_ORACLE,
+    doc="Per-SOURCE provenance through the release pipeline — the "
+    "attribution table a corpus owner reads to see which sources the "
+    "funnel and the mix/budget gates hit hardest: raw docs/tokens, "
+    "docs/tokens surviving the dedup funnel (exact -> paragraph -> "
+    "span, REWRITTEN token counts), docs/tokens actually shipped after "
+    "the source-weighted mix + sqrt token budget, and the two token "
+    "retention fractions. Complements doc_dedup_funnel (corpus-wide "
+    "stage ledger) with the per-source axis. All three legs ride "
+    "session memos (token stream, release docs, release assignment); "
+    "the marginal cost is three groupBys on source — a key with "
+    "single-digit cardinality, broadcast-joined at any scale.",
+)
+def doc_release_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_dedup import token_stream
+
+    d = _docs(spark, sf_dir)
+    ntok = (
+        token_stream(d, "doc_id", "text")
+        .groupBy("_id")
+        .agg(F.count("*").alias("nt"))
+        .withColumnRenamed("_id", "doc_id")
+    )
+    raws = (
+        d.select("doc_id", "source")
+        .join(ntok, "doc_id", "left")
+        .na.fill({"nt": 0})
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs_raw"),
+            F.sum("nt").cast("bigint").alias("raw_tokens"),
+        )
+    )
+    rels = _release_docs(d).groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs_released"),
+        F.sum("n_tok").cast("bigint").alias("released_tokens"),
+    )
+    shps = _release_assignment(d).groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs_shipped"),
+        F.sum("n_tok").cast("bigint").alias("shipped_tokens"),
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        raws.join(rels, "source", "left")
+        .join(shps, "source", "left")
+        .select(
+            "source",
+            "n_docs_raw",
+            "raw_tokens",
+            F.coalesce("n_docs_released", z).alias("n_docs_released"),
+            F.coalesce("released_tokens", z).alias("released_tokens"),
+            F.coalesce("n_docs_shipped", z).alias("n_docs_shipped"),
+            F.coalesce("shipped_tokens", z).alias("shipped_tokens"),
+            F.round(
+                F.coalesce("released_tokens", z).cast("double")
+                / F.col("raw_tokens"),
+                6,
+            ).alias("released_token_frac"),
+            F.round(
+                F.coalesce("shipped_tokens", z).cast("double")
+                / F.col("raw_tokens"),
+                6,
+            ).alias("shipped_token_frac"),
+        )
+        .orderBy("source")
+    )

@@ -451,3 +451,105 @@ def test_release_manifest_roundtrip(spark, tmp_path):
         != F.col("n_tok")
     ).count()
     assert bad == 0
+
+
+def test_takedown_diff_consistency(spark):
+    """Per-shard arithmetic of the takedown diff must tie out against the
+    shipped assignment it filters: removed counts equal the takedown-listed
+    docs per shard, untouched shards keep their checksum (changed=0), and
+    touched shards flip changed=1."""
+    import pyspark.sql.functions as F
+
+    from date_warehouse___airline_project_spark.functions.hashing import hash56
+    from date_warehouse___airline_project_spark.plans.training_data import (
+        _TD_MOD,
+        _docs,
+        _release_assignment,
+        doc_release_takedown_diff,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["shard"]: r for r in doc_release_takedown_diff(spark, sf).collect()}
+    asg = _release_assignment(_docs(spark, sf))
+    listed = {
+        r["shard"]: r["n"]
+        for r in asg.filter(hash56(F.col("doc_id")) % _TD_MOD == 0)
+        .groupBy("shard")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    shipped = {
+        r["shard"]: r["n"]
+        for r in asg.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(rows) == set(shipped)
+    for shard, r in rows.items():
+        assert r["n_docs_before"] == shipped[shard]
+        assert r["docs_removed"] == listed.get(shard, 0)
+        assert r["n_docs_before"] - r["docs_removed"] == r["n_docs_after"]
+        assert r["tokens_removed"] >= 0
+        if r["docs_removed"] == 0:
+            assert r["changed"] == 0
+            assert r["checksum_before"] == r["checksum_after"]
+        else:
+            assert r["changed"] == 1
+
+
+def test_release_provenance_consistency(spark):
+    """The provenance table's three legs must nest (shipped ⊆ released ⊆
+    raw, docwise and tokenwise per source) and its totals must equal the
+    relations it summarizes."""
+    from date_warehouse___airline_project_spark.plans.training_data import (
+        _docs,
+        _release_assignment,
+        _release_docs,
+        doc_release_provenance,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = doc_release_provenance(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_docs_shipped"] <= r["n_docs_released"] <= r["n_docs_raw"]
+        assert 0 <= r["shipped_tokens"] <= r["released_tokens"] <= r["raw_tokens"]
+        assert 0.0 <= r["shipped_token_frac"] <= r["released_token_frac"] <= 1.0
+    d = _docs(spark, sf)
+    assert sum(r["n_docs_raw"] for r in rows) == d.count()
+    assert sum(r["n_docs_released"] for r in rows) == _release_docs(d).count()
+    assert sum(r["n_docs_shipped"] for r in rows) == _release_assignment(d).count()
+
+
+def test_lsh_bucket_occupancy_accounting(spark):
+    """The histogram must account for every banded signature row (Σ
+    size·buckets per band = docs with signatures) and upper-bound the
+    distinct LSH candidate volume (pairs sharing >1 band are counted once
+    per band in the histogram, once total in the candidate relation)."""
+    import pyspark.sql.functions as F
+
+    from date_warehouse___airline_project_spark.operators.text_dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from date_warehouse___airline_project_spark.plans.dedup import (
+        _BANDS,
+        _K,
+        lsh_bucket_occupancy,
+    )
+    from date_warehouse___airline_project_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = lsh_bucket_occupancy(spark, sf).collect()
+    assert rows and all(0 <= r["band_idx"] < _BANDS for r in rows)
+    d = load_table(spark, sf, "documents")
+    n_sigs = minhash_signatures(d, "doc_id", "text", n=3, k=_K).count()
+    for b in range(_BANDS):
+        assert (
+            sum(r["bucket_size"] * r["n_buckets"] for r in rows if r["band_idx"] == b)
+            == n_sigs
+        )
+    n_cand = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.0).count()
+    assert sum(r["candidate_pairs"] for r in rows) >= n_cand
+    # singleton buckets contribute zero candidate pairs
+    assert all(
+        r["candidate_pairs"] == 0 for r in rows if r["bucket_size"] == 1
+    )

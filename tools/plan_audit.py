@@ -55,6 +55,9 @@ ALLOW = {
     "emb_ivfpq_trained_topk": {"NESTED-LOOP"},  # (a) 1-row query vector + 50-row re-rank
     "emb_ivfpq_recall_compare": {"NESTED-LOOP"},  # (a) 1-row query vector; 10-row truth broadcast
     "doc_release_manifest": {"NESTED-LOOP"},  # (a) 1-row token-budget scalar attach
+    # same 1-row budget attach, inherited via _release_assignment:
+    "doc_release_takedown_diff": {"NESTED-LOOP"},
+    "doc_release_provenance": {"NESTED-LOOP"},
     "media_embedding_topk": {"NESTED-LOOP"},  # (a) 1-row query vector
     "emb_ivf_recall_at10": {"NESTED-LOOP"},  # (a) 1-row query vector + 10-row truth
     "profile_drift_psi": {"NESTED-LOOP"},  # (a) 1-row window-totals attach
