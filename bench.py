@@ -111,7 +111,12 @@ def main() -> None:
     # absorbed 21.5 s of shared builds). The build cost is still real and
     # still reported — separately, as warm_build_seconds in the detail.
     warm_build: dict[str, float] = {}
-    for name in ("dedup_method_agreement", "emb_ivf_indexed_topk"):
+    for name in (
+        "dedup_method_agreement",
+        "emb_ivf_indexed_topk",
+        "emb_ivf_cell_drift",  # builds its own drifted index copy
+        "doc_release_incremental_update",  # writes the release state dir
+    ):
         if name in qs:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).collect()

@@ -553,3 +553,102 @@ def test_lsh_bucket_occupancy_accounting(spark):
     assert all(
         r["candidate_pairs"] == 0 for r in rows if r["bucket_size"] == 1
     )
+
+
+def test_incremental_release_equals_full(spark, tmp_path):
+    """Folding the 10% ingest batch into the persisted 90% state must
+    reproduce the full-corpus release manifest EXACTLY — same shards,
+    counts, compositions, and content checksums."""
+    import pyspark.sql.functions as F
+
+    from date_warehouse___airline_project_spark.plans.training_data import (
+        _docs,
+        doc_release_manifest,
+        incremental_release_manifest,
+        write_release_state,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = _docs(spark, sf)
+    mx = d.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    t = int(mx) * 9 // 10
+    state = str(tmp_path / "relstate")
+    write_release_state(d.filter(F.col("doc_id") < t), state)
+    inc = incremental_release_manifest(
+        spark, state, d.filter(F.col("doc_id") >= t)
+    )
+    assert [tuple(r) for r in inc.collect()] == [
+        tuple(r) for r in doc_release_manifest(spark, sf).collect()
+    ]
+
+
+def test_incremental_release_delta_semantics(spark, tmp_path):
+    """Crafted-batch edges: a new exact duplicate of an old doc vanishes, a
+    new doc whose paragraphs all match old paragraphs rewrites to zero
+    tokens and drops, a new doc sharing an 8-gram run with an old doc is
+    span-trimmed, and a genuinely novel doc ships untouched."""
+    import pyspark.sql.functions as F
+
+    from date_warehouse___airline_project_spark.plans.training_data import (
+        incremental_release_manifest,
+        write_release_state,
+    )
+
+    old_txt = " ".join(f"alpha{i}" for i in range(32))
+    para = " ".join(f"alpha{i}" for i in range(16))  # old doc's first block
+    span = " ".join(f"alpha{i}" for i in range(16, 24))  # 8-gram from block 2
+    old = spark.createDataFrame(
+        [(1, old_txt, "web"), (2, " ".join(f"beta{i}" for i in range(20)), "web")],
+        "doc_id bigint, text string, source string",
+    )
+    state = str(tmp_path / "state")
+    write_release_state(old, state)
+    novel = " ".join(f"gamma{i}" for i in range(24))
+    spanny = span + " " + " ".join(f"delta{i}" for i in range(12))
+    new = spark.createDataFrame(
+        [
+            (10, old_txt, "web"),  # exact dup of doc 1 -> dropped
+            (11, para, "web"),  # single paragraph, all old -> zero tokens
+            (12, spanny, "web"),  # leading 8 tokens are an old gram run
+            (13, novel, "web"),  # untouched
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    man = incremental_release_manifest(spark, state, new)
+    assert man.count() > 0  # manifest materializes end-to-end
+    # doc-level assertions via the incremental fold's own stage relations:
+    from date_warehouse___airline_project_spark.plans import training_data as td
+
+    k1n = td._exact_survivors(new).join(
+        spark.read.parquet(f"{state}/doc_fps"),
+        F.md5(F.lower("text")) == F.col("fp"),
+        "left_anti",
+    )
+    ids = {r["doc_id"] for r in k1n.collect()}
+    assert 10 not in ids and {11, 12, 13} <= ids
+    kpn = td._kept_paragraphs(k1n).join(
+        spark.read.parquet(f"{state}/para_fps"),
+        F.md5("_ptxt") == F.col("pfp"),
+        "left_anti",
+    )
+    rtokn, gramsn = td._token_grams(td._rewrite(kpn))
+    hits_old = gramsn.join(
+        spark.read.parquet(f"{state}/gram_fps"),
+        F.md5("_g") == F.col("gfp"),
+        "semi",
+    )
+    final = td._assemble(
+        rtokn,
+        td._extents(
+            hits_old.select(
+                "doc_id",
+                F.col("_pos").alias("s"),
+                (F.col("_pos") + td._SPAN_N - 1).alias("e"),
+            )
+        ),
+    )
+    out = {r["doc_id"]: r for r in final.collect()}
+    assert 11 not in out  # all paragraphs were old -> zero tokens -> dropped
+    assert out[12]["n_tok"] == 12  # the 8 old-gram tokens trimmed, 12 novel kept
+    assert "alpha" not in out[12]["text"]
+    assert out[13]["n_tok"] == 24  # novel doc untouched
