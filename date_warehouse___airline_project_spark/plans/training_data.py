@@ -2487,15 +2487,16 @@ def write_release_state(old: DataFrame, path: str) -> None:
     v1.write.mode("overwrite").parquet(f"{path}/v1_docs")
 
 
-def incremental_release_manifest(
+def incremental_release_assignment(
     spark: SparkSession, path: str, new: DataFrame
 ) -> DataFrame:
     """Fold a new ingest batch into a persisted release state and emit the
-    updated manifest — every join in the delta path is sized by the NEW
-    batch (its fingerprints probe the state relations; the old corpus is
-    never rescanned), then the mix/budget/shard assignment reruns over
-    released-docs-sized rows only. Bit-equal to a full recompute under
-    the append-only doc_id invariant (see write_release_state)."""
+    updated shard assignment — every join in the delta path is sized by
+    the NEW batch (its fingerprints probe the state relations; the old
+    corpus is never rescanned), then the mix/budget/shard assignment
+    reruns over released-docs-sized rows only. Bit-equal to a full
+    recompute under the append-only doc_id invariant (see
+    write_release_state)."""
     doc_fps = spark.read.parquet(f"{path}/doc_fps")
     para_fps = spark.read.parquet(f"{path}/para_fps")
     gram_fps = spark.read.parquet(f"{path}/gram_fps")
@@ -2547,10 +2548,37 @@ def incremental_release_manifest(
             "doc_id", "source", "n_tok", "text"
         )
     )
-    return _release_manifest_of(_assignment_of(rel2))
+    return _assignment_of(rel2)
+
+
+def incremental_release_manifest(
+    spark: SparkSession, path: str, new: DataFrame
+) -> DataFrame:
+    """Manifest over the incrementally-updated assignment."""
+    return _release_manifest_of(incremental_release_assignment(spark, path, new))
 
 
 _REL_STATE_MEMO: dict = {}
+
+
+def _release_state_path(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Session-memoized release state for the 90% (by max doc_id) corpus
+    prefix; returns (state dir, split point). The max is a 1-row bounded
+    fold (documented pattern); the state write is the once-per-corpus
+    lifecycle cost, shared by the incremental-update and version-diff
+    queries and paid on the bench's warm-build clock."""
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    mx = d.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    t = int(mx) * 9 // 10
+    key = (spark.sparkContext.applicationId, sf_dir, t, "relstate")
+    path = _REL_STATE_MEMO.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="spark_graft_release_state_")
+        write_release_state(d.filter(F.col("doc_id") < t), path)
+        _REL_STATE_MEMO[key] = path
+    return path, t
 
 
 @query(
@@ -2571,17 +2599,147 @@ _REL_STATE_MEMO: dict = {}
     "choosing the split point.",
 )
 def doc_release_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     d = _docs(spark, sf_dir)
-    # 1-row bounded fold (documented pattern): the split point between the
-    # "already released" corpus and the "new ingest" batch
-    mx = d.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
-    t = int(mx) * 9 // 10
-    key = (spark.sparkContext.applicationId, sf_dir, t, "relstate")
-    path = _REL_STATE_MEMO.get(key)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="spark_graft_release_state_")
-        write_release_state(d.filter(F.col("doc_id") < t), path)
-        _REL_STATE_MEMO[key] = path
+    path, t = _release_state_path(spark, sf_dir)
     return incremental_release_manifest(spark, path, d.filter(F.col("doc_id") >= t))
+
+
+# ---------------------------------------------------------------------------
+# release version diff: what changed between v1 and the post-ingest v2
+# ---------------------------------------------------------------------------
+
+# the v1 split point, computable identically in both engines (integer
+# floor division on the corpus max doc_id)
+_V1_T_SQL = "(SELECT (MAX(doc_id) * 9) // 10 FROM documents)"
+
+
+def _release_asg_sql(base: str) -> str:
+    """The full-cascade assignment SELECT over an arbitrary corpus base
+    relation — _RELEASE_CTES with its two corpus scans (fingerprint CTE,
+    token CTE) re-pointed at ``base``. The source join stays on the full
+    documents table (harmless: the cascade's doc_ids restrict it)."""
+    return (
+        _RELEASE_CTES.replace("FROM documents)", f"FROM {base})")
+        + "\n    SELECT doc_id, source, n_tok, text, shard, pos FROM asg"
+    )
+
+
+_VDIFF_ORACLE = f"""
+    WITH asg1 AS (
+      {_release_asg_sql(f"(SELECT * FROM documents WHERE doc_id < {_V1_T_SQL})")}
+    ),
+    asg2 AS (
+      {_release_asg_sql("documents")}
+    ),
+    m1 AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n1,
+             CAST(SUM(n_tok) AS BIGINT) AS t1,
+             {_TD_CHK.format(pos='pos', p=_REL_P,
+                             h=_HASH_SQL.format(c='text'))} AS c1
+      FROM asg1 GROUP BY shard),
+    m2 AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n2,
+             CAST(SUM(n_tok) AS BIGINT) AS t2,
+             {_TD_CHK.format(pos='pos', p=_REL_P,
+                             h=_HASH_SQL.format(c='text'))} AS c2
+      FROM asg2 GROUP BY shard),
+    ad AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n FROM asg2 a2
+      WHERE NOT EXISTS (SELECT 1 FROM asg1 a1 WHERE a1.doc_id = a2.doc_id)
+      GROUP BY shard),
+    dr AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n FROM asg1 a1
+      WHERE NOT EXISTS (SELECT 1 FROM asg2 a2 WHERE a2.doc_id = a1.doc_id)
+      GROUP BY shard)
+    SELECT COALESCE(m2.shard, m1.shard) AS shard,
+           COALESCE(m1.n1, 0) AS n_docs_v1,
+           COALESCE(m2.n2, 0) AS n_docs_v2,
+           COALESCE(ad.n, 0) AS docs_added,
+           COALESCE(dr.n, 0) AS docs_dropped,
+           COALESCE(m1.t1, 0) AS tokens_v1,
+           COALESCE(m2.t2, 0) AS tokens_v2,
+           COALESCE(m1.c1, 0) AS checksum_v1,
+           COALESCE(m2.c2, 0) AS checksum_v2,
+           CAST(CASE WHEN COALESCE(m1.c1, 0) <> COALESCE(m2.c2, 0)
+                       OR COALESCE(m1.n1, 0) <> COALESCE(m2.n2, 0)
+                     THEN 1 ELSE 0 END AS INTEGER) AS changed
+    FROM m2 FULL JOIN m1 USING (shard)
+    LEFT JOIN ad USING (shard)
+    LEFT JOIN dr USING (shard)
+    ORDER BY shard
+"""
+
+
+@query(
+    "doc_release_version_diff",
+    oracle=_VDIFF_ORACLE,
+    doc="Per-shard diff between the v1 release (the 90% corpus prefix, "
+    "read back from the persisted release state) and the post-ingest v2 "
+    "release (the incremental fold): doc/token counts per version, "
+    "docs added and dropped (the sqrt-proportional budget REDISTRIBUTES "
+    "when new sources grow, so previously-shipped docs can legitimately "
+    "fall out — the diff surfaces exactly that), and before/after "
+    "content checksums identifying which shard files a release shipper "
+    "must rewrite. The oracle replays BOTH full cascades (v1 on the "
+    "prefix, v2 on the whole corpus) with nested-CTE scoping, so the "
+    "certified claim covers the state roundtrip AND the incremental "
+    "fold. Spark side rides the session release state + assignment "
+    "relations; the diff itself is two shard-keyed aggregates and two "
+    "doc_id anti-joins over released-docs-sized rows.",
+)
+def doc_release_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    path, t = _release_state_path(spark, sf_dir)
+    asg1 = _assignment_of(spark.read.parquet(f"{path}/v1_docs"))
+    asg2 = incremental_release_assignment(
+        spark, path, d.filter(F.col("doc_id") >= t)
+    )
+
+    def sums(asg: DataFrame, n: str, tk: str, ck: str) -> DataFrame:
+        term = (
+            (F.col("pos") % _REL_P) * (_hash56(F.col("text")) % _REL_P)
+        ) % _REL_P
+        return asg.groupBy("shard").agg(
+            F.count("*").cast("bigint").alias(n),
+            F.sum("n_tok").cast("bigint").alias(tk),
+            (F.sum(term.cast("decimal(38,0)")) % _REL_P).cast("bigint").alias(ck),
+        )
+
+    m1 = sums(asg1, "n1", "t1", "c1")
+    m2 = sums(asg2, "n2", "t2", "c2")
+    ad = (
+        asg2.join(asg1.select("doc_id"), "doc_id", "left_anti")
+        .groupBy("shard")
+        .agg(F.count("*").cast("bigint").alias("na"))
+    )
+    dr = (
+        asg1.join(asg2.select("doc_id"), "doc_id", "left_anti")
+        .groupBy("shard")
+        .agg(F.count("*").cast("bigint").alias("nd"))
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        m2.join(m1, "shard", "full")
+        .join(ad, "shard", "left")
+        .join(dr, "shard", "left")
+        .select(
+            "shard",
+            F.coalesce("n1", z).alias("n_docs_v1"),
+            F.coalesce("n2", z).alias("n_docs_v2"),
+            F.coalesce("na", z).alias("docs_added"),
+            F.coalesce("nd", z).alias("docs_dropped"),
+            F.coalesce("t1", z).alias("tokens_v1"),
+            F.coalesce("t2", z).alias("tokens_v2"),
+            F.coalesce("c1", z).alias("checksum_v1"),
+            F.coalesce("c2", z).alias("checksum_v2"),
+            F.when(
+                (F.coalesce("c1", z) != F.coalesce("c2", z))
+                | (F.coalesce("n1", z) != F.coalesce("n2", z)),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("changed"),
+        )
+        .orderBy("shard")
+    )

@@ -652,3 +652,45 @@ def test_incremental_release_delta_semantics(spark, tmp_path):
     assert out[12]["n_tok"] == 12  # the 8 old-gram tokens trimmed, 12 novel kept
     assert "alpha" not in out[12]["text"]
     assert out[13]["n_tok"] == 24  # novel doc untouched
+
+
+def test_release_version_diff_consistency(spark):
+    """The version diff must tie out: v2 counts equal v1 + added - dropped
+    per shard, global added/dropped equal the doc_id set differences of
+    the two assignments, and every count-changed shard flips changed=1."""
+    import pyspark.sql.functions as F
+
+    from date_warehouse___airline_project_spark.plans.training_data import (
+        _assignment_of,
+        _docs,
+        _release_state_path,
+        doc_release_version_diff,
+        incremental_release_assignment,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = doc_release_version_diff(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["n_docs_v2"]
+            == r["n_docs_v1"] + r["docs_added"] - r["docs_dropped"]
+        )
+        if r["n_docs_v1"] != r["n_docs_v2"]:
+            assert r["changed"] == 1
+    d = _docs(spark, sf)
+    path, t = _release_state_path(spark, sf)
+    v1_ids = {
+        r["doc_id"]
+        for r in _assignment_of(
+            spark.read.parquet(f"{path}/v1_docs")
+        ).select("doc_id").collect()
+    }
+    v2_ids = {
+        r["doc_id"]
+        for r in incremental_release_assignment(
+            spark, path, d.filter(F.col("doc_id") >= t)
+        ).select("doc_id").collect()
+    }
+    assert sum(r["docs_added"] for r in rows) == len(v2_ids - v1_ids)
+    assert sum(r["docs_dropped"] for r in rows) == len(v1_ids - v2_ids)

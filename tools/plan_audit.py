@@ -59,6 +59,7 @@ ALLOW = {
     "doc_release_takedown_diff": {"NESTED-LOOP"},
     "doc_release_provenance": {"NESTED-LOOP"},
     "doc_release_incremental_update": {"NESTED-LOOP"},
+    "doc_release_version_diff": {"NESTED-LOOP"},
     "media_embedding_topk": {"NESTED-LOOP"},  # (a) 1-row query vector
     "emb_ivf_recall_at10": {"NESTED-LOOP"},  # (a) 1-row query vector + 10-row truth
     "profile_drift_psi": {"NESTED-LOOP"},  # (a) 1-row window-totals attach
