@@ -2830,3 +2830,85 @@ def emb_ivfpq_recall_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("variant")
+
+
+# ---------------------------------------------------------------------------
+# IVF cell-occupancy profile: the ANN twin of lsh_bucket_occupancy
+# ---------------------------------------------------------------------------
+
+_IVF_OCC_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id % 25 = 0),
+    samp AS (SELECT vec_id, emb FROM e WHERE vec_id % 4 = 0),
+    {_iter_sql(1, 'c0')},
+    {_iter_sql(2, 'c1')},
+    af AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_rank_sql('e.emb', 'c.cvec')} DESC, c.cid) AS rn
+        FROM e, c2 c) WHERE rn = 1),
+    sz AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM af GROUP BY cid),
+    tot AS (SELECT SUM(n_vecs) AS n FROM sz),
+    rk AS (
+      SELECT cid, n_vecs,
+             ROW_NUMBER() OVER (ORDER BY n_vecs DESC, cid) AS size_rank,
+             SUM(n_vecs) OVER (ORDER BY n_vecs DESC, cid) AS cum
+      FROM sz)
+    SELECT rk.cid AS centroid_id, rk.n_vecs,
+           ROUND(CAST(rk.n_vecs AS DOUBLE) / tot.n, 6) AS corpus_frac,
+           rk.size_rank,
+           ROUND(CAST(rk.cum AS DOUBLE) / tot.n, 6) AS cum_frac_at_rank
+    FROM rk, tot
+    ORDER BY rk.size_rank
+"""
+
+
+@query(
+    "emb_ivf_cell_occupancy",
+    oracle=_IVF_OCC_ORACLE,
+    doc="IVF cell-occupancy profile over the TRAINED codebook — the ANN "
+    "twin of lsh_bucket_occupancy: per cell its vector count, corpus "
+    "fraction, size rank, and the cumulative fraction at that rank. The "
+    "cum column IS the worst-case scanned fraction when nprobe probes "
+    "land on the largest cells — the number that decides whether a "
+    "probe-pruned search actually prunes at 100 TB (a degenerate "
+    "clustering concentrates the corpus in few cells and the 'pruned' "
+    "scan reads everything). Assignment rides the same Lloyd-trained "
+    "centroids as the search family (session-memoized codebook, "
+    "broadcast to a map-side argmax); the profile is one cell-keyed "
+    "count plus a 25-row window — bounded by codebook size at any "
+    "corpus scale.",
+)
+def emb_ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import assign_to_centroids, kmeans_lloyd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_lloyd(e, centroid_mod=25, sample_mod=4, iters=2)
+    af = assign_to_centroids(e, cents, impl="arrow")
+    sz = af.groupBy("centroid_id").agg(
+        F.count("*").cast("bigint").alias("n_vecs")
+    )
+    w_rk = W.orderBy(F.desc("n_vecs"), "centroid_id")
+    tot = sz.agg(F.sum("n_vecs").alias("n"))
+    return (
+        sz.withColumn("size_rank", F.row_number().over(w_rk))
+        .withColumn(
+            "cum",
+            F.sum("n_vecs").over(w_rk.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "centroid_id",
+            "n_vecs",
+            F.round(F.col("n_vecs").cast("double") / F.col("n"), 6).alias(
+                "corpus_frac"
+            ),
+            "size_rank",
+            F.round(F.col("cum").cast("double") / F.col("n"), 6).alias(
+                "cum_frac_at_rank"
+            ),
+        )
+        .orderBy("size_rank")
+    )

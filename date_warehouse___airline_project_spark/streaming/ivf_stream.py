@@ -322,3 +322,58 @@ def run_ivf_append_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def remove_from_ivf_index(
+    spark: SparkSession,
+    path: str,
+    takedown: DataFrame,
+    id_col: str = "vec_id",
+) -> int:
+    """Takedown over a persisted IVF index — the GDPR/right-to-be-forgotten
+    path for the ANN side, completing the release-side
+    ``doc_release_takedown_diff``: delete every listed vector id from the
+    index's assignment relation, atomically, without retraining. Returns
+    the number of assignment rows removed.
+
+    Protocol: appends are first folded into the base
+    (``compact_ivf_appends`` — one relation to rewrite instead of
+    base + k batch dirs), then the anti-joined table is written to a
+    ``.compact-tmp-*`` dir and committed through the SAME marker-file
+    swap ``recover_compaction`` already rolls forward/back, so a crash at
+    any step leaves the index either fully pre- or fully post-takedown
+    (batches list is empty — nothing extra to delete at roll-forward).
+    Re-running with the same list removes 0 rows (idempotent).
+
+    ``codebook`` and ``cell_stats`` are deliberately untouched: a
+    takedown is not a retrain, and the drift report's n_current drop
+    against the training-time baseline IS the operational signal that
+    cells have thinned (mirroring how appends surface as positive
+    drift). The takedown list is broadcast-sized by assumption (a legal
+    list, not a corpus); the rewrite is one anti-join + one
+    centroid-partitioned write, shuffle keyed on centroid_id."""
+    path = _require_local_path(path, spark)
+    compact_ivf_appends(spark, path)
+    base = spark.read.parquet(f"{path}/assignments")
+    ids = takedown.select(F.col(id_col).alias("_td_id")).distinct()
+    kept = base.join(
+        F.broadcast(ids), base[id_col] == F.col("_td_id"), "left_anti"
+    )
+    n_before = base.count()
+    n_after = kept.count()
+    if n_after == n_before:
+        return 0
+    token = uuid.uuid4().hex[:12]
+    tmp = os.path.join(path, f".compact-tmp-{token}")
+    (
+        kept.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(tmp)
+    )
+    marker_tmp = os.path.join(path, f".{_COMPACT_MARKER}-{token}")
+    with open(marker_tmp, "w") as f:
+        json.dump({"token": token, "batches": []}, f)
+    os.replace(marker_tmp, os.path.join(path, _COMPACT_MARKER))  # commit
+    recover_compaction(path)  # roll the committed rewrite forward
+    return n_before - n_after

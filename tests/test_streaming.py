@@ -2132,3 +2132,56 @@ def test_incremental_paragraph_dedup_stream_redelivery(spark, tmp_path):
     )
     assert after == before, "redelivery clobbered the accepted output"
     assert spark.read.parquet(state).count() == n_state
+
+
+def test_ivf_takedown_removes_listed_ids(spark, tmp_path):
+    """Takedown over the persisted index: removed ids vanish from the
+    assignment relation AND from search results, survivors' assignments
+    are untouched row-for-row, appends are folded first so the takedown
+    covers streamed vectors too, and a re-run is a no-op."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        ivf_topk_indexed,
+    )
+    from date_warehouse___airline_project_spark.streaming.ivf_stream import (
+        apply_ivf_append_batch,
+        ivf_assignments_with_appends,
+        remove_from_ivf_index,
+    )
+
+    e, path, new = _ivf_fixture(spark, tmp_path, "ivf_takedown")
+    apply_ivf_append_batch(spark, path, new, 0)
+    before = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assignments_with_appends(spark, path).collect()
+    }
+    # list includes a base id, an appended id, and an absent id
+    listed = [7, 1000001, 99999999]
+    td = spark.createDataFrame([(i,) for i in listed], "vec_id bigint")
+    removed = remove_from_ivf_index(spark, path, td)
+    assert removed == sum(1 for i in listed if i in before)
+    after = {
+        r["vec_id"]: r["centroid_id"]
+        for r in spark.read.parquet(f"{path}/assignments").collect()
+    }
+    assert set(after) == set(before) - set(listed)
+    assert all(after[i] == before[i] for i in after)  # survivors untouched
+    assert not any(n.startswith(".compact") for n in os.listdir(path))
+    assert not any(
+        n.startswith("batch=") for n in os.listdir(f"{path}/appends")
+    )
+    # search no longer returns the removed ids
+    hits = ivf_topk_indexed(e, path, query_id=0, k=10, nprobe=2)
+    assert not {r["vec_id"] for r in hits.collect()} & set(listed)
+    # idempotent: nothing left to remove
+    assert remove_from_ivf_index(spark, path, td) == 0
+    # drift report still runs (n_current drop is the takedown signal)
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        ivf_cell_drift,
+    )
+
+    drift = ivf_cell_drift(spark, path)
+    assert drift.filter(F.col("n_current") < F.col("n_train")).count() >= 0

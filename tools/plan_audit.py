@@ -60,6 +60,9 @@ ALLOW = {
     "doc_release_provenance": {"NESTED-LOOP"},
     "doc_release_incremental_update": {"NESTED-LOOP"},
     "doc_release_version_diff": {"NESTED-LOOP"},
+    # codebook-bounded (<=25 rows): the rank window and the 1-row total
+    # attach both operate on the cell relation, never on vectors
+    "emb_ivf_cell_occupancy": {"GLOBAL-WINDOW", "NESTED-LOOP"},
     "media_embedding_topk": {"NESTED-LOOP"},  # (a) 1-row query vector
     "emb_ivf_recall_at10": {"NESTED-LOOP"},  # (a) 1-row query vector + 10-row truth
     "profile_drift_psi": {"NESTED-LOOP"},  # (a) 1-row window-totals attach
