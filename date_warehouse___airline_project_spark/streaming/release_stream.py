@@ -1,0 +1,266 @@
+"""Continuously-maintained corpus release.
+
+The batch side (plans/training_data.py) proves the incremental-release
+theorem: under the append-only doc_id invariant and keep-min keeper
+semantics, folding an ingest batch against the persisted release state —
+doc fingerprints, paragraph fingerprints, rewritten-corpus gram
+fingerprints, and the released docs — reproduces the full-recompute
+release EXACTLY. This module runs that fold continuously: a Structured
+Streaming ``foreachBatch`` loop where each micro-batch
+
+  1. dedups itself against the CURRENT state (base + all committed batch
+     updates) with the exact stage semantics of the batch cascade,
+  2. writes its state delta (new doc/para/gram fingerprints + its
+     released docs) to ``batches/batch=<id>/...`` via tmp + ``os.rename``
+     (atomic on local FS), with a directory-presence redelivery guard,
+
+so a replayed micro-batch is a byte-for-byte no-op and a crash mid-write
+leaves only an orphaned ``.tmp-*`` dir that recovery sweeps.
+``compact_release_state`` folds committed batch deltas into the base
+relations through the same marker-file commit protocol the IVF index
+uses (roll FORWARD from the marker, roll BACK from a markerless tmp).
+
+The commit protocol is driver-local by construction (same rationale and
+guard as ivf_stream._require_local_path); the state relations are
+fingerprint-sized except ``v1_docs`` — which IS the release.
+
+Reference basis: the reference's streaming tier is an outbox->Kafka
+consumer loop (backend/supabaseWatcher.js:36-63, kafkaworker.js:35-44);
+this module applies that maintain-state-per-message shape to the corpus
+release the batch engine ships.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ivf_stream import _require_local_path
+
+_STATE_NAMES = ("doc_fps", "para_fps", "gram_fps", "v1_docs")
+_REL_MARKER = "release-compact.commit"
+
+
+def release_state_rel(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """One state relation = base dir UNION every committed batch delta."""
+    path = _require_local_path(path, spark)
+    base = spark.read.parquet(f"{path}/{name}")
+    bdir = os.path.join(path, "batches")
+    if not os.path.isdir(bdir):
+        return base
+    parts = sorted(
+        os.path.join(bdir, b, name)
+        for b in os.listdir(bdir)
+        if b.startswith("batch=") and os.path.isdir(os.path.join(bdir, b, name))
+    )
+    if not parts:
+        return base
+    return base.unionByName(spark.read.parquet(*parts).select(*base.columns))
+
+
+def apply_release_batch(
+    spark: SparkSession, path: str, batch: DataFrame, batch_id: int
+) -> None:
+    """Fold one ingest micro-batch into the release state (idempotent).
+
+    Stage semantics are the batch cascade's, joined against the CURRENT
+    state so cross-batch duplicates resolve to the earliest occurrence:
+    intra-batch exact keep-min then anti-join state doc fingerprints;
+    intra-batch paragraph keep-first then anti-join state paragraph
+    fingerprints; span removal where a hit is EITHER a gram known to the
+    state (its keeper is an earlier doc) OR an intra-batch duplicate gram
+    in a non-keeper doc. The batch's delta — ALL its doc fingerprints,
+    its newly-introduced paragraph/gram fingerprints, and its released
+    docs — lands in one atomically-renamed ``batch=<id>`` dir."""
+    from ..plans.training_data import (
+        _SPAN_N,
+        _assemble,
+        _exact_survivors,
+        _extents,
+        _kept_paragraphs,
+        _rewrite,
+        _token_grams,
+    )
+
+    path = _require_local_path(path, spark)
+    recover_release_compaction(path)
+    bdir = os.path.join(path, "batches")
+    os.makedirs(bdir, exist_ok=True)
+    final_dir = os.path.join(bdir, f"batch={batch_id}")
+    if os.path.isdir(final_dir):
+        return  # redelivered micro-batch: byte-for-byte no-op
+    # sweep orphaned tmp dirs from a previous crash mid-write
+    for name in os.listdir(bdir):
+        if name.startswith(".tmp-"):
+            shutil.rmtree(os.path.join(bdir, name), ignore_errors=True)
+
+    doc_fps = release_state_rel(spark, path, "doc_fps")
+    para_fps = release_state_rel(spark, path, "para_fps")
+    gram_fps = release_state_rel(spark, path, "gram_fps")
+
+    k1n = _exact_survivors(batch).join(
+        doc_fps, F.md5(F.lower("text")) == F.col("fp"), "left_anti"
+    )
+    kpn = _kept_paragraphs(k1n).join(
+        para_fps, F.md5("_ptxt") == F.col("pfp"), "left_anti"
+    )
+    rtokn, gramsn = _token_grams(_rewrite(kpn))
+    hits_old = gramsn.join(
+        gram_fps, F.md5("_g") == F.col("gfp"), "semi"
+    ).select(
+        "doc_id",
+        F.col("_pos").alias("s"),
+        (F.col("_pos") + _SPAN_N - 1).alias("e"),
+    )
+    gn = gramsn.join(gram_fps, F.md5("_g") == F.col("gfp"), "left_anti")
+    dupn = (
+        gn.groupBy("_g")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("_keeper"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("_g", "_keeper")
+    )
+    hits_new = (
+        gn.join(dupn, "_g")
+        .filter(F.col("doc_id") != F.col("_keeper"))
+        .select(
+            "doc_id",
+            F.col("_pos").alias("s"),
+            (F.col("_pos") + _SPAN_N - 1).alias("e"),
+        )
+    )
+    final_new = (
+        _assemble(rtokn, _extents(hits_old.unionByName(hits_new)))
+        .join(batch.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "n_tok", "text")
+    )
+
+    tmp = os.path.join(bdir, f".tmp-{batch_id}-{uuid.uuid4().hex[:8]}")
+    batch.select(F.md5(F.lower("text")).alias("fp")).distinct().write.parquet(
+        f"{tmp}/doc_fps"
+    )
+    kpn.select(F.md5("_ptxt").alias("pfp")).distinct().write.parquet(
+        f"{tmp}/para_fps"
+    )
+    gramsn.select(F.md5("_g").alias("gfp")).distinct().write.parquet(
+        f"{tmp}/gram_fps"
+    )
+    final_new.write.parquet(f"{tmp}/v1_docs")
+    os.rename(tmp, final_dir)  # commit point
+
+
+def release_manifest_from_state(spark: SparkSession, path: str) -> DataFrame:
+    """The shipped manifest over base + committed batch deltas — the same
+    mix/budget/shard assignment the batch engine certifies."""
+    from ..plans.training_data import _assignment_of, _release_manifest_of
+
+    return _release_manifest_of(
+        _assignment_of(release_state_rel(spark, path, "v1_docs"))
+    )
+
+
+def recover_release_compaction(path: str) -> None:
+    """Finish or undo an interrupted ``compact_release_state`` — the IVF
+    compaction protocol over the four state relations: marker present =
+    every merged table was fully written, roll FORWARD (existence-guarded
+    renames, re-runnable from any crash point); markerless tmp = roll
+    BACK."""
+    path = _require_local_path(path)
+    marker = os.path.join(path, _REL_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            state = json.load(f)
+        token, batches = state["token"], state["batches"]
+        for name in _STATE_NAMES:
+            tmp = os.path.join(path, f".release-tmp-{token}", name)
+            old = os.path.join(path, f".release-old-{token}-{name}")
+            live = os.path.join(path, name)
+            if os.path.isdir(tmp):
+                if os.path.isdir(live) and not os.path.isdir(old):
+                    os.rename(live, old)
+                if not os.path.isdir(live):
+                    os.rename(tmp, live)
+            shutil.rmtree(old, ignore_errors=True)
+        for b in batches:
+            shutil.rmtree(os.path.join(path, "batches", b), ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(path, f".release-tmp-{token}"), ignore_errors=True
+        )
+        os.remove(marker)
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            if name.startswith(".release-tmp-"):
+                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+            elif name.startswith(f".{_REL_MARKER}-"):
+                os.remove(os.path.join(path, name))
+
+
+def compact_release_state(spark: SparkSession, path: str) -> int:
+    """Fold committed ``batches/batch=*`` deltas into the four base state
+    relations. Returns the number of batch dirs folded. Same crash
+    protocol as the IVF compaction: merged tables under one
+    ``.release-tmp-<token>``, marker written via tmp + ``os.replace`` as
+    the commit point, then the recovery routine swaps live and deletes
+    the folded dirs — idempotent under crash at any step."""
+    path = _require_local_path(path, spark)
+    recover_release_compaction(path)
+    bdir = os.path.join(path, "batches")
+    if not os.path.isdir(bdir):
+        return 0
+    batches = sorted(n for n in os.listdir(bdir) if n.startswith("batch="))
+    if not batches:
+        return 0
+    token = uuid.uuid4().hex[:12]
+    tmp_root = os.path.join(path, f".release-tmp-{token}")
+    for name in _STATE_NAMES:
+        base = spark.read.parquet(f"{path}/{name}")
+        parts = [
+            os.path.join(bdir, b, name)
+            for b in batches
+            if os.path.isdir(os.path.join(bdir, b, name))
+        ]
+        merged = base
+        if parts:
+            merged = base.unionByName(
+                spark.read.parquet(*parts).select(*base.columns)
+            )
+        merged.write.mode("overwrite").parquet(os.path.join(tmp_root, name))
+    marker_tmp = os.path.join(path, f".{_REL_MARKER}-{token}")
+    with open(marker_tmp, "w") as f:
+        json.dump({"token": token, "batches": batches}, f)
+    os.replace(marker_tmp, os.path.join(path, _REL_MARKER))  # commit
+    recover_release_compaction(path)
+    return len(batches)
+
+
+def run_release_maintenance_stream(
+    new_docs: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain a persisted corpus release off a stream of new documents.
+    Micro-batches must respect the append-only doc_id invariant (ingest
+    ids are monotone across batches — the property real ingest pipelines
+    get from sequence-assigned ids). Returns the StreamingQuery."""
+    path = _require_local_path(path, new_docs.sparkSession)
+    recover_release_compaction(path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_release_batch(batch_df.sparkSession, path, batch_df, batch_id)
+
+    writer = (
+        new_docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

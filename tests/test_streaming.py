@@ -2185,3 +2185,117 @@ def test_ivf_takedown_removes_listed_ids(spark, tmp_path):
 
     drift = ivf_cell_drift(spark, path)
     assert drift.filter(F.col("n_current") < F.col("n_train")).count() >= 0
+
+
+def test_release_stream_two_batches_equal_full(spark, tmp_path):
+    """Two sequential ingest batches folded into the persisted release
+    state must reproduce the full-corpus release manifest EXACTLY; a
+    redelivered batch is a no-op; compaction folds the deltas without
+    changing the manifest."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from date_warehouse___airline_project_spark.plans.training_data import (
+        _docs,
+        doc_release_manifest,
+        write_release_state,
+    )
+    from date_warehouse___airline_project_spark.streaming.release_stream import (
+        apply_release_batch,
+        compact_release_state,
+        release_manifest_from_state,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = _docs(spark, sf)
+    mx = d.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    t1, t2 = int(mx) * 8 // 10, int(mx) * 9 // 10
+    path = str(tmp_path / "relstream")
+    write_release_state(d.filter(F.col("doc_id") < t1), path)
+    b0 = d.filter((F.col("doc_id") >= t1) & (F.col("doc_id") < t2))
+    b1 = d.filter(F.col("doc_id") >= t2)
+    apply_release_batch(spark, path, b0, 0)
+    apply_release_batch(spark, path, b1, 1)
+
+    want = [tuple(r) for r in doc_release_manifest(spark, sf).collect()]
+    got = [tuple(r) for r in release_manifest_from_state(spark, path).collect()]
+    assert got == want
+
+    # redelivered micro-batch: byte-for-byte no-op
+    apply_release_batch(spark, path, b1, 1)
+    assert [
+        tuple(r) for r in release_manifest_from_state(spark, path).collect()
+    ] == want
+
+    # compaction folds both deltas, manifest bit-identical, no artifacts
+    assert compact_release_state(spark, path) == 2
+    assert not any(
+        n.startswith("batch=") for n in os.listdir(f"{path}/batches")
+    )
+    assert not any(n.startswith(".release") for n in os.listdir(path))
+    assert [
+        tuple(r) for r in release_manifest_from_state(spark, path).collect()
+    ] == want
+    assert compact_release_state(spark, path) == 0
+
+
+def test_release_stream_runner_and_crash_recovery(spark, tmp_path):
+    """The foreachBatch runner lands the same manifest as the batch fold;
+    orphaned tmp dirs from a crash mid-write are swept and never read."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from date_warehouse___airline_project_spark.plans.training_data import (
+        _docs,
+        doc_release_manifest,
+        write_release_state,
+    )
+    from date_warehouse___airline_project_spark.streaming.release_stream import (
+        apply_release_batch,
+        recover_release_compaction,
+        release_manifest_from_state,
+        run_release_maintenance_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = _docs(spark, sf)
+    mx = d.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    t = int(mx) * 9 // 10
+    path = str(tmp_path / "relstream2")
+    write_release_state(d.filter(F.col("doc_id") < t), path)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    d.filter(F.col("doc_id") >= t).coalesce(1).write.parquet(str(in_dir / "b0"))
+    feed = (
+        spark.readStream.schema(d.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(in_dir))
+    )
+    q = run_release_maintenance_stream(feed, path, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    want = [tuple(r) for r in doc_release_manifest(spark, sf).collect()]
+    assert [
+        tuple(r) for r in release_manifest_from_state(spark, path).collect()
+    ] == want
+
+    # crash mid-write: orphaned batch tmp is swept by the next apply
+    orphan = f"{path}/batches/.tmp-crashed"
+    os.makedirs(orphan)
+    with open(f"{orphan}/junk", "w") as f:
+        f.write("partial")
+    apply_release_batch(
+        spark, path, d.filter(F.col("doc_id") < 0), 99
+    )  # empty batch still commits its (empty) delta and sweeps tmps
+    assert not os.path.exists(orphan)
+    # markerless compaction tmp rolls back without touching live state
+    orphan2 = f"{path}/.release-tmp-deadbeef"
+    os.makedirs(orphan2)
+    recover_release_compaction(path)
+    assert not os.path.exists(orphan2)
+    assert [
+        tuple(r) for r in release_manifest_from_state(spark, path).collect()
+    ] == want
