@@ -2743,3 +2743,60 @@ def doc_release_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def apply_takedown_to_shards(
+    spark: SparkSession, out_dir: str, takedown_mod: int = _TD_MOD
+) -> list[int]:
+    """Surgical takedown over WRITTEN release shards: remove the listed
+    docs (h56(doc_id) % takedown_mod == 0 — the same deterministic stand-
+    in as doc_release_takedown_diff) from the shard files, rewriting ONLY
+    the shards that actually change and leaving every clean shard's files
+    untouched — at 100 TB the diff's changed=0 rows are shards the
+    shipper never reads, never rewrites, never re-uploads. Positions
+    re-rank within each changed shard (same order, minus the removed
+    rows); the rewrite is per-shard atomic (tmp dir + two renames), and
+    re-running is a no-op (no listed docs remain). Returns the rewritten
+    shard ids."""
+    import os
+    import shutil
+    import uuid
+
+    from ..streaming.ivf_stream import _require_local_path
+
+    out_dir = _require_local_path(out_dir, spark)
+    files = spark.read.parquet(out_dir).withColumn(
+        "shard", F.col("shard").cast("bigint")
+    )
+    listed = files.filter(_hash56(F.col("doc_id")) % takedown_mod == 0)
+    changed = sorted(
+        r["shard"] for r in listed.select("shard").distinct().collect()
+    )
+    if not changed:
+        return []
+    w = W.partitionBy("shard").orderBy("pos")
+    kept = (
+        files.filter(F.col("shard").isin([int(s) for s in changed]))
+        .filter(_hash56(F.col("doc_id")) % takedown_mod != 0)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+    )
+    token = uuid.uuid4().hex[:8]
+    tmp = os.path.join(out_dir, f".takedown-tmp-{token}")
+    (
+        kept.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(tmp)
+    )
+    for s in changed:
+        live = os.path.join(out_dir, f"shard={s}")
+        new = os.path.join(tmp, f"shard={s}")
+        old = os.path.join(out_dir, f".takedown-old-{token}-{s}")
+        os.rename(live, old)
+        if os.path.isdir(new):
+            os.rename(new, live)
+        else:  # shard emptied entirely: no dir to swap in
+            os.makedirs(live, exist_ok=True)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return [int(s) for s in changed]

@@ -694,3 +694,46 @@ def test_release_version_diff_consistency(spark):
     }
     assert sum(r["docs_added"] for r in rows) == len(v2_ids - v1_ids)
     assert sum(r["docs_dropped"] for r in rows) == len(v1_ids - v2_ids)
+
+
+def test_apply_takedown_to_shards_matches_diff(spark, tmp_path):
+    """Rewriting the written shards must land exactly the after-state the
+    takedown diff predicted: per changed shard the post-rewrite manifest
+    equals (n_docs_after, tokens, checksum_after), untouched shards keep
+    their original files byte-for-byte, and a re-run is a no-op."""
+    import os
+
+    from date_warehouse___airline_project_spark.plans.training_data import (
+        apply_takedown_to_shards,
+        doc_release_takedown_diff,
+        release_manifest_from_files,
+        write_release_shards,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "release")
+    write_release_shards(spark, sf, out)
+    diff = {r["shard"]: r for r in doc_release_takedown_diff(spark, sf).collect()}
+    before_files = {
+        s: sorted(os.listdir(f"{out}/shard={s}"))
+        for s in diff
+        if os.path.isdir(f"{out}/shard={s}")
+    }
+    changed = apply_takedown_to_shards(spark, out)
+    assert sorted(changed) == sorted(
+        s for s, r in diff.items() if r["changed"] == 1
+    )
+    man = {r["shard"]: r for r in release_manifest_from_files(spark, out).collect()}
+    for s, r in diff.items():
+        if r["n_docs_after"] == 0:
+            assert s not in man
+            continue
+        assert man[s]["n_docs"] == r["n_docs_after"]
+        assert man[s]["content_checksum"] == r["checksum_after"]
+    # untouched shards: same file listing (never rewritten)
+    for s, r in diff.items():
+        if r["changed"] == 0:
+            assert sorted(os.listdir(f"{out}/shard={s}")) == before_files[s]
+    # idempotent: nothing left matching the takedown list
+    assert apply_takedown_to_shards(spark, out) == []
+    assert not any(n.startswith(".takedown") for n in os.listdir(out))
