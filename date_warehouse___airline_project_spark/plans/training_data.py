@@ -2581,6 +2581,21 @@ def _release_state_path(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     return path, t
 
 
+def _inc_release_asg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized incrementally-updated shard assignment — the delta
+    fold probes the state's gram set (the one state-scan-sized join), so
+    the update query and the version diff share ONE fold per session."""
+    d = _docs(spark, sf_dir)
+    path, t = _release_state_path(spark, sf_dir)
+    return _memo(
+        d,
+        ("inc_release_asg", t, _FUNNEL_B, _SPAN_N),
+        lambda: incremental_release_assignment(
+            spark, path, d.filter(F.col("doc_id") >= t)
+        ),
+    )
+
+
 @query(
     "doc_release_incremental_update",
     oracle=_RELEASE_ORACLE,
@@ -2599,9 +2614,7 @@ def _release_state_path(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     "choosing the split point.",
 )
 def doc_release_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    path, t = _release_state_path(spark, sf_dir)
-    return incremental_release_manifest(spark, path, d.filter(F.col("doc_id") >= t))
+    return _release_manifest_of(_inc_release_asg(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -2690,10 +2703,12 @@ _VDIFF_ORACLE = f"""
 def doc_release_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     path, t = _release_state_path(spark, sf_dir)
-    asg1 = _assignment_of(spark.read.parquet(f"{path}/v1_docs"))
-    asg2 = incremental_release_assignment(
-        spark, path, d.filter(F.col("doc_id") >= t)
+    asg1 = _memo(
+        d,
+        ("v1_release_asg", t, _FUNNEL_B, _SPAN_N),
+        lambda: _assignment_of(spark.read.parquet(f"{path}/v1_docs")),
     )
+    asg2 = _inc_release_asg(spark, sf_dir)
 
     def sums(asg: DataFrame, n: str, tk: str, ck: str) -> DataFrame:
         term = (
