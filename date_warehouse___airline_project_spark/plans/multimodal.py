@@ -438,3 +438,121 @@ def media_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# content-addressed blob-store release manifest
+# ---------------------------------------------------------------------------
+
+_BLOB_P = 2147483647
+_BLOB_NSHARDS = 8
+_H56 = "CAST(CONCAT('0x', SUBSTR(MD5(CAST({c} AS VARCHAR)), 1, 14)) AS BIGINT)"
+
+_MEDIA_RELEASE_ORACLE = f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             md5(text) AS dg,
+             octet_length(encode(text)) AS nb
+      FROM documents),
+    k AS (
+      SELECT media_type, dg, nb FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY dg ORDER BY media_id) AS rn
+        FROM m) WHERE rn = 1),
+    sh AS (
+      SELECT media_type, dg, nb,
+             {_H56.format(c='dg')} % {_BLOB_NSHARDS} AS shard,
+             ROW_NUMBER() OVER (PARTITION BY {_H56.format(c='dg')} % {_BLOB_NSHARDS}
+                                ORDER BY dg) AS pos
+      FROM k),
+    comp AS (
+      SELECT shard, string_agg(media_type || '=' || CAST(n AS VARCHAR), ','
+                               ORDER BY media_type) AS composition
+      FROM (SELECT shard, media_type, COUNT(*) AS n
+            FROM sh GROUP BY shard, media_type)
+      GROUP BY shard)
+    SELECT s.shard, CAST(COUNT(*) AS BIGINT) AS n_blobs,
+           CAST(SUM(s.nb) AS BIGINT) AS n_bytes,
+           c.composition,
+           CAST(CAST(SUM((s.pos % {_BLOB_P})
+                         * ({_H56.format(c='s.dg')} % {_BLOB_P})
+                         % {_BLOB_P}) AS HUGEINT) % {_BLOB_P} AS BIGINT)
+               AS content_checksum
+    FROM sh s JOIN comp c USING (shard)
+    GROUP BY s.shard, c.composition
+    ORDER BY s.shard
+"""
+
+
+@query(
+    "media_release_manifest",
+    oracle=_MEDIA_RELEASE_ORACLE,
+    doc="Content-addressed blob-store release manifest — the media lane's "
+    "doc_release_manifest: blobs exact-dedup to their md5 digest "
+    "(keep-min owner; the digest IS the storage key, so dedup and "
+    "addressing are the same operation), shards assign by digest hash "
+    "(content-addressed: a blob's shard never changes when re-ingested, "
+    "the property that makes takedown and replication surgical), and "
+    "each shard reports blob count, byte total, per-type composition, "
+    "and an order-sensitive mergeable modular checksum over the digests. "
+    "JVM-side md5 over the binary column — no decode, no Python stage; "
+    "one shuffle on the 16-byte digest at any corpus scale.",
+)
+def media_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import hash56
+
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    w_k = W.partitionBy("dg").orderBy("media_id")
+    k = (
+        media.select(
+            "media_id",
+            "media_type",
+            F.md5(F.col("content")).alias("dg"),
+            F.length(F.col("content")).alias("nb"),
+        )
+        .withColumn("rn", F.row_number().over(w_k))
+        .filter(F.col("rn") == 1)
+    )
+    shard = (hash56(F.col("dg")) % _BLOB_NSHARDS).cast("bigint")
+    w_s = W.partitionBy(shard).orderBy("dg")
+    sh = k.select(
+        "media_type",
+        "dg",
+        "nb",
+        shard.alias("shard"),
+        F.row_number().over(w_s).cast("bigint").alias("pos"),
+    )
+    comp = (
+        sh.groupBy("shard", "media_type")
+        .agg(F.count("*").alias("n"))
+        .groupBy("shard")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("media_type", "n"))),
+                    lambda s: F.concat(
+                        s["media_type"], F.lit("="), s["n"].cast("string")
+                    ),
+                ),
+            ).alias("composition")
+        )
+    )
+    term = ((F.col("pos") % _BLOB_P) * (hash56(F.col("dg")) % _BLOB_P)) % _BLOB_P
+    main = sh.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_blobs"),
+        F.sum("nb").cast("bigint").alias("n_bytes"),
+        (F.sum(term.cast("decimal(38,0)")) % _BLOB_P)
+        .cast("bigint")
+        .alias("content_checksum"),
+    )
+    return (
+        main.join(comp, "shard")
+        .select("shard", "n_blobs", "n_bytes", "composition", "content_checksum")
+        .orderBy("shard")
+    )

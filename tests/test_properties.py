@@ -706,3 +706,48 @@ def test_ewma_of_constant_series_is_the_constant(spark):
     finally:
         mining.load_table = orig
     assert all(abs(r.ewma_28d - 100.0) < 1e-3 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# incremental-release equality theorem (plans/training_data.py): under the
+# append-only doc_id invariant, folding any suffix batch against the
+# persisted prefix state reproduces the full-corpus release EXACTLY. The
+# tiny vocabulary forces heavy exact/paragraph/span collisions — the
+# regime where keeper semantics could diverge if the fold were wrong.
+# ---------------------------------------------------------------------------
+
+_REL_WORDS = ["aa", "bb", "cc", "dd"]
+
+_rel_doc = st.lists(
+    st.sampled_from(_REL_WORDS), min_size=0, max_size=40
+).map(" ".join)
+
+
+@given(
+    texts=st.lists(_rel_doc, min_size=4, max_size=18),
+    split_frac=st.sampled_from([0.3, 0.5, 0.8]),
+)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_incremental_release_equals_full_property(spark, texts, split_frac, tmp_path_factory):
+    from date_warehouse___airline_project_spark.plans.training_data import (
+        _assignment_of,
+        _release_docs,
+        _release_manifest_of,
+        incremental_release_manifest,
+        write_release_state,
+    )
+
+    rows = [(i, t, "src%d" % (i % 3)) for i, t in enumerate(texts)]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    t = max(1, int(len(rows) * split_frac))
+    state = str(tmp_path_factory.mktemp("relprop"))
+    write_release_state(d.filter(F.col("doc_id") < t), state)
+    inc = incremental_release_manifest(
+        spark, state, d.filter(F.col("doc_id") >= t)
+    )
+    full = _release_manifest_of(_assignment_of(_release_docs(d)))
+    assert sorted(tuple(r) for r in inc.collect()) == sorted(
+        tuple(r) for r in full.collect()
+    )
