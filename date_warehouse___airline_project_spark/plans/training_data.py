@@ -2760,6 +2760,34 @@ def doc_release_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def recover_shard_takedown(out_dir: str) -> None:
+    """Finish or undo an interrupted ``apply_takedown_to_shards``: a
+    ``.takedown-old-<token>-<s>`` dir with NO live ``shard=<s>`` means the
+    crash hit between the two renames — roll BACK (the rewrite is
+    re-runnable and idempotent, so restoring the pre-takedown shard is
+    always safe); an old dir WITH a live shard is post-swap debris —
+    delete it, along with any leftover tmp root."""
+    import os
+    import shutil
+
+    from ..streaming.ivf_stream import _require_local_path
+
+    out_dir = _require_local_path(out_dir)
+    if not os.path.isdir(out_dir):
+        return
+    for name in os.listdir(out_dir):
+        if name.startswith(".takedown-old-"):
+            s = name.rsplit("-", 1)[1]
+            live = os.path.join(out_dir, f"shard={s}")
+            old = os.path.join(out_dir, name)
+            if not os.path.isdir(live):
+                os.rename(old, live)  # roll back the half-swapped shard
+            else:
+                shutil.rmtree(old, ignore_errors=True)
+        elif name.startswith(".takedown-tmp-"):
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+
+
 def apply_takedown_to_shards(
     spark: SparkSession, out_dir: str, takedown_mod: int = _TD_MOD
 ) -> list[int]:
@@ -2770,9 +2798,11 @@ def apply_takedown_to_shards(
     untouched — at 100 TB the diff's changed=0 rows are shards the
     shipper never reads, never rewrites, never re-uploads. Positions
     re-rank within each changed shard (same order, minus the removed
-    rows); the rewrite is per-shard atomic (tmp dir + two renames), and
-    re-running is a no-op (no listed docs remain). Returns the rewritten
-    shard ids."""
+    rows); each shard swaps via tmp dir + two renames, and
+    ``recover_shard_takedown`` (run on entry) rolls a crash between the
+    renames back — combined with idempotence (re-running removes nothing
+    new), the rewrite is safe to re-run from any crash point. Returns the
+    rewritten shard ids."""
     import os
     import shutil
     import uuid
@@ -2780,6 +2810,7 @@ def apply_takedown_to_shards(
     from ..streaming.ivf_stream import _require_local_path
 
     out_dir = _require_local_path(out_dir, spark)
+    recover_shard_takedown(out_dir)
     files = spark.read.parquet(out_dir).withColumn(
         "shard", F.col("shard").cast("bigint")
     )

@@ -737,3 +737,15 @@ def test_apply_takedown_to_shards_matches_diff(spark, tmp_path):
     # idempotent: nothing left matching the takedown list
     assert apply_takedown_to_shards(spark, out) == []
     assert not any(n.startswith(".takedown") for n in os.listdir(out))
+    # crash between the two renames: live shard missing, old dir present —
+    # recovery must roll the shard back, and a re-run stays a no-op
+    from date_warehouse___airline_project_spark.plans.training_data import (
+        recover_shard_takedown,
+    )
+
+    some = next(s for s in diff if os.path.isdir(f"{out}/shard={s}"))
+    os.rename(f"{out}/shard={some}", f"{out}/.takedown-old-cafe01-{some}")
+    recover_shard_takedown(out)
+    assert os.path.isdir(f"{out}/shard={some}")
+    assert not any(n.startswith(".takedown") for n in os.listdir(out))
+    assert apply_takedown_to_shards(spark, out) == []
