@@ -2912,3 +2912,95 @@ def emb_ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ code-usage histogram: dead codes / imbalance per subspace
+# ---------------------------------------------------------------------------
+
+_PQ_HIST_ORACLE = f"""
+    WITH {_PQT_CENTS0},
+    subsh AS (
+      SELECT e.vec_id, g.g,
+             list_slice(CAST(e.embedding AS DOUBLE[]),
+                        g.g * {_PQ_D} + 1, (g.g + 1) * {_PQ_D}) AS svec
+      FROM embeddings e CROSS JOIN groups g),
+    ah AS (
+      SELECT vec_id, g, code FROM (
+        SELECT s.vec_id, s.g, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.g
+                   ORDER BY list_dot_product(s.svec, s.svec)
+                          - 2 * list_dot_product(s.svec, c.cvec)
+                          + list_dot_product(c.cvec, c.cvec), c.code) AS rn
+        FROM subsh s JOIN c1 c ON c.g = s.g) WHERE rn = 1),
+    cnt AS (SELECT g, code, COUNT(*) AS n FROM ah GROUP BY g, code),
+    tot AS (SELECT g, SUM(n) AS tn FROM cnt GROUP BY g)
+    SELECT c.g AS subspace,
+           CAST(COUNT(*) AS BIGINT) AS n_codes_used,
+           CAST({_PQ_K} - COUNT(*) AS BIGINT) AS n_dead_codes,
+           ROUND(CAST(MAX(c.n) AS DOUBLE) / (t.tn), 6) AS max_code_frac,
+           ROUND(CAST({_PQ_K} * SUM(c.n * c.n) AS DOUBLE) / (t.tn * t.tn), 6)
+               AS imbalance_factor
+    FROM cnt c JOIN tot t USING (g)
+    GROUP BY c.g, t.tn
+    ORDER BY subspace
+"""
+
+
+@query(
+    "emb_pq_code_histogram",
+    oracle=_PQ_HIST_ORACLE,
+    doc=f"PQ code-usage histogram over the TRAINED codebook — the "
+    f"quantizer-health diagnostic every PQ deployment reads before "
+    f"trusting recall numbers: per subspace the distinct codes actually "
+    f"used, the dead codes (capacity the training wasted — a dead code "
+    f"is a centroid no vector maps to), the hottest code's corpus "
+    f"fraction, and the imbalance factor K·Σp² (FAISS's expected "
+    f"inverted-scan multiplier: 1.0 = perfectly balanced, K = "
+    f"degenerate). Assignment rides the session-memoized trained "
+    f"codebook ({_PQ_G} subspaces x {_PQ_K} codes); the histogram is a "
+    f"(g, code)-keyed count plus a {_PQ_G}-row rollup — bounded by "
+    f"codebook size at any corpus scale.",
+)
+def emb_pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _pq_cents_trained(e)
+    gs = F.array(*[F.lit(i) for i in range(_PQ_G)])
+    subs = e.select(
+        "vec_id",
+        F.explode(gs).alias("g"),
+        F.col("embedding"),
+    ).select(
+        "vec_id",
+        "g",
+        F.slice("embedding", F.col("g") * _PQ_D + 1, _PQ_D)
+        .cast("array<double>")
+        .alias("svec"),
+    )
+    assigned = _pq_sub_assign(subs, cents, carry=())
+    cnt = assigned.groupBy("g", "code").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("g").agg(F.sum("n").alias("tn"))
+    return (
+        cnt.join(tot, "g")
+        .groupBy(F.col("g").alias("subspace"), "tn")
+        .agg(
+            F.count("*").cast("bigint").alias("n_codes_used"),
+            (F.lit(_PQ_K) - F.count("*")).cast("bigint").alias("n_dead_codes"),
+            F.round(F.max("n").cast("double") / F.col("tn"), 6).alias(
+                "max_code_frac"
+            ),
+            F.round(
+                (F.lit(_PQ_K) * F.sum(F.col("n") * F.col("n"))).cast("double")
+                / (F.col("tn") * F.col("tn")),
+                6,
+            ).alias("imbalance_factor"),
+        )
+        .select(
+            "subspace",
+            "n_codes_used",
+            "n_dead_codes",
+            "max_code_frac",
+            "imbalance_factor",
+        )
+        .orderBy("subspace")
+    )
