@@ -70,6 +70,8 @@ _HEADLINE = [
     "salted_join_supplier_volume",
     "doc_tfidf_top_terms",
     "scd2_dim_two_batches",
+    "doc_release_manifest",
+    "media_fuzzy_dedup",
 ]
 
 
