@@ -2875,20 +2875,27 @@ _IVF_OCC_ORACLE = f"""
     "land on the largest cells — the number that decides whether a "
     "probe-pruned search actually prunes at 100 TB (a degenerate "
     "clustering concentrates the corpus in few cells and the 'pruned' "
-    "scan reads everything). Assignment rides the same Lloyd-trained "
-    "centroids as the search family (session-memoized codebook, "
-    "broadcast to a map-side argmax); the profile is one cell-keyed "
-    "count plus a 25-row window — bounded by codebook size at any "
-    "corpus scale.",
+    "scan reads everything). The profile reads the PERSISTED index's "
+    "cell_stats table (written once by save_ivf_index for the drift "
+    "monitor, bounded by codebook size) — no vector is rescanned, no "
+    "assignment recomputed: profiling the index costs a ~25-row read "
+    "at ANY corpus scale. Shares the session-memoized index with "
+    "emb_ivf_indexed_topk.",
 )
 def emb_ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import assign_to_centroids, kmeans_lloyd
+    import tempfile
+
+    from ..operators.similarity import save_ivf_index
 
     e = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_lloyd(e, centroid_mod=25, sample_mod=4, iters=2)
-    af = assign_to_centroids(e, cents, impl="arrow")
-    sz = af.groupBy("centroid_id").agg(
-        F.count("*").cast("bigint").alias("n_vecs")
+    key = (spark.sparkContext.applicationId, sf_dir, 25, 4, 2)
+    path = _IVF_INDEX_MEMO.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="spark_graft_ivf_index_")
+        save_ivf_index(e, path, centroid_mod=25, sample_mod=4, iters=2)
+        _IVF_INDEX_MEMO[key] = path
+    sz = spark.read.parquet(f"{path}/cell_stats").select(
+        "centroid_id", F.col("n_train").cast("bigint").alias("n_vecs")
     )
     w_rk = W.orderBy(F.desc("n_vecs"), "centroid_id")
     tot = sz.agg(F.sum("n_vecs").alias("n"))
