@@ -543,13 +543,14 @@ def media_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("composition")
         )
     )
-    term = ((F.col("pos") % _BLOB_P) * (hash56(F.col("dg")) % _BLOB_P)) % _BLOB_P
+    from .training_data import _content_checksum_col
+
     main = sh.groupBy("shard").agg(
         F.count("*").cast("bigint").alias("n_blobs"),
         F.sum("nb").cast("bigint").alias("n_bytes"),
-        (F.sum(term.cast("decimal(38,0)")) % _BLOB_P)
-        .cast("bigint")
-        .alias("content_checksum"),
+        _content_checksum_col(F.col("pos"), F.col("dg")).alias(
+            "content_checksum"
+        ),
     )
     return (
         main.join(comp, "shard")

@@ -1795,6 +1795,17 @@ def doc_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REL_P = 2147483647  # Mersenne prime 2^31-1: modular content-checksum field
 
 
+def _content_checksum_col(pos_col, key_col):
+    """The release family's certified checksum invariant as ONE aggregate
+    Column: Σ (pos · h56(key)) mod 2^31-1 — order-sensitive through the
+    position weight yet a plain mergeable SUM (per-term products < 2^62,
+    summed in DECIMAL(38,0)). Every manifest/diff surface (doc release,
+    takedown before/after, version diff, media blob store) builds its
+    checksum here, so a future widening changes one definition."""
+    term = ((pos_col % _REL_P) * (_hash56(key_col) % _REL_P)) % _REL_P
+    return (F.sum(term.cast("decimal(38,0)")) % _REL_P).cast("bigint")
+
+
 _SPAN_N = 8  # duplicate-span gram width, shared by full and incremental paths
 
 
@@ -1854,6 +1865,33 @@ def _token_grams(rw: DataFrame) -> tuple[DataFrame, DataFrame]:
         .select("doc_id", "_pos", "_g")
     )
     return rtok, grams
+
+
+def _dup_span_hits(grams: DataFrame) -> DataFrame:
+    """Span hits from intra-corpus duplicate grams: a gram in >=2 distinct
+    docs marks every occurrence OUTSIDE its keep-min keeper doc as a hit
+    interval [(pos, pos + n - 1)]. The ONE definition of the keeper fold —
+    the batch cascade, the state writer, and the incremental delta all
+    call this, so the certified incremental == full theorem has a single
+    implementation to hold against."""
+    dup = (
+        grams.groupBy("_g")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("_keeper"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("_g", "_keeper")
+    )
+    return (
+        grams.join(dup, "_g")
+        .filter(F.col("doc_id") != F.col("_keeper"))
+        .select(
+            "doc_id",
+            F.col("_pos").alias("s"),
+            (F.col("_pos") + _SPAN_N - 1).alias("e"),
+        )
+    )
 
 
 def _extents(hits: DataFrame) -> DataFrame:
@@ -1918,25 +1956,7 @@ def _release_docs(d: DataFrame) -> DataFrame:
     def build() -> DataFrame:
         rw = _rewrite(_kept_paragraphs(_exact_survivors(d)))
         rtok, grams = _token_grams(rw)
-        dup = (
-            grams.groupBy("_g")
-            .agg(
-                F.count_distinct("doc_id").alias("nd"),
-                F.min("doc_id").alias("_keeper"),
-            )
-            .filter(F.col("nd") >= 2)
-            .select("_g", "_keeper")
-        )
-        hits = (
-            grams.join(dup, "_g")
-            .filter(F.col("doc_id") != F.col("_keeper"))
-            .select(
-                "doc_id",
-                F.col("_pos").alias("s"),
-                (F.col("_pos") + _SPAN_N - 1).alias("e"),
-            )
-        )
-        final = _assemble(rtok, _extents(hits))
+        final = _assemble(rtok, _extents(_dup_span_hits(grams)))
         return final.join(
             d.select("doc_id", "source"), "doc_id"
         ).select("doc_id", "source", "n_tok", "text")
@@ -2005,9 +2025,6 @@ def _release_manifest_of(asg: DataFrame) -> DataFrame:
     both engines in integer arithmetic, and a plain SUM at any scale —
     no per-shard string concatenation that would balloon at 10^6 docs
     per shard."""
-    term = (
-        (F.col("pos") % _REL_P) * (_hash56(F.col("text")) % _REL_P)
-    ) % _REL_P
     per_src = asg.groupBy("shard", "source").agg(F.count("*").alias("n"))
     comp = per_src.groupBy("shard").agg(
         F.concat_ws(
@@ -2021,9 +2038,9 @@ def _release_manifest_of(asg: DataFrame) -> DataFrame:
     main = asg.groupBy("shard").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("n_tokens"),
-        (F.sum(term.cast("decimal(38,0)")) % _REL_P)
-        .cast("bigint")
-        .alias("content_checksum"),
+        _content_checksum_col(F.col("pos"), F.col("text")).alias(
+            "content_checksum"
+        ),
     )
     return (
         main.join(comp, "shard")
@@ -2272,28 +2289,22 @@ _TAKEDOWN_ORACLE = _RELEASE_CTES + f""",
 )
 def doc_release_takedown_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     asg = _release_assignment(_docs(spark, sf_dir))
-    term_b = (
-        (F.col("pos") % _REL_P) * (_hash56(F.col("text")) % _REL_P)
-    ) % _REL_P
     before = asg.groupBy("shard").agg(
         F.count("*").cast("bigint").alias("n_docs_before"),
         F.sum("n_tok").cast("bigint").alias("tks_b"),
-        (F.sum(term_b.cast("decimal(38,0)")) % _REL_P)
-        .cast("bigint")
-        .alias("checksum_before"),
+        _content_checksum_col(F.col("pos"), F.col("text")).alias(
+            "checksum_before"
+        ),
     )
     kept = asg.filter(_hash56(F.col("doc_id")) % _TD_MOD != 0)
     w = W.partitionBy("shard").orderBy("pos")
     kp2 = kept.withColumn("pos2", F.row_number().over(w).cast("bigint"))
-    term_a = (
-        (F.col("pos2") % _REL_P) * (_hash56(F.col("text")) % _REL_P)
-    ) % _REL_P
     after = kp2.groupBy("shard").agg(
         F.count("*").cast("bigint").alias("n_docs_after"),
         F.sum("n_tok").cast("bigint").alias("tks_a"),
-        (F.sum(term_a.cast("decimal(38,0)")) % _REL_P)
-        .cast("bigint")
-        .alias("checksum_after"),
+        _content_checksum_col(F.col("pos2"), F.col("text")).alias(
+            "checksum_after"
+        ),
     )
     z = F.lit(0).cast("bigint")
     return (
@@ -2450,41 +2461,69 @@ def write_release_state(old: DataFrame, path: str) -> None:
     kp = _kept_paragraphs(k1)
     rw = _rewrite(kp)
     rtok, grams = _token_grams(rw)
-    dup = (
-        grams.groupBy("_g")
-        .agg(
-            F.count_distinct("doc_id").alias("nd"),
-            F.min("doc_id").alias("_keeper"),
-        )
-        .filter(F.col("nd") >= 2)
-        .select("_g", "_keeper")
-    )
-    hits = (
-        grams.join(dup, "_g")
-        .filter(F.col("doc_id") != F.col("_keeper"))
-        .select(
-            "doc_id",
-            F.col("_pos").alias("s"),
-            (F.col("_pos") + _SPAN_N - 1).alias("e"),
-        )
-    )
     v1 = (
-        _assemble(rtok, _extents(hits))
+        _assemble(rtok, _extents(_dup_span_hits(grams)))
         .join(old.select("doc_id", "source"), "doc_id")
         .select("doc_id", "source", "n_tok", "text")
     )
-    from ..operators.text_dedup import paragraph_stream
-
     old.select(F.md5(F.lower("text")).alias("fp")).distinct().write.mode(
         "overwrite"
     ).parquet(f"{path}/doc_fps")
-    paragraph_stream(k1, "doc_id", "text", block_tokens=_FUNNEL_B).select(
-        F.md5("_ptxt").alias("pfp")
-    ).distinct().write.mode("overwrite").parquet(f"{path}/para_fps")
+    # the kept paragraphs carry the identical distinct fingerprint set as
+    # ALL paragraphs (every fingerprint's first occurrence is kept), so
+    # the state write reuses kp instead of a second paragraph pass
+    kp.select(F.md5("_ptxt").alias("pfp")).distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{path}/para_fps")
     grams.select(F.md5("_g").alias("gfp")).distinct().write.mode(
         "overwrite"
     ).parquet(f"{path}/gram_fps")
     v1.write.mode("overwrite").parquet(f"{path}/v1_docs")
+
+
+def fold_batch_released(
+    new: DataFrame,
+    doc_fps: DataFrame,
+    para_fps: DataFrame,
+    gram_fps: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The delta fold: one ingest batch against fingerprint state relations
+    (doc_fps(fp), para_fps(pfp), gram_fps(gfp)) -> (kept paragraphs, batch
+    gram stream, released batch docs). ONE implementation shared by the
+    batch incremental path and the streaming maintenance loop — the
+    certified incremental == full theorem holds against this function.
+
+    Stages: intra-batch exact keep-min then anti-join the state doc
+    fingerprints; intra-batch paragraph keep-first then anti-join the
+    state paragraph fingerprints; span removal where a hit is EITHER a
+    gram known to the state (its keeper is an earlier doc by the
+    append-only invariant) OR an intra-batch duplicate gram outside its
+    batch keeper. Every join is sized by the batch probing the state."""
+    k1n = _exact_survivors(new).join(
+        doc_fps,
+        F.md5(F.lower("text")) == F.col("fp"),
+        "left_anti",
+    )
+    kpn = _kept_paragraphs(k1n).join(
+        para_fps, F.md5("_ptxt") == F.col("pfp"), "left_anti"
+    )
+    rtokn, gramsn = _token_grams(_rewrite(kpn))
+    hits_old = gramsn.join(
+        gram_fps, F.md5("_g") == F.col("gfp"), "semi"
+    ).select(
+        "doc_id",
+        F.col("_pos").alias("s"),
+        (F.col("_pos") + _SPAN_N - 1).alias("e"),
+    )
+    hits_new = _dup_span_hits(
+        gramsn.join(gram_fps, F.md5("_g") == F.col("gfp"), "left_anti")
+    )
+    final_new = (
+        _assemble(rtokn, _extents(hits_old.unionByName(hits_new)))
+        .join(new.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "n_tok", "text")
+    )
+    return kpn, gramsn, final_new
 
 
 def incremental_release_assignment(
@@ -2497,57 +2536,13 @@ def incremental_release_assignment(
     reruns over released-docs-sized rows only. Bit-equal to a full
     recompute under the append-only doc_id invariant (see
     write_release_state)."""
-    doc_fps = spark.read.parquet(f"{path}/doc_fps")
-    para_fps = spark.read.parquet(f"{path}/para_fps")
-    gram_fps = spark.read.parquet(f"{path}/gram_fps")
-    v1 = spark.read.parquet(f"{path}/v1_docs")
-    # stage 1: intra-batch keep-min, then anti-join the old fingerprint set
-    k1n = _exact_survivors(new).join(
-        doc_fps,
-        F.md5(F.lower("text")) == F.col("fp"),
-        "left_anti",
+    _, _, final_new = fold_batch_released(
+        new,
+        spark.read.parquet(f"{path}/doc_fps"),
+        spark.read.parquet(f"{path}/para_fps"),
+        spark.read.parquet(f"{path}/gram_fps"),
     )
-    # stage 2: intra-batch paragraph keep-first, anti-join old paragraphs
-    kpn = _kept_paragraphs(k1n).join(
-        para_fps, F.md5("_ptxt") == F.col("pfp"), "left_anti"
-    )
-    rtokn, gramsn = _token_grams(_rewrite(kpn))
-    # stage 3a: any gram present in the old corpus trims its new
-    # occurrences (the old doc is the keep-min keeper by the invariant)
-    hits_old = (
-        gramsn.join(gram_fps, F.md5("_g") == F.col("gfp"), "semi")
-        .select(
-            "doc_id",
-            F.col("_pos").alias("s"),
-            (F.col("_pos") + _SPAN_N - 1).alias("e"),
-        )
-    )
-    # stage 3b: grams NOT in the old corpus dedup within the batch
-    gn = gramsn.join(gram_fps, F.md5("_g") == F.col("gfp"), "left_anti")
-    dupn = (
-        gn.groupBy("_g")
-        .agg(
-            F.count_distinct("doc_id").alias("nd"),
-            F.min("doc_id").alias("_keeper"),
-        )
-        .filter(F.col("nd") >= 2)
-        .select("_g", "_keeper")
-    )
-    hits_new = (
-        gn.join(dupn, "_g")
-        .filter(F.col("doc_id") != F.col("_keeper"))
-        .select(
-            "doc_id",
-            F.col("_pos").alias("s"),
-            (F.col("_pos") + _SPAN_N - 1).alias("e"),
-        )
-    )
-    final_new = _assemble(rtokn, _extents(hits_old.unionByName(hits_new)))
-    rel2 = v1.unionByName(
-        final_new.join(new.select("doc_id", "source"), "doc_id").select(
-            "doc_id", "source", "n_tok", "text"
-        )
-    )
+    rel2 = spark.read.parquet(f"{path}/v1_docs").unionByName(final_new)
     return _assignment_of(rel2)
 
 
@@ -2564,14 +2559,19 @@ _REL_STATE_MEMO: dict = {}
 def _release_state_path(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     """Session-memoized release state for the 90% (by max doc_id) corpus
     prefix; returns (state dir, split point). The max is a 1-row bounded
-    fold (documented pattern); the state write is the once-per-corpus
-    lifecycle cost, shared by the incremental-update and version-diff
-    queries and paid on the bench's warm-build clock."""
+    fold (documented pattern), itself memoized so warm runs pay zero
+    corpus scans; the state write is the once-per-corpus lifecycle cost,
+    shared by the incremental-update and version-diff queries and paid
+    on the bench's warm-build clock."""
     import tempfile
 
     d = _docs(spark, sf_dir)
-    mx = d.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
-    t = int(mx) * 9 // 10
+    tkey = (spark.sparkContext.applicationId, sf_dir, "split")
+    t = _REL_STATE_MEMO.get(tkey)
+    if t is None:
+        mx = d.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+        t = int(mx) * 9 // 10
+        _REL_STATE_MEMO[tkey] = t
     key = (spark.sparkContext.applicationId, sf_dir, t, "relstate")
     path = _REL_STATE_MEMO.get(key)
     if path is None:
@@ -2711,13 +2711,10 @@ def doc_release_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     asg2 = _inc_release_asg(spark, sf_dir)
 
     def sums(asg: DataFrame, n: str, tk: str, ck: str) -> DataFrame:
-        term = (
-            (F.col("pos") % _REL_P) * (_hash56(F.col("text")) % _REL_P)
-        ) % _REL_P
         return asg.groupBy("shard").agg(
             F.count("*").cast("bigint").alias(n),
             F.sum("n_tok").cast("bigint").alias(tk),
-            (F.sum(term.cast("decimal(38,0)")) % _REL_P).cast("bigint").alias(ck),
+            _content_checksum_col(F.col("pos"), F.col("text")).alias(ck),
         )
 
     m1 = sums(asg1, "n1", "t1", "c1")

@@ -356,13 +356,16 @@ def remove_from_ivf_index(
     compact_ivf_appends(spark, path)
     base = spark.read.parquet(f"{path}/assignments")
     ids = takedown.select(F.col(id_col).alias("_td_id")).distinct()
+    # one partition-pruned semi count decides the no-op AND the return
+    # value — no full-table count just to detect an empty takedown
+    n_removed = base.join(
+        F.broadcast(ids), base[id_col] == F.col("_td_id"), "semi"
+    ).count()
+    if n_removed == 0:
+        return 0
     kept = base.join(
         F.broadcast(ids), base[id_col] == F.col("_td_id"), "left_anti"
     )
-    n_before = base.count()
-    n_after = kept.count()
-    if n_after == n_before:
-        return 0
     token = uuid.uuid4().hex[:12]
     tmp = os.path.join(path, f".compact-tmp-{token}")
     (
@@ -371,9 +374,15 @@ def remove_from_ivf_index(
         .partitionBy("centroid_id")
         .parquet(tmp)
     )
+    if not any(n.startswith("centroid_id=") for n in os.listdir(tmp)):
+        # the takedown emptied the index: a partitioned write of zero rows
+        # leaves no part files and the dir would be unreadable — rewrite
+        # as a plain empty table (schema'd part file, centroid_id as a
+        # normal column) so every reader keeps working on the empty index
+        kept.write.mode("overwrite").parquet(tmp)
     marker_tmp = os.path.join(path, f".{_COMPACT_MARKER}-{token}")
     with open(marker_tmp, "w") as f:
         json.dump({"token": token, "batches": []}, f)
     os.replace(marker_tmp, os.path.join(path, _COMPACT_MARKER))  # commit
     recover_compaction(path)  # roll the committed rewrite forward
-    return n_before - n_after
+    return n_removed

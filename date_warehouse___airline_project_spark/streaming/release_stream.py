@@ -47,8 +47,12 @@ _REL_MARKER = "release-compact.commit"
 
 
 def release_state_rel(spark: SparkSession, path: str, name: str) -> DataFrame:
-    """One state relation = base dir UNION every committed batch delta."""
+    """One state relation = base dir UNION every committed batch delta.
+    Runs compaction recovery first (same discipline as the IVF reader):
+    a compaction that crashed after its live-swap but before deleting the
+    folded batch dirs would otherwise serve every folded row twice."""
     path = _require_local_path(path, spark)
+    recover_release_compaction(path)
     base = spark.read.parquet(f"{path}/{name}")
     bdir = os.path.join(path, "batches")
     if not os.path.isdir(bdir):
@@ -77,15 +81,7 @@ def apply_release_batch(
     in a non-keeper doc. The batch's delta — ALL its doc fingerprints,
     its newly-introduced paragraph/gram fingerprints, and its released
     docs — lands in one atomically-renamed ``batch=<id>`` dir."""
-    from ..plans.training_data import (
-        _SPAN_N,
-        _assemble,
-        _exact_survivors,
-        _extents,
-        _kept_paragraphs,
-        _rewrite,
-        _token_grams,
-    )
+    from ..plans.training_data import fold_batch_released
 
     path = _require_local_path(path, spark)
     recover_release_compaction(path)
@@ -99,47 +95,11 @@ def apply_release_batch(
         if name.startswith(".tmp-"):
             shutil.rmtree(os.path.join(bdir, name), ignore_errors=True)
 
-    doc_fps = release_state_rel(spark, path, "doc_fps")
-    para_fps = release_state_rel(spark, path, "para_fps")
-    gram_fps = release_state_rel(spark, path, "gram_fps")
-
-    k1n = _exact_survivors(batch).join(
-        doc_fps, F.md5(F.lower("text")) == F.col("fp"), "left_anti"
-    )
-    kpn = _kept_paragraphs(k1n).join(
-        para_fps, F.md5("_ptxt") == F.col("pfp"), "left_anti"
-    )
-    rtokn, gramsn = _token_grams(_rewrite(kpn))
-    hits_old = gramsn.join(
-        gram_fps, F.md5("_g") == F.col("gfp"), "semi"
-    ).select(
-        "doc_id",
-        F.col("_pos").alias("s"),
-        (F.col("_pos") + _SPAN_N - 1).alias("e"),
-    )
-    gn = gramsn.join(gram_fps, F.md5("_g") == F.col("gfp"), "left_anti")
-    dupn = (
-        gn.groupBy("_g")
-        .agg(
-            F.count_distinct("doc_id").alias("nd"),
-            F.min("doc_id").alias("_keeper"),
-        )
-        .filter(F.col("nd") >= 2)
-        .select("_g", "_keeper")
-    )
-    hits_new = (
-        gn.join(dupn, "_g")
-        .filter(F.col("doc_id") != F.col("_keeper"))
-        .select(
-            "doc_id",
-            F.col("_pos").alias("s"),
-            (F.col("_pos") + _SPAN_N - 1).alias("e"),
-        )
-    )
-    final_new = (
-        _assemble(rtokn, _extents(hits_old.unionByName(hits_new)))
-        .join(batch.select("doc_id", "source"), "doc_id")
-        .select("doc_id", "source", "n_tok", "text")
+    kpn, gramsn, final_new = fold_batch_released(
+        batch,
+        release_state_rel(spark, path, "doc_fps"),
+        release_state_rel(spark, path, "para_fps"),
+        release_state_rel(spark, path, "gram_fps"),
     )
 
     tmp = os.path.join(bdir, f".tmp-{batch_id}-{uuid.uuid4().hex[:8]}")
@@ -231,6 +191,12 @@ def compact_release_state(spark: SparkSession, path: str) -> int:
             merged = base.unionByName(
                 spark.read.parquet(*parts).select(*base.columns)
             )
+            if name != "v1_docs":
+                # fingerprint deltas overlap the state (a batch stores ALL
+                # its doc fps; gram/para fps can repeat across batches) —
+                # fold to the distinct set so the state stays bounded by
+                # DISTINCT fingerprints, not total ingested volume
+                merged = merged.distinct()
         merged.write.mode("overwrite").parquet(os.path.join(tmp_root, name))
     marker_tmp = os.path.join(path, f".{_REL_MARKER}-{token}")
     with open(marker_tmp, "w") as f:

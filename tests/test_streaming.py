@@ -2299,3 +2299,70 @@ def test_release_stream_runner_and_crash_recovery(spark, tmp_path):
     assert [
         tuple(r) for r in release_manifest_from_state(spark, path).collect()
     ] == want
+
+
+def test_ivf_takedown_emptying_index_keeps_it_readable(spark, tmp_path):
+    """A takedown covering every vector must leave a readable EMPTY
+    assignments table (a partitioned write of zero rows would leave no
+    part files), and further operations stay well-defined."""
+    from date_warehouse___airline_project_spark.streaming.ivf_stream import (
+        remove_from_ivf_index,
+    )
+
+    e, path, _ = _ivf_fixture(spark, tmp_path, "ivf_empty_takedown")
+    all_ids = e.select("vec_id")
+    n = all_ids.count()
+    assert remove_from_ivf_index(spark, path, all_ids) == n
+    left = spark.read.parquet(f"{path}/assignments")
+    assert left.count() == 0
+    assert set(left.columns) >= {"vec_id", "centroid_id"}
+    assert remove_from_ivf_index(spark, path, all_ids) == 0
+
+
+def test_release_reader_recovers_interrupted_compaction(spark, tmp_path):
+    """The crash window the review caught: compaction committed its marker
+    and swapped the merged base live, but crashed before deleting the
+    folded batch dirs. A reader that unions base + batches without
+    recovering first would serve every folded doc TWICE; the reader must
+    roll the committed compaction forward before reading."""
+    import json
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from date_warehouse___airline_project_spark.plans.training_data import (
+        _docs,
+        doc_release_manifest,
+        write_release_state,
+    )
+    from date_warehouse___airline_project_spark.streaming.release_stream import (
+        _REL_MARKER,
+        apply_release_batch,
+        compact_release_state,
+        release_manifest_from_state,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = _docs(spark, sf)
+    mx = d.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    t = int(mx) * 9 // 10
+    path = str(tmp_path / "relcrash")
+    write_release_state(d.filter(F.col("doc_id") < t), path)
+    apply_release_batch(spark, path, d.filter(F.col("doc_id") >= t), 0)
+    want = [tuple(r) for r in doc_release_manifest(spark, sf).collect()]
+
+    # stage the crash: keep a copy of the batch delta, compact (which
+    # folds it into base and deletes it), then restore the delta and the
+    # committed marker — exactly the post-swap pre-cleanup on-disk state
+    saved = str(tmp_path / "saved_batch")
+    shutil.copytree(f"{path}/batches/batch=0", saved)
+    assert compact_release_state(spark, path) == 1
+    shutil.copytree(saved, f"{path}/batches/batch=0")
+    with open(f"{path}/{_REL_MARKER}", "w") as f:
+        json.dump({"token": "deadbf", "batches": ["batch=0"]}, f)
+
+    got = [tuple(r) for r in release_manifest_from_state(spark, path).collect()]
+    assert got == want  # no double-counted batch docs
+    assert not os.path.exists(f"{path}/batches/batch=0")
+    assert not os.path.exists(f"{path}/{_REL_MARKER}")
