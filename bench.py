@@ -162,10 +162,19 @@ def main() -> None:
 
     memo_total = round(sum(memo_builds.values()), 3)
     total = round(sum(timings.values()) + memo_total, 3)
+    # The round-comparable number: headline value PLUS the untimed warm
+    # builds. The warm list moves real lifecycle work out of `value`, so
+    # judging rounds on `value` alone mistakes a reclassification for a
+    # speedup (r8 read as -2.8% when the all-in wall was +4.7%). The 2x
+    # envelope is tracked on all_in_wall_seconds; growing the warm list
+    # must be a visible, justified event (it changes warm_build_seconds,
+    # not the envelope number).
+    all_in = round(total + sum(warm_build.values()), 3)
     detail = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
+        "all_in_wall_seconds": all_in,
         "queries": timings,
         "memo_builds": memo_builds,
         "memo_build_seconds": memo_total,
@@ -201,6 +210,7 @@ def main() -> None:
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
+        "all_in_wall_seconds": all_in,
         "queries": {k: timings[k] for k in _HEADLINE if k in timings},
         "sf": float(sf),
         "n_queries": len(timings),
