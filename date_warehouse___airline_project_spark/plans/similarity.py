@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..session import session_tmpdir
 from ..sources.catalog import load_table
 from .registry import query
 
@@ -209,7 +210,6 @@ def emb_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "probe, exact cosine top-10.",
 )
 def emb_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..operators.similarity import ivf_topk_indexed, save_ivf_index
 
@@ -223,7 +223,7 @@ def emb_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, 25, 4, 2)
     path = _IVF_INDEX_MEMO.get(key)
     if path is None:
-        path = tempfile.mkdtemp(prefix="spark_graft_ivf_index_")
+        path = session_tmpdir("spark_graft_ivf_index_")
         save_ivf_index(e, path, centroid_mod=25, sample_mod=4, iters=2)
         _IVF_INDEX_MEMO[key] = path
     return ivf_topk_indexed(e, path, query_id=0, k=10, nprobe=2)
@@ -271,7 +271,6 @@ _IVF_DRIFT_ORACLE = f"""
     "centroid-partitioned layout reads no vector data.",
 )
 def emb_ivf_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..operators.similarity import (
         append_to_ivf_index,
@@ -285,7 +284,7 @@ def emb_ivf_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path is None:
         # own index copy — the shared emb_ivf_indexed_topk index must keep
         # its training-time populations un-drifted
-        path = tempfile.mkdtemp(prefix="spark_graft_ivf_drift_")
+        path = session_tmpdir("spark_graft_ivf_drift_")
         save_ivf_index(e, path, centroid_mod=25, sample_mod=4, iters=2)
         append_to_ivf_index(
             e.filter(F.col("vec_id") % 3 == 1).withColumn(
@@ -2883,7 +2882,6 @@ _IVF_OCC_ORACLE = f"""
     "emb_ivf_indexed_topk.",
 )
 def emb_ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..operators.similarity import save_ivf_index
 
@@ -2891,7 +2889,7 @@ def emb_ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, 25, 4, 2)
     path = _IVF_INDEX_MEMO.get(key)
     if path is None:
-        path = tempfile.mkdtemp(prefix="spark_graft_ivf_index_")
+        path = session_tmpdir("spark_graft_ivf_index_")
         save_ivf_index(e, path, centroid_mod=25, sample_mod=4, iters=2)
         _IVF_INDEX_MEMO[key] = path
     sz = spark.read.parquet(f"{path}/cell_stats").select(

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators.text_dedup import _memo, shingle_index, tokens
+from ..session import session_tmpdir
 from ..sources.catalog import load_table
 from .registry import query
 
@@ -2563,7 +2564,6 @@ def _release_state_path(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     corpus scans; the state write is the once-per-corpus lifecycle cost,
     shared by the incremental-update and version-diff queries and paid
     on the bench's warm-build clock."""
-    import tempfile
 
     d = _docs(spark, sf_dir)
     tkey = (spark.sparkContext.applicationId, sf_dir, "split")
@@ -2575,7 +2575,7 @@ def _release_state_path(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     key = (spark.sparkContext.applicationId, sf_dir, t, "relstate")
     path = _REL_STATE_MEMO.get(key)
     if path is None:
-        path = tempfile.mkdtemp(prefix="spark_graft_release_state_")
+        path = session_tmpdir("spark_graft_release_state_")
         write_release_state(d.filter(F.col("doc_id") < t), path)
         _REL_STATE_MEMO[key] = path
     return path, t
@@ -2631,6 +2631,11 @@ def _release_asg_sql(base: str) -> str:
     relation — _RELEASE_CTES with its two corpus scans (fingerprint CTE,
     token CTE) re-pointed at ``base``. The source join stays on the full
     documents table (harmless: the cascade's doc_ids restrict it)."""
+    # exactly the fp and tk CTEs end in this anchor today; a future CTE
+    # matching it would be silently re-pointed too, corrupting the
+    # version-diff oracle — fail loudly instead
+    n = _RELEASE_CTES.count("FROM documents)")
+    assert n == 2, f"_RELEASE_CTES corpus-scan anchor count drifted: {n} != 2"
     return (
         _RELEASE_CTES.replace("FROM documents)", f"FROM {base})")
         + "\n    SELECT doc_id, source, n_tok, text, shard, pos FROM asg"
@@ -2838,8 +2843,16 @@ def apply_takedown_to_shards(
         os.rename(live, old)
         if os.path.isdir(new):
             os.rename(new, live)
-        else:  # shard emptied entirely: no dir to swap in
-            os.makedirs(live, exist_ok=True)
+        else:
+            # shard emptied entirely: a bare empty dir would break
+            # spark.read.parquet(out_dir) if the takedown empties EVERY
+            # shard (no part files anywhere → schema inference fails, and
+            # this function's own rerun couldn't even start). Write an
+            # empty schema'd part file instead, mirroring the IVF
+            # empty-index branch in remove_from_ivf_index.
+            kept.limit(0).drop("shard").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(live)
         shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
     return [int(s) for s in changed]

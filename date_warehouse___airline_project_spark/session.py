@@ -55,3 +55,17 @@ def get_spark(app_name: str = "date_warehouse_spark", master: str | None = None)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def session_tmpdir(prefix: str) -> str:
+    """``tempfile.mkdtemp`` with atexit cleanup. Session-memoized artifact
+    dirs (persisted IVF indexes, release state) must outlive any single
+    query but not the process — an unregistered mkdtemp leaks a corpus
+    copy into /tmp per bench/pytest session."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d

@@ -349,23 +349,24 @@ def remove_from_ivf_index(
     takedown is not a retrain, and the drift report's n_current drop
     against the training-time baseline IS the operational signal that
     cells have thinned (mirroring how appends surface as positive
-    drift). The takedown list is broadcast-sized by assumption (a legal
-    list, not a corpus); the rewrite is one anti-join + one
-    centroid-partitioned write, shuffle keyed on centroid_id."""
+    drift). The takedown list is typically legal-list-sized (auto-
+    broadcast) but may be arbitrarily large — the join strategy is left
+    to AQE; the rewrite is one anti-join + one centroid-partitioned
+    write, shuffle keyed on centroid_id."""
     path = _require_local_path(path, spark)
     compact_ivf_appends(spark, path)
     base = spark.read.parquet(f"{path}/assignments")
     ids = takedown.select(F.col(id_col).alias("_td_id")).distinct()
     # one partition-pruned semi count decides the no-op AND the return
-    # value — no full-table count just to detect an empty takedown
-    n_removed = base.join(
-        F.broadcast(ids), base[id_col] == F.col("_td_id"), "semi"
-    ).count()
+    # value — no full-table count just to detect an empty takedown.
+    # No forced broadcast: a legal list auto-broadcasts under the 10 MB
+    # threshold anyway, but the API accepts ANY DataFrame (the tests pass
+    # the whole corpus id set) and a forced broadcast of a large list
+    # would OOM the driver where AQE would pick a shuffle join.
+    n_removed = base.join(ids, base[id_col] == F.col("_td_id"), "semi").count()
     if n_removed == 0:
         return 0
-    kept = base.join(
-        F.broadcast(ids), base[id_col] == F.col("_td_id"), "left_anti"
-    )
+    kept = base.join(ids, base[id_col] == F.col("_td_id"), "left_anti")
     token = uuid.uuid4().hex[:12]
     tmp = os.path.join(path, f".compact-tmp-{token}")
     (

@@ -749,3 +749,31 @@ def test_apply_takedown_to_shards_matches_diff(spark, tmp_path):
     assert os.path.isdir(f"{out}/shard={some}")
     assert not any(n.startswith(".takedown") for n in os.listdir(out))
     assert apply_takedown_to_shards(spark, out) == []
+
+
+def test_apply_takedown_to_shards_empties_everything(spark, tmp_path):
+    """A takedown that empties EVERY shard must leave a readable release
+    dir (empty schema'd part files, not bare shard dirs) — the function's
+    own rerun and release_manifest_from_files both start with
+    spark.read.parquet(out_dir), which fails on a dir with no part files."""
+    from date_warehouse___airline_project_spark.plans.training_data import (
+        apply_takedown_to_shards,
+        release_manifest_from_files,
+        write_release_shards,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "release")
+    write_release_shards(spark, sf, out)
+    shards_before = sorted(
+        r["shard"] for r in
+        spark.read.parquet(out).select("shard").distinct().collect()
+    )
+    # takedown_mod=1 lists every doc → every shard empties
+    changed = apply_takedown_to_shards(spark, out, takedown_mod=1)
+    assert sorted(changed) == shards_before
+    emptied = spark.read.parquet(out)  # must not raise schema inference
+    assert emptied.count() == 0
+    assert release_manifest_from_files(spark, out).count() == 0
+    # rerun on the emptied release is a readable no-op
+    assert apply_takedown_to_shards(spark, out, takedown_mod=1) == []
