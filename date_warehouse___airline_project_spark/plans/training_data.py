@@ -2769,25 +2769,16 @@ def recover_shard_takedown(out_dir: str) -> None:
     re-runnable and idempotent, so restoring the pre-takedown shard is
     always safe); an old dir WITH a live shard is post-swap debris —
     delete it, along with any leftover tmp root."""
-    import os
-    import shutil
-
     from ..streaming.ivf_stream import _require_local_path
+    from ..streaming.state_table import recover_rename_swap
 
     out_dir = _require_local_path(out_dir)
-    if not os.path.isdir(out_dir):
-        return
-    for name in os.listdir(out_dir):
-        if name.startswith(".takedown-old-"):
-            s = name.rsplit("-", 1)[1]
-            live = os.path.join(out_dir, f"shard={s}")
-            old = os.path.join(out_dir, name)
-            if not os.path.isdir(live):
-                os.rename(old, live)  # roll back the half-swapped shard
-            else:
-                shutil.rmtree(old, ignore_errors=True)
-        elif name.startswith(".takedown-tmp-"):
-            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+    recover_rename_swap(
+        out_dir,
+        old_prefix=".takedown-old-",
+        tmp_prefix=".takedown-tmp-",
+        live_of=lambda s: f"shard={s}",
+    )
 
 
 def apply_takedown_to_shards(

@@ -35,13 +35,14 @@ FileSystem API or a transactional table format's txnAppId/txnVersion.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .state_table import recover_marker_commit, write_commit_marker
 
 
 def _require_local_path(path: str, spark: SparkSession | None = None) -> str:
@@ -165,42 +166,28 @@ _COMPACT_MARKER = "compact.commit"
 
 
 def recover_compaction(path: str) -> None:
-    """Finish or undo an interrupted ``compact_ivf_appends``.
+    """Finish or undo an interrupted ``compact_ivf_appends`` (or the
+    takedown rewrite, which commits through the same marker).
 
-    The marker file is the commit point. If it exists, the merged
-    assignments table was fully written, so roll FORWARD (every step is
-    an existence-guarded local rename/delete — re-runnable from any crash
-    point). If only ``.compact-tmp-*`` dirs exist (crash before the
-    marker), roll BACK by deleting them — the live index was never
-    touched. Single-maintainer discipline, like the append stream itself:
-    one process runs appends/compaction for an index at a time."""
+    The marker file is the commit point: present → the merged assignments
+    table was fully written, roll FORWARD; only ``.compact-tmp-*`` dirs →
+    crash before the marker, roll BACK (the live index was never
+    touched). The mechanics live in ``state_table.recover_marker_commit``
+    — ONE implementation shared with the release-state compaction, so
+    the two crash protocols cannot drift. Single-maintainer discipline,
+    like the append stream itself: one process runs appends/compaction
+    for an index at a time."""
     path = _require_local_path(path)
-    marker = os.path.join(path, _COMPACT_MARKER)
-    if os.path.exists(marker):
-        with open(marker) as f:
-            state = json.load(f)
-        token, batches = state["token"], state["batches"]
-        tmp = os.path.join(path, f".compact-tmp-{token}")
-        old = os.path.join(path, f".compact-old-{token}")
-        live = os.path.join(path, "assignments")
-        if os.path.isdir(tmp):
-            # swap merged table live (two renames; re-entrant either side)
-            if os.path.isdir(live) and not os.path.isdir(old):
-                os.rename(live, old)
-            if not os.path.isdir(live):
-                os.rename(tmp, live)
-            else:  # crashed between old-rename and tmp-rename last time
-                shutil.rmtree(tmp, ignore_errors=True)
-        for b in batches:
-            shutil.rmtree(os.path.join(path, "appends", b), ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
-        os.remove(marker)
-    if os.path.isdir(path):
-        for name in os.listdir(path):
-            if name.startswith(".compact-tmp-"):
-                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
-            elif name.startswith(f".{_COMPACT_MARKER}-"):
-                os.remove(os.path.join(path, name))  # orphaned marker tmp
+    recover_marker_commit(
+        path,
+        _COMPACT_MARKER,
+        names=("assignments",),
+        # single-relation layout: the tmp dir IS the relation
+        tmp_of=lambda token, name: os.path.join(path, f".compact-tmp-{token}"),
+        old_of=lambda token, name: os.path.join(path, f".compact-old-{token}"),
+        batches_dir=os.path.join(path, "appends"),
+        orphan_dir_prefixes=(".compact-tmp-",),
+    )
 
 
 def compact_ivf_appends(spark: SparkSession, path: str) -> int:
@@ -254,10 +241,7 @@ def compact_ivf_appends(spark: SparkSession, path: str) -> int:
         .partitionBy("centroid_id")
         .parquet(tmp)
     )
-    marker_tmp = os.path.join(path, f".{_COMPACT_MARKER}-{token}")
-    with open(marker_tmp, "w") as f:
-        json.dump({"token": token, "batches": batches}, f)
-    os.replace(marker_tmp, os.path.join(path, _COMPACT_MARKER))  # commit
+    write_commit_marker(path, _COMPACT_MARKER, {"token": token, "batches": batches})
     recover_compaction(path)  # roll the committed fold forward
     return len(batches)
 
@@ -381,9 +365,6 @@ def remove_from_ivf_index(
         # as a plain empty table (schema'd part file, centroid_id as a
         # normal column) so every reader keeps working on the empty index
         kept.write.mode("overwrite").parquet(tmp)
-    marker_tmp = os.path.join(path, f".{_COMPACT_MARKER}-{token}")
-    with open(marker_tmp, "w") as f:
-        json.dump({"token": token, "batches": []}, f)
-    os.replace(marker_tmp, os.path.join(path, _COMPACT_MARKER))  # commit
+    write_commit_marker(path, _COMPACT_MARKER, {"token": token, "batches": []})
     recover_compaction(path)  # roll the committed rewrite forward
     return n_removed

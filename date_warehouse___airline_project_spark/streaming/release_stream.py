@@ -32,7 +32,6 @@ release the batch engine ships.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import uuid
@@ -41,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .ivf_stream import _require_local_path
+from .state_table import recover_marker_commit, write_commit_marker
 
 _STATE_NAMES = ("doc_fps", "para_fps", "gram_fps", "v1_docs")
 _REL_MARKER = "release-compact.commit"
@@ -131,35 +131,27 @@ def recover_release_compaction(path: str) -> None:
     compaction protocol over the four state relations: marker present =
     every merged table was fully written, roll FORWARD (existence-guarded
     renames, re-runnable from any crash point); markerless tmp = roll
-    BACK."""
+    BACK. The mechanics are ``state_table.recover_marker_commit`` — the
+    SAME implementation the IVF index uses, parameterized by this
+    module's multi-relation tmp layout (one ``.release-tmp-<token>``
+    root holding a subdir per relation, removed whole after the swap)."""
     path = _require_local_path(path)
-    marker = os.path.join(path, _REL_MARKER)
-    if os.path.exists(marker):
-        with open(marker) as f:
-            state = json.load(f)
-        token, batches = state["token"], state["batches"]
-        for name in _STATE_NAMES:
-            tmp = os.path.join(path, f".release-tmp-{token}", name)
-            old = os.path.join(path, f".release-old-{token}-{name}")
-            live = os.path.join(path, name)
-            if os.path.isdir(tmp):
-                if os.path.isdir(live) and not os.path.isdir(old):
-                    os.rename(live, old)
-                if not os.path.isdir(live):
-                    os.rename(tmp, live)
-            shutil.rmtree(old, ignore_errors=True)
-        for b in batches:
-            shutil.rmtree(os.path.join(path, "batches", b), ignore_errors=True)
-        shutil.rmtree(
-            os.path.join(path, f".release-tmp-{token}"), ignore_errors=True
-        )
-        os.remove(marker)
-    if os.path.isdir(path):
-        for name in os.listdir(path):
-            if name.startswith(".release-tmp-"):
-                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
-            elif name.startswith(f".{_REL_MARKER}-"):
-                os.remove(os.path.join(path, name))
+    recover_marker_commit(
+        path,
+        _REL_MARKER,
+        names=_STATE_NAMES,
+        tmp_of=lambda token, name: os.path.join(
+            path, f".release-tmp-{token}", name
+        ),
+        old_of=lambda token, name: os.path.join(
+            path, f".release-old-{token}-{name}"
+        ),
+        batches_dir=os.path.join(path, "batches"),
+        extra_cleanup=lambda token: (
+            os.path.join(path, f".release-tmp-{token}"),
+        ),
+        orphan_dir_prefixes=(".release-tmp-",),
+    )
 
 
 def compact_release_state(spark: SparkSession, path: str) -> int:
@@ -198,10 +190,7 @@ def compact_release_state(spark: SparkSession, path: str) -> int:
                 # DISTINCT fingerprints, not total ingested volume
                 merged = merged.distinct()
         merged.write.mode("overwrite").parquet(os.path.join(tmp_root, name))
-    marker_tmp = os.path.join(path, f".{_REL_MARKER}-{token}")
-    with open(marker_tmp, "w") as f:
-        json.dump({"token": token, "batches": batches}, f)
-    os.replace(marker_tmp, os.path.join(path, _REL_MARKER))  # commit
+    write_commit_marker(path, _REL_MARKER, {"token": token, "batches": batches})
     recover_release_compaction(path)
     return len(batches)
 

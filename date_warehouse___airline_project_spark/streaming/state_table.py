@@ -22,14 +22,128 @@ partitions by a coarse time key so a batch rewrites only dirty partitions.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
-from collections.abc import Callable
+from collections.abc import Callable, Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
 _BATCH_ID_FILE = "_last_batch_id"  # underscore-prefixed: parquet readers skip it
+
+
+# ---------------------------------------------------------------------------
+# Marker-file commit protocol (shared by the IVF compaction/takedown, the
+# release-state compaction, and — in its rename-swap form — the shard
+# takedown). One primitive, three thin adapters: the three crash protocols
+# MUST stay behaviorally identical, and three hand-maintained near-copies
+# were the drift risk the round-8 review flagged.
+#
+# Protocol: every replaced relation is fully written to a tmp location,
+# then a marker file {"token": ..., "batches": [...]} is committed via
+# tmp + os.replace — THE commit point. Recovery rolls FORWARD from a
+# marker (existence-guarded renames, re-runnable from any crash point:
+# live → old backup, tmp → live, delete folded batch dirs, delete marker)
+# and rolls BACK from a markerless tmp (delete it — the live relations
+# were never touched). All driver-local by construction; callers guard
+# with ivf_stream._require_local_path.
+# ---------------------------------------------------------------------------
+
+
+def write_commit_marker(path: str, marker: str, payload: dict) -> None:
+    """Atomically commit ``payload`` (must carry ``token``) as the marker
+    file ``<path>/<marker>``. The tmp name embeds the token so an
+    orphaned half-written marker tmp is sweepable by prefix."""
+    marker_tmp = os.path.join(path, f".{marker}-{payload['token']}")
+    with open(marker_tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(marker_tmp, os.path.join(path, marker))  # commit point
+
+
+def recover_marker_commit(
+    path: str,
+    marker: str,
+    names: Sequence[str],
+    tmp_of: Callable[[str, str], str],
+    old_of: Callable[[str, str], str],
+    batches_dir: str | None = None,
+    extra_cleanup: Callable[[str], Iterable[str]] | None = None,
+    orphan_dir_prefixes: Sequence[str] = (),
+) -> None:
+    """Finish (marker present) or undo (markerless tmp) an interrupted
+    marker-file commit over the relations ``names`` living at
+    ``<path>/<name>``. ``tmp_of(token, name)`` / ``old_of(token, name)``
+    map to the adapter's tmp/backup locations (absolute paths);
+    ``batches_dir`` holds the folded ``batch=*`` dirs to delete on
+    roll-forward; ``extra_cleanup(token)`` yields extra paths to remove
+    after the swap (e.g. a shared tmp ROOT whose per-relation subdirs
+    were renamed out); ``orphan_dir_prefixes`` are ``<path>`` entry-name
+    prefixes swept when no marker exists (plus ``.{marker}-`` tmps,
+    always swept). Every step is existence-guarded, so recovery is
+    re-runnable from any crash point — including a crash inside a
+    previous recovery."""
+    mpath = os.path.join(path, marker)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            state = json.load(f)
+        token, batches = state["token"], state["batches"]
+        for name in names:
+            tmp, old = tmp_of(token, name), old_of(token, name)
+            live = os.path.join(path, name)
+            if os.path.isdir(tmp):
+                # swap the merged table live (two renames; re-entrant
+                # from either side of the crash window)
+                if os.path.isdir(live) and not os.path.isdir(old):
+                    os.rename(live, old)
+                if not os.path.isdir(live):
+                    os.rename(tmp, live)
+                else:  # crashed between old-rename and tmp-rename last time
+                    shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+        if batches_dir is not None:
+            for b in batches:
+                shutil.rmtree(os.path.join(batches_dir, b), ignore_errors=True)
+        if extra_cleanup is not None:
+            for p in extra_cleanup(token):
+                shutil.rmtree(p, ignore_errors=True)
+        os.remove(mpath)
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            full = os.path.join(path, name)
+            if any(name.startswith(p) for p in orphan_dir_prefixes):
+                shutil.rmtree(full, ignore_errors=True)
+            elif name.startswith(f".{marker}-"):
+                os.remove(full)  # orphaned half-written marker tmp
+
+
+def recover_rename_swap(
+    root: str,
+    old_prefix: str,
+    tmp_prefix: str,
+    live_of: Callable[[str], str],
+) -> None:
+    """The per-item rename-swap recovery (shard takedown's shape): an
+    ``<old_prefix><token>-<item>`` backup with NO live dir
+    (``live_of(item)``, a dirname under ``root``) means the crash hit
+    between the two renames — roll BACK by restoring the backup (the
+    rewrite is idempotent and re-runnable, so restoring the pre-swap
+    item is always safe); a backup WITH a live dir is post-swap debris —
+    delete it, along with any leftover ``<tmp_prefix>*`` root. ``<item>``
+    is the partition value after the last ``-`` of the backup name."""
+    if not os.path.isdir(root):
+        return
+    for name in os.listdir(root):
+        if name.startswith(old_prefix):
+            item = name.rsplit("-", 1)[1]
+            live = os.path.join(root, live_of(item))
+            old = os.path.join(root, name)
+            if not os.path.isdir(live):
+                os.rename(old, live)  # roll back the half-swapped item
+            else:
+                shutil.rmtree(old, ignore_errors=True)
+        elif name.startswith(tmp_prefix):
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
 
 def last_applied_batch_id(state_dir: str) -> int:
