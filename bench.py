@@ -118,6 +118,7 @@ def main() -> None:
         "emb_ivf_indexed_topk",
         "emb_ivf_cell_drift",  # builds its own drifted index copy
         "doc_release_incremental_update",  # writes the release state dir
+        "emb_ivfpq_indexed_topk",  # r9: builds the persisted IVF-PQ index
     ):
         if name in qs:
             t0 = time.perf_counter()

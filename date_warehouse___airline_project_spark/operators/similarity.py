@@ -761,6 +761,260 @@ def save_ivf_index(
     # codebook stays persisted: it is shared via the kmeans_lloyd memo
 
 
+def pq_sub_assign(
+    subs: DataFrame,
+    cents: DataFrame,
+    carry: tuple = ("label",),
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-L2 code per (vector, subspace) against a broadcast
+    codebook — ties to the lower code. ``subs`` carries ``svec``; output
+    is (id, g, *carry, code). The scoring grid is projected down to
+    (keys, carry, d2) BEFORE the per-vector window so its shuffle never
+    carries the sub-vector/codebook arrays — carry ``svec`` explicitly
+    (training does, on its sample-sized relation) when it's needed
+    post-assignment."""
+    d2 = (
+        dot(F.col("svec"), F.col("svec"))
+        - 2 * dot(F.col("svec"), F.col("cvec"))
+        + dot(F.col("cvec"), F.col("cvec"))
+    )
+    scored = subs.join(F.broadcast(cents.select("g", "code", "cvec")), "g").select(
+        id_col, "g", *carry, "code", d2.alias("d2")
+    )
+    rn = F.row_number().over(W.partitionBy(id_col, "g").orderBy("d2", "code"))
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(id_col, "g", *carry, "code")
+    )
+
+
+def pq_codes_wide(
+    emb: DataFrame,
+    pq_cents: DataFrame,
+    n_sub: int,
+    sub_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    carry: tuple = (),
+) -> DataFrame:
+    """Per-vector PQ codes packed wide — (id, *carry, codes array<int>),
+    codes[g] = nearest sub-quantizer code of subspace g. This is the
+    on-disk shape of a FAISS-style inverted list entry: one row per
+    vector, n_sub small ints, no vector column — the compressed
+    representation ADC search reads instead of the corpus."""
+    gs = F.array(*[F.lit(i) for i in range(n_sub)])
+    subs = emb.select(id_col, *carry, F.explode(gs).alias("g"), vec_col).select(
+        id_col,
+        *carry,
+        "g",
+        F.slice(vec_col, F.col("g") * sub_dim + 1, sub_dim).alias("svec"),
+    )
+    asg = pq_sub_assign(subs, pq_cents, carry=carry, id_col=id_col)
+    return asg.groupBy(id_col, *carry).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("g", "code"))),
+            lambda st: st["code"],
+        ).alias("codes")
+    )
+
+
+def save_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    pq_cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 25,
+    sample_mod: int = 4,
+    iters: int = 2,
+    payload_cols: tuple = (),
+) -> None:
+    """Persist a trained IVF-PQ index: the ``save_ivf_index`` layout with
+    per-vector PQ codes stored INSIDE the assignments relation —
+    ``<path>/assignments`` rows are (id, *payload, codes, centroid_id),
+    exactly a FAISS inverted-list entry (id + packed codes per cell).
+    Adds ``<path>/pq_codebook`` (g, code, cvec — the sub-quantizer
+    codebooks, supplied trained by the caller) and ``<path>/pq_meta``
+    (n_sub, sub_dim — 1 row, so search/append need no configuration).
+
+    Storing codes in the assignment rows (not a parallel table) means the
+    ENTIRE persisted-index lifecycle — streaming appends, compaction,
+    takedown, crash recovery (``streaming/ivf_stream.py``) — applies to
+    the code table with zero new protocol: it IS the same relation,
+    partitioned by ``centroid_id`` so an nprobe probe reads only its
+    cells' codes. At 100 TB the codes column is n_sub ints per vector vs
+    the full float vector — the ~100x compression that makes the probed
+    cells driver-of-cost instead of the corpus scan.
+
+    Production lifecycle: train + assign + encode ONCE here; every
+    search session runs ``ivfpq_topk_indexed`` (probe → pruned code scan
+    → ADC → exact re-rank of the shortlist only)."""
+    spark = emb.sparkSession
+    cents = kmeans_lloyd(emb, id_col, vec_col, centroid_mod, sample_mod, iters)
+    cents.write.mode("overwrite").parquet(f"{path}/codebook")
+    pq_cents.write.mode("overwrite").parquet(f"{path}/pq_codebook")
+    meta = pq_cents.agg(
+        F.countDistinct("g").cast("int").alias("n_sub"),
+        F.max(F.size("cvec")).cast("int").alias("sub_dim"),
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_meta")
+    mrow = spark.read.parquet(f"{path}/pq_meta").collect()[0]  # 1-row fold
+    assigned = assign_to_centroids(
+        emb.repartition(spark.sparkContext.defaultParallelism),
+        cents,
+        id_col,
+        vec_col,
+        impl="arrow",
+    )
+    codes = pq_codes_wide(
+        emb,
+        pq_cents,
+        mrow["n_sub"],
+        mrow["sub_dim"],
+        id_col,
+        vec_col,
+        carry=tuple(payload_cols),
+    )
+    (
+        assigned.select(id_col, "centroid_id")
+        .join(codes, id_col)
+        .select(id_col, *payload_cols, "codes", "centroid_id")
+        .repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/assignments")
+    )
+    (
+        spark.read.parquet(f"{path}/assignments")
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n_train"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/cell_stats")
+    )
+
+
+def ivfpq_topk_indexed(
+    emb: DataFrame,
+    path: str,
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF-PQ index (``save_ivfpq_index``) — no
+    training, no corpus-wide scoring: probe the coarse codebook for the
+    query's ``nprobe`` cells, read ONLY those cells' (id, codes)
+    partitions, score them in the compressed domain via one broadcast
+    n_sub x K ADC table of query-side dots, then exact-cosine re-rank
+    just the top-``rerank`` shortlist against the raw vectors. The fold
+    shapes (per-g max-when pivot, fixed-order sum, desc/id tie-breaks)
+    are identical to the in-session ``emb_ivfpq_trained_topk`` pipeline,
+    so the persisted search is bit-equal to the from-scratch one."""
+    spark = emb.sparkSession
+    cents = spark.read.parquet(f"{path}/codebook")
+    pq = spark.read.parquet(f"{path}/pq_codebook")
+    mrow = spark.read.parquet(f"{path}/pq_meta").collect()[0]
+    n_sub, sub_dim = mrow["n_sub"], mrow["sub_dim"]
+    asg = spark.read.parquet(f"{path}/assignments")
+    payload = [c for c in asg.columns if c not in (id_col, "codes", "centroid_id")]
+    qvec = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
+    probe = (
+        cents.crossJoin(F.broadcast(qvec))
+        .withColumn("_cos_q", cosine(F.col("_cvec"), F.col("qv")))
+        .orderBy(F.desc("_cos_q"), F.asc("_cid"))
+        .limit(nprobe)
+        .select(F.col("_cid").alias("centroid_id"))
+    )
+    hits = asg.join(F.broadcast(probe), "centroid_id", "left_semi").filter(
+        F.col(id_col) != query_id
+    )
+    adc = pq.crossJoin(F.broadcast(qvec)).select(
+        "g",
+        "code",
+        dot(F.slice("qv", F.col("g") * sub_dim + 1, sub_dim), F.col("cvec")).alias("w"),
+    )
+    expl = hits.select(id_col, *payload, F.posexplode("codes").alias("g", "code"))
+    appx = (
+        expl.join(F.broadcast(adc), ["g", "code"])
+        .groupBy(id_col, *payload)
+        .agg(*[
+            F.max(F.when(F.col("g") == i, F.col("w"))).alias(f"w{i}")
+            for i in range(n_sub)
+        ])
+    )
+    approx = F.col("w0")
+    for i in range(1, n_sub):
+        approx = approx + F.col(f"w{i}")
+    cand = (
+        appx.select(id_col, *payload, approx.alias("approx_dot"))
+        .orderBy(F.desc("approx_dot"), id_col)
+        .limit(rerank)
+    )
+    return (
+        F.broadcast(cand)
+        .join(emb.select(id_col, vec_col), id_col)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            id_col,
+            *payload,
+            F.round("approx_dot", 6).alias("approx_dot"),
+            F.round(cosine(F.col(vec_col), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def index_batch_rows(
+    spark: SparkSession,
+    path: str,
+    emb_new: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """New-vector rows in the persisted index's OWN assignments schema:
+    frozen-codebook coarse assignment always; frozen sub-quantizer codes
+    (+ the index's payload columns, taken from ``emb_new``) when the
+    index is IVF-PQ. Shared by the batch append and the streaming
+    micro-batch append so the two paths cannot diverge — and so every
+    maintenance entry point transparently upgrades when pointed at a PQ
+    index."""
+    base_cols = spark.read.parquet(f"{path}/assignments").columns
+    payload = [c for c in base_cols if c not in (id_col, "codes", "centroid_id")]
+    cents = spark.read.parquet(f"{path}/codebook")
+    assigned = assign_to_centroids(
+        emb_new.select(id_col, vec_col).repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+        cents,
+        id_col,
+        vec_col,
+        impl="arrow",
+    )
+    if "codes" not in base_cols:
+        return assigned.select(id_col, "centroid_id")
+    mrow = spark.read.parquet(f"{path}/pq_meta").collect()[0]
+    codes = pq_codes_wide(
+        emb_new,
+        spark.read.parquet(f"{path}/pq_codebook"),
+        mrow["n_sub"],
+        mrow["sub_dim"],
+        id_col,
+        vec_col,
+        carry=tuple(payload),
+    )
+    return (
+        assigned.select(id_col, "centroid_id")
+        .join(codes, id_col)
+        .select(id_col, *payload, "codes", "centroid_id")
+    )
+
+
 def ivf_topk_indexed(
     emb: DataFrame,
     path: str,
@@ -825,20 +1079,15 @@ def append_to_ivf_index(
     ``sources.sinks.compact_parquet``. Frozen-codebook assignment is
     exactly what a from-scratch ``save_ivf_index`` over the union corpus
     would compute for these rows (same centroids → same argmax), pinned
-    by the append-equals-rebuild test.
+    by the append-equals-rebuild test. On an IVF-PQ index
+    (``save_ivfpq_index``) the appended rows carry frozen-sub-quantizer
+    codes and the index's payload columns too (``index_batch_rows``), so
+    the code table stays complete under appends with no extra protocol.
     """
     spark = emb_new.sparkSession
-    cents = spark.read.parquet(f"{path}/codebook")
-    assigned = assign_to_centroids(
-        emb_new.repartition(spark.sparkContext.defaultParallelism),
-        cents,
-        id_col,
-        vec_col,
-        impl="arrow",
-    )
+    rows = index_batch_rows(spark, path, emb_new, id_col, vec_col)
     (
-        assigned.select(id_col, "centroid_id")
-        .repartition("centroid_id")
+        rows.repartition("centroid_id")
         .write.mode("append")
         .partitionBy("centroid_id")
         .parquet(f"{path}/assignments")

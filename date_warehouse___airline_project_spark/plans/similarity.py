@@ -637,31 +637,12 @@ def _pq_cents_fixed(e: DataFrame) -> DataFrame:
 def _pq_sub_assign(
     subs: DataFrame, cents: DataFrame, carry: tuple = ("label",)
 ) -> DataFrame:
-    """Nearest-L2 code per (vector, subspace) against a broadcast
-    codebook — ties to the lower code. ``subs`` carries ``svec``; output
-    is (vec_id, g, *carry, code). The scoring grid is projected down to
-    (keys, carry, d2) BEFORE the per-vector window so its shuffle never
-    carries the sub-vector/codebook arrays — carry ``svec`` explicitly
-    (training does, on its sample-sized relation) when it's needed
-    post-assignment."""
-    from pyspark.sql import Window
+    """Moved to ``operators.similarity.pq_sub_assign`` (the persisted
+    IVF-PQ index encodes vectors with the same fold); this alias keeps
+    the plan-side call sites unchanged."""
+    from ..operators.similarity import pq_sub_assign
 
-    d2 = (
-        dot(F.col("svec"), F.col("svec"))
-        - 2 * dot(F.col("svec"), F.col("cvec"))
-        + dot(F.col("cvec"), F.col("cvec"))
-    )
-    scored = subs.join(F.broadcast(cents.select("g", "code", "cvec")), "g").select(
-        "vec_id", "g", *carry, "code", d2.alias("d2")
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("vec_id", "g").orderBy("d2", "code")
-    )
-    return (
-        scored.withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "g", *carry, "code")
-    )
+    return pq_sub_assign(subs, cents, carry=carry)
 
 
 def _pq_adc_candidates(e: DataFrame, cents: DataFrame, q: DataFrame) -> DataFrame:
@@ -2639,6 +2620,38 @@ def emb_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "emb_ivfpq_indexed_topk",
+    oracle=_IVFPQ_TRAINED_ORACLE,
+    doc="PERSISTED trained IVF-PQ search — the production ANN serving "
+    "shape emb_ivfpq_trained_topk stops short of: the index "
+    "(save_ivfpq_index: trained coarse codebook, trained sub-quantizer "
+    "codebooks, and per-vector PQ CODES stored inside the centroid-"
+    "partitioned assignment rows, FAISS-inverted-list style) is built "
+    "ONCE per corpus and searches read codes from disk — probe 2 cells, "
+    "partition-pruned (id, codes) scan, broadcast ADC table, exact "
+    "re-rank of the top-50 shortlist only. No retraining, no corpus "
+    "reassignment per session; every quantization/fold/tie-break is "
+    "identical to the from-scratch pipeline, so the oracle is "
+    "emb_ivfpq_trained_topk's verbatim. The code table rides the full "
+    "index lifecycle (streaming appends, compaction, takedown, crash "
+    "recovery) because it IS the assignments relation.",
+)
+def emb_ivfpq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivfpq_topk_indexed, save_ivfpq_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir, 25, 4, 2, "ivfpq")
+    path = _IVF_INDEX_MEMO.get(key)
+    if path is None:
+        path = session_tmpdir("spark_graft_ivfpq_index_")
+        save_ivfpq_index(
+            e, path, _pq_cents_trained(e), payload_cols=("label",)
+        )
+        _IVF_INDEX_MEMO[key] = path
+    return ivfpq_topk_indexed(e, path, query_id=0, k=10, nprobe=2, rerank=50)
 
 
 # ---------------------------------------------------------------------------

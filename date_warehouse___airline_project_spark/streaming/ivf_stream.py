@@ -115,27 +115,21 @@ def apply_ivf_append_batch(
     ``appends/batch=<batch_id>``. Re-applying an existing batch id is a
     no-op; an empty batch writes nothing (nothing to guard — the
     checkpoint already owns source progress)."""
-    from ..operators.similarity import assign_to_centroids
+    from ..operators.similarity import index_batch_rows
 
     path = _require_local_path(path, spark)
     bdir = f"{path}/appends/batch={batch_id}"
     if os.path.exists(bdir):
         return  # redelivered batch — already fully applied
-    rows = batch_df.select(id_col, vec_col)
-    if rows.isEmpty():
+    if batch_df.isEmpty():
         return
-    cents = spark.read.parquet(f"{path}/codebook")
-    assigned = assign_to_centroids(
-        rows.repartition(spark.sparkContext.defaultParallelism),
-        cents,
-        id_col,
-        vec_col,
-        impl="arrow",
-    )
+    # index_batch_rows matches the index's own assignments schema: coarse
+    # assignment always, + frozen PQ codes and payload columns when the
+    # index is IVF-PQ — the stream path cannot diverge from the batch one
+    rows = index_batch_rows(spark, path, batch_df, id_col, vec_col)
     tmp = f"{path}/appends/.tmp-{batch_id}-{uuid.uuid4().hex[:8]}"
     (
-        assigned.select(id_col, "centroid_id")
-        .repartition("centroid_id")
+        rows.repartition("centroid_id")
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(tmp)

@@ -2366,3 +2366,98 @@ def test_release_reader_recovers_interrupted_compaction(spark, tmp_path):
     assert got == want  # no double-counted batch docs
     assert not os.path.exists(f"{path}/batches/batch=0")
     assert not os.path.exists(f"{path}/{_REL_MARKER}")
+
+
+def _ivfpq_fixture(spark, tmp_path, name):
+    """Small persisted IVF-PQ index over the sf0.001 embeddings, with a
+    shifted-id append batch carrying the index's payload column."""
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        save_ivfpq_index,
+    )
+    from date_warehouse___airline_project_spark.plans.similarity import (
+        _pq_cents_trained,
+    )
+    from date_warehouse___airline_project_spark.sources.catalog import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / name)
+    save_ivfpq_index(
+        e, path, _pq_cents_trained(e), payload_cols=("label",)
+    )
+    new = e.filter("vec_id % 3 = 1").selectExpr(
+        "vec_id + 1000000 AS vec_id", "embedding", "label"
+    )
+    return e, path, new
+
+
+def test_ivfpq_index_lifecycle_covers_codes(spark, tmp_path):
+    """The PQ code table IS the assignments relation, so appends,
+    compaction, and takedown must all keep it complete and consistent:
+    appended rows carry frozen-codebook codes identical to a from-scratch
+    rebuild over the union corpus; compaction preserves the relation
+    row-for-row; takedown deletes the listed rows' codes with them."""
+    import os
+
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivfpq_topk_indexed,
+    )
+    from date_warehouse___airline_project_spark.streaming.ivf_stream import (
+        apply_ivf_append_batch,
+        compact_ivf_appends,
+        ivf_assignments_with_appends,
+        remove_from_ivf_index,
+    )
+
+    e, path, new = _ivfpq_fixture(spark, tmp_path, "ivfpq")
+    asg = spark.read.parquet(f"{path}/assignments")
+    assert set(asg.columns) == {"vec_id", "label", "codes", "centroid_id"}
+    n0 = asg.count()
+    assert asg.filter("codes IS NULL OR size(codes) = 0").count() == 0
+
+    # --- batch append: every appended row carries frozen-codebook codes.
+    # The appended vectors are byte-copies of existing ones under shifted
+    # ids, so frozen-codebook assignment must give each appended row
+    # EXACTLY its source row's (codes, centroid_id) — the source rows
+    # being certified by the oracle-backed build.
+    append_to_ivf_index(new, path)
+    after = spark.read.parquet(f"{path}/assignments")
+    assert after.count() == n0 + new.count()
+    key = lambda df: sorted(
+        (r["vec_id"], r["label"], tuple(r["codes"]), r["centroid_id"])
+        for r in df.collect()
+    )
+    appended = after.filter("vec_id >= 1000000").selectExpr(
+        "vec_id - 1000000 AS vec_id", "label", "codes", "centroid_id"
+    )
+    sources = after.filter(
+        "vec_id < 1000000 AND vec_id % 3 = 1"
+    )
+    assert key(appended) == key(sources)
+
+    # --- streaming micro-batch append rides the same schema
+    new2 = e.filter("vec_id % 5 = 2").selectExpr(
+        "vec_id + 2000000 AS vec_id", "embedding", "label"
+    )
+    apply_ivf_append_batch(spark, path, new2, 0)
+    with_appends = ivf_assignments_with_appends(spark, path)
+    assert set(with_appends.columns) == {"vec_id", "label", "codes", "centroid_id"}
+    rel = key(with_appends)
+
+    # --- compaction folds the batch dir, preserving rows + codes exactly
+    assert compact_ivf_appends(spark, path) == 1
+    assert not os.path.isdir(f"{path}/appends/batch=0")
+    assert key(spark.read.parquet(f"{path}/assignments")) == rel
+
+    # --- takedown deletes the listed rows' codes with them, and search
+    # off the persisted codes never returns a removed id
+    victims = [r["vec_id"] for r in ivfpq_topk_indexed(
+        e, path, query_id=0, k=3, nprobe=2
+    ).collect()]
+    td = spark.createDataFrame([(v,) for v in victims], "vec_id bigint")
+    assert remove_from_ivf_index(spark, path, td) == len(victims)
+    left = spark.read.parquet(f"{path}/assignments")
+    assert left.filter(F.col("vec_id").isin(victims)).count() == 0
+    hits = ivfpq_topk_indexed(e, path, query_id=0, k=10, nprobe=2).collect()
+    assert not set(victims) & {r["vec_id"] for r in hits}
+    assert len(hits) == 10
