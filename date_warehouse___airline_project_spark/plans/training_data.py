@@ -2480,6 +2480,42 @@ def write_release_state(old: DataFrame, path: str) -> None:
         "overwrite"
     ).parquet(f"{path}/gram_fps")
     v1.write.mode("overwrite").parquet(f"{path}/v1_docs")
+    # ingest watermark: the append-only doc_id invariant the keep-min fold
+    # DEPENDS on is recorded so later folds can enforce it instead of
+    # assuming it (a backfilled lower doc_id would silently ship the
+    # wrong canonical — reject it loudly at the gate)
+    mx = old.agg(F.max("doc_id").alias("m")).collect()[0]["m"]  # 1-row fold
+    write_ingest_watermark(path, -1 if mx is None else int(mx))
+
+
+_WATERMARK_FILE = "_max_doc_id"  # underscore-prefixed: parquet readers skip it
+
+
+def write_ingest_watermark(path: str, max_doc_id: int) -> None:
+    """Record the highest ingested doc_id under ``path`` (atomic local
+    replace — ``state_table.write_watermark``)."""
+    import os
+
+    from ..streaming.state_table import write_watermark
+
+    write_watermark(os.path.join(path, _WATERMARK_FILE), max_doc_id)
+
+
+def read_ingest_watermark(path: str) -> int:
+    """Highest ingested doc_id recorded at ``path``; -1 when absent."""
+    import os
+
+    from ..streaming.state_table import read_watermark
+
+    return read_watermark(os.path.join(path, _WATERMARK_FILE))
+
+
+def guard_append_only(new: DataFrame, watermark: int) -> int:
+    """``state_table.guard_append_only`` over doc_id — see there. Kept as
+    an alias so the release-side call sites read domain-first."""
+    from ..streaming.state_table import guard_append_only as _guard
+
+    return _guard(new, watermark, id_col="doc_id")
 
 
 def fold_batch_released(
@@ -2537,6 +2573,7 @@ def incremental_release_assignment(
     reruns over released-docs-sized rows only. Bit-equal to a full
     recompute under the append-only doc_id invariant (see
     write_release_state)."""
+    guard_append_only(new, read_ingest_watermark(path))
     _, _, final_new = fold_batch_released(
         new,
         spark.read.parquet(f"{path}/doc_fps"),
@@ -2782,13 +2819,18 @@ def recover_shard_takedown(out_dir: str) -> None:
 
 
 def apply_takedown_to_shards(
-    spark: SparkSession, out_dir: str, takedown_mod: int = _TD_MOD
+    spark: SparkSession,
+    out_dir: str,
+    takedown_mod: int = _TD_MOD,
+    takedown_ids: DataFrame | None = None,
 ) -> list[int]:
     """Surgical takedown over WRITTEN release shards: remove the listed
-    docs (h56(doc_id) % takedown_mod == 0 — the same deterministic stand-
-    in as doc_release_takedown_diff) from the shard files, rewriting ONLY
-    the shards that actually change and leaving every clean shard's files
-    untouched — at 100 TB the diff's changed=0 rows are shards the
+    docs — ``takedown_ids`` (a doc_id DataFrame: the real compliance-list
+    shape, and what the takedown STREAM feeds per micro-batch) or, when
+    None, the deterministic h56(doc_id) % takedown_mod == 0 stand-in
+    doc_release_takedown_diff predicts — from the shard files, rewriting
+    ONLY the shards that actually change and leaving every clean shard's
+    files untouched — at 100 TB the diff's changed=0 rows are shards the
     shipper never reads, never rewrites, never re-uploads. Positions
     re-rank within each changed shard (same order, minus the removed
     rows); each shard swaps via tmp dir + two renames, and
@@ -2807,18 +2849,23 @@ def apply_takedown_to_shards(
     files = spark.read.parquet(out_dir).withColumn(
         "shard", F.col("shard").cast("bigint")
     )
-    listed = files.filter(_hash56(F.col("doc_id")) % takedown_mod == 0)
+    if takedown_ids is not None:
+        ids = takedown_ids.select(F.col("doc_id").cast("bigint")).distinct()
+        listed = files.join(ids, "doc_id", "semi")
+    else:
+        listed = files.filter(_hash56(F.col("doc_id")) % takedown_mod == 0)
     changed = sorted(
         r["shard"] for r in listed.select("shard").distinct().collect()
     )
     if not changed:
         return []
     w = W.partitionBy("shard").orderBy("pos")
-    kept = (
-        files.filter(F.col("shard").isin([int(s) for s in changed]))
-        .filter(_hash56(F.col("doc_id")) % takedown_mod != 0)
-        .withColumn("pos", F.row_number().over(w).cast("bigint"))
-    )
+    in_changed = files.filter(F.col("shard").isin([int(s) for s in changed]))
+    if takedown_ids is not None:
+        surviving = in_changed.join(ids, "doc_id", "left_anti")
+    else:
+        surviving = in_changed.filter(_hash56(F.col("doc_id")) % takedown_mod != 0)
+    kept = surviving.withColumn("pos", F.row_number().over(w).cast("bigint"))
     token = uuid.uuid4().hex[:8]
     tmp = os.path.join(out_dir, f".takedown-tmp-{token}")
     (

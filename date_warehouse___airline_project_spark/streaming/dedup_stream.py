@@ -33,7 +33,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .state_table import fold_into_state, last_applied_batch_id, recover_state
+from .state_table import (
+    fold_into_state,
+    guard_append_only,
+    last_applied_batch_id,
+    read_watermark,
+    recover_state,
+    write_watermark,
+)
 
 
 def content_fingerprint(text_col: str = "text"):
@@ -104,6 +111,12 @@ def run_incremental_dedup_stream(
         recover_state(state_dir)
         if batch_id <= last_applied_batch_id(state_dir):
             return
+        # enforce the append-only doc_id invariant: first-arrival-wins
+        # state only matches the batch operator's keep-min semantics when
+        # batches arrive in doc_id order — reject a backfill loudly
+        # instead of silently crowning the wrong canonical
+        wm_file = f"{state_dir}.max_doc_id"
+        batch_hi = guard_append_only(batch_df, read_watermark(wm_file))
         state = (
             spark.read.parquet(state_dir) if os.path.exists(state_dir) else None
         )
@@ -119,6 +132,9 @@ def run_incremental_dedup_stream(
             accepted.select("fp").distinct(),
             merge_fingerprints,
         )
+        # after the fold: a crash here redelivers the batch, whose id
+        # guard skips it — the watermark then advances on the next batch
+        write_watermark(wm_file, batch_hi)
 
     writer = (
         raw.writeStream.foreachBatch(process_batch)
@@ -212,6 +228,8 @@ def run_incremental_paragraph_dedup_stream(
         recover_state(state_dir)
         if batch_id <= last_applied_batch_id(state_dir):
             return
+        wm_file = f"{state_dir}.max_doc_id"
+        batch_hi = guard_append_only(batch_df, read_watermark(wm_file))
         state = (
             spark.read.parquet(state_dir) if os.path.exists(state_dir) else None
         )
@@ -226,6 +244,7 @@ def run_incremental_paragraph_dedup_stream(
             accepted.select("pfp").distinct(),
             merge_fingerprints,
         )
+        write_watermark(wm_file, batch_hi)
 
     writer = (
         raw.writeStream.foreachBatch(process_batch)

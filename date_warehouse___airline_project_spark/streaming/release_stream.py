@@ -67,6 +67,23 @@ def release_state_rel(spark: SparkSession, path: str, name: str) -> DataFrame:
     return base.unionByName(spark.read.parquet(*parts).select(*base.columns))
 
 
+def streamed_watermark(path: str) -> int:
+    """Highest ingested doc_id across the base state and every committed
+    batch delta — the guard bound for the next micro-batch. Batch dirs
+    carry their own watermark file (written inside the atomic rename);
+    compaction folds them into the base file before deleting the dirs,
+    so the bound never regresses across a compaction."""
+    from ..plans.training_data import read_ingest_watermark
+
+    wm = read_ingest_watermark(path)
+    bdir = os.path.join(path, "batches")
+    if os.path.isdir(bdir):
+        for b in os.listdir(bdir):
+            if b.startswith("batch="):
+                wm = max(wm, read_ingest_watermark(os.path.join(bdir, b)))
+    return wm
+
+
 def apply_release_batch(
     spark: SparkSession, path: str, batch: DataFrame, batch_id: int
 ) -> None:
@@ -81,7 +98,11 @@ def apply_release_batch(
     in a non-keeper doc. The batch's delta — ALL its doc fingerprints,
     its newly-introduced paragraph/gram fingerprints, and its released
     docs — lands in one atomically-renamed ``batch=<id>`` dir."""
-    from ..plans.training_data import fold_batch_released
+    from ..plans.training_data import (
+        fold_batch_released,
+        guard_append_only,
+        write_ingest_watermark,
+    )
 
     path = _require_local_path(path, spark)
     recover_release_compaction(path)
@@ -94,6 +115,13 @@ def apply_release_batch(
     for name in os.listdir(bdir):
         if name.startswith(".tmp-"):
             shutil.rmtree(os.path.join(bdir, name), ignore_errors=True)
+
+    # enforce (not assume) the append-only doc_id invariant the keep-min
+    # fold depends on: watermark = max over the base state and every
+    # committed batch delta; a lower/equal doc_id in this batch is a
+    # backfill and must be rejected loudly (retraction path or full
+    # recompute), never folded silently
+    batch_hi = guard_append_only(batch, streamed_watermark(path))
 
     kpn, gramsn, final_new = fold_batch_released(
         batch,
@@ -113,6 +141,7 @@ def apply_release_batch(
         f"{tmp}/gram_fps"
     )
     final_new.write.parquet(f"{tmp}/v1_docs")
+    write_ingest_watermark(tmp, batch_hi)  # rides the batch's atomic rename
     os.rename(tmp, final_dir)  # commit point
 
 
@@ -190,6 +219,13 @@ def compact_release_state(spark: SparkSession, path: str) -> int:
                 # DISTINCT fingerprints, not total ingested volume
                 merged = merged.distinct()
         merged.write.mode("overwrite").parquet(os.path.join(tmp_root, name))
+    # fold the batch watermarks into the base file BEFORE the commit:
+    # the guard bound must survive the batch dirs' deletion, and a
+    # watermark only ever advances, so persisting it early is safe even
+    # if the compaction rolls back
+    from ..plans.training_data import write_ingest_watermark
+
+    write_ingest_watermark(path, streamed_watermark(path))
     write_commit_marker(path, _REL_MARKER, {"token": token, "batches": batches})
     recover_release_compaction(path)
     return len(batches)

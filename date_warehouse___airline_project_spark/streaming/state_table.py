@@ -29,8 +29,55 @@ import uuid
 from collections.abc import Callable, Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _BATCH_ID_FILE = "_last_batch_id"  # underscore-prefixed: parquet readers skip it
+
+
+def read_watermark(file_path: str) -> int:
+    """Monotone ingest watermark recorded at ``file_path``; -1 when absent
+    (a pre-watermark state: the guard degrades to permissive rather than
+    rejecting valid appends)."""
+    if os.path.exists(file_path):
+        with open(file_path, encoding="ascii") as f:
+            return int(f.read().strip())
+    return -1
+
+
+def write_watermark(file_path: str, value: int) -> None:
+    """Atomically record the watermark (tmp + ``os.replace``, same
+    discipline as the batch-id file)."""
+    tmp = f"{file_path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="ascii") as f:
+        f.write(str(value))
+    os.replace(tmp, file_path)
+
+
+def guard_append_only(
+    batch: DataFrame, watermark: int, id_col: str = "doc_id"
+) -> int:
+    """Enforce (not assume) the append-only id invariant every keep-min /
+    first-arrival-wins incremental fold in this package depends on: all
+    ids in the batch must EXCEED the recorded watermark. Returns the
+    batch max (for advancing the watermark); raises on violation — a
+    late-arriving lower id (backfill, replayed partition) folded silently
+    would crown the wrong canonical. Backfills need a retraction-emitting
+    revision or a full recompute, not this fold."""
+    row = batch.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).collect()[0]  # one batch-sized fold, 1 row
+    if row["lo"] is None:
+        return watermark  # empty batch
+    if int(row["lo"]) <= watermark:
+        raise ValueError(
+            f"out-of-order ingest batch: {id_col} {row['lo']} <= recorded "
+            f"watermark {watermark}. The incremental fold is exact ONLY "
+            f"under append-only ids (keep-min keeper semantics); folding "
+            f"this batch would silently ship the wrong canonical. "
+            f"Backfills must go through a full recompute or a "
+            f"retraction-emitting revision, not this fold."
+        )
+    return int(row["hi"])
 
 
 # ---------------------------------------------------------------------------

@@ -2461,3 +2461,203 @@ def test_ivfpq_index_lifecycle_covers_codes(spark, tmp_path):
     hits = ivfpq_topk_indexed(e, path, query_id=0, k=10, nprobe=2).collect()
     assert not set(victims) & {r["vec_id"] for r in hits}
     assert len(hits) == 10
+
+
+def test_takedown_stream_equals_batch_ivf(spark, tmp_path):
+    """Streaming the takedown list in two micro-batches must land the
+    exact post-takedown index the one-shot batch removal produces, and a
+    redelivered batch id must be skipped by the progress guard."""
+    from date_warehouse___airline_project_spark.streaming.ivf_stream import (
+        remove_from_ivf_index,
+    )
+    from date_warehouse___airline_project_spark.streaming.takedown_stream import (
+        apply_ivf_takedown_batch,
+        run_ivf_takedown_stream,
+    )
+
+    _, batch_path, _ = _ivf_fixture(spark, tmp_path, "td_batch")
+    _, stream_path, _ = _ivf_fixture(spark, tmp_path, "td_stream")
+    td_ids = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(f"{batch_path}/assignments")
+        .filter("vec_id % 7 = 3")
+        .select("vec_id")
+        .collect()
+    )  # materialize: the removal rewrites the files a lazy td would re-read
+    td = spark.createDataFrame([(v,) for v in td_ids], "vec_id long")
+    n = remove_from_ivf_index(spark, batch_path, td)
+    assert n > 0
+
+    in_dir = tmp_path / "td_in"
+    in_dir.mkdir()
+    td.filter("vec_id % 2 = 0").coalesce(1).write.parquet(str(in_dir / "b0"))
+    td.filter("vec_id % 2 = 1").coalesce(1).write.parquet(str(in_dir / "b1"))
+    feed = (
+        spark.readStream.schema("vec_id LONG")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(in_dir))
+    )
+    q = run_ivf_takedown_stream(feed, stream_path, str(tmp_path / "td_ckpt"))
+    q.awaitTermination(120)
+
+    key = lambda p: sorted(
+        tuple(r) for r in spark.read.parquet(f"{p}/assignments").collect()
+    )
+    assert key(stream_path) == key(batch_path)
+
+    # redelivered batch id: progress guard skips (returns 0 removed)
+    assert apply_ivf_takedown_batch(spark, stream_path, td, 0) == 0
+    assert key(stream_path) == key(batch_path)
+    # a NEW batch id applies exactly once
+    more_ids = [
+        r["vec_id"]
+        for r in spark.read.parquet(f"{stream_path}/assignments")
+        .filter("vec_id % 11 = 5")
+        .collect()
+    ]
+    more = spark.createDataFrame([(v,) for v in more_ids], "vec_id long")
+    got = apply_ivf_takedown_batch(spark, stream_path, more, 99)
+    assert got == len(more_ids) > 0
+
+
+def test_takedown_stream_equals_batch_shards(spark, tmp_path):
+    """Same contract over the written release shards: two streamed
+    micro-batches == one batch id-list takedown, and the id-list path
+    itself ties out with the mod-predicate path it generalizes."""
+    from date_warehouse___airline_project_spark.plans.training_data import (
+        apply_takedown_to_shards,
+        write_release_shards,
+    )
+    from date_warehouse___airline_project_spark.streaming.takedown_stream import (
+        apply_shard_takedown_batch,
+        run_shard_takedown_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch_out = str(tmp_path / "rel_batch")
+    stream_out = str(tmp_path / "rel_stream")
+    mod_out = str(tmp_path / "rel_mod")
+    for out in (batch_out, stream_out, mod_out):
+        write_release_shards(spark, sf, out)
+
+    from date_warehouse___airline_project_spark.functions.hashing import hash56
+    td_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(batch_out)
+        .filter(hash56(F.col("doc_id")) % 17 == 0)
+        .select("doc_id")
+        .collect()
+    )  # materialize: the takedown rewrites the files a lazy td would re-read
+    assert td_ids
+    td = spark.createDataFrame([(v,) for v in td_ids], "doc_id long")
+
+    # id-list batch path == mod-predicate batch path for the same set
+    changed_ids = apply_takedown_to_shards(spark, batch_out, takedown_ids=td)
+    changed_mod = apply_takedown_to_shards(spark, mod_out, takedown_mod=17)
+    assert changed_ids == changed_mod
+    key = lambda p: sorted(tuple(r) for r in spark.read.parquet(p).collect())
+    assert key(batch_out) == key(mod_out)
+
+    # stream in two micro-batches == the one-shot batch takedown
+    in_dir = tmp_path / "rel_in"
+    in_dir.mkdir()
+    td.filter("doc_id % 2 = 0").coalesce(1).write.parquet(str(in_dir / "b0"))
+    td.filter("doc_id % 2 = 1").coalesce(1).write.parquet(str(in_dir / "b1"))
+    feed = (
+        spark.readStream.schema("doc_id LONG")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(in_dir))
+    )
+    q = run_shard_takedown_stream(feed, stream_out, str(tmp_path / "rel_ckpt"))
+    q.awaitTermination(120)
+    assert key(stream_out) == key(batch_out)
+
+    # redelivered batch id: progress guard skips (no shard rewritten)
+    assert apply_shard_takedown_batch(spark, stream_out, td, 0) == []
+    assert key(stream_out) == key(batch_out)
+
+
+def test_release_out_of_order_batch_rejected(spark, tmp_path):
+    """A late-arriving LOWER doc_id (backfill / replayed partition) must
+    be rejected LOUDLY: the keep-min fold is exact only under append-only
+    doc_ids, and folding the batch would silently ship a wrong canonical.
+    The guard bound must also survive compaction (batch watermarks fold
+    into the base file before the batch dirs are deleted)."""
+    import pytest
+
+    from date_warehouse___airline_project_spark.plans.training_data import (
+        incremental_release_assignment,
+        write_release_state,
+    )
+    from date_warehouse___airline_project_spark.streaming.release_stream import (
+        apply_release_batch,
+        compact_release_state,
+        streamed_watermark,
+    )
+    from date_warehouse___airline_project_spark.sources.catalog import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    state = str(tmp_path / "rel_state")
+    write_release_state(d.filter("doc_id < 300"), state)
+    wm0 = streamed_watermark(state)
+    assert 0 <= wm0 < 300
+
+    # batch-side fold: a batch overlapping the state must raise
+    with pytest.raises(ValueError, match="out-of-order ingest batch"):
+        incremental_release_assignment(
+            spark, state, d.filter("doc_id >= 250 AND doc_id < 350")
+        )
+
+    # streaming side: in-order batch folds; watermark advances with it
+    apply_release_batch(spark, state, d.filter("doc_id >= 300 AND doc_id < 400"), 0)
+    assert streamed_watermark(state) > wm0
+
+    # an out-of-order micro-batch (doc_id <= watermark) must raise and
+    # must NOT land a batch dir
+    import os
+
+    with pytest.raises(ValueError, match="out-of-order ingest batch"):
+        apply_release_batch(
+            spark, state, d.filter("doc_id >= 350 AND doc_id < 420"), 1
+        )
+    assert not os.path.isdir(os.path.join(state, "batches", "batch=1"))
+
+    # the bound survives compaction: fold batch=0 into base, then the
+    # same late batch is still rejected off the base watermark alone
+    assert compact_release_state(spark, state) == 1
+    with pytest.raises(ValueError, match="out-of-order ingest batch"):
+        apply_release_batch(
+            spark, state, d.filter("doc_id >= 350 AND doc_id < 420"), 2
+        )
+
+    # and a genuinely newer batch still folds fine post-compaction
+    apply_release_batch(spark, state, d.filter("doc_id >= 400 AND doc_id < 450"), 3)
+    assert streamed_watermark(state) >= 449 or streamed_watermark(state) > 400
+
+
+def test_guard_append_only_primitive(spark, tmp_path):
+    """The shared watermark/guard primitive: monotone watermark file,
+    empty batches pass through, and an id at/below the watermark raises."""
+    import pytest
+
+    from date_warehouse___airline_project_spark.streaming.state_table import (
+        guard_append_only,
+        read_watermark,
+        write_watermark,
+    )
+
+    wm = str(tmp_path / "wm")
+    assert read_watermark(wm) == -1
+    b = spark.createDataFrame([(10,), (11,)], "doc_id long")
+    assert guard_append_only(b, read_watermark(wm)) == 11
+    write_watermark(wm, 11)
+    assert read_watermark(wm) == 11
+    # empty batch: no-op, returns the existing watermark
+    empty = spark.createDataFrame([], "doc_id long")
+    assert guard_append_only(empty, 11) == 11
+    # equal id is a violation too (ids are unique, so equality = replayed
+    # row outside the batch-id guard = out of order)
+    with pytest.raises(ValueError, match="out-of-order ingest batch"):
+        guard_append_only(spark.createDataFrame([(11,)], "doc_id long"), 11)
+    with pytest.raises(ValueError, match="out-of-order ingest batch"):
+        guard_append_only(spark.createDataFrame([(5,), (99,)], "doc_id long"), 11)
