@@ -319,6 +319,16 @@ def kmeans_lloyd(
         _KMEANS_MEMO.move_to_end(memo_key)
         return _KMEANS_MEMO[memo_key]
 
+    # Training runs eagerly (each iteration materializes its codebook),
+    # so with bench instrumentation on the cost is reported on its own
+    # clock instead of being absorbed by whichever query trains first —
+    # the r8 "emb_centroid_summaries regression" was exactly this
+    # attribution drift (untouched code, reordered first consumer).
+    import time as _time
+
+    from .text_dedup import record_memo_timing
+
+    _t0 = _time.perf_counter()
     cents = emb.filter(F.col(id_col) % centroid_mod == 0).select(
         F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
     )
@@ -357,6 +367,10 @@ def kmeans_lloyd(
         if prev_ckpt is not None:
             prev_ckpt.unpersist()
         prev_ckpt = cents
+    record_memo_timing(
+        f"kmeans_lloyd/{centroid_mod}/{sample_mod}/{iters}/{impl}",
+        _time.perf_counter() - _t0,
+    )
     if memo_key is not None:
         _KMEANS_MEMO[memo_key] = cents
         while len(_KMEANS_MEMO) > _KMEANS_MEMO_MAX:

@@ -205,10 +205,16 @@ def set_memo_instrumentation(on: bool) -> None:
     _MEMO_TIMINGS.clear()
 
 
+_MEMO_BUILD_DEPTH = 0  # >0 while an eager _memo build is on the stack
+
+
 def record_memo_timing(label: str, seconds: float) -> None:
     """Entry point for OTHER memo layers (kmeans_lloyd's codebook memo)
-    to report their build cost into the same drain."""
-    if _MEMO_EAGER:
+    to report their build cost into the same drain. Skipped while an
+    eager ``_memo`` build is on the stack: that build's own timing row
+    already contains this span, and reporting both would double-count
+    the seconds in the bench's memo attribution."""
+    if _MEMO_EAGER and _MEMO_BUILD_DEPTH == 0:
         _MEMO_TIMINGS.append((label, seconds))
 
 
@@ -238,9 +244,14 @@ def _memo(df: DataFrame, key_parts: tuple, build) -> DataFrame:
     if _MEMO_EAGER:
         import time as _time
 
+        global _MEMO_BUILD_DEPTH
         t0 = _time.perf_counter()
-        out = build().cache()
-        out.count()  # populate the cache now, on the memo's own clock
+        _MEMO_BUILD_DEPTH += 1
+        try:
+            out = build().cache()
+            out.count()  # populate the cache now, on the memo's own clock
+        finally:
+            _MEMO_BUILD_DEPTH -= 1
         _MEMO_TIMINGS.append(
             ("/".join(str(p) for p in key_parts), _time.perf_counter() - t0)
         )

@@ -598,8 +598,7 @@ _PQ_ORACLE = f"""
 def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    cents = _pq_cents_fixed(e)
-    cand = _pq_adc_candidates(e, cents, q).limit(50)
+    cand = _pq_cand50(e, "fixed")
     return (
         F.broadcast(cand)
         .join(e.select("vec_id", "embedding"), "vec_id")
@@ -2168,7 +2167,7 @@ def _pq_cents_trained(e: DataFrame) -> DataFrame:
 def emb_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    cand = _pq_adc_candidates(e, _pq_cents_trained(e), q).limit(50)
+    cand = _pq_cand50(e, "trained")
     return (
         F.broadcast(cand)
         .join(e.select("vec_id", "embedding"), "vec_id")
@@ -2226,21 +2225,10 @@ _PQ_RECALL_ORACLE = f"""
 )
 def emb_pq_recall_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    exact10 = (
-        e.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .select("vec_id", cosine(F.col("embedding"), F.col("qv")).alias("_cs"))
-        .orderBy(F.desc("_cs"), "vec_id")
-        .limit(10)
-        .select("vec_id")
-    )
+    exact10 = _exact10_raw(e)
     out = None
-    for variant, cents in (
-        ("fixed", _pq_cents_fixed(e)),
-        ("trained", _pq_cents_trained(e)),
-    ):
-        cand = _pq_adc_candidates(e, cents, q).limit(50).select("vec_id")
+    for variant in ("fixed", "trained"):
+        cand = _pq_cand50(e, variant).select("vec_id")
         row = (
             cand.join(F.broadcast(exact10), "vec_id", "inner")
             .agg(F.count("*").alias("n_captured"))
@@ -2586,6 +2574,59 @@ def _ivfpq_cand(
     )
 
 
+def _exact10_raw(e: DataFrame) -> DataFrame:
+    """Session-memoized exact-cosine top-10 ids for probe vec 0 (raw-rank
+    tie-break — the ground-truth leg every recall-compare query re-paid;
+    one pass per corpus now, shared like _release_docs)."""
+    def build() -> DataFrame:
+        q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+        return (
+            e.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q))
+            .select("vec_id", cosine(F.col("embedding"), F.col("qv")).alias("_cs"))
+            .orderBy(F.desc("_cs"), "vec_id")
+            .limit(10)
+            .select("vec_id")
+        )
+
+    from ..operators.text_dedup import _memo
+
+    return _memo(e, ("exact10_raw",), build)
+
+
+def _pq_cand50(e: DataFrame, variant: str) -> DataFrame:
+    """Session-memoized corpus-wide PQ ADC top-50 candidates per codebook
+    variant — shared by emb_pq_topk / emb_pq_trained_topk / both recall
+    compares (each previously re-ran the full compressed-domain scan)."""
+    from ..operators.text_dedup import _memo
+
+    def build() -> DataFrame:
+        cents = _pq_cents_fixed(e) if variant == "fixed" else _pq_cents_trained(e)
+        q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+        return _pq_adc_candidates(e, cents, q).limit(50)
+
+    return _memo(e, ("pq_cand50", variant, _PQ_G, _PQ_K, _PQ_D), build)
+
+
+def _ivfpq_cand50(e: DataFrame, variant: str) -> DataFrame:
+    """Session-memoized IVF-PQ top-50 candidates per codebook variant —
+    shared by emb_ivfpq_trained_topk and the IVF-PQ recall compare."""
+    from ..operators.similarity import kmeans_lloyd
+    from ..operators.text_dedup import _memo
+
+    def build() -> DataFrame:
+        q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+        if variant == "fixed":
+            cells = e.filter(F.col("vec_id") % 25 == 0).select(
+                F.col("vec_id").alias("_cid"), F.col("embedding").alias("_cvec")
+            )
+            return _ivfpq_cand(e, q, cells, _pq_cents_fixed(e))
+        cells = kmeans_lloyd(e, centroid_mod=25, sample_mod=4, iters=2)
+        return _ivfpq_cand(e, q, cells, _pq_cents_trained(e))
+
+    return _memo(e, ("ivfpq_cand50", variant, _PQ_G, _PQ_K, _PQ_D), build)
+
+
 @query(
     "emb_ivfpq_trained_topk",
     oracle=_IVFPQ_TRAINED_ORACLE,
@@ -2601,12 +2642,9 @@ def _ivfpq_cand(
     f"a production deployment runs once and persists.",
 )
 def emb_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import kmeans_lloyd
-
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    cents = kmeans_lloyd(e, centroid_mod=25, sample_mod=4, iters=2)
-    cand = _ivfpq_cand(e, q, cents, _pq_cents_trained(e))
+    cand = _ivfpq_cand50(e, "trained")
     return (
         F.broadcast(cand)
         .join(e.select("vec_id", "embedding"), "vec_id")
@@ -2805,26 +2843,12 @@ _IVFPQ_RECALL_ORACLE = f"""
     "codebooks come from the session memos.",
 )
 def emb_ivfpq_recall_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import kmeans_lloyd
-
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    exact10 = (
-        e.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .select("vec_id", cosine(F.col("embedding"), F.col("qv")).alias("_cs"))
-        .orderBy(F.desc("_cs"), "vec_id")
-        .limit(10)
-        .select("vec_id")
-    )
-    fixed_cells = e.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("_cid"), F.col("embedding").alias("_cvec")
-    )
-    trained_cells = kmeans_lloyd(e, centroid_mod=25, sample_mod=4, iters=2)
+    exact10 = _exact10_raw(e)
     variants = (
-        ("ivfpq_fixed", _ivfpq_cand(e, q, fixed_cells, _pq_cents_fixed(e))),
-        ("ivfpq_trained", _ivfpq_cand(e, q, trained_cells, _pq_cents_trained(e))),
-        ("pq_fixed", _pq_adc_candidates(e, _pq_cents_fixed(e), q).limit(50)),
+        ("ivfpq_fixed", _ivfpq_cand50(e, "fixed")),
+        ("ivfpq_trained", _ivfpq_cand50(e, "trained")),
+        ("pq_fixed", _pq_cand50(e, "fixed")),
     )
     out = None
     for variant, cand in variants:
