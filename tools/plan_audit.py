@@ -53,6 +53,7 @@ ALLOW = {
     "emb_pq_topk": {"NESTED-LOOP"},  # (a) 1-row query vector + 50-row re-rank
     "emb_ivfpq_topk": {"NESTED-LOOP"},  # (a) 1-row query vector + 50-row re-rank
     "emb_ivfpq_trained_topk": {"NESTED-LOOP"},  # (a) 1-row query vector + 50-row re-rank
+    "emb_ivfpq_indexed_topk": {"NESTED-LOOP"},  # (a) 1-row query vector: probe, ADC table, re-rank
     "emb_ivfpq_recall_compare": {"NESTED-LOOP"},  # (a) 1-row query vector; 10-row truth broadcast
     "doc_release_manifest": {"NESTED-LOOP"},  # (a) 1-row token-budget scalar attach
     # same 1-row budget attach, inherited via _release_assignment:
