@@ -2799,6 +2799,146 @@ def doc_release_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# backfill revision: the sanctioned path for late-arriving LOWER doc_ids
+# ---------------------------------------------------------------------------
+
+# deterministic late-arrival stand-in: ~1/31 of docs "arrived after the
+# release shipped" despite carrying lower doc_ids than the watermark —
+# exactly the batch guard_append_only REJECTS from the incremental fold
+_BF_MOD, _BF_RES = 31, 7
+
+_BACKFILL_ORACLE = f"""
+    WITH asg1 AS (
+      {{asg1}}
+    ),
+    asg2 AS (
+      {{asg2}}
+    ),
+    m1 AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n1,
+             CAST(SUM(n_tok) AS BIGINT) AS t1,
+             {{chk}} AS c1
+      FROM asg1 GROUP BY shard),
+    m2 AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n2,
+             CAST(SUM(n_tok) AS BIGINT) AS t2,
+             {{chk}} AS c2
+      FROM asg2 GROUP BY shard),
+    ins AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n FROM asg2 a2
+      WHERE NOT EXISTS (SELECT 1 FROM asg1 a1 WHERE a1.doc_id = a2.doc_id)
+      GROUP BY shard),
+    rt AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n FROM asg1 a1
+      WHERE NOT EXISTS (SELECT 1 FROM asg2 a2 WHERE a2.doc_id = a1.doc_id)
+      GROUP BY shard)
+    SELECT COALESCE(m2.shard, m1.shard) AS shard,
+           COALESCE(m1.n1, 0) AS n_docs_before,
+           COALESCE(m2.n2, 0) AS n_docs_after,
+           COALESCE(rt.n, 0) AS docs_retracted,
+           COALESCE(ins.n, 0) AS docs_inserted,
+           COALESCE(m2.t2, 0) - COALESCE(m1.t1, 0) AS tokens_delta,
+           COALESCE(m1.c1, 0) AS checksum_before,
+           COALESCE(m2.c2, 0) AS checksum_after,
+           CAST(CASE WHEN COALESCE(m1.c1, 0) <> COALESCE(m2.c2, 0)
+                       OR COALESCE(m1.n1, 0) <> COALESCE(m2.n2, 0)
+                     THEN 1 ELSE 0 END AS INTEGER) AS changed
+    FROM m2 FULL JOIN m1 USING (shard)
+    LEFT JOIN ins USING (shard)
+    LEFT JOIN rt USING (shard)
+    ORDER BY shard
+"""
+
+
+def _backfill_oracle() -> str:
+    chk = _TD_CHK.format(pos="pos", p=_REL_P, h=_HASH_SQL.format(c="text"))
+    h = _HASH_SQL.format(c="doc_id")
+    base1 = (
+        f"(SELECT * FROM documents WHERE {h} % {_BF_MOD} <> {_BF_RES})"
+    )
+    return _BACKFILL_ORACLE.format(
+        asg1=_release_asg_sql(base1),
+        asg2=_release_asg_sql("documents"),
+        chk=chk,
+    )
+
+
+@query(
+    "doc_release_backfill_revision",
+    oracle=_backfill_oracle(),
+    doc="BACKFILL revision — the sanctioned path guard_append_only's "
+    "error message directs out-of-order ingest to (late_fact_mv_revision "
+    "is the warehouse dual): a scattered ~3% of docs (h56(doc_id) % 31 "
+    "== 7, the deterministic late-arrival stand-in) carry doc_ids BELOW "
+    "the shipped release's watermark, so the incremental keep-min fold "
+    "is ineligible — their lower ids can displace shipped keepers at "
+    "every funnel stage. The revision recomputes the cascade over the "
+    "corrected corpus and emits the per-shard RETRACTION/INSERTION "
+    "delta a release shipper applies: docs retracted (shipped before, "
+    "gone after — displaced keepers and budget-evicted docs), docs "
+    "inserted, token delta, and before/after checksums marking exactly "
+    "which shard files to rewrite. Both cascades ride the session funnel "
+    "memos; the diff itself is two shard-keyed aggregates and two "
+    "anti-joins. The oracle replays BOTH full cascades via nested-CTE "
+    "scoping.",
+)
+def doc_release_backfill_revision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    early = d.filter(_hash56(F.col("doc_id")) % _BF_MOD != _BF_RES)
+    asg1 = _memo(
+        d,
+        ("bf_release_asg", _BF_MOD, _BF_RES, _FUNNEL_B, _SPAN_N),
+        lambda: _assignment_of(_release_docs(early)),
+    )
+    asg2 = _release_assignment(d)
+
+    def sums(asg: DataFrame, n: str, tk: str, ck: str) -> DataFrame:
+        return asg.groupBy("shard").agg(
+            F.count("*").cast("bigint").alias(n),
+            F.sum("n_tok").cast("bigint").alias(tk),
+            _content_checksum_col(F.col("pos"), F.col("text")).alias(ck),
+        )
+
+    m1 = sums(asg1, "n1", "t1", "c1")
+    m2 = sums(asg2, "n2", "t2", "c2")
+    ins = (
+        asg2.join(asg1.select("doc_id"), "doc_id", "left_anti")
+        .groupBy("shard")
+        .agg(F.count("*").cast("bigint").alias("ni"))
+    )
+    rt = (
+        asg1.join(asg2.select("doc_id"), "doc_id", "left_anti")
+        .groupBy("shard")
+        .agg(F.count("*").cast("bigint").alias("nr"))
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        m2.join(m1, "shard", "full")
+        .join(ins, "shard", "left")
+        .join(rt, "shard", "left")
+        .select(
+            "shard",
+            F.coalesce("n1", z).alias("n_docs_before"),
+            F.coalesce("n2", z).alias("n_docs_after"),
+            F.coalesce("nr", z).alias("docs_retracted"),
+            F.coalesce("ni", z).alias("docs_inserted"),
+            (F.coalesce("t2", z) - F.coalesce("t1", z)).alias("tokens_delta"),
+            F.coalesce("c1", z).alias("checksum_before"),
+            F.coalesce("c2", z).alias("checksum_after"),
+            F.when(
+                (F.coalesce("c1", z) != F.coalesce("c2", z))
+                | (F.coalesce("n1", z) != F.coalesce("n2", z)),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("changed"),
+        )
+        .orderBy("shard")
+    )
+
+
 def recover_shard_takedown(out_dir: str) -> None:
     """Finish or undo an interrupted ``apply_takedown_to_shards``: a
     ``.takedown-old-<token>-<s>`` dir with NO live ``shard=<s>`` means the

@@ -777,3 +777,50 @@ def test_apply_takedown_to_shards_empties_everything(spark, tmp_path):
     assert release_manifest_from_files(spark, out).count() == 0
     # rerun on the emptied release is a readable no-op
     assert apply_takedown_to_shards(spark, out, takedown_mod=1) == []
+
+
+def test_backfill_revision_delta_semantics(spark):
+    """The backfill revision's per-shard retraction/insertion counts must
+    equal the id-set diff between the two certified assignments, and the
+    deterministic late-arrival set must actually displace shipped content
+    (≥1 retraction at sf0.01 — late LOWER ids become keepers)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from date_warehouse___airline_project_spark.functions.hashing import hash56
+    from date_warehouse___airline_project_spark.plans.training_data import (
+        _assignment_of,
+        _docs,
+        _release_assignment,
+        _release_docs,
+        doc_release_backfill_revision,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = {r["shard"]: r for r in doc_release_backfill_revision(spark, sf).collect()}
+    d = _docs(spark, sf)
+    early = d.filter(hash56(F.col("doc_id")) % 31 != 7)
+    a1 = {
+        r["doc_id"]: r["shard"]
+        for r in _assignment_of(_release_docs(early)).select("doc_id", "shard").collect()
+    }
+    a2 = {
+        r["doc_id"]: r["shard"]
+        for r in _release_assignment(d).select("doc_id", "shard").collect()
+    }
+    retracted = Counter(a1[i] for i in a1.keys() - a2.keys())
+    inserted = Counter(a2[i] for i in a2.keys() - a1.keys())
+    for s, r in rows.items():
+        assert r["docs_retracted"] == retracted.get(s, 0)
+        assert r["docs_inserted"] == inserted.get(s, 0)
+        assert r["n_docs_after"] - r["n_docs_before"] == len(
+            [1 for i in a2 if a2[i] == s]
+        ) - len([1 for i in a1 if a1[i] == s])
+    assert sum(retracted.values()) >= 1  # shipped keepers actually displaced
+    assert sum(inserted.values()) >= 1
+    # every changed=0 shard is byte-stable: equal checksums and counts
+    for s, r in rows.items():
+        if r["changed"] == 0:
+            assert r["checksum_before"] == r["checksum_after"]
+            assert r["docs_retracted"] == 0 and r["docs_inserted"] == 0
