@@ -231,6 +231,41 @@ def compact_release_state(spark: SparkSession, path: str) -> int:
     return len(batches)
 
 
+def apply_takedown_to_release_state(
+    spark: SparkSession, path: str, takedown_ids: DataFrame
+) -> int:
+    """Takedown over the PERSISTED release state — without this, a doc
+    removed from the shipped shard files (``apply_takedown_to_shards``)
+    silently RESURRECTS at the next incremental fold or stream
+    compaction, because ``v1_docs`` still carries it into every future
+    ``_assignment_of``. Removes the listed doc_ids from ``v1_docs``
+    atomically (batch deltas folded first, rewrite committed through the
+    SAME release marker protocol ``recover_release_compaction`` rolls
+    forward/back) and returns the number of state rows removed.
+
+    The fingerprint relations (doc/para/gram fps) are deliberately KEPT:
+    they are one-way hashes, not content, and dropping them would let a
+    byte-identical duplicate of the removed doc re-enter the release
+    through a later batch — the takedown must stick. Idempotent: a
+    re-run removes 0 rows."""
+    path = _require_local_path(path, spark)
+    compact_release_state(spark, path)  # one relation to rewrite
+    base = spark.read.parquet(f"{path}/v1_docs")
+    ids = takedown_ids.select(F.col("doc_id").cast("bigint")).distinct()
+    n_removed = base.join(ids, "doc_id", "semi").count()
+    if n_removed == 0:
+        return 0
+    kept = base.join(ids, "doc_id", "left_anti")
+    token = uuid.uuid4().hex[:12]
+    tmp_root = os.path.join(path, f".release-tmp-{token}")
+    kept.write.mode("overwrite").parquet(os.path.join(tmp_root, "v1_docs"))
+    # marker commit: recover walks all four names but only v1_docs has a
+    # tmp — the other three relations are untouched by existence guard
+    write_commit_marker(path, _REL_MARKER, {"token": token, "batches": []})
+    recover_release_compaction(path)
+    return n_removed
+
+
 def run_release_maintenance_stream(
     new_docs: DataFrame,
     path: str,

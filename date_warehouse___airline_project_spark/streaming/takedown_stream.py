@@ -76,17 +76,26 @@ def apply_shard_takedown_batch(
     out_dir: str,
     batch_df: DataFrame,
     batch_id: int,
+    state_path: str | None = None,
 ) -> list[int]:
     """One takedown micro-batch against written release shards. Returns
     the rewritten shard ids ([] for a skipped redelivery). Only shards
     containing a listed doc are rewritten — a micro-batch-sized request
-    touches a micro-batch-sized set of files, never the whole release."""
+    touches a micro-batch-sized set of files, never the whole release.
+    When ``state_path`` is given, the persisted release STATE drops the
+    ids too (``apply_takedown_to_release_state``) so the docs cannot
+    resurrect at the next incremental fold — the two removals are each
+    idempotent, so a crash between them re-applies harmlessly on
+    redelivery."""
     from ..plans.training_data import apply_takedown_to_shards
+    from .release_stream import apply_takedown_to_release_state
 
     out_dir = _require_local_path(out_dir, spark)
     if batch_id <= _last_takedown_batch(out_dir):
         return []
     changed = apply_takedown_to_shards(spark, out_dir, takedown_ids=batch_df)
+    if state_path is not None:
+        apply_takedown_to_release_state(spark, state_path, batch_df)
     _record_takedown_batch(out_dir, batch_id)
     return changed
 
@@ -122,14 +131,17 @@ def run_shard_takedown_stream(
     out_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    state_path: str | None = None,
 ):
     """Consume a stream of doc ids and surgically remove each batch from
-    the written release shards. Returns the StreamingQuery."""
+    the written release shards (and, when ``state_path`` is given, from
+    the persisted release state — no resurrection at the next fold).
+    Returns the StreamingQuery."""
     out_dir = _require_local_path(out_dir, ids.sparkSession)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         apply_shard_takedown_batch(
-            batch_df.sparkSession, out_dir, batch_df, batch_id
+            batch_df.sparkSession, out_dir, batch_df, batch_id, state_path
         )
 
     writer = (

@@ -2661,3 +2661,56 @@ def test_guard_append_only_primitive(spark, tmp_path):
         guard_append_only(spark.createDataFrame([(11,)], "doc_id long"), 11)
     with pytest.raises(ValueError, match="out-of-order ingest batch"):
         guard_append_only(spark.createDataFrame([(5,), (99,)], "doc_id long"), 11)
+
+
+def test_release_state_takedown_prevents_resurrection(spark, tmp_path):
+    """Takedown must stick against the STATE, not just the shipped files:
+    without apply_takedown_to_release_state, v1_docs re-ships removed
+    docs at the next fold; with it, the docs leave every future manifest,
+    a later batch carrying a byte-identical duplicate stays excluded
+    (fingerprints deliberately retained), and the rewrite is idempotent."""
+    from date_warehouse___airline_project_spark.plans.training_data import (
+        write_release_state,
+    )
+    from date_warehouse___airline_project_spark.sources.catalog import load_table
+    from date_warehouse___airline_project_spark.streaming.release_stream import (
+        apply_release_batch,
+        apply_takedown_to_release_state,
+        release_manifest_from_state,
+        release_state_rel,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    state = str(tmp_path / "state")
+    write_release_state(d.filter("doc_id < 400"), state)
+
+    v1 = release_state_rel(spark, state, "v1_docs")
+    victims = [r["doc_id"] for r in v1.orderBy("doc_id").limit(5).collect()]
+    victim_texts = {
+        r["doc_id"]: r["text"]
+        for r in v1.filter(F.col("doc_id").isin(victims)).collect()
+    }
+    td = spark.createDataFrame([(v,) for v in victims], "doc_id long")
+    n_fps = release_state_rel(spark, state, "doc_fps").count()
+
+    assert apply_takedown_to_release_state(spark, state, td) == len(victims)
+    after = release_state_rel(spark, state, "v1_docs")
+    assert after.filter(F.col("doc_id").isin(victims)).count() == 0
+    # fingerprints retained: the takedown must block re-admission
+    assert release_state_rel(spark, state, "doc_fps").count() == n_fps
+    # idempotent
+    assert apply_takedown_to_release_state(spark, state, td) == 0
+
+    # a later IN-ORDER batch duplicating a removed doc's exact text must
+    # stay excluded (fp hit), and no removed id appears in the manifest
+    dup = spark.createDataFrame(
+        [(900001, "web", victim_texts[victims[0]])], "doc_id long, source string, text string"
+    )
+    apply_release_batch(spark, state, dup, 0)
+    man_ids = {
+        r["doc_id"]
+        for r in release_state_rel(spark, state, "v1_docs").select("doc_id").collect()
+    }
+    assert not set(victims) & man_ids
+    assert 900001 not in man_ids  # duplicate of forgotten content blocked
+    assert release_manifest_from_state(spark, state).count() >= 0  # readable
