@@ -998,8 +998,17 @@ def index_batch_rows(
     micro-batch append so the two paths cannot diverge — and so every
     maintenance entry point transparently upgrades when pointed at a PQ
     index."""
+    import os
+
     base_cols = spark.read.parquet(f"{path}/assignments").columns
     payload = [c for c in base_cols if c not in (id_col, "codes", "centroid_id")]
+    if os.path.isdir(f"{path}/tombstones"):
+        # a taken-down id must never resurrect through re-ingest: the
+        # takedown path records removed ids (ivf_stream.
+        # remove_from_ivf_index) and every append anti-joins them out
+        emb_new = emb_new.join(
+            spark.read.parquet(f"{path}/tombstones"), id_col, "left_anti"
+        )
     cents = spark.read.parquet(f"{path}/codebook")
     assigned = assign_to_centroids(
         emb_new.select(id_col, vec_col).repartition(

@@ -127,6 +127,11 @@ def apply_ivf_append_batch(
     # assignment always, + frozen PQ codes and payload columns when the
     # index is IVF-PQ — the stream path cannot diverge from the batch one
     rows = index_batch_rows(spark, path, batch_df, id_col, vec_col)
+    if rows.isEmpty():
+        # e.g. every id in the batch is tombstoned: a no-file batch dir
+        # would break schema inference over the appends root — skip it
+        # (the checkpoint still owns source progress)
+        return
     tmp = f"{path}/appends/.tmp-{batch_id}-{uuid.uuid4().hex[:8]}"
     (
         rows.repartition("centroid_id")
@@ -335,6 +340,17 @@ def remove_from_ivf_index(
     compact_ivf_appends(spark, path)
     base = spark.read.parquet(f"{path}/assignments")
     ids = takedown.select(F.col(id_col).alias("_td_id")).distinct()
+    # tombstone the ids FIRST (append-mode small parquet): a takedown must
+    # STICK — without this, a re-ingested feed (replayed source after a
+    # checkpoint reset, a batch dir already reclaimed by compaction)
+    # would silently resurrect removed vectors through the append path,
+    # which anti-joins new rows against this relation. Crash between the
+    # tombstone write and the rewrite commit leaves ids tombstoned but
+    # not yet removed — conservative: appends already blocked, and the
+    # caller re-runs the idempotent removal.
+    ids.select(F.col("_td_id").alias(id_col)).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{path}/tombstones")
     # one partition-pruned semi count decides the no-op AND the return
     # value — no full-table count just to detect an empty takedown.
     # No forced broadcast: a legal list auto-broadcasts under the 10 MB

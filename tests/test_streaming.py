@@ -2714,3 +2714,71 @@ def test_release_state_takedown_prevents_resurrection(spark, tmp_path):
     assert not set(victims) & man_ids
     assert 900001 not in man_ids  # duplicate of forgotten content blocked
     assert release_manifest_from_state(spark, state).count() >= 0  # readable
+
+
+def test_ivf_takedown_tombstones_block_reingest(spark, tmp_path):
+    """An index takedown must STICK: re-ingesting a removed vector id
+    through either append path (batch or streaming micro-batch) must not
+    resurrect it, and tombstones survive compaction. Non-tombstoned rows
+    in the same batch still land."""
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        append_to_ivf_index,
+    )
+    from date_warehouse___airline_project_spark.streaming.ivf_stream import (
+        apply_ivf_append_batch,
+        compact_ivf_appends,
+        ivf_assignments_with_appends,
+        remove_from_ivf_index,
+    )
+
+    e, path, new = _ivf_fixture(spark, tmp_path, "ivf_tomb")
+    victims = [
+        r["vec_id"]
+        for r in spark.read.parquet(f"{path}/assignments")
+        .filter("vec_id % 13 = 2")
+        .limit(6)
+        .collect()
+    ]
+    td = spark.createDataFrame([(v,) for v in victims], "vec_id long")
+    assert remove_from_ivf_index(spark, path, td) == len(victims)
+
+    # batch re-ingest of removed ids (+ genuinely new rows) — removed ids
+    # stay out, new rows land
+    reingest = e.filter(F.col("vec_id").isin(victims)).select(
+        "vec_id", "embedding"
+    ).unionByName(e.limit(4).selectExpr("vec_id + 7000000 AS vec_id", "embedding"))
+    n_before = spark.read.parquet(f"{path}/assignments").count()
+    append_to_ivf_index(reingest.select("vec_id", "embedding"), path)
+    asg = spark.read.parquet(f"{path}/assignments")
+    assert asg.filter(F.col("vec_id").isin(victims)).count() == 0
+    assert asg.count() == n_before + 4
+
+    # streaming micro-batch of ONLY removed ids: filtered to empty, no
+    # batch dir lands, appends root stays readable
+    import os
+
+    apply_ivf_append_batch(
+        spark, path, e.filter(F.col("vec_id").isin(victims)).select("vec_id", "embedding"), 41
+    )
+    assert not os.path.isdir(f"{path}/appends/batch=41")
+    # a mixed micro-batch keeps only the non-tombstoned rows
+    apply_ivf_append_batch(
+        spark,
+        path,
+        e.filter(F.col("vec_id").isin(victims)).select("vec_id", "embedding").unionByName(
+            e.limit(3).selectExpr("vec_id + 8000000 AS vec_id", "embedding")
+        ),
+        42,
+    )
+    rel = ivf_assignments_with_appends(spark, path)
+    assert rel.filter(F.col("vec_id").isin(victims)).count() == 0
+    assert rel.filter("vec_id >= 8000000").count() == 3
+    # tombstones survive compaction (separate dir, untouched by the fold)
+    assert compact_ivf_appends(spark, path) == 1
+    assert spark.read.parquet(f"{path}/tombstones").count() == len(victims)
+    append_to_ivf_index(
+        e.filter(F.col("vec_id").isin(victims)).select("vec_id", "embedding"), path
+    )
+    assert spark.read.parquet(f"{path}/assignments").filter(
+        F.col("vec_id").isin(victims)
+    ).count() == 0
