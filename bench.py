@@ -118,7 +118,9 @@ def main() -> None:
         "emb_ivf_indexed_topk",
         "emb_ivf_cell_drift",  # builds its own drifted index copy
         "doc_release_incremental_update",  # writes the release state dir
-        "emb_ivfpq_indexed_topk",  # r9: builds the persisted IVF-PQ index
+        "emb_ivfpq_indexed_topk",  # r9: shares the session IVF-PQ index
+        # (one build: emb_ivf_indexed_topk builds the PQ superset index,
+        # this row's warm cost is just the search)
     ):
         if name in qs:
             t0 = time.perf_counter()

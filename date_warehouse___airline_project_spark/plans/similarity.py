@@ -197,6 +197,26 @@ def emb_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _session_ivfpq_index(spark: SparkSession, sf_dir: str, e: DataFrame) -> str:
+    """ONE persisted index per (session, corpus) serving every
+    indexed-search/stats query: built as IVF-PQ (trained coarse codebook,
+    trained sub-quantizers, per-vector codes in the assignment rows),
+    which is a strict SUPERSET of the plain IVF index — ivf_topk_indexed
+    ignores the codes column, cell_stats is identical (same coarse
+    assignment rows) — so the plain and PQ searches and the occupancy
+    profile share one build instead of each paying a full
+    assignment+write pass in the bench's warm phase."""
+    key = (spark.sparkContext.applicationId, sf_dir, 25, 4, 2, "ivfpq")
+    path = _IVF_INDEX_MEMO.get(key)
+    if path is None:
+        from ..operators.similarity import save_ivfpq_index
+
+        path = session_tmpdir("spark_graft_ivfpq_index_")
+        save_ivfpq_index(e, path, _pq_cents_trained(e), payload_cols=("label",))
+        _IVF_INDEX_MEMO[key] = path
+    return path
+
+
 @query(
     "emb_ivf_indexed_topk",
     oracle=_IVF_TRAINED_ORACLE,
@@ -211,21 +231,16 @@ def emb_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
-    from ..operators.similarity import ivf_topk_indexed, save_ivf_index
+    from ..operators.similarity import ivf_topk_indexed
 
     e = load_table(spark, sf_dir, "embeddings")
     # The index build (Lloyd training + full-corpus assignment + partitioned
     # write) is the LIFECYCLE cost, paid once per corpus; the query is the
-    # search. Memoize the built index per (application, corpus, params) so
-    # repeated searches — and the bench — time probe + pruned scan, not a
-    # rebuild. The build itself stays covered by the save/append lifecycle
-    # tests (tests/test_operators.py) and the append-equals-rebuild check.
-    key = (spark.sparkContext.applicationId, sf_dir, 25, 4, 2)
-    path = _IVF_INDEX_MEMO.get(key)
-    if path is None:
-        path = session_tmpdir("spark_graft_ivf_index_")
-        save_ivf_index(e, path, centroid_mod=25, sample_mod=4, iters=2)
-        _IVF_INDEX_MEMO[key] = path
+    # search. The session index is the IVF-PQ superset (codes ignored
+    # here), so this query, the PQ search, and the occupancy profile pay
+    # ONE build between them. Build/append/lifecycle stay covered by the
+    # operator tests.
+    path = _session_ivfpq_index(spark, sf_dir, e)
     return ivf_topk_indexed(e, path, query_id=0, k=10, nprobe=2)
 
 
@@ -2678,17 +2693,10 @@ def emb_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recovery) because it IS the assignments relation.",
 )
 def emb_ivfpq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import ivfpq_topk_indexed, save_ivfpq_index
+    from ..operators.similarity import ivfpq_topk_indexed
 
     e = load_table(spark, sf_dir, "embeddings")
-    key = (spark.sparkContext.applicationId, sf_dir, 25, 4, 2, "ivfpq")
-    path = _IVF_INDEX_MEMO.get(key)
-    if path is None:
-        path = session_tmpdir("spark_graft_ivfpq_index_")
-        save_ivfpq_index(
-            e, path, _pq_cents_trained(e), payload_cols=("label",)
-        )
-        _IVF_INDEX_MEMO[key] = path
+    path = _session_ivfpq_index(spark, sf_dir, e)
     return ivfpq_topk_indexed(e, path, query_id=0, k=10, nprobe=2, rerank=50)
 
 
@@ -2919,16 +2927,8 @@ _IVF_OCC_ORACLE = f"""
     "emb_ivf_indexed_topk.",
 )
 def emb_ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
-
-    from ..operators.similarity import save_ivf_index
-
     e = load_table(spark, sf_dir, "embeddings")
-    key = (spark.sparkContext.applicationId, sf_dir, 25, 4, 2)
-    path = _IVF_INDEX_MEMO.get(key)
-    if path is None:
-        path = session_tmpdir("spark_graft_ivf_index_")
-        save_ivf_index(e, path, centroid_mod=25, sample_mod=4, iters=2)
-        _IVF_INDEX_MEMO[key] = path
+    path = _session_ivfpq_index(spark, sf_dir, e)
     sz = spark.read.parquet(f"{path}/cell_stats").select(
         "centroid_id", F.col("n_train").cast("bigint").alias("n_vecs")
     )
