@@ -778,7 +778,7 @@ def save_ivf_index(
 def pq_sub_assign(
     subs: DataFrame,
     cents: DataFrame,
-    carry: tuple = ("label",),
+    carry: tuple = (),
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Nearest-L2 code per (vector, subspace) against a broadcast
@@ -1107,13 +1107,26 @@ def append_to_ivf_index(
     codes and the index's payload columns too (``index_batch_rows``), so
     the code table stays complete under appends with no extra protocol.
     """
+    import os
+
     spark = emb_new.sparkSession
     rows = index_batch_rows(spark, path, emb_new, id_col, vec_col)
+    # A takedown that emptied the index rewrote assignments as a PLAIN
+    # empty table (schema'd part file, centroid_id as a data column) so
+    # readers keep working; a partitioned APPEND into that dir would mix
+    # root-level part files with centroid_id= subdirs and break partition
+    # discovery for every later reader. Detect the empty-plain layout and
+    # OVERWRITE it back to partitioned form (nothing is lost: the table
+    # is empty by construction of that branch).
+    asg_dir = f"{path}/assignments"
+    plain_empty = os.path.isdir(asg_dir) and not any(
+        n.startswith("centroid_id=") for n in os.listdir(asg_dir)
+    )
     (
         rows.repartition("centroid_id")
-        .write.mode("append")
+        .write.mode("overwrite" if plain_empty else "append")
         .partitionBy("centroid_id")
-        .parquet(f"{path}/assignments")
+        .parquet(asg_dir)
     )
 
 

@@ -2670,9 +2670,16 @@ def _release_asg_sql(base: str) -> str:
     documents table (harmless: the cascade's doc_ids restrict it)."""
     # exactly the fp and tk CTEs end in this anchor today; a future CTE
     # matching it would be silently re-pointed too, corrupting the
-    # version-diff oracle — fail loudly instead
+    # version-diff oracle — fail loudly instead (a real raise, not an
+    # assert: asserts vanish under python -O, which is exactly the
+    # silent-corruption mode this guard exists to prevent)
     n = _RELEASE_CTES.count("FROM documents)")
-    assert n == 2, f"_RELEASE_CTES corpus-scan anchor count drifted: {n} != 2"
+    if n != 2:
+        raise ValueError(
+            f"_RELEASE_CTES corpus-scan anchor count drifted: {n} != 2 — "
+            f"parameterize the new CTE's base relation instead of relying "
+            f"on the textual rewrite"
+        )
     return (
         _RELEASE_CTES.replace("FROM documents)", f"FROM {base})")
         + "\n    SELECT doc_id, source, n_tok, text, shard, pos FROM asg"

@@ -121,17 +121,23 @@ def apply_ivf_append_batch(
     bdir = f"{path}/appends/batch={batch_id}"
     if os.path.exists(bdir):
         return  # redelivered batch — already fully applied
-    if batch_df.isEmpty():
+    # emptiness pre-check on the (tombstone-filtered) id column only —
+    # never on the assembled rows, whose plan carries the full
+    # assignment + PQ-encode work and would execute TWICE (once for the
+    # check, once for the write). An all-tombstoned batch must skip: a
+    # no-file batch dir would break schema inference over the appends
+    # root (the checkpoint still owns source progress).
+    surviving = batch_df.select(id_col)
+    if os.path.isdir(f"{path}/tombstones"):
+        surviving = surviving.join(
+            spark.read.parquet(f"{path}/tombstones"), id_col, "left_anti"
+        )
+    if surviving.isEmpty():
         return
     # index_batch_rows matches the index's own assignments schema: coarse
     # assignment always, + frozen PQ codes and payload columns when the
     # index is IVF-PQ — the stream path cannot diverge from the batch one
     rows = index_batch_rows(spark, path, batch_df, id_col, vec_col)
-    if rows.isEmpty():
-        # e.g. every id in the batch is tombstoned: a no-file batch dir
-        # would break schema inference over the appends root — skip it
-        # (the checkpoint still owns source progress)
-        return
     tmp = f"{path}/appends/.tmp-{batch_id}-{uuid.uuid4().hex[:8]}"
     (
         rows.repartition("centroid_id")
@@ -307,6 +313,31 @@ def run_ivf_append_stream(
     return writer.start()
 
 
+def _tombstone_ids(spark: SparkSession, path: str, ids: DataFrame) -> None:
+    """Fold ``ids`` into the index's tombstone set: distinct union with
+    the existing table, written to a tmp sibling and renamed in (atomic
+    on local FS; the old set renamed aside first and removed after).
+    Skips the rewrite when every id is already tombstoned."""
+    tdir = os.path.join(path, "tombstones")
+    if os.path.isdir(tdir):
+        existing = spark.read.parquet(tdir)
+        new_ids = ids.join(existing, ids.columns[0], "left_anti")
+        if new_ids.isEmpty():
+            return  # idempotent re-run: nothing to add
+        merged = existing.unionByName(new_ids).distinct()
+    else:
+        merged = ids.distinct()
+    tmp = os.path.join(path, f".tombstones-tmp-{uuid.uuid4().hex[:8]}")
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(tdir):
+        old = os.path.join(path, f".tombstones-old-{uuid.uuid4().hex[:8]}")
+        os.rename(tdir, old)
+        os.rename(tmp, tdir)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.rename(tmp, tdir)
+
+
 def remove_from_ivf_index(
     spark: SparkSession,
     path: str,
@@ -340,17 +371,20 @@ def remove_from_ivf_index(
     compact_ivf_appends(spark, path)
     base = spark.read.parquet(f"{path}/assignments")
     ids = takedown.select(F.col(id_col).alias("_td_id")).distinct()
-    # tombstone the ids FIRST (append-mode small parquet): a takedown must
-    # STICK — without this, a re-ingested feed (replayed source after a
-    # checkpoint reset, a batch dir already reclaimed by compaction)
-    # would silently resurrect removed vectors through the append path,
-    # which anti-joins new rows against this relation. Crash between the
+    # tombstone the ids FIRST: a takedown must STICK — without this, a
+    # re-ingested feed (replayed source after a checkpoint reset, a
+    # batch dir already reclaimed by compaction) would silently
+    # resurrect removed vectors through the append path, which
+    # anti-joins new rows against this relation. Crash between the
     # tombstone write and the rewrite commit leaves ids tombstoned but
     # not yet removed — conservative: appends already blocked, and the
-    # caller re-runs the idempotent removal.
-    ids.select(F.col("_td_id").alias(id_col)).coalesce(1).write.mode(
-        "append"
-    ).parquet(f"{path}/tombstones")
+    # caller re-runs the idempotent removal. The set is maintained as
+    # ONE distinct single-file table via an atomic rename swap (not
+    # mode-append): per-call append files with duplicated ids would
+    # grow forever and every future append pays the read — the small-
+    # files problem compact_ivf_appends exists to fix, avoided here by
+    # construction. Idempotent re-runs add nothing and skip the write.
+    _tombstone_ids(spark, path, ids.select(F.col("_td_id").alias(id_col)))
     # one partition-pruned semi count decides the no-op AND the return
     # value — no full-table count just to detect an empty takedown.
     # No forced broadcast: a legal list auto-broadcasts under the 10 MB

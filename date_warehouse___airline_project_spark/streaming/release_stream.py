@@ -120,8 +120,25 @@ def apply_release_batch(
     # fold depends on: watermark = max over the base state and every
     # committed batch delta; a lower/equal doc_id in this batch is a
     # backfill and must be rejected loudly (retraction path or full
-    # recompute), never folded silently
-    batch_hi = guard_append_only(batch, streamed_watermark(path))
+    # recompute), never folded silently. One exception keeps the stream
+    # REPLAY-TOLERANT after a checkpoint reset: a sub-watermark batch
+    # whose every doc fingerprint is already in the state carries no
+    # novel content — its docs would all dedup away, and before the
+    # guard existed such a replay re-folded to an empty delta harmlessly
+    # — so it is skipped instead of wedging the stream forever. Only a
+    # sub-watermark batch with NEW content (a true backfill) raises.
+    wm = streamed_watermark(path)
+    try:
+        batch_hi = guard_append_only(batch, wm)
+    except ValueError:
+        no_novel_content = batch.join(
+            release_state_rel(spark, path, "doc_fps"),
+            F.md5(F.lower("text")) == F.col("fp"),
+            "left_anti",
+        ).isEmpty()
+        if no_novel_content:  # pure replay of already-folded content
+            return
+        raise
 
     kpn, gramsn, final_new = fold_batch_released(
         batch,

@@ -9,16 +9,17 @@ outbox) and must apply each request exactly once per artifact. This
 module runs those two batch operators as Structured Streaming
 ``foreachBatch`` consumers of an id feed.
 
-Idempotence discipline: both batch operators are idempotent by
-construction (re-running with the same list removes 0 rows / rewrites 0
-shards), so AT-LEAST-ONCE redelivery can never corrupt the artifact —
-the progress guard exists to skip the *cost* of a redelivered rewrite,
-not for correctness. Progress is an ascii ``_takedown_progress`` file
-inside the artifact dir, committed via tmp + ``os.replace`` AFTER the
-rewrite lands; a crash between rewrite and progress write just means
-one harmless idempotent re-apply on restart. Same driver-local-commit
-caveat as every protocol in this package: guarded by
-``_require_local_path``.
+Idempotence IS the redelivery discipline here: both batch operators are
+idempotent by construction (re-running with the same list removes 0
+rows / rewrites 0 shards via their own cheap no-op checks), so
+AT-LEAST-ONCE redelivery can never corrupt the artifact and costs only
+a semi-join probe. There is deliberately NO batch-id high-water guard:
+a single monotone id per artifact dir would conflate "redelivered
+batch" with "a different takedown stream whose checkpoint numbers
+restart at 0" and silently drop that stream's deletion requests — for
+right-to-be-forgotten traffic, a wasted no-op re-apply is acceptable
+and a silently skipped removal is not. Same driver-local-commit caveat
+as every protocol in this package: guarded by ``_require_local_path``.
 
 Reference basis: the reference's streaming tier consumes per-row
 messages off an outbox→Kafka loop (backend/supabaseWatcher.js:36-63,
@@ -28,28 +29,10 @@ deletion requests against the shipped artifacts.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 
 from .ivf_stream import _require_local_path, remove_from_ivf_index
-
-_PROGRESS_FILE = "_takedown_progress"
-
-
-def _last_takedown_batch(path: str) -> int:
-    p = os.path.join(path, _PROGRESS_FILE)
-    if os.path.exists(p):
-        with open(p, encoding="ascii") as f:
-            return int(f.read().strip())
-    return -1
-
-
-def _record_takedown_batch(path: str, batch_id: int) -> None:
-    tmp = os.path.join(path, f".{_PROGRESS_FILE}-tmp")
-    with open(tmp, "w", encoding="ascii") as f:
-        f.write(str(batch_id))
-    os.replace(tmp, os.path.join(path, _PROGRESS_FILE))
 
 
 def apply_ivf_takedown_batch(
@@ -60,15 +43,14 @@ def apply_ivf_takedown_batch(
     id_col: str = "vec_id",
 ) -> int:
     """One takedown micro-batch against a persisted IVF/IVF-PQ index.
-    Returns rows removed (0 for a skipped redelivery or an empty batch).
-    The removal itself is the batch operator — marker-protocol atomic,
-    codes deleted with their rows on a PQ index."""
+    Returns rows removed (0 for a redelivered or empty batch — the
+    operator's own semi-probe detects the no-op). The removal itself is
+    the batch operator — marker-protocol atomic, codes deleted with
+    their rows on a PQ index. ``batch_id`` is accepted for the
+    foreachBatch signature; redelivery safety is the operator's
+    idempotence, not an id guard (see module docstring)."""
     path = _require_local_path(path, spark)
-    if batch_id <= _last_takedown_batch(path):
-        return 0  # redelivered batch — rewrite already applied
-    n = remove_from_ivf_index(spark, path, batch_df, id_col=id_col)
-    _record_takedown_batch(path, batch_id)
-    return n
+    return remove_from_ivf_index(spark, path, batch_df, id_col=id_col)
 
 
 def apply_shard_takedown_batch(
@@ -86,17 +68,15 @@ def apply_shard_takedown_batch(
     ids too (``apply_takedown_to_release_state``) so the docs cannot
     resurrect at the next incremental fold — the two removals are each
     idempotent, so a crash between them re-applies harmlessly on
-    redelivery."""
+    redelivery (and so does a redelivered batch id: no id guard, see
+    module docstring)."""
     from ..plans.training_data import apply_takedown_to_shards
     from .release_stream import apply_takedown_to_release_state
 
     out_dir = _require_local_path(out_dir, spark)
-    if batch_id <= _last_takedown_batch(out_dir):
-        return []
     changed = apply_takedown_to_shards(spark, out_dir, takedown_ids=batch_df)
     if state_path is not None:
         apply_takedown_to_release_state(spark, state_path, batch_df)
-    _record_takedown_batch(out_dir, batch_id)
     return changed
 
 

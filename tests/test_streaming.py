@@ -2505,7 +2505,7 @@ def test_takedown_stream_equals_batch_ivf(spark, tmp_path):
     )
     assert key(stream_path) == key(batch_path)
 
-    # redelivered batch id: progress guard skips (returns 0 removed)
+    # redelivered batch: idempotent no-op (0 removed — already gone)
     assert apply_ivf_takedown_batch(spark, stream_path, td, 0) == 0
     assert key(stream_path) == key(batch_path)
     # a NEW batch id applies exactly once
@@ -2572,7 +2572,7 @@ def test_takedown_stream_equals_batch_shards(spark, tmp_path):
     q.awaitTermination(120)
     assert key(stream_out) == key(batch_out)
 
-    # redelivered batch id: progress guard skips (no shard rewritten)
+    # redelivered batch: idempotent no-op (no shard rewritten)
     assert apply_shard_takedown_batch(spark, stream_out, td, 0) == []
     assert key(stream_out) == key(batch_out)
 
@@ -2782,3 +2782,93 @@ def test_ivf_takedown_tombstones_block_reingest(spark, tmp_path):
     assert spark.read.parquet(f"{path}/assignments").filter(
         F.col("vec_id").isin(victims)
     ).count() == 0
+
+
+def test_release_stream_replay_after_compaction_not_wedged(spark, tmp_path):
+    """A checkpoint reset replays a batch whose batch dir compaction
+    already deleted: the watermark guard must treat the no-novel-content
+    replay as a harmless skip (no wedge, no state change), while a true
+    backfill — sub-watermark ids with NEW content — still raises."""
+    import pytest
+
+    from date_warehouse___airline_project_spark.plans.training_data import (
+        write_release_state,
+    )
+    from date_warehouse___airline_project_spark.sources.catalog import load_table
+    from date_warehouse___airline_project_spark.streaming.release_stream import (
+        apply_release_batch,
+        compact_release_state,
+        release_state_rel,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    state = str(tmp_path / "state")
+    write_release_state(d.filter("doc_id < 300"), state)
+    b0 = d.filter("doc_id >= 300 AND doc_id < 400")
+    apply_release_batch(spark, state, b0, 0)
+    assert compact_release_state(spark, state) == 1  # batch dir gone
+
+    before = sorted(
+        r["doc_id"]
+        for r in release_state_rel(spark, state, "v1_docs").select("doc_id").collect()
+    )
+    # replay of b0 under a fresh checkpoint (batch id restarts at 0):
+    # sub-watermark ids but zero novel content -> clean skip
+    apply_release_batch(spark, state, b0, 0)
+    import os
+
+    assert not os.path.isdir(os.path.join(state, "batches", "batch=0"))
+    after = sorted(
+        r["doc_id"]
+        for r in release_state_rel(spark, state, "v1_docs").select("doc_id").collect()
+    )
+    assert after == before
+    # a true backfill (sub-watermark ids, NEW text) still raises
+    backfill = spark.createDataFrame(
+        [(150, "web", "entirely novel backfill content xyzzy")],
+        "doc_id long, source string, text string",
+    )
+    with pytest.raises(ValueError, match="out-of-order ingest batch"):
+        apply_release_batch(spark, state, backfill, 1)
+
+
+def test_ivf_append_after_emptied_index_restores_partitioned_layout(spark, tmp_path):
+    """Appending to an index a takedown fully emptied must not mix the
+    plain empty table with centroid_id= subdirs (unreadable layout):
+    the append overwrites back to partitioned form and every reader
+    works. Repeated takedowns also keep the tombstone set a single
+    deduplicated table."""
+    import os
+
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_topk_indexed,
+    )
+    from date_warehouse___airline_project_spark.streaming.ivf_stream import (
+        remove_from_ivf_index,
+    )
+
+    e, path, new = _ivf_fixture(spark, tmp_path, "ivf_emptied")
+    all_ids = spark.read.parquet(f"{path}/assignments").select("vec_id")
+    all_ids = spark.createDataFrame(
+        [(r["vec_id"],) for r in all_ids.collect()], "vec_id long"
+    )
+    n = remove_from_ivf_index(spark, path, all_ids)
+    assert n > 0
+    # re-run: idempotent, and the tombstone set stays ONE table
+    assert remove_from_ivf_index(spark, path, all_ids) == 0
+    tparts = [
+        f for f in os.listdir(f"{path}/tombstones") if f.endswith(".parquet")
+    ]
+    assert len(tparts) == 1
+    assert spark.read.parquet(f"{path}/tombstones").count() == all_ids.count()
+
+    # append fresh (non-tombstoned) vectors into the emptied index
+    append_to_ivf_index(new.select("vec_id", "embedding"), path)
+    asg = spark.read.parquet(f"{path}/assignments")  # must not raise
+    assert asg.count() == new.count()
+    assert any(
+        d.startswith("centroid_id=") for d in os.listdir(f"{path}/assignments")
+    )
+    hits = ivf_topk_indexed(e, path, query_id=0, k=5, nprobe=25)
+    assert hits.count() <= 5

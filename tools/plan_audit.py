@@ -61,6 +61,7 @@ ALLOW = {
     "doc_release_provenance": {"NESTED-LOOP"},
     "doc_release_incremental_update": {"NESTED-LOOP"},
     "doc_release_version_diff": {"NESTED-LOOP"},
+    "doc_release_backfill_revision": {"NESTED-LOOP"},  # same release-cascade 1-row scalar attaches, both versions
     # codebook-bounded (<=25 rows): the rank window and the 1-row total
     # attach both operate on the cell relation, never on vectors
     "emb_ivf_cell_occupancy": {"GLOBAL-WINDOW", "NESTED-LOOP"},
