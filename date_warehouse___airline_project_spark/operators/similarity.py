@@ -367,10 +367,15 @@ def kmeans_lloyd(
         if prev_ckpt is not None:
             prev_ckpt.unpersist()
         prev_ckpt = cents
-    record_memo_timing(
-        f"kmeans_lloyd/{centroid_mod}/{sample_mod}/{iters}/{impl}",
-        _time.perf_counter() - _t0,
-    )
+    # Report the span ONLY when the result lands in the memo: a
+    # non-memoized call (memo_key None) is repeated per-query training
+    # cost, and subtracting it from the triggering query's clock under a
+    # memo label would mislabel it as a one-time build.
+    if memo_key is not None:
+        record_memo_timing(
+            f"kmeans_lloyd/{centroid_mod}/{sample_mod}/{iters}/{impl}",
+            _time.perf_counter() - _t0,
+        )
     if memo_key is not None:
         _KMEANS_MEMO[memo_key] = cents
         while len(_KMEANS_MEMO) > _KMEANS_MEMO_MAX:
@@ -1000,8 +1005,14 @@ def index_batch_rows(
     index."""
     import os
 
+    from ..streaming.ivf_stream import recover_tombstones
+
     base_cols = spark.read.parquet(f"{path}/assignments").columns
     payload = [c for c in base_cols if c not in (id_col, "codes", "centroid_id")]
+    # repair a crashed tombstone swap BEFORE the existence check below: a
+    # stranded .tombstones-old-* with no live dir would read as "no
+    # tombstones" and resurrect taken-down ids through this append
+    recover_tombstones(path)
     if os.path.isdir(f"{path}/tombstones"):
         # a taken-down id must never resurrect through re-ingest: the
         # takedown path records removed ids (ivf_stream.

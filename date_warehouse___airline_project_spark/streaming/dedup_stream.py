@@ -60,6 +60,20 @@ def merge_fingerprints(state: DataFrame, batch: DataFrame) -> DataFrame:
     return state.unionByName(batch).distinct()
 
 
+def _catch_up_watermark(batch_df: DataFrame, wm_file: str) -> None:
+    """Close the crash window between the state fold and the watermark
+    write: a batch redelivered after that crash is skipped by the
+    batch-id guard BEFORE the watermark logic runs, so the watermark
+    would stay below the folded batch's max doc_id forever — and a later
+    genuinely out-of-order batch whose ids fall in that gap would pass
+    ``guard_append_only`` and fold silently (the exact wrong-canonical
+    case the guard exists to reject). Recompute the skipped batch's max
+    and advance the watermark to it (monotone: never moved backward)."""
+    hi = batch_df.agg(F.max("doc_id").alias("hi")).collect()[0]["hi"]
+    if hi is not None and int(hi) > read_watermark(wm_file):
+        write_watermark(wm_file, int(hi))
+
+
 def dedup_batch(docs: DataFrame, state: DataFrame | None) -> DataFrame:
     """Layers 1+2 for one batch: first-wins within the batch, then
     anti-join against the seen-fingerprint state. Returns accepted rows
@@ -110,6 +124,10 @@ def run_incremental_dedup_stream(
         # already-correct values.
         recover_state(state_dir)
         if batch_id <= last_applied_batch_id(state_dir):
+            # already folded (possibly crashed before the watermark
+            # write): catch the watermark up so the append-only guard
+            # cannot later admit ids inside this batch's folded range
+            _catch_up_watermark(batch_df, f"{state_dir}.max_doc_id")
             return
         # enforce the append-only doc_id invariant: first-arrival-wins
         # state only matches the batch operator's keep-min semantics when
@@ -227,6 +245,9 @@ def run_incremental_paragraph_dedup_stream(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         recover_state(state_dir)
         if batch_id <= last_applied_batch_id(state_dir):
+            # same crash window as the whole-doc stream: fold committed,
+            # watermark write lost — catch it up before skipping
+            _catch_up_watermark(batch_df, f"{state_dir}.max_doc_id")
             return
         wm_file = f"{state_dir}.max_doc_id"
         batch_hi = guard_append_only(batch_df, read_watermark(wm_file))

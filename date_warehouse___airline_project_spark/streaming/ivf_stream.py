@@ -42,7 +42,11 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .state_table import recover_marker_commit, write_commit_marker
+from .state_table import (
+    recover_marker_commit,
+    recover_rename_swap,
+    write_commit_marker,
+)
 
 
 def _require_local_path(path: str, spark: SparkSession | None = None) -> str:
@@ -128,6 +132,10 @@ def apply_ivf_append_batch(
     # no-file batch dir would break schema inference over the appends
     # root (the checkpoint still owns source progress).
     surviving = batch_df.select(id_col)
+    # repair a crashed tombstone swap BEFORE the existence check: a
+    # stranded .tombstones-old-* with no live dir would read as "no
+    # tombstones" and resurrect taken-down ids through this append
+    recover_tombstones(path)
     if os.path.isdir(f"{path}/tombstones"):
         surviving = surviving.join(
             spark.read.parquet(f"{path}/tombstones"), id_col, "left_anti"
@@ -192,6 +200,29 @@ def recover_compaction(path: str) -> None:
         old_of=lambda token, name: os.path.join(path, f".compact-old-{token}"),
         batches_dir=os.path.join(path, "appends"),
         orphan_dir_prefixes=(".compact-tmp-",),
+    )
+    recover_tombstones(path)
+
+
+def recover_tombstones(path: str) -> None:
+    """Repair an interrupted ``_tombstone_ids`` swap. A crash between the
+    two renames strands the ENTIRE accumulated tombstone set in
+    ``.tombstones-old-*`` with no live ``tombstones`` dir — without this,
+    every previously taken-down id could silently resurrect through
+    re-ingest (the exact compliance failure the set exists to prevent),
+    and a re-run of the takedown would only re-tombstone the current
+    batch. Roll BACK by restoring the backup (the interrupted merge is
+    idempotent and re-runnable); sweep post-swap ``.tombstones-old-*``
+    debris and orphaned ``.tombstones-tmp-*`` writes. Shares
+    ``state_table.recover_rename_swap`` with the shard takedown so the
+    two crash protocols cannot drift. Runs from ``recover_compaction``
+    (every read/compact/stream-start path) and before every tombstone
+    read/rewrite."""
+    recover_rename_swap(
+        path,
+        old_prefix=".tombstones-old-",
+        tmp_prefix=".tombstones-tmp-",
+        live_of=lambda _: "tombstones",
     )
 
 
@@ -317,7 +348,10 @@ def _tombstone_ids(spark: SparkSession, path: str, ids: DataFrame) -> None:
     """Fold ``ids`` into the index's tombstone set: distinct union with
     the existing table, written to a tmp sibling and renamed in (atomic
     on local FS; the old set renamed aside first and removed after).
-    Skips the rewrite when every id is already tombstoned."""
+    Skips the rewrite when every id is already tombstoned. A crash
+    between the renames is repaired by ``recover_tombstones`` (run here
+    first, and on every read path via ``recover_compaction``)."""
+    recover_tombstones(path)
     tdir = os.path.join(path, "tombstones")
     if os.path.isdir(tdir):
         existing = spark.read.parquet(tdir)

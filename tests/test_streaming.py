@@ -2872,3 +2872,148 @@ def test_ivf_append_after_emptied_index_restores_partitioned_layout(spark, tmp_p
     )
     hits = ivf_topk_indexed(e, path, query_id=0, k=5, nprobe=25)
     assert hits.count() <= 5
+
+
+def test_tombstone_swap_crash_recovery(spark, tmp_path):
+    """A crash between the two tombstone renames strands the ENTIRE
+    accumulated set in ``.tombstones-old-*`` with no live dir. Every
+    tombstone consumer must roll that back before trusting the set —
+    otherwise previously taken-down ids silently resurrect through
+    re-ingest, and a re-run of the takedown only re-tombstones the
+    current batch, not the lost prior ids."""
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        append_to_ivf_index,
+    )
+    from date_warehouse___airline_project_spark.streaming.ivf_stream import (
+        apply_ivf_append_batch,
+        ivf_assignments_with_appends,
+        recover_tombstones,
+        remove_from_ivf_index,
+    )
+
+    e, path, new = _ivf_fixture(spark, tmp_path, "ivf_tomb_crash")
+    victims = [
+        r["vec_id"]
+        for r in spark.read.parquet(f"{path}/assignments")
+        .filter("vec_id % 11 = 3")
+        .limit(5)
+        .collect()
+    ]
+    td = spark.createDataFrame([(v,) for v in victims], "vec_id long")
+    assert remove_from_ivf_index(spark, path, td) == len(victims)
+    n_tomb = spark.read.parquet(f"{path}/tombstones").count()
+
+    # simulate the crash window: live set renamed aside, replacement never
+    # renamed in; plus an orphaned half-written tmp from the same crash
+    os.rename(f"{path}/tombstones", f"{path}/.tombstones-old-deadbeef")
+    os.makedirs(f"{path}/.tombstones-tmp-cafe0001")
+    (tmp_path / "ivf_tomb_crash" / ".tombstones-tmp-cafe0001" / "junk").write_text("x")
+
+    # the streaming append path repairs first — victims stay out, the
+    # all-blocked batch lands nothing
+    apply_ivf_append_batch(
+        spark,
+        path,
+        e.filter(F.col("vec_id").isin(victims)).select("vec_id", "embedding"),
+        57,
+    )
+    assert os.path.isdir(f"{path}/tombstones")
+    assert not os.path.isdir(f"{path}/.tombstones-old-deadbeef")
+    assert not os.path.isdir(f"{path}/.tombstones-tmp-cafe0001")
+    assert not os.path.isdir(f"{path}/appends/batch=57")
+    assert spark.read.parquet(f"{path}/tombstones").count() == n_tomb
+    assert (
+        ivf_assignments_with_appends(spark, path)
+        .filter(F.col("vec_id").isin(victims))
+        .count()
+        == 0
+    )
+
+    # same crash before the BATCH append path (index_batch_rows) — repaired
+    os.rename(f"{path}/tombstones", f"{path}/.tombstones-old-feedc0de")
+    append_to_ivf_index(
+        e.filter(F.col("vec_id").isin(victims)).select("vec_id", "embedding"), path
+    )
+    assert os.path.isdir(f"{path}/tombstones")
+    assert (
+        spark.read.parquet(f"{path}/assignments")
+        .filter(F.col("vec_id").isin(victims))
+        .count()
+        == 0
+    )
+
+    # and a follow-up takedown MERGES with the recovered prior set instead
+    # of re-tombstoning only its own batch
+    extra = [
+        r["vec_id"]
+        for r in spark.read.parquet(f"{path}/assignments")
+        .filter(~F.col("vec_id").isin(victims))
+        .limit(2)
+        .collect()
+    ]
+    remove_from_ivf_index(
+        spark, path, spark.createDataFrame([(v,) for v in extra], "vec_id long")
+    )
+    tomb = {r["vec_id"] for r in spark.read.parquet(f"{path}/tombstones").collect()}
+    assert set(victims) <= tomb and set(extra) <= tomb
+
+    # post-swap debris (live dir present AND an old backup): swept, set kept
+    os.makedirs(f"{path}/.tombstones-old-11112222")
+    recover_tombstones(path)
+    assert not os.path.isdir(f"{path}/.tombstones-old-11112222")
+    assert spark.read.parquet(f"{path}/tombstones").count() == len(tomb)
+
+
+def test_dedup_stream_watermark_catches_up_on_redelivery(spark, tmp_path):
+    """Crash between the state fold and the watermark write: the
+    redelivered batch is skipped by the batch-id guard BEFORE the
+    watermark logic runs, so without catch-up the watermark stays below
+    the folded batch's max doc_id forever — and a later out-of-order
+    batch whose ids fall in that gap would pass guard_append_only and
+    fold silently (the exact wrong-canonical case the guard rejects)."""
+    from date_warehouse___airline_project_spark.streaming.dedup_stream import (
+        run_incremental_dedup_stream,
+    )
+    from date_warehouse___airline_project_spark.streaming.state_table import (
+        read_watermark,
+        write_watermark,
+    )
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    (input_dir / "b1.jsonl").write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": t})
+            for i, t in [(10, "alpha beta"), (20, "gamma delta")]
+        )
+    )
+    q = run_incremental_dedup_stream(
+        spark, str(input_dir), state, out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    wm_file = f"{state}.max_doc_id"
+    assert read_watermark(wm_file) == 20
+
+    # simulate the lost watermark write (crash after fold, before write),
+    # then force redelivery of batch 0 under a fresh checkpoint
+    write_watermark(wm_file, 5)
+    q = run_incremental_dedup_stream(
+        spark, str(input_dir), state, out, str(tmp_path / "ckpt2")
+    )
+    q.awaitTermination(120)
+    # the batch-id-skip path caught the watermark up to the folded max
+    assert read_watermark(wm_file) == 20
+
+    # a gap-id batch (5 < 15 <= 20, novel content) is now rejected loudly
+    (input_dir / "b2.jsonl").write_text(
+        json.dumps({"doc_id": 15, "text": "entirely novel xyzzy"})
+    )
+    q = run_incremental_dedup_stream(
+        spark, str(input_dir), state, out, str(tmp_path / "ckpt2")
+    )
+    with pytest.raises(Exception, match="out-of-order ingest batch"):
+        q.awaitTermination(120)
+    # ... and the state did NOT fold the gap batch
+    assert spark.read.parquet(state).count() == 2
