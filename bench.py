@@ -121,6 +121,9 @@ def main() -> None:
         "emb_ivfpq_indexed_topk",  # r9: shares the session IVF-PQ index
         # (one build: emb_ivf_indexed_topk builds the PQ superset index,
         # this row's warm cost is just the search)
+        "doc_release_backfill_applied",  # r10: writes the v1 shards and
+        # executes the backfill rewrite against them (lifecycle), then the
+        # timed run reads the manifest off the written files
     ):
         if name in qs:
             t0 = time.perf_counter()

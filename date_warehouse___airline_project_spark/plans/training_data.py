@@ -2056,7 +2056,13 @@ def write_release_shards(spark: SparkSession, sf_dir: str, out_dir: str) -> None
     repartition-by-shard before the partitioned write keeps files at one
     per shard per shuffle partition instead of tasks x shards slivers
     (same discipline as the IVF assignments writer)."""
-    asg = _release_assignment(_docs(spark, sf_dir))
+    _write_shards(_release_assignment(_docs(spark, sf_dir)), out_dir)
+
+
+def _write_shards(asg: DataFrame, out_dir: str) -> None:
+    """Write a (doc_id, source, n_tok, text, shard, pos) assignment as the
+    release's shard files — shared by the full writer and the backfill
+    executor's before-release builds so the file layout cannot drift."""
     (
         asg.repartition("shard")
         .write.mode("overwrite")
@@ -2441,6 +2447,30 @@ def doc_release_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _state_rels(docs: DataFrame) -> dict[str, DataFrame]:
+    """The four release-state relations over ``docs`` — ONE definition
+    shared by the initial state write and the backfill rebase
+    (``streaming/release_stream.py::apply_backfill_to_release_state``),
+    so the two cannot drift. The kept paragraphs carry the identical
+    distinct fingerprint set as ALL paragraphs (every fingerprint's first
+    occurrence is kept), so para_fps reuses kp instead of a second
+    paragraph pass."""
+    k1 = _exact_survivors(docs)
+    kp = _kept_paragraphs(k1)
+    rtok, grams = _token_grams(_rewrite(kp))
+    v1 = (
+        _assemble(rtok, _extents(_dup_span_hits(grams)))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "n_tok", "text")
+    )
+    return {
+        "doc_fps": docs.select(F.md5(F.lower("text")).alias("fp")).distinct(),
+        "para_fps": kp.select(F.md5("_ptxt").alias("pfp")).distinct(),
+        "gram_fps": grams.select(F.md5("_g").alias("gfp")).distinct(),
+        "v1_docs": v1,
+    }
+
+
 def write_release_state(old: DataFrame, path: str) -> None:
     """Persist the incremental-release state of a released corpus: the
     four relations a later ingest batch needs to fold itself into the
@@ -2458,28 +2488,8 @@ def write_release_state(old: DataFrame, path: str) -> None:
     old+new gram collision keeps the old doc as keeper). At 100 TB the
     state is fingerprint-sized (hashes, not text) except v1_docs — which
     IS the release, already materialized by the shard writer."""
-    k1 = _exact_survivors(old)
-    kp = _kept_paragraphs(k1)
-    rw = _rewrite(kp)
-    rtok, grams = _token_grams(rw)
-    v1 = (
-        _assemble(rtok, _extents(_dup_span_hits(grams)))
-        .join(old.select("doc_id", "source"), "doc_id")
-        .select("doc_id", "source", "n_tok", "text")
-    )
-    old.select(F.md5(F.lower("text")).alias("fp")).distinct().write.mode(
-        "overwrite"
-    ).parquet(f"{path}/doc_fps")
-    # the kept paragraphs carry the identical distinct fingerprint set as
-    # ALL paragraphs (every fingerprint's first occurrence is kept), so
-    # the state write reuses kp instead of a second paragraph pass
-    kp.select(F.md5("_ptxt").alias("pfp")).distinct().write.mode(
-        "overwrite"
-    ).parquet(f"{path}/para_fps")
-    grams.select(F.md5("_g").alias("gfp")).distinct().write.mode(
-        "overwrite"
-    ).parquet(f"{path}/gram_fps")
-    v1.write.mode("overwrite").parquet(f"{path}/v1_docs")
+    for name, rel in _state_rels(old).items():
+        rel.write.mode("overwrite").parquet(f"{path}/{name}")
     # ingest watermark: the append-only doc_id invariant the keep-min fold
     # DEPENDS on is recorded so later folds can enforce it instead of
     # assuming it (a backfilled lower doc_id would silently ship the
@@ -2944,6 +2954,152 @@ def doc_release_backfill_revision(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("shard")
     )
+
+
+_BF_APPLIED_MEMO: dict = {}
+
+
+@query(
+    "doc_release_backfill_applied",
+    oracle=_RELEASE_ORACLE,
+    doc="EXECUTED backfill revision — the apply step completing "
+    "doc_release_backfill_revision's diff: the shipped v1 release (the "
+    "corpus minus the deterministic late-arrival set, written as real "
+    "shard files) is rewritten in place by apply_backfill_to_shards — "
+    "only the shards whose (n_docs, checksum) changed are touched, each "
+    "swapped via the crash-recoverable per-shard rename protocol — and "
+    "the manifest is then recomputed FROM THE WRITTEN FILES. The oracle "
+    "is the full-corpus release manifest (doc_release_manifest's SQL "
+    "verbatim), so the driver certifies that executing the revision "
+    "against shipped files lands byte-for-byte on the from-scratch "
+    "release of the corrected corpus: retractions removed, insertions "
+    "placed, positions re-ranked, untouched shards shipped as-is. Both "
+    "cascades ride the session funnel memos; the build (shard write + "
+    "rewrite) is a once-per-session lifecycle cost on the warm clock.",
+)
+def doc_release_backfill_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, _BF_MOD, _BF_RES)
+    out = _BF_APPLIED_MEMO.get(key)
+    if out is None:
+        early = d.filter(_hash56(F.col("doc_id")) % _BF_MOD != _BF_RES)
+        # the same memo key the revision query trains, so diff + apply
+        # share one before-cascade per session
+        asg1 = _memo(
+            d,
+            ("bf_release_asg", _BF_MOD, _BF_RES, _FUNNEL_B, _SPAN_N),
+            lambda: _assignment_of(_release_docs(early)),
+        )
+        out = session_tmpdir("spark_graft_bf_release_")
+        _write_shards(asg1, out)
+        apply_backfill_to_shards(spark, out, d)
+        _BF_APPLIED_MEMO[key] = out
+    return release_manifest_from_files(spark, out)
+
+
+def recover_shard_backfill(out_dir: str) -> None:
+    """Finish or undo an interrupted ``apply_backfill_to_shards`` — the
+    takedown's per-shard rename-swap recovery with the backfill's own
+    prefixes (same primitive, ``state_table.recover_rename_swap``): a
+    ``.backfill-old-<token>-<s>`` dir with NO live ``shard=<s>`` rolls
+    BACK (the rewrite is idempotent and re-runnable); post-swap debris
+    and orphaned tmp roots are swept."""
+    from ..streaming.ivf_stream import _require_local_path
+    from ..streaming.state_table import recover_rename_swap
+
+    out_dir = _require_local_path(out_dir)
+    recover_rename_swap(
+        out_dir,
+        old_prefix=".backfill-old-",
+        tmp_prefix=".backfill-tmp-",
+        live_of=lambda s: f"shard={s}",
+    )
+
+
+def apply_backfill_to_shards(
+    spark: SparkSession, out_dir: str, corrected: DataFrame
+) -> list[int]:
+    """EXECUTE a backfill revision against WRITTEN release shards — the
+    apply step ``doc_release_backfill_revision`` predicts: late-arriving
+    sub-watermark doc_ids make the incremental fold ineligible (their
+    lower ids displace shipped keepers at every funnel stage), so the
+    release is recomputed over the CORRECTED corpus and exactly the
+    shards whose content changed are rewritten in place. ``corrected``
+    must be the complete corrected corpus (everything ever ingested plus
+    the late arrivals) — the revision's after-state is
+    ``_assignment_of(_release_docs(corrected))``, the same cascade the
+    diff query certifies.
+
+    Changed-shard detection is the revision's own rule — per-shard
+    (n_docs, content_checksum) of the WRITTEN files vs the after
+    assignment (not a trusted diff row: the executor re-derives the
+    delta from what is actually on disk, so it is re-runnable from any
+    partial state). Shards whose stats match ship unchanged: their files
+    are never read again, never rewritten — at 100 TB the rewrite cost
+    is proportional to the revision's blast radius, not the release.
+
+    Crash protocol mirrors ``apply_takedown_to_shards``: rewritten
+    shards land in one ``.backfill-tmp-<token>`` dir, then swap live via
+    existence-guarded renames (``recover_shard_backfill`` rolls a crash
+    between the renames back); a shard the revision fully retracts is
+    rewritten as an empty schema'd table, a shard the revision newly
+    populates (no live dir) renames straight in. Idempotent: a re-run
+    finds zero changed shards. Returns the rewritten shard ids. The
+    persisted release STATE is rebased separately —
+    ``release_stream.apply_backfill_to_release_state`` — so future
+    incremental folds resume off the corrected corpus."""
+    import os
+    import shutil
+    import uuid
+
+    from ..streaming.ivf_stream import _require_local_path
+
+    out_dir = _require_local_path(out_dir, spark)
+    recover_shard_backfill(out_dir)
+    files = spark.read.parquet(out_dir).withColumn(
+        "shard", F.col("shard").cast("bigint")
+    )
+    asg2 = _assignment_of(_release_docs(corrected))
+
+    def stats(asg: DataFrame, n: str, c: str) -> DataFrame:
+        return asg.groupBy("shard").agg(
+            F.count("*").cast("bigint").alias(n),
+            _content_checksum_col(F.col("pos"), F.col("text")).alias(c),
+        )
+
+    # one NSHARDS-row bounded fold decides the blast radius (documented
+    # driver-side pattern); full-outer so one-sided shards surface
+    cmp = stats(files, "nb", "cb").join(
+        stats(asg2, "na", "ca"), "shard", "full"
+    )
+    changed = sorted(
+        int(r["shard"])
+        for r in cmp.collect()
+        if r["nb"] != r["na"] or r["cb"] != r["ca"]
+    )
+    if not changed:
+        return []
+    token = uuid.uuid4().hex[:8]
+    tmp = os.path.join(out_dir, f".backfill-tmp-{token}")
+    _write_shards(asg2.filter(F.col("shard").isin(changed)), tmp)
+    for s in changed:
+        live = os.path.join(out_dir, f"shard={s}")
+        new = os.path.join(tmp, f"shard={s}")
+        old = os.path.join(out_dir, f".backfill-old-{token}-{s}")
+        if os.path.isdir(live):
+            os.rename(live, old)
+        if os.path.isdir(new):
+            os.rename(new, live)
+        else:
+            # shard fully retracted: keep a readable empty schema'd table
+            # (no shard column inside — the dir name IS the partition),
+            # mirroring the takedown's emptied-shard branch
+            asg2.limit(0).drop("shard").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(live)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return changed
 
 
 def recover_shard_takedown(out_dir: str) -> None:

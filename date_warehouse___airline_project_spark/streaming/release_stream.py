@@ -283,6 +283,49 @@ def apply_takedown_to_release_state(
     return n_removed
 
 
+def apply_backfill_to_release_state(
+    spark: SparkSession, path: str, corrected: DataFrame
+) -> None:
+    """Rebase the persisted release state onto the CORRECTED corpus — the
+    state-side half of executing a backfill revision (the file-side half
+    is ``training_data.apply_backfill_to_shards``). A backfill's
+    sub-watermark doc_ids invalidate every keep-min keeper decision the
+    state encodes, so all four relations are recomputed from
+    ``corrected`` (which must be the complete corrected corpus:
+    everything ever ingested plus the late arrivals) through the SAME
+    ``_state_rels`` definition the initial state write uses, and swapped
+    in atomically through the release marker protocol — a crash at any
+    point leaves the state either fully pre- or fully post-rebase
+    (``recover_release_compaction`` rolls forward/back). Committed batch
+    delta dirs are superseded by the rebase (their content is inside
+    ``corrected``) and deleted in the same commit. The watermark advances
+    to cover the corrected corpus before the marker (monotone, so an
+    aborted rebase leaving the higher bound is safe — it only makes the
+    guard stricter). After the rebase, incremental folds resume off the
+    corrected corpus — certified equal to a from-scratch
+    ``write_release_state`` by the rebase-equals-rewrite test."""
+    from ..plans.training_data import _state_rels, write_ingest_watermark
+
+    path = _require_local_path(path, spark)
+    recover_release_compaction(path)
+    bdir = os.path.join(path, "batches")
+    batches = (
+        sorted(n for n in os.listdir(bdir) if n.startswith("batch="))
+        if os.path.isdir(bdir)
+        else []
+    )
+    token = uuid.uuid4().hex[:12]
+    tmp_root = os.path.join(path, f".release-tmp-{token}")
+    for name, rel in _state_rels(corrected).items():
+        rel.write.mode("overwrite").parquet(os.path.join(tmp_root, name))
+    mx = corrected.agg(F.max("doc_id").alias("m")).collect()[0]["m"]  # 1-row fold
+    write_ingest_watermark(
+        path, max(streamed_watermark(path), -1 if mx is None else int(mx))
+    )
+    write_commit_marker(path, _REL_MARKER, {"token": token, "batches": batches})
+    recover_release_compaction(path)
+
+
 def run_release_maintenance_stream(
     new_docs: DataFrame,
     path: str,

@@ -824,3 +824,67 @@ def test_backfill_revision_delta_semantics(spark):
         if r["changed"] == 0:
             assert r["checksum_before"] == r["checksum_after"]
             assert r["docs_retracted"] == 0 and r["docs_inserted"] == 0
+
+
+def test_apply_backfill_to_shards_matches_revision(spark, tmp_path):
+    """Executing the backfill revision against the WRITTEN v1 shards must
+    land exactly the revision's predicted after-state: per changed shard
+    the post-rewrite manifest equals (n_docs_after, checksum_after),
+    untouched shards keep their original files byte-for-byte, a re-run is
+    a no-op, and a crash between the per-shard renames rolls back."""
+    import os
+
+    from date_warehouse___airline_project_spark.functions.hashing import hash56
+    from date_warehouse___airline_project_spark.plans.training_data import (
+        _assignment_of,
+        _docs,
+        _release_docs,
+        _write_shards,
+        apply_backfill_to_shards,
+        doc_release_backfill_revision,
+        recover_shard_backfill,
+        release_manifest_from_files,
+    )
+
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    d = _docs(spark, sf)
+    early = d.filter(hash56(F.col("doc_id")) % 31 != 7)
+    out = str(tmp_path / "release")
+    _write_shards(_assignment_of(_release_docs(early)), out)
+
+    rev = {
+        r["shard"]: r for r in doc_release_backfill_revision(spark, sf).collect()
+    }
+    assert any(r["changed"] == 1 for r in rev.values())
+    before_files = {
+        s: sorted(os.listdir(f"{out}/shard={s}"))
+        for s in rev
+        if os.path.isdir(f"{out}/shard={s}")
+    }
+    changed = apply_backfill_to_shards(spark, out, d)
+    assert sorted(changed) == sorted(s for s, r in rev.items() if r["changed"] == 1)
+
+    man = {r["shard"]: r for r in release_manifest_from_files(spark, out).collect()}
+    for s, r in rev.items():
+        if r["n_docs_after"] == 0:
+            assert s not in man
+            continue
+        assert man[s]["n_docs"] == r["n_docs_after"]
+        assert man[s]["content_checksum"] == r["checksum_after"]
+    # untouched shards: same file listing (never rewritten)
+    for s, r in rev.items():
+        if r["changed"] == 0:
+            assert sorted(os.listdir(f"{out}/shard={s}")) == before_files[s]
+    # idempotent: the written files now ARE the after-state
+    assert apply_backfill_to_shards(spark, out, d) == []
+    assert not any(n.startswith(".backfill") for n in os.listdir(out))
+    # crash between the two renames: live shard missing, old dir present —
+    # recovery rolls the shard back and a re-run stays a no-op
+    some = next(s for s in rev if os.path.isdir(f"{out}/shard={s}"))
+    os.rename(f"{out}/shard={some}", f"{out}/.backfill-old-cafe01-{some}")
+    recover_shard_backfill(out)
+    assert os.path.isdir(f"{out}/shard={some}")
+    assert not any(n.startswith(".backfill") for n in os.listdir(out))
+    assert apply_backfill_to_shards(spark, out, d) == []

@@ -3017,3 +3017,70 @@ def test_dedup_stream_watermark_catches_up_on_redelivery(spark, tmp_path):
         q.awaitTermination(120)
     # ... and the state did NOT fold the gap batch
     assert spark.read.parquet(state).count() == 2
+
+
+def test_backfill_state_rebase_equals_rewrite(spark, tmp_path):
+    """Rebasing the persisted release state onto the corrected corpus
+    (apply_backfill_to_release_state) must equal a from-scratch
+    write_release_state over that corpus in all four relations, fold the
+    batch dirs away, advance the watermark, and leave the state ready for
+    normal incremental folds. A markerless tmp from a crashed rebase
+    rolls back clean."""
+    from date_warehouse___airline_project_spark.functions.hashing import hash56
+    from date_warehouse___airline_project_spark.plans.training_data import (
+        read_ingest_watermark,
+        write_release_state,
+    )
+    from date_warehouse___airline_project_spark.sources.catalog import load_table
+    from date_warehouse___airline_project_spark.streaming.release_stream import (
+        apply_backfill_to_release_state,
+        apply_release_batch,
+        recover_release_compaction,
+        release_state_rel,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    late = d.filter((F.col("doc_id") < 400) & (hash56(F.col("doc_id")) % 31 == 7))
+    assert late.count() > 0
+    early = d.filter((F.col("doc_id") < 400) & (hash56(F.col("doc_id")) % 31 != 7))
+    state = str(tmp_path / "state")
+    write_release_state(early, state)
+    # one committed streamed batch rides on top of the base state
+    apply_release_batch(spark, state, d.filter("doc_id >= 400 AND doc_id < 450"), 0)
+    assert os.path.isdir(os.path.join(state, "batches", "batch=0"))
+
+    corrected = d.filter("doc_id < 450")  # early ∪ batch ∪ late
+    apply_backfill_to_release_state(spark, state, corrected)
+
+    fresh = str(tmp_path / "fresh")
+    write_release_state(corrected, fresh)
+    for name, cols in (
+        ("doc_fps", ["fp"]),
+        ("para_fps", ["pfp"]),
+        ("gram_fps", ["gfp"]),
+        ("v1_docs", ["doc_id", "source", "n_tok", "text"]),
+    ):
+        a = sorted(map(tuple, spark.read.parquet(f"{state}/{name}").select(*cols).collect()))
+        b = sorted(map(tuple, spark.read.parquet(f"{fresh}/{name}").select(*cols).collect()))
+        assert a == b, f"rebased {name} != from-scratch rewrite"
+    # batch dirs folded away in the same commit; watermark covers corrected
+    assert not any(
+        n.startswith("batch=")
+        for n in (os.listdir(os.path.join(state, "batches"))
+                  if os.path.isdir(os.path.join(state, "batches")) else [])
+    )
+    assert read_ingest_watermark(state) == read_ingest_watermark(fresh)
+
+    # normal incremental folds resume off the corrected corpus
+    apply_release_batch(spark, state, d.filter("doc_id >= 450 AND doc_id < 500"), 1)
+    apply_release_batch(spark, fresh, d.filter("doc_id >= 450 AND doc_id < 500"), 1)
+    a = sorted(r["doc_id"] for r in release_state_rel(spark, state, "v1_docs").collect())
+    b = sorted(r["doc_id"] for r in release_state_rel(spark, fresh, "v1_docs").collect())
+    assert a == b
+
+    # a crashed rebase that never reached its marker rolls back clean
+    os.makedirs(os.path.join(state, ".release-tmp-deadbeef", "v1_docs"))
+    recover_release_compaction(state)
+    assert not os.path.isdir(os.path.join(state, ".release-tmp-deadbeef"))
+    after = sorted(r["doc_id"] for r in release_state_rel(spark, state, "v1_docs").collect())
+    assert after == a
