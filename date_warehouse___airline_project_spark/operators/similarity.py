@@ -989,6 +989,123 @@ def ivfpq_topk_indexed(
     )
 
 
+def ivfpq_knn_join(
+    emb: DataFrame,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BATCHED search over a persisted IVF-PQ index — the production
+    serving shape (``ivfpq_topk_indexed`` serves one query; retrieval and
+    eval pipelines serve batches). ``queries`` is a small (qid, qv)
+    relation; the result is each query's exact-cosine top-``k`` drawn
+    from its ADC top-``rerank`` shortlist, one corpus scan total:
+
+      1. probes resolve ONCE for all queries — a broadcast codebook x
+         query grid with a per-qid window picks each query's ``nprobe``
+         cells (ncells x Q rows, never corpus-scale);
+      2. the code table is scanned ONCE, STATICALLY partition-pruned to
+         the union of probed cells: the probe grid is a bounded fold
+         (Q x nprobe pairs, ≤ codebook-size x batch rows — collected
+         driver-side like every bounded relation in this repo), so the
+         cell union is pushed as a literal partition filter instead of
+         relying on dynamic pruning, and the per-query fan-out is a
+         broadcast join of the collected pairs against the pruned rows;
+      3. ADC scores every (query, candidate) in the compressed domain off
+         one broadcast (qid, g, code) weight table — same per-g max-when
+         pivot and fixed-order sum as the single-query path, so scores
+         are bit-equal to it;
+      4. per-query top-``rerank`` shortlists come from the salted
+         two-phase window (the ``emb_knn_join`` discipline: the
+         candidate-scale shuffle is partitioned by (qid, salt), never by
+         qid alone, so a small query set cannot skew reducers at 100 TB);
+      5. exact cosine re-ranks only the Q x ``rerank`` shortlist rows
+         (broadcast join back to the raw vectors).
+    """
+    spark = emb.sparkSession
+    cents = spark.read.parquet(f"{path}/codebook")
+    pq = spark.read.parquet(f"{path}/pq_codebook")
+    mrow = spark.read.parquet(f"{path}/pq_meta").collect()[0]  # 1-row fold
+    n_sub, sub_dim = mrow["n_sub"], mrow["sub_dim"]
+    asg = spark.read.parquet(f"{path}/assignments")
+    payload = [c for c in asg.columns if c not in (id_col, "codes", "centroid_id")]
+    wq = W.partitionBy("qid").orderBy(F.desc("_cos_q"), F.asc("_cid"))
+    probe_pairs = (
+        cents.crossJoin(F.broadcast(queries))
+        .withColumn("_cos_q", cosine(F.col("_cvec"), F.col("qv")))
+        .withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select("qid", F.col("_cid").alias("centroid_id"))
+        .collect()  # bounded: Q x nprobe rows of two ids
+    )
+    probe = spark.createDataFrame(
+        [(r["qid"], r["centroid_id"]) for r in probe_pairs],
+        "qid long, centroid_id long",
+    )
+    cells = sorted({r["centroid_id"] for r in probe_pairs})
+    # literal partition filter = guaranteed static pruning of the code
+    # table (the DPP form degraded to dynamicpruningexpression(true) at
+    # runtime — a full scan; the probed cell union is known before the
+    # scan, so push it as a literal)
+    cand = (
+        asg.filter(F.col("centroid_id").isin(cells))
+        .join(F.broadcast(probe), "centroid_id")
+        .filter(F.col(id_col) != F.col("qid"))
+    )
+    adc = pq.crossJoin(F.broadcast(queries)).select(
+        "qid",
+        "g",
+        "code",
+        dot(F.slice("qv", F.col("g") * sub_dim + 1, sub_dim), F.col("cvec")).alias("w"),
+    )
+    expl = cand.select(
+        "qid", id_col, *payload, F.posexplode("codes").alias("g", "code")
+    )
+    appx = (
+        expl.join(F.broadcast(adc), ["qid", "g", "code"])
+        .groupBy("qid", id_col, *payload)
+        .agg(*[
+            F.max(F.when(F.col("g") == i, F.col("w"))).alias(f"w{i}")
+            for i in range(n_sub)
+        ])
+    )
+    approx = F.col("w0")
+    for i in range(1, n_sub):
+        approx = approx + F.col(f"w{i}")
+    scored = appx.select("qid", id_col, *payload, approx.alias("approx_dot"))
+    w1 = W.partitionBy("qid", "_salt").orderBy(F.desc("approx_dot"), F.asc(id_col))
+    w2 = W.partitionBy("qid").orderBy(F.desc("approx_dot"), F.asc(id_col))
+    shortlist = (
+        scored.withColumn("_salt", F.pmod(F.hash(id_col), F.lit(32)))
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= rerank)
+        .withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= rerank)
+        .drop("_salt", "_rn", "_rn2")
+    )
+    wk = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        F.broadcast(shortlist)
+        .join(emb.select(id_col, vec_col), id_col)
+        .join(F.broadcast(queries), "qid")
+        .withColumn("cos_sim", F.round(cosine(F.col(vec_col), F.col("qv")), 6))
+        .withColumn("_rk", F.row_number().over(wk))
+        .filter(F.col("_rk") <= k)
+        .select(
+            "qid",
+            id_col,
+            *payload,
+            F.round("approx_dot", 6).alias("approx_dot"),
+            "cos_sim",
+        )
+        .orderBy("qid", F.desc("cos_sim"), F.asc(id_col))
+    )
+
+
 def index_batch_rows(
     spark: SparkSession,
     path: str,

@@ -2701,6 +2701,140 @@ def emb_ivfpq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BATCHED indexed ANN search: N queries against the persisted IVF-PQ index
+# in ONE corpus scan — production serves batches, not single probes.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_KNN_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id % 25 = 0),
+    samp AS (SELECT vec_id, emb FROM e WHERE vec_id % 4 = 0),
+    {_iter_sql(1, 'c0')},
+    {_iter_sql(2, 'c1')},
+    qs AS (
+      SELECT vec_id AS qid, emb AS qv FROM e WHERE vec_id % 100 = 0
+      ORDER BY vec_id LIMIT 100),
+    probe AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY {_cos_sql('c.cvec', 'q.qv')} DESC, c.cid) AS rn
+        FROM c2 c, qs q) WHERE rn <= 2),
+    af AS MATERIALIZED (
+      SELECT vec_id, label, emb, cid FROM (
+        SELECT e.vec_id, e.label, e.emb, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_rank_sql('e.emb', 'c.cvec')} DESC, c.cid) AS rn
+        FROM e, c2 c) WHERE rn = 1),
+    groups AS (SELECT UNNEST(range(0, {_PQ_G})) AS g),
+    codes AS (SELECT UNNEST(range(0, {_PQ_K})) AS code),
+    pc0 AS (
+      SELECT codes.code, g.g,
+             list_slice(CAST(e2.embedding AS DOUBLE[]),
+                        g.g * {_PQ_D} + 1, (g.g + 1) * {_PQ_D}) AS cvec
+      FROM codes
+      JOIN embeddings e2 ON e2.vec_id = codes.code * 25
+      CROSS JOIN groups g),
+    psub AS (
+      SELECT e.vec_id, g.g,
+             list_slice(e.emb, g.g * {_PQ_D} + 1, (g.g + 1) * {_PQ_D}) AS svec
+      FROM e CROSS JOIN groups g
+      WHERE e.vec_id % 4 = 0),
+    pta AS (
+      SELECT vec_id, g, svec, code FROM (
+        SELECT s.vec_id, s.g, s.svec, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.g
+                   ORDER BY list_dot_product(s.svec, s.svec)
+                          - 2 * list_dot_product(s.svec, c.cvec)
+                          + list_dot_product(c.cvec, c.cvec), c.code) AS rn
+        FROM psub s JOIN pc0 c ON c.g = s.g) WHERE rn = 1),
+    ptu AS (
+      SELECT g, code, pos,
+             CAST(SUM(CAST(svec[pos] AS DECIMAL(27,10))) AS DOUBLE)
+               / COUNT(*) AS comp
+      FROM pta, UNNEST(GENERATE_SERIES(1, {_PQ_D})) AS t(pos)
+      GROUP BY g, code, pos),
+    pc1 AS MATERIALIZED (
+      SELECT g, code, LIST(comp ORDER BY pos) AS cvec FROM ptu GROUP BY g, code),
+    vsubs AS (
+      SELECT a.vec_id, a.label, g.g,
+             list_slice(a.emb, g.g * {_PQ_D} + 1, (g.g + 1) * {_PQ_D}) AS svec
+      FROM af a CROSS JOIN groups g),
+    vassign AS MATERIALIZED (
+      SELECT vec_id, label, g, code FROM (
+        SELECT s.vec_id, s.label, s.g, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.g
+                   ORDER BY list_dot_product(s.svec, s.svec)
+                          - 2 * list_dot_product(s.svec, c.cvec)
+                          + list_dot_product(c.cvec, c.cvec), c.code) AS rn
+        FROM vsubs s JOIN pc1 c ON c.g = s.g) WHERE rn = 1),
+    adc AS (
+      SELECT q.qid, c.g, c.code,
+             list_dot_product(list_slice(q.qv,
+                                         c.g * {_PQ_D} + 1, (c.g + 1) * {_PQ_D}),
+                              c.cvec) AS w
+      FROM pc1 c, qs q),
+    cand AS (
+      SELECT p.qid, a.vec_id
+      FROM af a JOIN probe p ON a.cid = p.cid
+      WHERE a.vec_id <> p.qid),
+    appx AS (
+      SELECT c.qid, a.vec_id, a.label, {_PQ_W_COLS}
+      FROM cand c
+      JOIN vassign a ON a.vec_id = c.vec_id
+      JOIN adc ON adc.qid = c.qid AND adc.g = a.g AND adc.code = a.code
+      GROUP BY c.qid, a.vec_id, a.label),
+    sl AS (
+      SELECT qid, vec_id, label, {_PQ_W_SUM} AS approx_dot
+      FROM appx
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY {_PQ_W_SUM} DESC, vec_id) <= 20),
+    rer AS (
+      SELECT sl.qid, sl.vec_id, sl.label,
+             ROUND(sl.approx_dot, 6) AS approx_dot,
+             ROUND({_cos_sql('e.emb', 'q.qv')}, 6) AS cos_sim
+      FROM sl JOIN e ON e.vec_id = sl.vec_id
+      JOIN qs q ON q.qid = sl.qid)
+    SELECT qid, vec_id, label, approx_dot, cos_sim FROM rer
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY cos_sim DESC, vec_id) <= 3
+    ORDER BY qid, cos_sim DESC, vec_id
+"""
+
+
+@query(
+    "emb_ivfpq_knn_join",
+    oracle=_IVFPQ_KNN_ORACLE,
+    doc="BATCHED persisted-index ANN search (operators/similarity.py::"
+    "ivfpq_knn_join) — production serves query batches, not single "
+    "probes: every query in the broadcast set (vec_id % 100) resolves "
+    "its nprobe=2 cells against the saved coarse codebook in one "
+    "ncells x Q grid, the persisted code table is scanned ONCE pruned "
+    "to the union of probed cells (broadcast (qid, cell) pair join), "
+    "ADC scores all (query, candidate) pairs off one broadcast "
+    "(qid, g, code) weight table, per-query top-20 shortlists come from "
+    "the salted two-phase window (emb_knn_join discipline — the "
+    "candidate shuffle is never partitioned by qid alone), and exact "
+    "cosine re-ranks only the Q x 20 shortlist rows to top-3. Rides the "
+    "session IVF-PQ index (one build serves all indexed queries); the "
+    "oracle replays coarse + sub-quantizer training, full-corpus "
+    "encoding, and the per-query probe/ADC/re-rank cascade.",
+)
+def emb_ivfpq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivfpq_knn_join
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = _session_ivfpq_index(spark, sf_dir, e)
+    queries = (
+        e.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(100)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    )
+    return ivfpq_knn_join(e, path, queries, k=3, nprobe=2, rerank=20)
+
+
+# ---------------------------------------------------------------------------
 # IVF-PQ recall compare: does training the quantizers buy recall, and what
 # does cell-pruning cost vs corpus-wide PQ? Three candidate generators,
 # one exact ground truth, one row each.

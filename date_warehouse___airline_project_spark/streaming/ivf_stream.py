@@ -191,6 +191,9 @@ def recover_compaction(path: str) -> None:
     like the append stream itself: one process runs appends/compaction
     for an index at a time."""
     path = _require_local_path(path)
+    # a crashed rebuild swap leaves NO live index dir — restore it before
+    # any marker/tombstone recovery (both operate INSIDE the dir)
+    recover_rebuild(path)
     recover_marker_commit(
         path,
         _COMPACT_MARKER,
@@ -202,6 +205,107 @@ def recover_compaction(path: str) -> None:
         orphan_dir_prefixes=(".compact-tmp-",),
     )
     recover_tombstones(path)
+
+
+def recover_rebuild(path: str) -> None:
+    """Repair an interrupted ``rebuild_ivf_index`` swap: the index is
+    replaced whole-tree via two sibling renames (live → ``.rebuild-old-``
+    backup, tmp → live), so a crash between them leaves NO live index —
+    roll BACK by restoring the backup (the rebuild is idempotent and
+    re-runnable); post-swap backup debris and orphaned
+    ``.rebuild-tmp-*`` builds are swept. Shares
+    ``state_table.recover_rename_swap`` with the tombstone and shard
+    swaps. Single-maintainer discipline applies: the sweep treats any
+    tmp sibling as a crashed build, so one process runs
+    rebuild/append/compaction for an index at a time (the module-wide
+    assumption)."""
+    parent = os.path.dirname(path.rstrip("/")) or "."
+    base = os.path.basename(path.rstrip("/"))
+    recover_rename_swap(
+        parent,
+        old_prefix=f"{base}.rebuild-old-",
+        tmp_prefix=f"{base}.rebuild-tmp-",
+        live_of=lambda _: base,
+    )
+
+
+def rebuild_ivf_index(
+    spark: SparkSession,
+    path: str,
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 25,
+    sample_mod: int = 4,
+    iters: int = 2,
+    pq_cents: DataFrame | None = None,
+) -> int:
+    """Retrain-and-swap for a persisted IVF / IVF-PQ index — the consumer
+    of the drift signal (``ivf_cell_drift``'s ``retrain_flag`` is the
+    trigger; this is the action): retrain the coarse codebook from the
+    index's CURRENT rows (base + applied appends; taken-down rows are
+    already physically absent), re-assign and re-encode every row, and
+    swap the new index in atomically. Returns the number of rows indexed.
+
+    ``emb`` is the raw-vector source and must cover every live id (the
+    index stores ids + codes, not vectors — re-training needs the
+    originals); a missing vector raises instead of silently shrinking
+    the index. For an IVF-PQ index the sub-quantizers default to the
+    SAVED ``pq_codebook`` (frozen sub-quantizers + retrained coarse book,
+    the standard production refresh — ADC tables stay valid); pass
+    ``pq_cents`` to retrain them too. Payload columns are re-read from
+    ``emb`` under the saved assignment schema.
+
+    The swap is two sibling renames with ``recover_rebuild`` rolling a
+    crash between them back, so the index is either fully pre- or fully
+    post-rebuild at every instant. ``cell_stats`` is rewritten from the
+    new assignments — the drift baseline resets, so ``ivf_cell_drift``
+    reads 0 added everywhere post-swap (pinned by test). The tombstone
+    set is carried across the swap unchanged: the rebuilt tree contains
+    no removed rows, but a replayed ingest batch must STILL not
+    resurrect them. At 100 TB this is the periodic retrain of the
+    build-once/append-forever lifecycle: one training pass over the
+    current rows + one partitioned write, amortized across every search
+    until the next drift trip."""
+    path = _require_local_path(path, spark)
+    recover_rebuild(path)
+    recover_compaction(path)
+    base_cols = spark.read.parquet(f"{path}/assignments").columns
+    cur_ids = ivf_assignments_with_appends(spark, path).select(id_col)
+    rows = emb.join(cur_ids, id_col, "semi")
+    n_cur, n_rows = cur_ids.count(), rows.count()
+    if n_rows != n_cur:
+        raise ValueError(
+            f"rebuild_ivf_index: vector source covers {n_rows} of the "
+            f"index's {n_cur} live ids — a rebuild off a partial source "
+            f"would silently drop indexed vectors. Pass the full corpus "
+            f"(base rows plus everything ever appended, minus nothing)."
+        )
+    from ..operators.similarity import save_ivf_index, save_ivfpq_index
+
+    token = uuid.uuid4().hex[:8]
+    tmp = f"{path}.rebuild-tmp-{token}"
+    if "codes" in base_cols:
+        payload = tuple(
+            c for c in base_cols if c not in (id_col, "codes", "centroid_id")
+        )
+        if pq_cents is None:
+            pq_cents = spark.read.parquet(f"{path}/pq_codebook")
+        save_ivfpq_index(
+            rows, tmp, pq_cents, id_col, vec_col,
+            centroid_mod, sample_mod, iters, payload_cols=payload,
+        )
+    else:
+        save_ivf_index(
+            rows, tmp, id_col, vec_col, centroid_mod, sample_mod, iters
+        )
+    if os.path.isdir(f"{path}/tombstones"):
+        shutil.copytree(f"{path}/tombstones", f"{tmp}/tombstones")
+    old = f"{path}.rebuild-old-{token}"
+    os.rename(path, old)
+    os.rename(tmp, path)  # commit point (recover_rebuild repairs between)
+    shutil.rmtree(old, ignore_errors=True)
+    return n_cur
 
 
 def recover_tombstones(path: str) -> None:

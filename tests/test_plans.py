@@ -888,3 +888,27 @@ def test_apply_backfill_to_shards_matches_revision(spark, tmp_path):
     assert os.path.isdir(f"{out}/shard={some}")
     assert not any(n.startswith(".backfill") for n in os.listdir(out))
     assert apply_backfill_to_shards(spark, out, d) == []
+
+
+def test_ivfpq_knn_join_scans_code_table_once_and_prunes(spark):
+    """The batched indexed search must read the persisted code table
+    EXACTLY once (N probes resolve against the codebook, one pruned scan
+    serves every query) with a dynamic PartitionFilter on centroid_id,
+    and the per-query fan-out must never degrade to a cartesian."""
+    plan = plan_of(spark, "emb_ivfpq_knn_join")
+    # count scans in the FINAL adaptive plan only (the "Initial Plan"
+    # section reprints the same nodes)
+    final = plan.split("== Initial Plan ==")[0]
+    scans = [
+        ln for ln in final.splitlines()
+        if "Scan parquet" in ln and "/assignments" in ln
+    ]
+    assert len(scans) == 1, f"{len(scans)} code-table scans:\n" + "\n".join(scans)
+    # the probed-cell union is pushed as a LITERAL partition filter (a
+    # bounded driver-side probe fold), so pruning is static — guaranteed,
+    # not a dynamicpruningexpression that can degrade to true at runtime
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", scans[0])
+    assert m and "centroid_id" in m.group(0) and " IN " in m.group(0), scans[0]
+    assert "CartesianProduct" not in final

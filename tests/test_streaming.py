@@ -3084,3 +3084,107 @@ def test_backfill_state_rebase_equals_rewrite(spark, tmp_path):
     assert not os.path.isdir(os.path.join(state, ".release-tmp-deadbeef"))
     after = sorted(r["doc_id"] for r in release_state_rel(spark, state, "v1_docs").collect())
     assert after == a
+
+
+def test_rebuild_ivf_index_retrain_and_swap(spark, tmp_path):
+    """The drift signal finally has a consumer: rebuild_ivf_index retrains
+    off the index's CURRENT rows (appends in, taken-down rows out), lands
+    bit-for-bit on a from-scratch save over the same row set, resets the
+    drift report to zero, carries the tombstone set across the swap (a
+    replayed ingest still cannot resurrect), and a crash at the swap
+    point rolls back — including through the reader's self-heal path."""
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_cell_drift,
+        save_ivfpq_index,
+    )
+    from date_warehouse___airline_project_spark.streaming.ivf_stream import (
+        ivf_assignments_with_appends,
+        rebuild_ivf_index,
+        recover_rebuild,
+        remove_from_ivf_index,
+    )
+
+    e, path, new = _ivfpq_fixture(spark, tmp_path, "ivfpq_rb")
+    append_to_ivf_index(new, path)
+    victims = [
+        r["vec_id"]
+        for r in spark.read.parquet(f"{path}/assignments")
+        .filter("vec_id % 7 = 3")
+        .limit(4)
+        .collect()
+    ]
+    td = spark.createDataFrame([(v,) for v in victims], "vec_id long")
+    assert remove_from_ivf_index(spark, path, td) == len(victims)
+    assert ivf_cell_drift(spark, path).filter("n_added != 0").count() > 0
+
+    src = e.unionByName(new)  # covers every live id
+    # a partial source must raise, not silently shrink the index
+    with pytest.raises(ValueError, match="live ids"):
+        rebuild_ivf_index(spark, path, e.filter("vec_id % 2 = 0"))
+    n = rebuild_ivf_index(spark, path, src)
+    asg = spark.read.parquet(f"{path}/assignments")
+    assert asg.count() == n
+    assert asg.filter(F.col("vec_id").isin(victims)).count() == 0
+    # drift baseline reset: 0 added, no retrain flags
+    assert (
+        ivf_cell_drift(spark, path)
+        .filter("n_added != 0 OR retrain_flag != 0")
+        .count()
+        == 0
+    )
+
+    # bit-equal to a fresh save over the same current rows with the same
+    # (frozen) sub-quantizers
+    cur = src.join(asg.select("vec_id"), "vec_id", "semi")
+    fresh = str(tmp_path / "ivfpq_fresh")
+    save_ivfpq_index(
+        cur, fresh, spark.read.parquet(f"{path}/pq_codebook"),
+        payload_cols=("label",),
+    )
+    key = lambda df: sorted(
+        (r["vec_id"], r["label"], tuple(r["codes"]), r["centroid_id"])
+        for r in df.collect()
+    )
+    assert key(asg) == key(spark.read.parquet(f"{fresh}/assignments"))
+    assert sorted(
+        (r["_cid"], tuple(r["_cvec"]))
+        for r in spark.read.parquet(f"{path}/codebook").collect()
+    ) == sorted(
+        (r["_cid"], tuple(r["_cvec"]))
+        for r in spark.read.parquet(f"{fresh}/codebook").collect()
+    )
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{path}/cell_stats").collect())
+    ) == sorted(map(tuple, spark.read.parquet(f"{fresh}/cell_stats").collect()))
+
+    # tombstones carried across the swap: re-ingest stays blocked
+    assert spark.read.parquet(f"{path}/tombstones").count() == len(victims)
+    append_to_ivf_index(
+        src.filter(F.col("vec_id").isin(victims)).select(
+            "vec_id", "embedding", "label"
+        ),
+        path,
+    )
+    assert (
+        spark.read.parquet(f"{path}/assignments")
+        .filter(F.col("vec_id").isin(victims))
+        .count()
+        == 0
+    )
+
+    # crash at the swap point: live gone, backup present — the reader's
+    # self-heal restores it; orphaned tmp builds are swept
+    before = key(spark.read.parquet(f"{path}/assignments"))
+    os.rename(path, f"{path}.rebuild-old-deadbeef")
+    os.makedirs(f"{path}.rebuild-tmp-cafe01")
+    rel = ivf_assignments_with_appends(spark, path)  # self-heals via recover
+    assert key(rel) == before
+    assert os.path.isdir(path)
+    assert not os.path.isdir(f"{path}.rebuild-old-deadbeef")
+    assert not os.path.isdir(f"{path}.rebuild-tmp-cafe01")
+    # post-swap debris (live present AND a stale backup): swept
+    os.makedirs(f"{path}.rebuild-old-11112222")
+    recover_rebuild(path)
+    assert not os.path.isdir(f"{path}.rebuild-old-11112222")
+    assert key(spark.read.parquet(f"{path}/assignments")) == before

@@ -54,6 +54,10 @@ ALLOW = {
     "emb_ivfpq_topk": {"NESTED-LOOP"},  # (a) 1-row query vector + 50-row re-rank
     "emb_ivfpq_trained_topk": {"NESTED-LOOP"},  # (a) 1-row query vector + 50-row re-rank
     "emb_ivfpq_indexed_topk": {"NESTED-LOOP"},  # (a) 1-row query vector: probe, ADC table, re-rank
+    # (b) codebook x bounded query-batch probe grid + per-query ADC
+    # weight table + Q x rerank re-rank join — all broadcast, all
+    # constant-size in the corpus (queries is a bounded batch by contract)
+    "emb_ivfpq_knn_join": {"NESTED-LOOP"},
     "emb_ivfpq_recall_compare": {"NESTED-LOOP"},  # (a) 1-row query vector; 10-row truth broadcast
     "doc_release_manifest": {"NESTED-LOOP"},  # (a) 1-row token-budget scalar attach
     # same 1-row budget attach, inherited via _release_assignment:
