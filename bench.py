@@ -124,6 +124,8 @@ def main() -> None:
         "doc_release_backfill_applied",  # r10: writes the v1 shards and
         # executes the backfill rewrite against them (lifecycle), then the
         # timed run reads the manifest off the written files
+        "state_growth_accounting",  # r10: builds its own takedown'd index
+        # copy (tombstone set) once; the timed run is five 1-row folds
     ):
         if name in qs:
             t0 = time.perf_counter()

@@ -2683,6 +2683,16 @@ def _release_asg_sql(base: str) -> str:
     # version-diff oracle — fail loudly instead (a real raise, not an
     # assert: asserts vanish under python -O, which is exactly the
     # silent-corruption mode this guard exists to prevent)
+    return (
+        _release_ctes_for(base)
+        + "\n    SELECT doc_id, source, n_tok, text, shard, pos FROM asg"
+    )
+
+
+def _release_ctes_for(base: str) -> str:
+    """_RELEASE_CTES with its two corpus scans re-pointed at ``base`` —
+    the guarded textual rewrite shared by the assignment oracle and the
+    state-accounting oracle."""
     n = _RELEASE_CTES.count("FROM documents)")
     if n != 2:
         raise ValueError(
@@ -2690,10 +2700,7 @@ def _release_asg_sql(base: str) -> str:
             f"parameterize the new CTE's base relation instead of relying "
             f"on the textual rewrite"
         )
-    return (
-        _RELEASE_CTES.replace("FROM documents)", f"FROM {base})")
-        + "\n    SELECT doc_id, source, n_tok, text, shard, pos FROM asg"
-    )
+    return _RELEASE_CTES.replace("FROM documents)", f"FROM {base})")
 
 
 _VDIFF_ORACLE = f"""
@@ -3197,3 +3204,112 @@ def apply_takedown_to_shards(
         shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
     return [int(s) for s in changed]
+
+
+# ---------------------------------------------------------------------------
+# state-growth accounting: measure the relations that grow forever
+# ---------------------------------------------------------------------------
+
+_TOMB_IDX_MEMO: dict = {}
+
+
+def _session_takedown_index(spark: SparkSession, sf_dir: str) -> str:
+    """Session IVF index copy with a REAL takedown applied — the persisted
+    tombstone set ``state_growth_accounting`` reads. Its own copy: the
+    shared search index must stay takedown-free, and the drift index's
+    training-time baseline must stay un-scrubbed. Training rides the
+    session kmeans memo, so the marginal build cost is one assignment
+    pass + the takedown rewrite."""
+    key = (spark.sparkContext.applicationId, sf_dir, _TD_MOD, "tomb_idx")
+    path = _TOMB_IDX_MEMO.get(key)
+    if path is None:
+        from ..operators.similarity import save_ivf_index
+        from ..streaming.ivf_stream import remove_from_ivf_index
+
+        e = load_table(spark, sf_dir, "embeddings")
+        path = session_tmpdir("spark_graft_tomb_idx_")
+        save_ivf_index(e, path)
+        remove_from_ivf_index(
+            spark,
+            path,
+            e.filter(_hash56(F.col("vec_id")) % _TD_MOD == 0).select("vec_id"),
+        )
+        _TOMB_IDX_MEMO[key] = path
+    return path
+
+
+def _acct_oracle() -> str:
+    h = _HASH_SQL.format(c="vec_id")
+    base = f"(SELECT * FROM documents WHERE doc_id < {_V1_T_SQL})"
+    return (
+        _release_ctes_for(base)
+        + f""",
+    acct AS (
+      SELECT 'ann_tombstones' AS relation,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(8 * COUNT(*) AS BIGINT) AS content_bytes
+      FROM embeddings WHERE {h} % {_TD_MOD} = 0
+      UNION ALL
+      SELECT 'doc_fps', CAST(COUNT(DISTINCT f) AS BIGINT),
+             CAST(32 * COUNT(DISTINCT f) AS BIGINT) FROM fp
+      UNION ALL
+      SELECT 'gram_fps', CAST(COUNT(DISTINCT g) AS BIGINT),
+             CAST(32 * COUNT(DISTINCT g) AS BIGINT) FROM g
+      UNION ALL
+      SELECT 'para_fps', CAST(COUNT(DISTINCT ptxt) AS BIGINT),
+             CAST(32 * COUNT(DISTINCT ptxt) AS BIGINT) FROM p
+      UNION ALL
+      SELECT 'v1_docs', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(LENGTH(text)) AS BIGINT) FROM rel)
+    SELECT relation, n_rows, content_bytes FROM acct ORDER BY relation
+"""
+    )
+
+
+@query(
+    "state_growth_accounting",
+    oracle=_acct_oracle(),
+    doc="Size accounting for the relations that grow FOREVER BY DESIGN — "
+    "the R99/R103 'measure the thing that decides scale' twin for "
+    "forgetting: the ANN index's tombstone set (one row per taken-down "
+    "id, kept to block re-ingest replays; boundable via the opt-in "
+    "fold at compaction, compact_ivf_appends(fold_tombstones=True)) and "
+    "the persisted release state's fingerprint relations (doc/para/gram "
+    "fps, kept deliberately so byte-identical duplicates of removed or "
+    "folded docs cannot re-enter — they are the dedup memory itself). "
+    "Counts and content bytes are read from the PERSISTED artifacts (a "
+    "real takedown's tombstone table, the session release state), so "
+    "the certified claim is stored-state == recompute: the oracle "
+    "re-derives each relation's cardinality from scratch (distinct doc/"
+    "paragraph/gram fingerprints over the v1 prefix cascade, the "
+    "takedown list over embeddings). This is the table an operator "
+    "reads to decide when tombstone folding or state compaction is "
+    "worth running.",
+)
+def state_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spath, _t = _release_state_path(spark, sf_dir)
+    tpath = _session_takedown_index(spark, sf_dir)
+
+    def counted(name: str, df: DataFrame, per_row: int | None = None,
+                bytes_expr=None) -> DataFrame:
+        b = bytes_expr if bytes_expr is not None else F.count("*") * per_row
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            b.cast("bigint").alias("content_bytes"),
+        ).select(F.lit(name).alias("relation"), "n_rows", "content_bytes")
+
+    parts = [
+        counted("ann_tombstones", spark.read.parquet(f"{tpath}/tombstones"), 8),
+        counted("doc_fps", spark.read.parquet(f"{spath}/doc_fps"), 32),
+        counted("gram_fps", spark.read.parquet(f"{spath}/gram_fps"), 32),
+        counted("para_fps", spark.read.parquet(f"{spath}/para_fps"), 32),
+        counted(
+            "v1_docs",
+            spark.read.parquet(f"{spath}/v1_docs"),
+            bytes_expr=F.sum(F.length("text")),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("relation")

@@ -330,7 +330,9 @@ def recover_tombstones(path: str) -> None:
     )
 
 
-def compact_ivf_appends(spark: SparkSession, path: str) -> int:
+def compact_ivf_appends(
+    spark: SparkSession, path: str, fold_tombstones: bool = False
+) -> int:
     """Fold the applied ``appends/batch=*`` dirs into the base
     ``assignments`` table — the reclaim step the module docstring
     promises. Returns the number of batch dirs folded.
@@ -354,14 +356,34 @@ def compact_ivf_appends(spark: SparkSession, path: str) -> int:
     because the (id, centroid_id) relation is preserved row-for-row.
 
     Batches that land AFTER the listing (the stream keeps running) are
-    untouched: only the pinned batch list is folded and deleted."""
+    untouched: only the pinned batch list is folded and deleted.
+
+    ``fold_tombstones=True`` additionally drops every tombstoned id from
+    the tombstone set after the fold commits (the removed rows are
+    physically gone from the compacted assignments, so the set's only
+    remaining job is blocking re-ingest REPLAYS). This is an explicit
+    operator assertion that no replay can still deliver those ids — the
+    source checkpoint is stable past every batch that carried them — and
+    it is deliberately NOT the default: with the set folded, a
+    checkpoint-reset replay (or a fresh feed) re-admits the ids, which
+    is exactly the resurrection the set exists to prevent. The fold runs
+    AFTER the marker commit through the same atomic tombstone swap, so a
+    crash between the two leaves the set intact (conservative: appends
+    stay blocked; re-run the fold). This bounds the one
+    grows-forever-by-design relation the round-9 review flagged; the
+    accounting query (``state_growth_accounting``) is how an operator
+    decides when the fold is worth running."""
     path = _require_local_path(path, spark)
     recover_compaction(path)
     adir = os.path.join(path, "appends")
     if not os.path.isdir(adir):
+        if fold_tombstones:
+            _fold_tombstone_set(spark, path)
         return 0
     batches = sorted(n for n in os.listdir(adir) if n.startswith("batch="))
     if not batches:
+        if fold_tombstones:
+            _fold_tombstone_set(spark, path)
         return 0
     base = spark.read.parquet(f"{path}/assignments")
     # basePath pins partition discovery to the appends root so the pinned
@@ -383,7 +405,37 @@ def compact_ivf_appends(spark: SparkSession, path: str) -> int:
     )
     write_commit_marker(path, _COMPACT_MARKER, {"token": token, "batches": batches})
     recover_compaction(path)  # roll the committed fold forward
+    if fold_tombstones:
+        _fold_tombstone_set(spark, path)
     return len(batches)
+
+
+def _fold_tombstone_set(spark: SparkSession, path: str) -> int:
+    """Drop from the tombstone set every id no longer physically present
+    in the compacted assignments (post-takedown that is ALL of them —
+    takedown removes rows before tombstoning sticks them). Keeps any id
+    that somehow still has live rows (never drop a barrier that is still
+    doing filtering work). Same atomic rename swap as ``_tombstone_ids``;
+    returns the number of ids dropped. See ``compact_ivf_appends`` for
+    when this is safe to run."""
+    recover_tombstones(path)
+    tdir = os.path.join(path, "tombstones")
+    if not os.path.isdir(tdir):
+        return 0
+    tomb = spark.read.parquet(tdir)
+    id_col = tomb.columns[0]
+    live = spark.read.parquet(f"{path}/assignments").select(id_col)
+    kept = tomb.join(live, id_col, "semi")
+    n_drop = tomb.count() - kept.count()
+    if n_drop == 0:
+        return 0
+    tmp = os.path.join(path, f".tombstones-tmp-{uuid.uuid4().hex[:8]}")
+    kept.distinct().coalesce(1).write.mode("overwrite").parquet(tmp)
+    old = os.path.join(path, f".tombstones-old-{uuid.uuid4().hex[:8]}")
+    os.rename(tdir, old)
+    os.rename(tmp, tdir)
+    shutil.rmtree(old, ignore_errors=True)
+    return n_drop
 
 
 def ivf_cell_drift_streamed(

@@ -3188,3 +3188,56 @@ def test_rebuild_ivf_index_retrain_and_swap(spark, tmp_path):
     recover_rebuild(path)
     assert not os.path.isdir(f"{path}.rebuild-old-11112222")
     assert key(spark.read.parquet(f"{path}/assignments")) == before
+
+
+def test_tombstone_fold_at_compaction_is_optin(spark, tmp_path):
+    """The tombstone set grows forever BY DEFAULT (replay protection);
+    compact_ivf_appends(fold_tombstones=True) is the explicit operator
+    assertion that no replay can re-deliver the removed ids, and drops
+    them in the compaction pass. After the fold the set is empty, its
+    file is gone from the accounting, and — documented semantics — a
+    re-ingest of the folded ids IS re-admitted."""
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        append_to_ivf_index,
+    )
+    from date_warehouse___airline_project_spark.streaming.ivf_stream import (
+        apply_ivf_append_batch,
+        compact_ivf_appends,
+        remove_from_ivf_index,
+    )
+
+    e, path, new = _ivf_fixture(spark, tmp_path, "ivf_fold")
+    victims = [
+        r["vec_id"]
+        for r in spark.read.parquet(f"{path}/assignments")
+        .filter("vec_id % 9 = 4")
+        .limit(5)
+        .collect()
+    ]
+    td = spark.createDataFrame([(v,) for v in victims], "vec_id long")
+    assert remove_from_ivf_index(spark, path, td) == len(victims)
+    # default compaction keeps the set (re-verifying the resurrection
+    # guard is pinned elsewhere; here just the retention)
+    apply_ivf_append_batch(spark, path, new.limit(3), 7)
+    assert compact_ivf_appends(spark, path) == 1
+    assert spark.read.parquet(f"{path}/tombstones").count() == len(victims)
+
+    # opt-in fold: the set empties (all tombstoned rows are physically
+    # gone from the compacted assignments)
+    apply_ivf_append_batch(spark, path, new.limit(5), 8)
+    assert compact_ivf_appends(spark, path, fold_tombstones=True) == 1
+    assert spark.read.parquet(f"{path}/tombstones").count() == 0
+    # fold is idempotent / safe with no appends pending
+    assert compact_ivf_appends(spark, path, fold_tombstones=True) == 0
+
+    # documented consequence: a re-ingest of folded ids IS re-admitted
+    append_to_ivf_index(
+        e.filter(F.col("vec_id").isin(victims)).select("vec_id", "embedding"),
+        path,
+    )
+    assert (
+        spark.read.parquet(f"{path}/assignments")
+        .filter(F.col("vec_id").isin(victims))
+        .count()
+        == len(victims)
+    )
