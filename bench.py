@@ -168,6 +168,44 @@ def main() -> None:
         dt -= _drain_into(memo_builds)
         timings[name] = round(max(dt, 0.0), 3)
 
+    # Headline repetitions: the judged totals ride ONE full pass (value /
+    # all_in unchanged), but single-run per-query numbers on this microVM
+    # host swing 0.95-1.28x with no code change (BASELINE.md bracketing
+    # note), so the headline subset is re-run reps-1 more times in steady
+    # state and the summary reports per-query MEDIAN + [min, max] spread.
+    # Override with --reps N or SPARK_GRAFT_BENCH_REPS (reps=1 restores
+    # the old single-run line).
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    if "--reps" in sys.argv:
+        reps = int(sys.argv[sys.argv.index("--reps") + 1])
+    rep_scratch: dict[str, float] = {}
+    headline_runs: dict[str, list[float]] = {
+        n: [timings[n]] for n in _HEADLINE if n in timings
+    }
+    for _ in range(max(reps - 1, 0)):
+        for name in _HEADLINE:
+            if name not in qs:
+                continue
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            if name in _NOOP_SINK:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.collect()
+            dt = time.perf_counter() - t0
+            # a memo rebuild cannot normally fire in steady state; drain
+            # defensively so one never pollutes a rep
+            dt -= _drain_into(rep_scratch)
+            headline_runs[name].append(round(max(dt, 0.0), 3))
+    import statistics
+
+    headline_median = {
+        n: round(statistics.median(v), 3) for n, v in headline_runs.items()
+    }
+    headline_spread = {
+        n: [round(min(v), 3), round(max(v), 3)] for n, v in headline_runs.items()
+    }
+
     memo_total = round(sum(memo_builds.values()), 3)
     total = round(sum(timings.values()) + memo_total, 3)
     # The round-comparable number: headline value PLUS the untimed warm
@@ -187,6 +225,10 @@ def main() -> None:
         "memo_builds": memo_builds,
         "memo_build_seconds": memo_total,
         "warm_build_seconds": warm_build,
+        "headline_reps": headline_runs,
+        "headline_median": headline_median,
+        "headline_spread": headline_spread,
+        "reps": reps,
         "sf": float(sf),
         "n_queries": len(timings),
     }
@@ -219,7 +261,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "all_in_wall_seconds": all_in,
-        "queries": {k: timings[k] for k in _HEADLINE if k in timings},
+        # median-of-reps: single-run numbers swing with host load (the
+        # per-run lists live in the detail's headline_reps)
+        "queries": headline_median,
+        "queries_spread": headline_spread,
+        "reps": reps,
         "sf": float(sf),
         "n_queries": len(timings),
         "detail": "bench_detail.json",
