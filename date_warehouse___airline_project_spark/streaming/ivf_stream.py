@@ -271,7 +271,10 @@ def rebuild_ivf_index(
     recover_rebuild(path)
     recover_compaction(path)
     base_cols = spark.read.parquet(f"{path}/assignments").columns
-    cur_ids = ivf_assignments_with_appends(spark, path).select(id_col)
+    # DISTINCT ids: the rebuild keys on vectors, and it heals accidental
+    # duplicate rows (an id delivered by two different append batches)
+    # back to one row per vector — the index's intended shape
+    cur_ids = ivf_assignments_with_appends(spark, path).select(id_col).distinct()
     rows = emb.join(cur_ids, id_col, "semi")
     n_cur, n_rows = cur_ids.count(), rows.count()
     if n_rows != n_cur:
@@ -306,6 +309,42 @@ def rebuild_ivf_index(
     os.rename(tmp, path)  # commit point (recover_rebuild repairs between)
     shutil.rmtree(old, ignore_errors=True)
     return n_cur
+
+
+def maintain_ivf_index(
+    spark: SparkSession,
+    path: str,
+    emb: DataFrame,
+    retrain_threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 25,
+    sample_mod: int = 4,
+    iters: int = 2,
+) -> bool:
+    """The maintenance POLICY closing the signal → action chain: fold the
+    streamed appends (the per-cell small-files reclaim), read the drift
+    report, and rebuild the index iff any cell trips the retrain flag —
+    the exact rule ``ivf_cell_drift`` documents as 'the retrain signal'.
+    Returns whether a rebuild ran. Below the threshold this is one
+    compaction plus one cell-count aggregate (bounded by codebook size);
+    above it, the retrain-and-swap (``rebuild_ivf_index``) resets the
+    drift baseline so the next call is a no-op until new drift accrues.
+    Run it from a scheduler tick or at the end of an ingest window —
+    single-maintainer discipline, like every mutator in this module."""
+    path = _require_local_path(path, spark)
+    compact_ivf_appends(spark, path)
+    no_flagged_cell = (
+        ivf_cell_drift_streamed(spark, path, retrain_threshold)
+        .filter(F.col("retrain_flag") == 1)
+        .isEmpty()
+    )
+    if no_flagged_cell:
+        return False
+    rebuild_ivf_index(
+        spark, path, emb, id_col, vec_col, centroid_mod, sample_mod, iters
+    )
+    return True
 
 
 def recover_tombstones(path: str) -> None:

@@ -3241,3 +3241,45 @@ def test_tombstone_fold_at_compaction_is_optin(spark, tmp_path):
         .count()
         == len(victims)
     )
+
+
+def test_maintain_ivf_index_policy_loop(spark, tmp_path):
+    """The drift policy: below the retrain threshold maintenance only
+    compacts (codebook untouched); once a cell trips the flag it
+    rebuilds, the drift baseline resets, and the next call is a no-op
+    again."""
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        ivf_cell_drift,
+    )
+    from date_warehouse___airline_project_spark.streaming.ivf_stream import (
+        apply_ivf_append_batch,
+        maintain_ivf_index,
+    )
+
+    e, path, new = _ivf_fixture(spark, tmp_path, "ivf_policy")
+    cb_before = sorted(
+        (r["_cid"], tuple(r["_cvec"]))
+        for r in spark.read.parquet(f"{path}/codebook").collect()
+    )
+    src = e.select("vec_id", "embedding").unionByName(new)
+    # tiny append (~2% of the corpus): below the 25% threshold everywhere
+    apply_ivf_append_batch(spark, path, new.limit(8), 0)
+    assert maintain_ivf_index(spark, path, src) is False
+    assert not os.path.isdir(f"{path}/appends/batch=0")  # compacted anyway
+    assert cb_before == sorted(
+        (r["_cid"], tuple(r["_cvec"]))
+        for r in spark.read.parquet(f"{path}/codebook").collect()
+    )
+    # a corpus-third append trips the flag → rebuild, baseline resets
+    # (only the ids batch 0 didn't already land — ingest is append-only)
+    applied = spark.read.parquet(f"{path}/assignments").select("vec_id")
+    apply_ivf_append_batch(spark, path, new.join(applied, "vec_id", "left_anti"), 1)
+    assert maintain_ivf_index(spark, path, src) is True
+    assert (
+        ivf_cell_drift(spark, path)
+        .filter("n_added != 0 OR retrain_flag != 0")
+        .count()
+        == 0
+    )
+    # steady state again: no-op
+    assert maintain_ivf_index(spark, path, src) is False
