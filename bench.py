@@ -86,7 +86,28 @@ def _tee_stderr(path: str) -> None:
     os.dup2(tee.stdin.fileno(), 2)
 
 
+def _parse_reps() -> int:
+    """Headline-repetition count: --reps N beats SPARK_GRAFT_BENCH_REPS
+    beats the default 3. Parsed BEFORE any query runs — a malformed flag
+    must fail fast, not after the full timed loop has already burned its
+    wall time with the detail/summary still unwritten."""
+    val = os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")
+    if "--reps" in sys.argv:
+        i = sys.argv.index("--reps")
+        if i + 1 >= len(sys.argv):
+            raise SystemExit("bench.py: --reps requires an integer value")
+        val = sys.argv[i + 1]
+    try:
+        reps = int(val)
+    except ValueError:
+        raise SystemExit(f"bench.py: invalid reps value {val!r}") from None
+    if reps < 1:
+        raise SystemExit(f"bench.py: reps must be >= 1, got {reps}")
+    return reps
+
+
 def main() -> None:
+    reps = _parse_reps()  # fail fast on a malformed flag
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     _tee_stderr(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_stderr.log"))
@@ -175,9 +196,6 @@ def main() -> None:
     # state and the summary reports per-query MEDIAN + [min, max] spread.
     # Override with --reps N or SPARK_GRAFT_BENCH_REPS (reps=1 restores
     # the old single-run line).
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    if "--reps" in sys.argv:
-        reps = int(sys.argv[sys.argv.index("--reps") + 1])
     rep_scratch: dict[str, float] = {}
     headline_runs: dict[str, list[float]] = {
         n: [timings[n]] for n in _HEADLINE if n in timings

@@ -60,18 +60,45 @@ def merge_fingerprints(state: DataFrame, batch: DataFrame) -> DataFrame:
     return state.unionByName(batch).distinct()
 
 
-def _catch_up_watermark(batch_df: DataFrame, wm_file: str) -> None:
+def _catch_up_watermark(processed: DataFrame, wm_file: str) -> None:
     """Close the crash window between the state fold and the watermark
     write: a batch redelivered after that crash is skipped by the
     batch-id guard BEFORE the watermark logic runs, so the watermark
     would stay below the folded batch's max doc_id forever — and a later
     genuinely out-of-order batch whose ids fall in that gap would pass
     ``guard_append_only`` and fold silently (the exact wrong-canonical
-    case the guard exists to reject). Recompute the skipped batch's max
-    and advance the watermark to it (monotone: never moved backward)."""
-    hi = batch_df.agg(F.max("doc_id").alias("hi")).collect()[0]["hi"]
+    case the guard exists to reject).
+
+    ``processed`` must be the batch rows whose content the state has
+    actually PROCESSED (fingerprint witness — the call sites build it),
+    NOT the whole redelivered batch: the batch-id guard proves some
+    batch with this id was folded, not that this redelivery's CONTENT
+    was. A fresh-checkpoint restart coalesces new drop-dir files into
+    the replayed batch 0; advancing over those never-folded ids would
+    block their legitimate re-feed forever with a misdiagnosis (the
+    guard's error directs to a backfill revision for docs that were
+    simply never ingested). Monotone: never moved backward."""
+    hi = processed.agg(F.max("doc_id").alias("hi")).collect()[0]["hi"]
     if hi is not None and int(hi) > read_watermark(wm_file):
         write_watermark(wm_file, int(hi))
+
+
+def _state_processed_docs(
+    spark: SparkSession, state_dir: str, batch_df: DataFrame
+) -> DataFrame:
+    """Batch rows the whole-doc state has processed: doc fingerprint
+    present (true for every folded doc AND every doc the fold deduped
+    away — its fp is in state via its keeper). A never-folded doc whose
+    content happens to duplicate state content also qualifies, which is
+    harmless: re-feeding it would dedup to nothing anyway."""
+    import os
+
+    if not os.path.exists(state_dir):
+        return batch_df.limit(0)
+    state = spark.read.parquet(state_dir)
+    return batch_df.withColumn("_fp", content_fingerprint("text")).join(
+        state.select(F.col("fp").alias("_fp")), "_fp", "semi"
+    )
 
 
 def dedup_batch(docs: DataFrame, state: DataFrame | None) -> DataFrame:
@@ -125,9 +152,13 @@ def run_incremental_dedup_stream(
         recover_state(state_dir)
         if batch_id <= last_applied_batch_id(state_dir):
             # already folded (possibly crashed before the watermark
-            # write): catch the watermark up so the append-only guard
-            # cannot later admit ids inside this batch's folded range
-            _catch_up_watermark(batch_df, f"{state_dir}.max_doc_id")
+            # write): catch the watermark up — over PROCESSED ids only —
+            # so the append-only guard cannot later admit ids inside
+            # this batch's folded range
+            _catch_up_watermark(
+                _state_processed_docs(spark, state_dir, batch_df),
+                f"{state_dir}.max_doc_id",
+            )
             return
         # enforce the append-only doc_id invariant: first-arrival-wins
         # state only matches the batch operator's keep-min semantics when
@@ -197,6 +228,29 @@ def paragraph_fingerprints(
     )
 
 
+def _state_processed_paragraph_docs(
+    spark: SparkSession, state_dir: str, batch_df: DataFrame
+) -> DataFrame:
+    """Batch docs the paragraph state has processed: EVERY paragraph
+    fingerprint present (accepted paragraphs directly, deduped-away ones
+    via their keepers). ANY-match would wrongly count a new doc sharing
+    one paragraph with folded content; ALL-match only misses the
+    zero-paragraph edge, which contributes nothing to any fold."""
+    import os
+
+    if not os.path.exists(state_dir):
+        return batch_df.select("doc_id").limit(0)
+    paras = paragraph_fingerprints(batch_df)
+    state = spark.read.parquet(state_dir).select("pfp", F.lit(1).alias("_seen"))
+    marked = paras.join(state, "pfp", "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(F.count("*").alias("_n"), F.count("_seen").alias("_k"))
+        .filter(F.col("_n") == F.col("_k"))
+        .select("doc_id")
+    )
+
+
 def dedup_paragraph_batch(docs: DataFrame, state: DataFrame | None) -> DataFrame:
     """Layers 1+2 for one batch at paragraph granularity: keep the first
     (doc_id, para_idx) occurrence per fingerprint within the batch, then
@@ -246,8 +300,14 @@ def run_incremental_paragraph_dedup_stream(
         recover_state(state_dir)
         if batch_id <= last_applied_batch_id(state_dir):
             # same crash window as the whole-doc stream: fold committed,
-            # watermark write lost — catch it up before skipping
-            _catch_up_watermark(batch_df, f"{state_dir}.max_doc_id")
+            # watermark write lost — catch it up before skipping, over
+            # processed docs only (every paragraph fp in state; a
+            # processed doc qualifies via its accepted paragraphs and
+            # its deduped-away paragraphs' keepers alike)
+            _catch_up_watermark(
+                _state_processed_paragraph_docs(spark, state_dir, batch_df),
+                f"{state_dir}.max_doc_id",
+            )
             return
         wm_file = f"{state_dir}.max_doc_id"
         batch_hi = guard_append_only(batch_df, read_watermark(wm_file))

@@ -268,21 +268,34 @@ def rebuild_ivf_index(
     current rows + one partitioned write, amortized across every search
     until the next drift trip."""
     path = _require_local_path(path, spark)
-    recover_rebuild(path)
-    recover_compaction(path)
+    recover_compaction(path)  # includes the rebuild-swap + tombstone repair
     base_cols = spark.read.parquet(f"{path}/assignments").columns
     # DISTINCT ids: the rebuild keys on vectors, and it heals accidental
     # duplicate rows (an id delivered by two different append batches)
     # back to one row per vector — the index's intended shape
     cur_ids = ivf_assignments_with_appends(spark, path).select(id_col).distinct()
     rows = emb.join(cur_ids, id_col, "semi")
-    n_cur, n_rows = cur_ids.count(), rows.count()
-    if n_rows != n_cur:
+    # distinguish a PARTIAL source (drops vectors — the dangerous case)
+    # from a DUPLICATED one (same id twice in emb — would index dup rows):
+    # each gets its own diagnosis instead of one conflated row-count check
+    n_cur, n_src, n_rows = (
+        cur_ids.count(),
+        rows.select(id_col).distinct().count(),
+        rows.count(),
+    )
+    if n_src != n_cur:
         raise ValueError(
-            f"rebuild_ivf_index: vector source covers {n_rows} of the "
+            f"rebuild_ivf_index: vector source covers {n_src} of the "
             f"index's {n_cur} live ids — a rebuild off a partial source "
             f"would silently drop indexed vectors. Pass the full corpus "
             f"(base rows plus everything ever appended, minus nothing)."
+        )
+    if n_rows != n_src:
+        raise ValueError(
+            f"rebuild_ivf_index: vector source carries duplicate rows for "
+            f"{n_rows - n_src} live id(s) — rebuilding off it would index "
+            f"duplicate rows. Deduplicate the source to one row per id "
+            f"(e.g. keep-first by ingest order) and re-run."
         )
     from ..operators.similarity import save_ivf_index, save_ivfpq_index
 
@@ -464,12 +477,14 @@ def _fold_tombstone_set(spark: SparkSession, path: str) -> int:
     tomb = spark.read.parquet(tdir)
     id_col = tomb.columns[0]
     live = spark.read.parquet(f"{path}/assignments").select(id_col)
-    kept = tomb.join(live, id_col, "semi")
-    n_drop = tomb.count() - kept.count()
+    # one job decides the drop count (the set is maintained distinct, and
+    # a semi-join cannot introduce duplicates — no extra count/distinct)
+    n_drop = tomb.join(live, id_col, "left_anti").count()
     if n_drop == 0:
         return 0
+    kept = tomb.join(live, id_col, "semi")
     tmp = os.path.join(path, f".tombstones-tmp-{uuid.uuid4().hex[:8]}")
-    kept.distinct().coalesce(1).write.mode("overwrite").parquet(tmp)
+    kept.coalesce(1).write.mode("overwrite").parquet(tmp)
     old = os.path.join(path, f".tombstones-old-{uuid.uuid4().hex[:8]}")
     os.rename(tdir, old)
     os.rename(tmp, tdir)

@@ -308,6 +308,25 @@ def apply_backfill_to_release_state(
 
     path = _require_local_path(path, spark)
     recover_release_compaction(path)
+    # ENFORCE the completeness contract (the rebuild_ivf_index
+    # discipline): every doc fingerprint the state has ever ingested
+    # must appear in `corrected` — a partial source would silently
+    # rewrite all four relations without it, dropping released docs and
+    # re-admitting byte-identical duplicates on later folds. One
+    # anti-join of the fingerprint-sized state relation.
+    missing = release_state_rel(spark, path, "doc_fps").join(
+        corrected.select(F.md5(F.lower("text")).alias("fp")), "fp", "left_anti"
+    )
+    if not missing.isEmpty():
+        n = missing.count()
+        raise ValueError(
+            f"apply_backfill_to_release_state: `corrected` is missing "
+            f"{n} doc fingerprint(s) the state has already ingested — it "
+            f"must be the COMPLETE corrected corpus (everything ever "
+            f"ingested plus the late arrivals). Rebasing onto a partial "
+            f"source would silently drop released docs from v1_docs and "
+            f"let byte-identical duplicates re-enter on later folds."
+        )
     bdir = os.path.join(path, "batches")
     batches = (
         sorted(n for n in os.listdir(bdir) if n.startswith("batch="))

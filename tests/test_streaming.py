@@ -2999,12 +2999,32 @@ def test_dedup_stream_watermark_catches_up_on_redelivery(spark, tmp_path):
     # simulate the lost watermark write (crash after fold, before write),
     # then force redelivery of batch 0 under a fresh checkpoint
     write_watermark(wm_file, 5)
+    # fresh-checkpoint coalescing: a NEW novel doc (id 30) rides the
+    # replayed batch 0 — the catch-up must advance only over PROCESSED
+    # content (ids 10/20), never over the never-folded doc, or its
+    # legitimate re-feed would be blocked forever
+    (input_dir / "b1b.jsonl").write_text(
+        json.dumps({"doc_id": 30, "text": "never folded content qqq"})
+    )
     q = run_incremental_dedup_stream(
         spark, str(input_dir), state, out, str(tmp_path / "ckpt2")
     )
     q.awaitTermination(120)
     # the batch-id-skip path caught the watermark up to the folded max
+    # (20), NOT the coalesced never-folded id (30)
     assert read_watermark(wm_file) == 20
+    # ... so the silently-skipped doc 30 is still re-feedable: continuing
+    # the SAME checkpoint, the new file arrives as batch 1 and folds
+    # normally (guard passes because the watermark stayed at 20)
+    (input_dir / "b1c.jsonl").write_text(
+        json.dumps({"doc_id": 30, "text": "never folded content qqq"})
+    )
+    q = run_incremental_dedup_stream(
+        spark, str(input_dir), state, out, str(tmp_path / "ckpt2")
+    )
+    q.awaitTermination(120)
+    assert read_watermark(wm_file) == 30
+    assert spark.read.parquet(state).count() == 3
 
     # a gap-id batch (5 < 15 <= 20, novel content) is now rejected loudly
     (input_dir / "b2.jsonl").write_text(
@@ -3016,7 +3036,7 @@ def test_dedup_stream_watermark_catches_up_on_redelivery(spark, tmp_path):
     with pytest.raises(Exception, match="out-of-order ingest batch"):
         q.awaitTermination(120)
     # ... and the state did NOT fold the gap batch
-    assert spark.read.parquet(state).count() == 2
+    assert spark.read.parquet(state).count() == 3
 
 
 def test_backfill_state_rebase_equals_rewrite(spark, tmp_path):
@@ -3077,6 +3097,13 @@ def test_backfill_state_rebase_equals_rewrite(spark, tmp_path):
     a = sorted(r["doc_id"] for r in release_state_rel(spark, state, "v1_docs").collect())
     b = sorted(r["doc_id"] for r in release_state_rel(spark, fresh, "v1_docs").collect())
     assert a == b
+
+    # a PARTIAL corrected corpus is rejected loudly, state untouched
+    with pytest.raises(ValueError, match="COMPLETE corrected corpus"):
+        apply_backfill_to_release_state(spark, state, d.filter("doc_id < 100"))
+    assert sorted(
+        r["doc_id"] for r in release_state_rel(spark, state, "v1_docs").collect()
+    ) == a
 
     # a crashed rebase that never reached its marker rolls back clean
     os.makedirs(os.path.join(state, ".release-tmp-deadbeef", "v1_docs"))
