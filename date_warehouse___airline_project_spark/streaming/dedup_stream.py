@@ -123,20 +123,26 @@ def run_incremental_dedup_stream(
     out_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """Continuously accept only never-seen documents from a JSON-lines
     drop dir (``{"doc_id": ..., "text": ...}`` per line).
 
     Returns the StreamingQuery. The file source swaps for the Kafka
     consumer unchanged — the batch plan needs only doc_id/text columns.
+    ``max_files_per_trigger`` caps files per micro-batch (ingestion
+    pacing; also how the replay-tolerance tests force a checkpoint reset
+    to RE-SPLIT old files into more batches than the original run).
     """
     import os
 
     recover_state(state_dir)
     schema = "doc_id LONG, text STRING"
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = (
-        spark.readStream.format("text")
-        .load(input_dir)
+        reader.load(input_dir)
         .select(F.from_json("value", schema).alias("_r"))
         .select("_r.doc_id", "_r.text")
         .where(F.col("doc_id").isNotNull())
@@ -150,6 +156,11 @@ def run_incremental_dedup_stream(
         # redelivery keeps both effects (output dir + state) at their
         # already-correct values.
         recover_state(state_dir)
+        if batch_df.isEmpty():
+            # an empty batch must neither create a fileless state dir
+            # (permanent schema-inference wedge) nor a fileless output
+            # dir; the checkpoint owns source progress
+            return
         if batch_id <= last_applied_batch_id(state_dir):
             # already folded (possibly crashed before the watermark
             # write): catch the watermark up — over PROCESSED ids only —
@@ -163,24 +174,42 @@ def run_incremental_dedup_stream(
         # enforce the append-only doc_id invariant: first-arrival-wins
         # state only matches the batch operator's keep-min semantics when
         # batches arrive in doc_id order — reject a backfill loudly
-        # instead of silently crowning the wrong canonical
+        # instead of silently crowning the wrong canonical. REPLAY
+        # TOLERANCE (the release stream's rule): a checkpoint reset can
+        # re-split old files into MORE batches than the original run, so
+        # a batch id above last_applied may still be pure replay — if
+        # every doc's content is already processed, skip cleanly instead
+        # of wedging the stream forever; only novel content raises.
         wm_file = f"{state_dir}.max_doc_id"
-        batch_hi = guard_append_only(batch_df, read_watermark(wm_file))
+        try:
+            batch_hi = guard_append_only(batch_df, read_watermark(wm_file))
+        except ValueError:
+            processed = _state_processed_docs(spark, state_dir, batch_df)
+            if batch_df.join(
+                processed.select("doc_id"), "doc_id", "left_anti"
+            ).isEmpty():
+                return  # pure replay under a re-split batch id
+            raise
         state = (
             spark.read.parquet(state_dir) if os.path.exists(state_dir) else None
         )
-        accepted = dedup_batch(batch_df, state)
-        # idempotent output: a redelivered batch overwrites its own dir
-        accepted.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
-        )
-        fold_into_state(
-            spark,
-            state_dir,
-            batch_id,
-            accepted.select("fp").distinct(),
-            merge_fingerprints,
-        )
+        # persist: the accepted plan (state anti-join + window dedup) is
+        # executed twice — once for the output dir, once for the fold
+        accepted = dedup_batch(batch_df, state).persist()
+        try:
+            # idempotent output: a redelivered batch overwrites its own dir
+            accepted.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch={batch_id}")
+            )
+            fold_into_state(
+                spark,
+                state_dir,
+                batch_id,
+                accepted.select("fp").distinct(),
+                merge_fingerprints,
+            )
+        finally:
+            accepted.unpersist()
         # after the fold: a crash here redelivers the batch, whose id
         # guard skips it — the watermark then advances on the next batch
         write_watermark(wm_file, batch_hi)
@@ -298,6 +327,8 @@ def run_incremental_paragraph_dedup_stream(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         recover_state(state_dir)
+        if batch_df.isEmpty():
+            return  # see the whole-doc stream: no fileless dirs
         if batch_id <= last_applied_batch_id(state_dir):
             # same crash window as the whole-doc stream: fold committed,
             # watermark write lost — catch it up before skipping, over
@@ -310,21 +341,37 @@ def run_incremental_paragraph_dedup_stream(
             )
             return
         wm_file = f"{state_dir}.max_doc_id"
-        batch_hi = guard_append_only(batch_df, read_watermark(wm_file))
+        try:
+            batch_hi = guard_append_only(batch_df, read_watermark(wm_file))
+        except ValueError:
+            # replay tolerance under a re-split batch id (see the
+            # whole-doc stream) — here the witness is per-doc: EVERY
+            # paragraph fingerprint already in state
+            processed = _state_processed_paragraph_docs(
+                spark, state_dir, batch_df
+            )
+            if batch_df.join(processed, "doc_id", "left_anti").isEmpty():
+                return
+            raise
         state = (
             spark.read.parquet(state_dir) if os.path.exists(state_dir) else None
         )
-        accepted = dedup_paragraph_batch(batch_df, state)
-        accepted.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
-        )
-        fold_into_state(
-            spark,
-            state_dir,
-            batch_id,
-            accepted.select("pfp").distinct(),
-            merge_fingerprints,
-        )
+        # persist: the paragraph segmentation + dedup plan would
+        # otherwise run twice (output write + state fold)
+        accepted = dedup_paragraph_batch(batch_df, state).persist()
+        try:
+            accepted.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch={batch_id}")
+            )
+            fold_into_state(
+                spark,
+                state_dir,
+                batch_id,
+                accepted.select("pfp").distinct(),
+                merge_fingerprints,
+            )
+        finally:
+            accepted.unpersist()
         write_watermark(wm_file, batch_hi)
 
     writer = (

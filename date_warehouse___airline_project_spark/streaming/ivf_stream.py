@@ -105,6 +105,65 @@ def recover_appends(path: str) -> None:
             shutil.rmtree(os.path.join(adir, name), ignore_errors=True)
 
 
+_APPLIED_BATCHES_FILE = "_applied_batches"  # underscore: parquet readers skip
+
+
+def read_applied_batches(path: str) -> set[int]:
+    """Batch ids whose append dirs were FOLDED AWAY by a compaction or a
+    rebuild — the redelivery-idempotence ledger that survives the dirs'
+    deletion. Without it, a batch folded before its streaming checkpoint
+    committed would be re-appended on restart (the dir-presence guard's
+    only witness is gone), landing duplicate rows per id."""
+    p = os.path.join(path, _APPLIED_BATCHES_FILE)
+    if not os.path.exists(p):
+        return set()
+    with open(p, encoding="ascii") as f:
+        return {int(x) for x in f.read().split()}
+
+
+def record_applied_batches(path: str, batch_names) -> None:
+    """Fold ``batch_names`` (``batch=<id>`` dir names) into the applied
+    ledger, atomically (tmp + ``os.replace``). Written BEFORE the commit
+    that deletes the dirs — conservative: a crash leaves ids ledgered
+    whose dirs still exist, and the dir-presence guard already skips
+    those."""
+    ids = read_applied_batches(path) | {
+        int(b.split("=", 1)[1]) for b in batch_names
+    }
+    if not ids:
+        return
+    tmp = os.path.join(path, f".{_APPLIED_BATCHES_FILE}-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w", encoding="ascii") as f:
+        f.write("\n".join(str(i) for i in sorted(ids)))
+    os.replace(tmp, os.path.join(path, _APPLIED_BATCHES_FILE))
+
+
+def _guard_replayed_novel_ids(
+    spark: SparkSession, path: str, batch_df: DataFrame, batch_id: int, id_col: str
+) -> None:
+    """A skipped redelivery must carry only KNOWN content. The dir/ledger
+    guard proves some batch with this id was applied — not that THIS
+    delivery's content was: a fresh-checkpoint restart coalesces newly
+    dropped vectors into the replayed batch 0, and a silent skip would
+    mark them consumed without ever indexing them. Raise loudly instead
+    (one batch-sized anti-join against live ids + tombstones)."""
+    known = ivf_assignments_with_appends(spark, path).select(id_col)
+    tdir = os.path.join(path, "tombstones")
+    if os.path.isdir(tdir):
+        known = known.unionByName(spark.read.parquet(tdir).select(id_col))
+    novel = batch_df.select(id_col).join(known, id_col, "left_anti")
+    if not novel.isEmpty():
+        n = novel.count()
+        raise ValueError(
+            f"append batch {batch_id} was already applied, but this "
+            f"delivery carries {n} never-indexed id(s) — a restarted "
+            f"checkpoint has coalesced NEW vectors into a replayed batch "
+            f"id, and skipping would silently drop them. Re-feed the new "
+            f"vectors through a fresh input directory + checkpoint (or "
+            f"append them directly via append_to_ivf_index)."
+        )
+
+
 def apply_ivf_append_batch(
     spark: SparkSession,
     path: str,
@@ -116,14 +175,18 @@ def apply_ivf_append_batch(
     """Assign one micro-batch of new vectors against the SAVED codebook
     (frozen — identical to ``append_to_ivf_index``'s contract, pinned by
     the stream-equals-batch test) and land it atomically as
-    ``appends/batch=<batch_id>``. Re-applying an existing batch id is a
-    no-op; an empty batch writes nothing (nothing to guard — the
-    checkpoint already owns source progress)."""
+    ``appends/batch=<batch_id>``. Re-applying an applied batch id (dir
+    present, or dir folded away and ledgered in ``_applied_batches``) is
+    a no-op — unless the redelivery carries never-indexed ids, which
+    raises (see ``_guard_replayed_novel_ids``). An empty batch writes
+    nothing (nothing to guard — the checkpoint already owns source
+    progress)."""
     from ..operators.similarity import index_batch_rows
 
     path = _require_local_path(path, spark)
     bdir = f"{path}/appends/batch={batch_id}"
-    if os.path.exists(bdir):
+    if os.path.exists(bdir) or batch_id in read_applied_batches(path):
+        _guard_replayed_novel_ids(spark, path, batch_df, batch_id, id_col)
         return  # redelivered batch — already fully applied
     # emptiness pre-check on the (tombstone-filtered) id column only —
     # never on the assembled rows, whose plan carries the full
@@ -134,8 +197,10 @@ def apply_ivf_append_batch(
     surviving = batch_df.select(id_col)
     # repair a crashed tombstone swap BEFORE the existence check: a
     # stranded .tombstones-old-* with no live dir would read as "no
-    # tombstones" and resurrect taken-down ids through this append
-    recover_tombstones(path)
+    # tombstones" and resurrect taken-down ids through this append.
+    # Reader form (no orphan sweep): a takedown may be rewriting the set
+    # concurrently and its in-flight tmp must not be deleted from here.
+    recover_tombstones(path, sweep_orphans=False)
     if os.path.isdir(f"{path}/tombstones"):
         surviving = surviving.join(
             spark.read.parquet(f"{path}/tombstones"), id_col, "left_anti"
@@ -162,9 +227,15 @@ def ivf_assignments_with_appends(spark: SparkSession, path: str) -> DataFrame:
     ``centroid_id``, so a probe's partition filter prunes base and append
     files alike. Self-healing: a commit marker left by a compaction crash
     is rolled forward first (cheap local renames/deletes — see
-    ``recover_compaction``), so a reader never sees a folded batch twice."""
+    ``recover_compaction``), so a reader never sees a folded batch twice —
+    in READER form (no orphan sweep: a maintainer's in-flight tmp must
+    survive a concurrent read). Append rows are anti-joined against the
+    tombstone set: a takedown racing an in-flight append batch (filtered
+    against the PRE-takedown set) can land tombstoned rows in a batch
+    dir, and they must never be SERVED — compaction drops them
+    physically at the next fold."""
     path = _require_local_path(path, spark)
-    recover_compaction(path)
+    recover_compaction(path, sweep_orphans=False)
     base = spark.read.parquet(f"{path}/assignments")
     adir = f"{path}/appends"
     if not os.path.isdir(adir) or not any(
@@ -172,13 +243,18 @@ def ivf_assignments_with_appends(spark: SparkSession, path: str) -> DataFrame:
     ):
         return base
     appends = spark.read.parquet(adir).select(*base.columns)
+    tdir = f"{path}/tombstones"
+    if os.path.isdir(tdir):
+        appends = appends.join(
+            spark.read.parquet(tdir), base.columns[0], "left_anti"
+        )
     return base.unionByName(appends)
 
 
 _COMPACT_MARKER = "compact.commit"
 
 
-def recover_compaction(path: str) -> None:
+def recover_compaction(path: str, sweep_orphans: bool = True) -> None:
     """Finish or undo an interrupted ``compact_ivf_appends`` (or the
     takedown rewrite, which commits through the same marker).
 
@@ -187,13 +263,16 @@ def recover_compaction(path: str) -> None:
     crash before the marker, roll BACK (the live index was never
     touched). The mechanics live in ``state_table.recover_marker_commit``
     — ONE implementation shared with the release-state compaction, so
-    the two crash protocols cannot drift. Single-maintainer discipline,
-    like the append stream itself: one process runs appends/compaction
-    for an index at a time."""
+    the two crash protocols cannot drift. ``sweep_orphans=False`` is the
+    READER form (see ``recover_marker_commit``): roll committed work
+    forward but never delete a markerless tmp, which may be a
+    maintainer's in-flight build. Single-maintainer discipline for the
+    MUTATORS still holds: one process runs appends/compaction for an
+    index at a time; readers are additionally safe concurrently."""
     path = _require_local_path(path)
     # a crashed rebuild swap leaves NO live index dir — restore it before
     # any marker/tombstone recovery (both operate INSIDE the dir)
-    recover_rebuild(path)
+    recover_rebuild(path, sweep_orphans=sweep_orphans)
     recover_marker_commit(
         path,
         _COMPACT_MARKER,
@@ -203,11 +282,12 @@ def recover_compaction(path: str) -> None:
         old_of=lambda token, name: os.path.join(path, f".compact-old-{token}"),
         batches_dir=os.path.join(path, "appends"),
         orphan_dir_prefixes=(".compact-tmp-",),
+        sweep_orphans=sweep_orphans,
     )
-    recover_tombstones(path)
+    recover_tombstones(path, sweep_orphans=sweep_orphans)
 
 
-def recover_rebuild(path: str) -> None:
+def recover_rebuild(path: str, sweep_orphans: bool = True) -> None:
     """Repair an interrupted ``rebuild_ivf_index`` swap: the index is
     replaced whole-tree via two sibling renames (live → ``.rebuild-old-``
     backup, tmp → live), so a crash between them leaves NO live index —
@@ -226,6 +306,7 @@ def recover_rebuild(path: str) -> None:
         old_prefix=f"{base}.rebuild-old-",
         tmp_prefix=f"{base}.rebuild-tmp-",
         live_of=lambda _: base,
+        sweep_orphans=sweep_orphans,
     )
 
 
@@ -274,6 +355,14 @@ def rebuild_ivf_index(
     # duplicate rows (an id delivered by two different append batches)
     # back to one row per vector — the index's intended shape
     cur_ids = ivf_assignments_with_appends(spark, path).select(id_col).distinct()
+    # exclude tombstoned ids: in the documented takedown crash window
+    # (ids tombstoned, rewrite not yet committed) the relation may still
+    # carry them — rebuilding must neither re-index a taken-down vector
+    # nor wedge on "partial source" when the corpus already dropped it
+    if os.path.isdir(f"{path}/tombstones"):
+        cur_ids = cur_ids.join(
+            spark.read.parquet(f"{path}/tombstones"), id_col, "left_anti"
+        )
     rows = emb.join(cur_ids, id_col, "semi")
     # distinguish a PARTIAL source (drops vectors — the dangerous case)
     # from a DUPLICATED one (same id twice in emb — would index dup rows):
@@ -317,6 +406,21 @@ def rebuild_ivf_index(
         )
     if os.path.isdir(f"{path}/tombstones"):
         shutil.copytree(f"{path}/tombstones", f"{tmp}/tombstones")
+    # carry the applied-batches ledger too, folding in any append dirs
+    # this rebuild subsumed — their dirs die with the old tree, and a
+    # post-rebuild redelivery must still skip them
+    adir = f"{path}/appends"
+    record_applied_batches(
+        path,
+        [n for n in os.listdir(adir) if n.startswith("batch=")]
+        if os.path.isdir(adir)
+        else [],
+    )
+    if os.path.exists(os.path.join(path, _APPLIED_BATCHES_FILE)):
+        shutil.copy2(
+            os.path.join(path, _APPLIED_BATCHES_FILE),
+            os.path.join(tmp, _APPLIED_BATCHES_FILE),
+        )
     old = f"{path}.rebuild-old-{token}"
     os.rename(path, old)
     os.rename(tmp, path)  # commit point (recover_rebuild repairs between)
@@ -360,7 +464,7 @@ def maintain_ivf_index(
     return True
 
 
-def recover_tombstones(path: str) -> None:
+def recover_tombstones(path: str, sweep_orphans: bool = True) -> None:
     """Repair an interrupted ``_tombstone_ids`` swap. A crash between the
     two renames strands the ENTIRE accumulated tombstone set in
     ``.tombstones-old-*`` with no live ``tombstones`` dir — without this,
@@ -379,6 +483,7 @@ def recover_tombstones(path: str) -> None:
         old_prefix=".tombstones-old-",
         tmp_prefix=".tombstones-tmp-",
         live_of=lambda _: "tombstones",
+        sweep_orphans=sweep_orphans,
     )
 
 
@@ -446,6 +551,19 @@ def compact_ivf_appends(
         .parquet(*[os.path.join(adir, b) for b in batches])
         .select(*base.columns)
     )
+    # drop rows a takedown tombstoned AFTER their batch's own filter ran
+    # (the in-flight-append race): folding them into the base would
+    # physically resurrect removed vectors in every direct base reader
+    tdir = os.path.join(path, "tombstones")
+    if os.path.isdir(tdir):
+        appended = appended.join(
+            spark.read.parquet(tdir), base.columns[0], "left_anti"
+        )
+    # ledger the folded batch ids BEFORE the commit that deletes their
+    # dirs: the redelivery guard must survive the dirs (see
+    # read_applied_batches); conservative under a crash here (dir still
+    # present -> presence guard covers it)
+    record_applied_batches(path, batches)
     token = uuid.uuid4().hex[:12]
     tmp = os.path.join(path, f".compact-tmp-{token}")
     (

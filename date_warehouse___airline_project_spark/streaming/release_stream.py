@@ -52,15 +52,22 @@ def release_state_rel(spark: SparkSession, path: str, name: str) -> DataFrame:
     a compaction that crashed after its live-swap but before deleting the
     folded batch dirs would otherwise serve every folded row twice."""
     path = _require_local_path(path, spark)
-    recover_release_compaction(path)
+    # reader form: roll committed work forward, never sweep a maintainer's
+    # in-flight .release-tmp-* build (see recover_marker_commit)
+    recover_release_compaction(path, sweep_orphans=False)
     base = spark.read.parquet(f"{path}/{name}")
     bdir = os.path.join(path, "batches")
     if not os.path.isdir(bdir):
         return base
     parts = sorted(
-        os.path.join(bdir, b, name)
+        p
         for b in os.listdir(bdir)
-        if b.startswith("batch=") and os.path.isdir(os.path.join(bdir, b, name))
+        if b.startswith("batch=")
+        and os.path.isdir(p := os.path.join(bdir, b, name))
+        # a delta relation that folded to ZERO rows lands no part files
+        # (only _SUCCESS); feeding such a dir to spark.read.parquet dies
+        # on schema inference when it is the only uncompacted delta
+        and any(f.endswith(".parquet") for f in os.listdir(p))
     )
     if not parts:
         return base
@@ -105,11 +112,39 @@ def apply_release_batch(
     )
 
     path = _require_local_path(path, spark)
-    recover_release_compaction(path)
+    # roll committed work forward only: a takedown-triggered compaction
+    # may be building its .release-tmp-* concurrently with the stream
+    recover_release_compaction(path, sweep_orphans=False)
+    if batch.isEmpty():
+        # an empty batch must not land a delta dir: its four relation
+        # writes would produce fileless dirs (only _SUCCESS) that wedge
+        # every later schema inference over the deltas. Nothing to fold;
+        # the checkpoint owns source progress.
+        return
     bdir = os.path.join(path, "batches")
     os.makedirs(bdir, exist_ok=True)
     final_dir = os.path.join(bdir, f"batch={batch_id}")
     if os.path.isdir(final_dir):
+        # the dir proves SOME batch with this id folded — not that THIS
+        # delivery's content did. A fresh-checkpoint restart coalesces
+        # newly dropped docs into the replayed batch id; skipping them
+        # silently would mark them consumed without ever folding them.
+        # Raise loudly on novel content; a byte-for-byte redelivery
+        # (the crash-recovery case) still skips cleanly.
+        novel = batch.join(
+            release_state_rel(spark, path, "doc_fps"),
+            F.md5(F.lower("text")) == F.col("fp"),
+            "left_anti",
+        )
+        if not novel.isEmpty():
+            raise ValueError(
+                f"release batch {batch_id} was already folded, but this "
+                f"delivery carries novel documents — a restarted "
+                f"checkpoint has coalesced NEW docs into a replayed "
+                f"batch id, and skipping would silently drop them from "
+                f"the release. Re-feed the new docs through a fresh "
+                f"input directory + checkpoint."
+            )
         return  # redelivered micro-batch: byte-for-byte no-op
     # sweep orphaned tmp dirs from a previous crash mid-write
     for name in os.listdir(bdir):
@@ -172,7 +207,7 @@ def release_manifest_from_state(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def recover_release_compaction(path: str) -> None:
+def recover_release_compaction(path: str, sweep_orphans: bool = True) -> None:
     """Finish or undo an interrupted ``compact_release_state`` — the IVF
     compaction protocol over the four state relations: marker present =
     every merged table was fully written, roll FORWARD (existence-guarded
@@ -197,6 +232,7 @@ def recover_release_compaction(path: str) -> None:
             os.path.join(path, f".release-tmp-{token}"),
         ),
         orphan_dir_prefixes=(".release-tmp-",),
+        sweep_orphans=sweep_orphans,
     )
 
 
@@ -220,9 +256,11 @@ def compact_release_state(spark: SparkSession, path: str) -> int:
     for name in _STATE_NAMES:
         base = spark.read.parquet(f"{path}/{name}")
         parts = [
-            os.path.join(bdir, b, name)
+            p
             for b in batches
-            if os.path.isdir(os.path.join(bdir, b, name))
+            if os.path.isdir(p := os.path.join(bdir, b, name))
+            # skip fileless zero-row deltas (see release_state_rel)
+            and any(f.endswith(".parquet") for f in os.listdir(p))
         ]
         merged = base
         if parts:

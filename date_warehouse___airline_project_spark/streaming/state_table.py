@@ -117,6 +117,7 @@ def recover_marker_commit(
     batches_dir: str | None = None,
     extra_cleanup: Callable[[str], Iterable[str]] | None = None,
     orphan_dir_prefixes: Sequence[str] = (),
+    sweep_orphans: bool = True,
 ) -> None:
     """Finish (marker present) or undo (markerless tmp) an interrupted
     marker-file commit over the relations ``names`` living at
@@ -126,10 +127,19 @@ def recover_marker_commit(
     roll-forward; ``extra_cleanup(token)`` yields extra paths to remove
     after the swap (e.g. a shared tmp ROOT whose per-relation subdirs
     were renamed out); ``orphan_dir_prefixes`` are ``<path>`` entry-name
-    prefixes swept when no marker exists (plus ``.{marker}-`` tmps,
-    always swept). Every step is existence-guarded, so recovery is
-    re-runnable from any crash point — including a crash inside a
-    previous recovery."""
+    prefixes swept when no marker exists (plus ``.{marker}-`` tmps).
+    Every step is existence-guarded, so recovery is re-runnable from any
+    crash point — including a crash inside a previous recovery.
+
+    ``sweep_orphans=False`` is the READER form: roll committed work
+    forward (a reader must see consistent state) but never delete a
+    markerless tmp — to a reader that tmp is invisible (the live
+    relations are untouched), while to a compactor RUNNING RIGHT NOW it
+    is the in-flight build: a reader sweeping it would let the compactor
+    commit a marker whose tmps are gone, and the next roll-forward would
+    delete the folded batch dirs WITHOUT installing the merged tables —
+    permanent state loss. Only maintenance entry points (which hold the
+    single-maintainer role by contract) sweep."""
     mpath = os.path.join(path, marker)
     if os.path.exists(mpath):
         with open(mpath) as f:
@@ -155,7 +165,7 @@ def recover_marker_commit(
             for p in extra_cleanup(token):
                 shutil.rmtree(p, ignore_errors=True)
         os.remove(mpath)
-    if os.path.isdir(path):
+    if sweep_orphans and os.path.isdir(path):
         for name in os.listdir(path):
             full = os.path.join(path, name)
             if any(name.startswith(p) for p in orphan_dir_prefixes):
@@ -169,6 +179,7 @@ def recover_rename_swap(
     old_prefix: str,
     tmp_prefix: str,
     live_of: Callable[[str], str],
+    sweep_orphans: bool = True,
 ) -> None:
     """The per-item rename-swap recovery (shard takedown's shape): an
     ``<old_prefix><token>-<item>`` backup with NO live dir
@@ -177,7 +188,11 @@ def recover_rename_swap(
     rewrite is idempotent and re-runnable, so restoring the pre-swap
     item is always safe); a backup WITH a live dir is post-swap debris —
     delete it, along with any leftover ``<tmp_prefix>*`` root. ``<item>``
-    is the partition value after the last ``-`` of the backup name."""
+    is the partition value after the last ``-`` of the backup name.
+    ``sweep_orphans=False`` is the READER form (see
+    ``recover_marker_commit``): restore stranded backups — a reader
+    needs the live dir back — but never delete a ``<tmp_prefix>*``
+    sibling, which may be a maintainer's in-flight build."""
     if not os.path.isdir(root):
         return
     for name in os.listdir(root):
@@ -189,7 +204,7 @@ def recover_rename_swap(
                 os.rename(old, live)  # roll back the half-swapped item
             else:
                 shutil.rmtree(old, ignore_errors=True)
-        elif name.startswith(tmp_prefix):
+        elif sweep_orphans and name.startswith(tmp_prefix):
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
 
@@ -247,6 +262,14 @@ def fold_into_state(
         return  # at-least-once redelivery of an already-folded batch
     if os.path.exists(state_dir):
         merged = merge(spark.read.parquet(state_dir), batch_cells)
+    elif batch_cells.isEmpty():
+        # an empty first batch must NOT create the state dir: an empty
+        # write lands no part files (only _SUCCESS + the batch-id file),
+        # and every later batch's spark.read.parquet(state_dir) would
+        # die on schema inference — a permanent wedge recover_state
+        # cannot repair (the dir looks live). Skipping records nothing,
+        # which is exactly right: there is no state yet.
+        return
     else:
         merged = batch_cells
     swap_in_state(state_dir, batch_id, merged)

@@ -2282,23 +2282,36 @@ def test_release_stream_runner_and_crash_recovery(spark, tmp_path):
         tuple(r) for r in release_manifest_from_state(spark, path).collect()
     ] == want
 
-    # crash mid-write: orphaned batch tmp is swept by the next apply
+    # an EMPTY batch is a pure no-op: no delta dir (its fileless relation
+    # writes would wedge later schema inference), no sweep, no state change
+    apply_release_batch(spark, path, d.filter(F.col("doc_id") < 0), 99)
+    assert not os.path.isdir(f"{path}/batches/batch=99")
+    # crash mid-write: orphaned batch tmp is swept by the next NON-empty
+    # apply (which lands batch=99 and removes the orphan)
     orphan = f"{path}/batches/.tmp-crashed"
     os.makedirs(orphan)
     with open(f"{orphan}/junk", "w") as f:
         f.write("partial")
-    apply_release_batch(
-        spark, path, d.filter(F.col("doc_id") < 0), 99
-    )  # empty batch still commits its (empty) delta and sweeps tmps
+    extra = spark.createDataFrame(
+        [(int(mx) + 10, "web", "brand new post-stream doc zyxxyz")],
+        "doc_id long, source string, text string",
+    )
+    apply_release_batch(spark, path, extra, 99)
+    assert os.path.isdir(f"{path}/batches/batch=99")
     assert not os.path.exists(orphan)
-    # markerless compaction tmp rolls back without touching live state
+    # markerless compaction tmp: invisible to readers (roll-forward-only
+    # recovery), swept by a MAINTAINER entry point
     orphan2 = f"{path}/.release-tmp-deadbeef"
     os.makedirs(orphan2)
-    recover_release_compaction(path)
+    before = [
+        tuple(r) for r in release_manifest_from_state(spark, path).collect()
+    ]
+    assert os.path.exists(orphan2)  # the reader did NOT sweep it
+    recover_release_compaction(path)  # maintainer form sweeps
     assert not os.path.exists(orphan2)
     assert [
         tuple(r) for r in release_manifest_from_state(spark, path).collect()
-    ] == want
+    ] == before
 
 
 def test_ivf_takedown_emptying_index_keeps_it_readable(spark, tmp_path):
@@ -2919,6 +2932,10 @@ def test_tombstone_swap_crash_recovery(spark, tmp_path):
     )
     assert os.path.isdir(f"{path}/tombstones")
     assert not os.path.isdir(f"{path}/.tombstones-old-deadbeef")
+    # the append path runs READER-form recovery: the stranded set is
+    # restored, but a (possibly in-flight) tmp is NOT swept from there
+    assert os.path.isdir(f"{path}/.tombstones-tmp-cafe0001")
+    recover_tombstones(path)  # maintainer form sweeps orphans
     assert not os.path.isdir(f"{path}/.tombstones-tmp-cafe0001")
     assert not os.path.isdir(f"{path}/appends/batch=57")
     assert spark.read.parquet(f"{path}/tombstones").count() == n_tomb
@@ -3209,6 +3226,9 @@ def test_rebuild_ivf_index_retrain_and_swap(spark, tmp_path):
     assert key(rel) == before
     assert os.path.isdir(path)
     assert not os.path.isdir(f"{path}.rebuild-old-deadbeef")
+    # reader form leaves the (possibly in-flight) tmp; maintainer sweeps
+    assert os.path.isdir(f"{path}.rebuild-tmp-cafe01")
+    recover_rebuild(path)
     assert not os.path.isdir(f"{path}.rebuild-tmp-cafe01")
     # post-swap debris (live present AND a stale backup): swept
     os.makedirs(f"{path}.rebuild-old-11112222")
@@ -3310,3 +3330,212 @@ def test_maintain_ivf_index_policy_loop(spark, tmp_path):
     )
     # steady state again: no-op
     assert maintain_ivf_index(spark, path, src) is False
+
+
+def test_ivf_applied_ledger_survives_compaction(spark, tmp_path):
+    """A batch folded away by compaction must stay idempotent on
+    redelivery: the _applied_batches ledger is the witness the deleted
+    dir can no longer provide. A redelivery carrying NEVER-indexed ids
+    (fresh-checkpoint coalescing) raises instead of silently dropping
+    them."""
+    import pytest as _pytest
+
+    from date_warehouse___airline_project_spark.streaming.ivf_stream import (
+        apply_ivf_append_batch,
+        compact_ivf_appends,
+        ivf_assignments_with_appends,
+        read_applied_batches,
+        rebuild_ivf_index,
+    )
+
+    e, path, new = _ivf_fixture(spark, tmp_path, "ivf_ledger")
+    b0 = new.filter("vec_id % 2 = 0")
+    apply_ivf_append_batch(spark, path, b0, 0)
+    assert compact_ivf_appends(spark, path) == 1
+    assert not os.path.isdir(f"{path}/appends/batch=0")
+    assert read_applied_batches(path) == {0}
+    n = spark.read.parquet(f"{path}/assignments").count()
+
+    # crash-redelivery of the folded batch: ledger skips it, zero dupes
+    apply_ivf_append_batch(spark, path, b0, 0)
+    assert not os.path.isdir(f"{path}/appends/batch=0")
+    assert spark.read.parquet(f"{path}/assignments").count() == n
+    rel = ivf_assignments_with_appends(spark, path)
+    assert rel.count() == rel.select("vec_id").distinct().count()
+
+    # redelivery with coalesced NEW ids raises loudly
+    b0_plus = b0.unionByName(
+        new.filter("vec_id % 2 = 1").limit(3).selectExpr(
+            "vec_id + 4000000 AS vec_id", "embedding"
+        )
+    )
+    with _pytest.raises(ValueError, match="never-indexed"):
+        apply_ivf_append_batch(spark, path, b0_plus, 0)
+
+    # the ledger survives a rebuild too (old tree dies with the swap)
+    b1 = new.filter("vec_id % 2 = 1")
+    apply_ivf_append_batch(spark, path, b1, 1)
+    src = e.select("vec_id", "embedding").unionByName(new)
+    rebuild_ivf_index(spark, path, src)
+    assert read_applied_batches(path) >= {0, 1}
+    n2 = spark.read.parquet(f"{path}/assignments").count()
+    apply_ivf_append_batch(spark, path, b1, 1)  # redelivery post-rebuild
+    assert spark.read.parquet(f"{path}/assignments").count() == n2
+    assert not os.path.isdir(f"{path}/appends/batch=1")
+
+
+def test_ivf_takedown_race_with_inflight_append(spark, tmp_path):
+    """An append batch filtered against the PRE-takedown tombstone set can
+    land AFTER the takedown's rewrite (the in-flight race). The removed
+    ids must never be SERVED (reader anti-joins appends against
+    tombstones) and the next compaction must drop them PHYSICALLY."""
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        index_batch_rows,
+    )
+    from date_warehouse___airline_project_spark.streaming.ivf_stream import (
+        compact_ivf_appends,
+        ivf_assignments_with_appends,
+        remove_from_ivf_index,
+    )
+
+    e, path, new = _ivf_fixture(spark, tmp_path, "ivf_race")
+    victims = [
+        r["vec_id"]
+        for r in spark.read.parquet(f"{path}/assignments")
+        .filter("vec_id % 5 = 2")
+        .limit(4)
+        .collect()
+    ]
+    # the in-flight batch: rows assembled BEFORE the takedown (so the
+    # tombstone filter inside index_batch_rows sees no tombstones), with
+    # fresh ids alongside the victims
+    stale_rows = index_batch_rows(
+        spark,
+        path,
+        e.filter(F.col("vec_id").isin(victims))
+        .select("vec_id", "embedding")
+        .unionByName(
+            e.limit(2).selectExpr("vec_id + 5000000 AS vec_id", "embedding")
+        ),
+    ).collect()
+    td = spark.createDataFrame([(v,) for v in victims], "vec_id long")
+    assert remove_from_ivf_index(spark, path, td) == len(victims)
+    # ... and now the pre-assembled batch lands (the stream's os.rename)
+    sdf = spark.createDataFrame(
+        stale_rows, ivf_assignments_with_appends(spark, path).schema
+    )
+    (
+        sdf.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/appends/batch=9")
+    )
+
+    # never served: the reader filters the stale append rows
+    rel = ivf_assignments_with_appends(spark, path)
+    assert rel.filter(F.col("vec_id").isin(victims)).count() == 0
+    assert rel.filter("vec_id >= 5000000").count() == 2
+    # physically dropped at the next fold; the fresh rows survive
+    assert compact_ivf_appends(spark, path) == 1
+    base = spark.read.parquet(f"{path}/assignments")
+    assert base.filter(F.col("vec_id").isin(victims)).count() == 0
+    assert base.filter("vec_id >= 5000000").count() == 2
+    # with no live rows left, the opt-in fold can now drop the ids
+    assert compact_ivf_appends(spark, path, fold_tombstones=True) == 0
+    assert spark.read.parquet(f"{path}/tombstones").count() == 0
+
+
+def test_release_stream_allduplicate_batch_keeps_state_readable(spark, tmp_path):
+    """A fresh-id batch whose every doc duplicates state content folds to
+    EMPTY para/gram/v1 deltas — fileless dirs that must not wedge later
+    reads or compaction (they are skipped, not schema-inferred)."""
+    from date_warehouse___airline_project_spark.plans.training_data import (
+        write_release_state,
+    )
+    from date_warehouse___airline_project_spark.sources.catalog import load_table
+    from date_warehouse___airline_project_spark.streaming.release_stream import (
+        apply_release_batch,
+        compact_release_state,
+        release_manifest_from_state,
+        release_state_rel,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    state = str(tmp_path / "state")
+    write_release_state(d.filter("doc_id < 300"), state)
+    before = [
+        tuple(r) for r in release_manifest_from_state(spark, state).collect()
+    ]
+    # fresh ids, duplicate content: passes the watermark guard, dedups
+    # away entirely
+    mirror = d.filter("doc_id < 50").selectExpr(
+        "doc_id + 1000 AS doc_id", "text", "lang", "source", "n_chars"
+    )
+    apply_release_batch(spark, state, mirror, 0)
+    assert os.path.isdir(os.path.join(state, "batches", "batch=0"))
+    # every reader keeps working across the fileless sub-deltas
+    for name in ("doc_fps", "para_fps", "gram_fps", "v1_docs"):
+        release_state_rel(spark, state, name).count()
+    after = [
+        tuple(r) for r in release_manifest_from_state(spark, state).collect()
+    ]
+    assert after == before
+    # compaction folds the batch without tripping on fileless dirs
+    assert compact_release_state(spark, state) == 1
+    assert [
+        tuple(r) for r in release_manifest_from_state(spark, state).collect()
+    ] == before
+    # an EMPTY batch is a pure no-op (no fileless delta dir at all)
+    apply_release_batch(spark, state, d.filter("doc_id < 0"), 1)
+    assert not os.path.isdir(os.path.join(state, "batches", "batch=1"))
+
+
+def test_dedup_stream_replay_tolerant_after_checkpoint_resplit(spark, tmp_path):
+    """A checkpoint reset can RE-SPLIT old files into more batches than
+    the original run: the later batches carry ids above last_applied but
+    below the watermark — pure replay that must skip cleanly (the
+    release stream's tolerance rule), while novel sub-watermark content
+    still raises."""
+    from date_warehouse___airline_project_spark.streaming.dedup_stream import (
+        run_incremental_dedup_stream,
+    )
+    from date_warehouse___airline_project_spark.streaming.state_table import (
+        read_watermark,
+    )
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    (input_dir / "b1.jsonl").write_text(
+        json.dumps({"doc_id": 10, "text": "alpha beta"})
+    )
+    (input_dir / "b2.jsonl").write_text(
+        json.dumps({"doc_id": 20, "text": "gamma delta"})
+    )
+    # original run: ONE batch covering both files -> last_applied = 0
+    q = run_incremental_dedup_stream(
+        spark, str(input_dir), state, out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert read_watermark(f"{state}.max_doc_id") == 20
+    # checkpoint reset + per-file batches: batch 0 skips by id guard,
+    # batch 1 (id > last_applied, content <= watermark) is PURE REPLAY
+    # and must skip instead of wedging the stream
+    q = run_incremental_dedup_stream(
+        spark, str(input_dir), state, out, str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(state).count() == 2
+    # novel content keeps flowing afterwards on the same checkpoint
+    (input_dir / "b3.jsonl").write_text(
+        json.dumps({"doc_id": 30, "text": "epsilon zeta"})
+    )
+    q = run_incremental_dedup_stream(
+        spark, str(input_dir), state, out, str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(state).count() == 3
+    assert read_watermark(f"{state}.max_doc_id") == 30
