@@ -306,6 +306,7 @@ def run_incremental_paragraph_dedup_stream(
     out_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """Continuously accept only never-seen PARAGRAPHS from a JSON-lines
     drop dir (``{"doc_id": ..., "text": ...}`` per line). Output
@@ -317,9 +318,11 @@ def run_incremental_paragraph_dedup_stream(
 
     recover_state(state_dir)
     schema = "doc_id LONG, text STRING"
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = (
-        spark.readStream.format("text")
-        .load(input_dir)
+        reader.load(input_dir)
         .select(F.from_json("value", schema).alias("_r"))
         .select("_r.doc_id", "_r.text")
         .where(F.col("doc_id").isNotNull())

@@ -3539,3 +3539,49 @@ def test_dedup_stream_replay_tolerant_after_checkpoint_resplit(spark, tmp_path):
     q.awaitTermination(120)
     assert spark.read.parquet(state).count() == 3
     assert read_watermark(f"{state}.max_doc_id") == 30
+
+
+def test_paragraph_dedup_stream_replay_tolerant_after_resplit(spark, tmp_path):
+    """Paragraph-stream twin of the whole-doc re-split tolerance: a
+    replayed batch under a NEW batch id (checkpoint reset re-split)
+    skips when every doc's every paragraph fingerprint is in state;
+    novel paragraphs keep flowing afterwards."""
+    from date_warehouse___airline_project_spark.streaming.dedup_stream import (
+        run_incremental_paragraph_dedup_stream,
+    )
+    from date_warehouse___airline_project_spark.streaming.state_table import (
+        read_watermark,
+    )
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    t1 = " ".join(f"alpha{i}" for i in range(40))
+    t2 = " ".join(f"beta{i}" for i in range(40))
+    (input_dir / "b1.jsonl").write_text(json.dumps({"doc_id": 10, "text": t1}))
+    (input_dir / "b2.jsonl").write_text(json.dumps({"doc_id": 20, "text": t2}))
+    q = run_incremental_paragraph_dedup_stream(
+        spark, str(input_dir), state, out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    n_state = spark.read.parquet(state).count()
+    assert read_watermark(f"{state}.max_doc_id") == 20
+    # checkpoint reset + per-file batches: batch 1 is pure replay under a
+    # new id — must skip, not wedge
+    q = run_incremental_paragraph_dedup_stream(
+        spark, str(input_dir), state, out, str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(state).count() == n_state
+    # novel paragraphs keep flowing on the same checkpoint
+    t3 = " ".join(f"gamma{i}" for i in range(40))
+    (input_dir / "b3.jsonl").write_text(json.dumps({"doc_id": 30, "text": t3}))
+    q = run_incremental_paragraph_dedup_stream(
+        spark, str(input_dir), state, out, str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(state).count() > n_state
+    assert read_watermark(f"{state}.max_doc_id") == 30
