@@ -17,8 +17,14 @@ Certification bookkeeping is MECHANICAL (no hand-maintained lists):
 
 The driver hash-checks the FIRST 50 entries of ``queries()`` each round,
 so ordering is: re-certifications first, then never-certified queries in
-registry order, then the certified remainder (still registered, still
-bench'd, just later in iteration order).
+registry order, then the certified remainder ORDERED OLDEST-GREEN-FIRST
+(still registered, still bench'd). The oldest-first tail bounds
+certification age: the window's spare slots re-oracle the stalest greens
+every round (a query whose transitive source never changes would
+otherwise stay green forever on one ancient row — an engine-version bump
+could invalidate all of them with no signal), and a query re-certified
+this round moves to the back of the rotation automatically because its
+last-green round is now current.
 """
 
 from __future__ import annotations
@@ -47,8 +53,10 @@ def _round_num(path: str) -> int:
     return int(m.group(1)) if m else -1
 
 
-def _driver_green() -> set[str]:
-    """Names whose MOST RECENT driver row is green (latest round wins).
+def _driver_green_rounds() -> dict[str, int]:
+    """``{name: last_green_round}`` for names whose MOST RECENT driver row
+    is green (latest round wins) — the per-query certification age, read
+    mechanically from the driver's own CORRECTNESS files.
 
     Green = no error, row counts match, and the value hash matches when an
     oracle was available (``hash_match`` is None for rows-only checks).
@@ -56,14 +64,17 @@ def _driver_green() -> set[str]:
     data-dependent regression must re-enter the window, not stay
     certified on the strength of a stale pass."""
     latest: dict[str, dict] = {}
+    rounds: dict[str, int] = {}
     for path in sorted(
         glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")), key=_round_num
     ):
         with open(path) as f:
             rows = json.load(f)
         latest.update(rows)
+        for name in rows:
+            rounds[name] = _round_num(path)
     return {
-        name
+        name: rounds[name]
         for name, r in latest.items()
         if r.get("err") is None
         and r.get("rows_match")
@@ -85,10 +96,15 @@ def _recert_list() -> list[str]:
 
 def _ordered_names() -> list[str]:
     names = list(plans.REGISTRY)
+    green_rounds = _driver_green_rounds()
     recert = [n for n in _recert_list() if n in plans.REGISTRY]
-    certified = (_driver_green() - set(recert)) & set(names)
+    certified = (set(green_rounds) - set(recert)) & set(names)
     fresh = [n for n in names if n not in certified and n not in recert]
-    done = [n for n in names if n in certified]
+    # oldest-certified first: the window's spare slots re-oracle the
+    # stalest greens each round (bounded cert age); registry order
+    # tiebreaks equal rounds deterministically
+    reg_pos = {n: i for i, n in enumerate(names)}
+    done = sorted(certified, key=lambda n: (green_rounds[n], reg_pos[n]))
     return recert + fresh + done
 
 

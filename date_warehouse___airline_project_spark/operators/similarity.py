@@ -839,6 +839,80 @@ def pq_codes_wide(
     )
 
 
+def train_pq_cents(
+    emb: DataFrame,
+    n_sub: int,
+    sub_dim: int,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int = 4,
+    iters: int = 1,
+) -> DataFrame:
+    """Deterministic per-subspace Lloyd training of PQ sub-quantizers —
+    (g, code, cvec), the input shape ``save_ivfpq_index`` expects.
+
+    Seeding is RANK-based (the ``n_codes`` lowest ids, code = rank-1):
+    unlike the fixed-stride seed of the in-session PQ queries this stays
+    full-width for ANY id distribution — a maintenance retrain runs over
+    an index whose ids are arbitrary after appends/takedowns. Each
+    iteration assigns the ``id % sample_mod == 0`` sample to the current
+    codebook by nearest L2 (ties to the lower code, the package-wide
+    convention) and recomputes exact-DECIMAL per-dimension means, so the
+    training is bit-reproducible across engines and runs — the property
+    the maintenance policy's rebuild-equals-fresh-save test pins. Codes
+    that attract no sample members drop out (same convention as the
+    session-trained codebooks). Cost: iters x (sample x n_codes
+    broadcast grid per subspace) + a G x K-row fold — training is
+    sample-sized, never corpus-sized."""
+    gs = F.array(*[F.lit(i) for i in range(n_sub)])
+    seed_ids = (
+        emb.select(id_col)
+        .withColumn("_rk", F.row_number().over(W.orderBy(id_col)))
+        .filter(F.col("_rk") <= n_codes)
+    )
+    cents = (
+        emb.join(seed_ids, id_col)
+        .select((F.col("_rk") - 1).cast("int").alias("code"), F.explode(gs).alias("g"), vec_col)
+        .select(
+            "code",
+            "g",
+            F.slice(vec_col, F.col("g") * sub_dim + 1, sub_dim).alias("cvec"),
+        )
+    )
+    samp = (
+        emb.filter(F.col(id_col) % sample_mod == 0)
+        .select(id_col, F.explode(gs).alias("g"), vec_col)
+        .select(
+            id_col,
+            "g",
+            F.slice(vec_col, F.col("g") * sub_dim + 1, sub_dim).alias("svec"),
+        )
+    )
+    for _ in range(iters):
+        assigned = pq_sub_assign(samp, cents, carry=("svec",), id_col=id_col)
+        cents = (
+            assigned.select("g", "code", F.posexplode("svec").alias("_pos", "_val"))
+            .groupBy("g", "code", "_pos")
+            .agg(
+                (
+                    F.sum(
+                        F.col("_val").cast("double").cast("decimal(27,10)")
+                    ).cast("double")
+                    / F.count("*")
+                ).alias("_comp")
+            )
+            .groupBy("g", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_comp"))),
+                    lambda s: s["_comp"],
+                ).alias("cvec")
+            )
+        )
+    return cents
+
+
 def save_ivfpq_index(
     emb: DataFrame,
     path: str,
@@ -1112,6 +1186,7 @@ def index_batch_rows(
     emb_new: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sweep_orphans: bool = True,
 ) -> DataFrame:
     """New-vector rows in the persisted index's OWN assignments schema:
     frozen-codebook coarse assignment always; frozen sub-quantizer codes
@@ -1119,7 +1194,11 @@ def index_batch_rows(
     index is IVF-PQ. Shared by the batch append and the streaming
     micro-batch append so the two paths cannot diverge — and so every
     maintenance entry point transparently upgrades when pointed at a PQ
-    index."""
+    index. ``sweep_orphans=False`` is the reader-form recovery (see
+    ``recover_tombstones``): a caller that already recovered and must
+    not delete a concurrent takedown's in-flight ``.tombstones-tmp-*``
+    threads it through here, otherwise the internal recovery would
+    re-sweep what the caller deliberately preserved."""
     import os
 
     from ..streaming.ivf_stream import recover_tombstones
@@ -1129,7 +1208,7 @@ def index_batch_rows(
     # repair a crashed tombstone swap BEFORE the existence check below: a
     # stranded .tombstones-old-* with no live dir would read as "no
     # tombstones" and resurrect taken-down ids through this append
-    recover_tombstones(path)
+    recover_tombstones(path, sweep_orphans=sweep_orphans)
     if os.path.isdir(f"{path}/tombstones"):
         # a taken-down id must never resurrect through re-ingest: the
         # takedown path records removed ids (ivf_stream.
@@ -1211,6 +1290,7 @@ def append_to_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lease: dict | None = None,
 ) -> None:
     """Incrementally add vectors to a persisted IVF index (see
     ``save_ivf_index``) WITHOUT retraining: assign the new batch against
@@ -1237,25 +1317,31 @@ def append_to_ivf_index(
     """
     import os
 
+    from ..streaming.state_table import maintainer_lease
+
     spark = emb_new.sparkSession
-    rows = index_batch_rows(spark, path, emb_new, id_col, vec_col)
-    # A takedown that emptied the index rewrote assignments as a PLAIN
-    # empty table (schema'd part file, centroid_id as a data column) so
-    # readers keep working; a partitioned APPEND into that dir would mix
-    # root-level part files with centroid_id= subdirs and break partition
-    # discovery for every later reader. Detect the empty-plain layout and
-    # OVERWRITE it back to partitioned form (nothing is lost: the table
-    # is empty by construction of that branch).
-    asg_dir = f"{path}/assignments"
-    plain_empty = os.path.isdir(asg_dir) and not any(
-        n.startswith("centroid_id=") for n in os.listdir(asg_dir)
-    )
-    (
-        rows.repartition("centroid_id")
-        .write.mode("overwrite" if plain_empty else "append")
-        .partitionBy("centroid_id")
-        .parquet(asg_dir)
-    )
+    # a batch append is a mutator like any other: acquire the artifact's
+    # maintainer lease (or thread the caller's) so it cannot race a
+    # compaction/rebuild/takedown — see state_table's lease docs
+    with maintainer_lease(path, lease, owner="ivf-batch-append"):
+        rows = index_batch_rows(spark, path, emb_new, id_col, vec_col)
+        # A takedown that emptied the index rewrote assignments as a PLAIN
+        # empty table (schema'd part file, centroid_id as a data column) so
+        # readers keep working; a partitioned APPEND into that dir would mix
+        # root-level part files with centroid_id= subdirs and break partition
+        # discovery for every later reader. Detect the empty-plain layout and
+        # OVERWRITE it back to partitioned form (nothing is lost: the table
+        # is empty by construction of that branch).
+        asg_dir = f"{path}/assignments"
+        plain_empty = os.path.isdir(asg_dir) and not any(
+            n.startswith("centroid_id=") for n in os.listdir(asg_dir)
+        )
+        (
+            rows.repartition("centroid_id")
+            .write.mode("overwrite" if plain_empty else "append")
+            .partitionBy("centroid_id")
+            .parquet(asg_dir)
+        )
 
 
 def ivf_cell_drift(

@@ -287,20 +287,28 @@ _IVF_DRIFT_ORACLE = f"""
 )
 def emb_ivf_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
-    from ..operators.similarity import (
-        append_to_ivf_index,
-        ivf_cell_drift,
-        save_ivf_index,
-    )
+    from ..operators.similarity import append_to_ivf_index, ivf_cell_drift
 
     e = load_table(spark, sf_dir, "embeddings")
     key = (spark.sparkContext.applicationId, sf_dir, 25, 4, 2, "drift")
     path = _IVF_INDEX_MEMO.get(key)
     if path is None:
         # own index copy — the shared emb_ivf_indexed_topk index must keep
-        # its training-time populations un-drifted
+        # its training-time populations un-drifted. COPIED (one local
+        # copytree) from the session IVF-PQ index rather than rebuilt:
+        # identical coarse training/assignment (same kmeans memo, same
+        # mods/iters), so codebook/assignments/cell_stats are the same
+        # relations and only the append below differs — a fresh
+        # save_ivf_index here paid a duplicate assignment+write pass on
+        # the warm clock every session (r11 warm-build amortization).
+        # The PQ extras (codes column, payload) are a superset the drift
+        # report never reads; save_ivf_index stays the from-scratch path
+        # and the copy-equals-build property is pinned by the oracle.
+        import shutil
+
         path = session_tmpdir("spark_graft_ivf_drift_")
-        save_ivf_index(e, path, centroid_mod=25, sample_mod=4, iters=2)
+        shutil.rmtree(path, ignore_errors=True)  # copytree wants no target
+        shutil.copytree(_session_ivfpq_index(spark, sf_dir, e), path)
         append_to_ivf_index(
             e.filter(F.col("vec_id") % 3 == 1).withColumn(
                 "vec_id", F.col("vec_id") + 1_000_000

@@ -83,21 +83,74 @@ def _catch_up_watermark(processed: DataFrame, wm_file: str) -> None:
         write_watermark(wm_file, int(hi))
 
 
+def _output_keepers(
+    spark: SparkSession, out_dir: str, fp_col: str
+) -> DataFrame | None:
+    """(fp, keeper_doc_id) recovered from the per-batch output dirs: the
+    min doc_id ever ACCEPTED for each fingerprint — exactly the keeper a
+    keep-min batch recompute would crown, because under the append-only
+    invariant the first-accepted doc has the lowest id. Every state
+    fingerprint has a keeper here (accepted rows are written before the
+    fold; a crash between the two leaves output ⊇ state, never ⊂).
+    Returns None when no output rows exist yet (fileless dirs from
+    all-duplicate batches are skipped — they hold no rows and would
+    wedge schema inference). Only columns (doc_id, fp) are read —
+    column pruning keeps this far cheaper than the text payload, and it
+    runs only on the rare out-of-order / redelivery paths."""
+    import os
+
+    if not os.path.isdir(out_dir):
+        return None
+    dirs = [
+        os.path.join(out_dir, n)
+        for n in os.listdir(out_dir)
+        if n.startswith("batch=")
+        and any(
+            not f.startswith(("_", "."))
+            for f in os.listdir(os.path.join(out_dir, n))
+        )
+    ]
+    if not dirs:
+        return None
+    return (
+        spark.read.option("basePath", out_dir)
+        .parquet(*dirs)
+        .groupBy(fp_col)
+        .agg(F.min("doc_id").alias("_keeper_id"))
+    )
+
+
 def _state_processed_docs(
-    spark: SparkSession, state_dir: str, batch_df: DataFrame
+    spark: SparkSession, state_dir: str, out_dir: str, batch_df: DataFrame
 ) -> DataFrame:
-    """Batch rows the whole-doc state has processed: doc fingerprint
-    present (true for every folded doc AND every doc the fold deduped
-    away — its fp is in state via its keeper). A never-folded doc whose
-    content happens to duplicate state content also qualifies, which is
-    harmless: re-feeding it would dedup to nothing anyway."""
+    """Batch rows the whole-doc state has processed, witnessed by
+    (doc_id, fp) ATTRIBUTION, not content alone: the doc's fingerprint
+    is in state AND its doc_id is >= the keeper doc_id recovered from
+    the per-batch output dirs (``_output_keepers``). Content-only would
+    silently skip a genuine sub-watermark backfill whose docs
+    byte-duplicate folded content — a keep-min batch recompute would
+    crown the LOWER doc_id as keeper, so streamed output and recompute
+    would diverge on attribution. With the keeper check, such a backfill
+    (doc_id < keeper) stays unprocessed and the out-of-order guard
+    raises, directing to a backfill revision; a true replay (the keeper
+    itself, doc_id == keeper, or a doc the fold deduped away,
+    doc_id > keeper) passes. A doc whose fp is in state but absent from
+    every output dir is treated as unprocessed (conservative — loud,
+    never silently wrong)."""
     import os
 
     if not os.path.exists(state_dir):
         return batch_df.limit(0)
     state = spark.read.parquet(state_dir)
-    return batch_df.withColumn("_fp", content_fingerprint("text")).join(
-        state.select(F.col("fp").alias("_fp")), "_fp", "semi"
+    keepers = _output_keepers(spark, out_dir, "fp")
+    if keepers is None:
+        return batch_df.limit(0)
+    return (
+        batch_df.withColumn("_fp", content_fingerprint("text"))
+        .join(state.select(F.col("fp").alias("_fp")), "_fp", "semi")
+        .join(keepers.select(F.col("fp").alias("_fp"), "_keeper_id"), "_fp")
+        .filter(F.col("doc_id") >= F.col("_keeper_id"))
+        .select(*batch_df.columns)
     )
 
 
@@ -167,7 +220,7 @@ def run_incremental_dedup_stream(
             # so the append-only guard cannot later admit ids inside
             # this batch's folded range
             _catch_up_watermark(
-                _state_processed_docs(spark, state_dir, batch_df),
+                _state_processed_docs(spark, state_dir, out_dir, batch_df),
                 f"{state_dir}.max_doc_id",
             )
             return
@@ -184,7 +237,9 @@ def run_incremental_dedup_stream(
         try:
             batch_hi = guard_append_only(batch_df, read_watermark(wm_file))
         except ValueError:
-            processed = _state_processed_docs(spark, state_dir, batch_df)
+            processed = _state_processed_docs(
+                spark, state_dir, out_dir, batch_df
+            )
             if batch_df.join(
                 processed.select("doc_id"), "doc_id", "left_anti"
             ).isEmpty():
@@ -258,25 +313,45 @@ def paragraph_fingerprints(
 
 
 def _state_processed_paragraph_docs(
-    spark: SparkSession, state_dir: str, batch_df: DataFrame
+    spark: SparkSession, state_dir: str, out_dir: str, batch_df: DataFrame
 ) -> DataFrame:
     """Batch docs the paragraph state has processed: EVERY paragraph
-    fingerprint present (accepted paragraphs directly, deduped-away ones
-    via their keepers). ANY-match would wrongly count a new doc sharing
-    one paragraph with folded content; ALL-match only misses the
-    zero-paragraph edge, which contributes nothing to any fold."""
+    fingerprint present in state with keeper attribution intact
+    (doc_id >= the keeper doc_id recovered from the output dirs — see
+    ``_state_processed_docs`` for why content-only witnessing diverges
+    from a keep-min recompute on sub-watermark backfills). ANY-match
+    would wrongly count a new doc sharing one paragraph with folded
+    content. Docs that produce ZERO paragraph fingerprints (empty /
+    whitespace-only text) are processed by definition — they contribute
+    nothing to any fold — and must count as such: excluding them would
+    fail the replay witness on a pure re-split replay batch carrying an
+    empty doc and permanently wedge the stream on the out-of-order
+    error, the exact wedge replay tolerance exists to remove."""
     import os
 
-    if not os.path.exists(state_dir):
-        return batch_df.select("doc_id").limit(0)
     paras = paragraph_fingerprints(batch_df)
+    zero_para = (
+        batch_df.select("doc_id")
+        .distinct()
+        .join(paras.select("doc_id").distinct(), "doc_id", "left_anti")
+    )
+    if not os.path.exists(state_dir):
+        return zero_para
+    keepers = _output_keepers(spark, out_dir, "pfp")
+    if keepers is None:
+        return zero_para
     state = spark.read.parquet(state_dir).select("pfp", F.lit(1).alias("_seen"))
-    marked = paras.join(state, "pfp", "left")
+    marked = paras.join(state, "pfp", "left").join(keepers, "pfp", "left")
+    ok = F.col("_seen").isNotNull() & (F.col("doc_id") >= F.col("_keeper_id"))
     return (
         marked.groupBy("doc_id")
-        .agg(F.count("*").alias("_n"), F.count("_seen").alias("_k"))
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(ok.cast("long")).alias("_k"),
+        )
         .filter(F.col("_n") == F.col("_k"))
         .select("doc_id")
+        .unionByName(zero_para)
     )
 
 
@@ -339,7 +414,9 @@ def run_incremental_paragraph_dedup_stream(
             # processed doc qualifies via its accepted paragraphs and
             # its deduped-away paragraphs' keepers alike)
             _catch_up_watermark(
-                _state_processed_paragraph_docs(spark, state_dir, batch_df),
+                _state_processed_paragraph_docs(
+                    spark, state_dir, out_dir, batch_df
+                ),
                 f"{state_dir}.max_doc_id",
             )
             return
@@ -351,7 +428,7 @@ def run_incremental_paragraph_dedup_stream(
             # whole-doc stream) — here the witness is per-doc: EVERY
             # paragraph fingerprint already in state
             processed = _state_processed_paragraph_docs(
-                spark, state_dir, batch_df
+                spark, state_dir, out_dir, batch_df
             )
             if batch_df.join(processed, "doc_id", "left_anti").isEmpty():
                 return

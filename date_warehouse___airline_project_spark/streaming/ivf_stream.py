@@ -43,8 +43,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .state_table import (
+    maintainer_lease,
     recover_marker_commit,
     recover_rename_swap,
+    verify_maintainer_lease,
     write_commit_marker,
 )
 
@@ -171,6 +173,7 @@ def apply_ivf_append_batch(
     batch_id: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lease: dict | None = None,
 ) -> None:
     """Assign one micro-batch of new vectors against the SAVED codebook
     (frozen — identical to ``append_to_ivf_index``'s contract, pinned by
@@ -180,10 +183,28 @@ def apply_ivf_append_batch(
     a no-op — unless the redelivery carries never-indexed ids, which
     raises (see ``_guard_replayed_novel_ids``). An empty batch writes
     nothing (nothing to guard — the checkpoint already owns source
-    progress)."""
+    progress). Runs under the artifact's maintainer lease (acquired per
+    micro-batch unless the caller threads one): appends are mutators,
+    and a concurrent compaction/rebuild/takedown must raise
+    ``MaintainerLeaseHeldError`` here instead of racing the commit."""
+    path = _require_local_path(path, spark)
+    with maintainer_lease(path, lease, owner="ivf-append") as lease:
+        _apply_ivf_append_batch_locked(
+            spark, path, batch_df, batch_id, id_col, vec_col, lease
+        )
+
+
+def _apply_ivf_append_batch_locked(
+    spark: SparkSession,
+    path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str,
+    vec_col: str,
+    lease: dict,
+) -> None:
     from ..operators.similarity import index_batch_rows
 
-    path = _require_local_path(path, spark)
     bdir = f"{path}/appends/batch={batch_id}"
     if os.path.exists(bdir) or batch_id in read_applied_batches(path):
         _guard_replayed_novel_ids(spark, path, batch_df, batch_id, id_col)
@@ -209,8 +230,15 @@ def apply_ivf_append_batch(
         return
     # index_batch_rows matches the index's own assignments schema: coarse
     # assignment always, + frozen PQ codes and payload columns when the
-    # index is IVF-PQ — the stream path cannot diverge from the batch one
-    rows = index_batch_rows(spark, path, batch_df, id_col, vec_col)
+    # index is IVF-PQ — the stream path cannot diverge from the batch one.
+    # sweep_orphans=False threads the reader-form recovery through its
+    # internal recover_tombstones too: this path must never delete a
+    # concurrent takedown's in-flight .tombstones-tmp-* (sweeping it
+    # would turn the takedown's commit rename into a loud
+    # FileNotFoundError — the protection the pre-check above exists for).
+    rows = index_batch_rows(
+        spark, path, batch_df, id_col, vec_col, sweep_orphans=False
+    )
     tmp = f"{path}/appends/.tmp-{batch_id}-{uuid.uuid4().hex[:8]}"
     (
         rows.repartition("centroid_id")
@@ -218,6 +246,7 @@ def apply_ivf_append_batch(
         .partitionBy("centroid_id")
         .parquet(tmp)
     )
+    verify_maintainer_lease(lease)  # fencing: a superseded appender aborts
     os.rename(tmp, bdir)
 
 
@@ -320,6 +349,7 @@ def rebuild_ivf_index(
     sample_mod: int = 4,
     iters: int = 2,
     pq_cents: DataFrame | None = None,
+    lease: dict | None = None,
 ) -> int:
     """Retrain-and-swap for a persisted IVF / IVF-PQ index — the consumer
     of the drift signal (``ivf_cell_drift``'s ``retrain_flag`` is the
@@ -349,6 +379,25 @@ def rebuild_ivf_index(
     current rows + one partitioned write, amortized across every search
     until the next drift trip."""
     path = _require_local_path(path, spark)
+    with maintainer_lease(path, lease, owner="ivf-rebuild") as lease:
+        return _rebuild_ivf_index_locked(
+            spark, path, emb, id_col, vec_col, centroid_mod, sample_mod,
+            iters, pq_cents, lease,
+        )
+
+
+def _rebuild_ivf_index_locked(
+    spark: SparkSession,
+    path: str,
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_mod: int,
+    sample_mod: int,
+    iters: int,
+    pq_cents: DataFrame | None,
+    lease: dict,
+) -> int:
     recover_compaction(path)  # includes the rebuild-swap + tombstone repair
     base_cols = spark.read.parquet(f"{path}/assignments").columns
     # DISTINCT ids: the rebuild keys on vectors, and it heals accidental
@@ -422,6 +471,7 @@ def rebuild_ivf_index(
             os.path.join(tmp, _APPLIED_BATCHES_FILE),
         )
     old = f"{path}.rebuild-old-{token}"
+    verify_maintainer_lease(lease)  # fencing: a superseded rebuild aborts
     os.rename(path, old)
     os.rename(tmp, path)  # commit point (recover_rebuild repairs between)
     shutil.rmtree(old, ignore_errors=True)
@@ -438,30 +488,83 @@ def maintain_ivf_index(
     centroid_mod: int = 25,
     sample_mod: int = 4,
     iters: int = 2,
+    pq_max_dead_frac: float = 0.25,
+    pq_max_imbalance: float = 2.0,
+    pq_sample_mod: int = 4,
+    pq_iters: int = 1,
+    lease: dict | None = None,
 ) -> bool:
     """The maintenance POLICY closing the signal → action chain: fold the
-    streamed appends (the per-cell small-files reclaim), read the drift
-    report, and rebuild the index iff any cell trips the retrain flag —
-    the exact rule ``ivf_cell_drift`` documents as 'the retrain signal'.
-    Returns whether a rebuild ran. Below the threshold this is one
-    compaction plus one cell-count aggregate (bounded by codebook size);
-    above it, the retrain-and-swap (``rebuild_ivf_index``) resets the
-    drift baseline so the next call is a no-op until new drift accrues.
-    Run it from a scheduler tick or at the end of an ingest window —
-    single-maintainer discipline, like every mutator in this module."""
+    streamed appends (the per-cell small-files reclaim), read BOTH health
+    signals, and rebuild the index iff either trips —
+
+      * **coarse drift** (``ivf_cell_drift_streamed``): any cell's
+        added_frac exceeds ``retrain_threshold`` → rebuild with a
+        retrained coarse codebook (sub-quantizers frozen by default —
+        the standard refresh, ADC tables stay valid);
+      * **sub-quantizer degradation** (``ivf_pq_code_health``, IVF-PQ
+        indexes only): any subspace's dead-code fraction exceeds
+        ``pq_max_dead_frac`` or its imbalance factor exceeds
+        ``pq_max_imbalance`` → the rebuild ALSO retrains the
+        sub-quantizers (``train_pq_cents`` over the index's current
+        rows) and passes them as ``pq_cents``, so the swapped-in index
+        is bit-equal to a fresh ``save_ivfpq_index`` over those rows.
+
+    Both signals are evaluated up front so a doubly-degraded index pays
+    ONE rebuild, not a coarse rebuild followed by a PQ rebuild at the
+    next tick. Returns whether a rebuild ran. Below both thresholds this
+    is one compaction plus two bounded-by-codebook-size aggregates;
+    above, the retrain-and-swap resets the tripped baseline(s) so the
+    next tick is a no-op until new degradation accrues. Run it from a
+    scheduler tick or at the end of an ingest window —
+    single-maintainer discipline, ENFORCED: the whole policy tick runs
+    under one maintainer lease (acquired here, threaded through the
+    compaction and rebuild), so a second concurrently-ticking maintainer
+    raises ``MaintainerLeaseHeldError`` instead of corrupting state."""
     path = _require_local_path(path, spark)
-    compact_ivf_appends(spark, path)
-    no_flagged_cell = (
-        ivf_cell_drift_streamed(spark, path, retrain_threshold)
-        .filter(F.col("retrain_flag") == 1)
-        .isEmpty()
-    )
-    if no_flagged_cell:
-        return False
-    rebuild_ivf_index(
-        spark, path, emb, id_col, vec_col, centroid_mod, sample_mod, iters
-    )
-    return True
+    with maintainer_lease(path, lease, owner="ivf-maintain") as lease:
+        compact_ivf_appends(spark, path, lease=lease)
+        coarse_flagged = not (
+            ivf_cell_drift_streamed(spark, path, retrain_threshold)
+            .filter(F.col("retrain_flag") == 1)
+            .isEmpty()
+        )
+        pq_cents = None
+        is_pq = "codes" in spark.read.parquet(f"{path}/assignments").columns
+        pq_flagged = is_pq and not (
+            ivf_pq_code_health(spark, path, pq_max_dead_frac, pq_max_imbalance)
+            .filter(F.col("retrain_flag") == 1)
+            .isEmpty()
+        )
+        if not coarse_flagged and not pq_flagged:
+            return False
+        if pq_flagged:
+            from ..operators.similarity import train_pq_cents
+
+            mrow = spark.read.parquet(f"{path}/pq_meta").collect()[0]
+            k = (
+                spark.read.parquet(f"{path}/pq_codebook")
+                .groupBy("g")
+                .count()
+                .agg(F.max("count"))
+                .collect()[0][0]
+            )
+            live = ivf_assignments_with_appends(spark, path).select(id_col)
+            pq_cents = train_pq_cents(
+                emb.join(live.distinct(), id_col, "semi"),
+                mrow["n_sub"],
+                mrow["sub_dim"],
+                n_codes=int(k),
+                id_col=id_col,
+                vec_col=vec_col,
+                sample_mod=pq_sample_mod,
+                iters=pq_iters,
+            )
+        rebuild_ivf_index(
+            spark, path, emb, id_col, vec_col, centroid_mod, sample_mod,
+            iters, pq_cents=pq_cents, lease=lease,
+        )
+        return True
 
 
 def recover_tombstones(path: str, sweep_orphans: bool = True) -> None:
@@ -488,7 +591,10 @@ def recover_tombstones(path: str, sweep_orphans: bool = True) -> None:
 
 
 def compact_ivf_appends(
-    spark: SparkSession, path: str, fold_tombstones: bool = False
+    spark: SparkSession,
+    path: str,
+    fold_tombstones: bool = False,
+    lease: dict | None = None,
 ) -> int:
     """Fold the applied ``appends/batch=*`` dirs into the base
     ``assignments`` table — the reclaim step the module docstring
@@ -531,16 +637,23 @@ def compact_ivf_appends(
     accounting query (``state_growth_accounting``) is how an operator
     decides when the fold is worth running."""
     path = _require_local_path(path, spark)
+    with maintainer_lease(path, lease, owner="ivf-compact") as lease:
+        return _compact_ivf_appends_locked(spark, path, fold_tombstones, lease)
+
+
+def _compact_ivf_appends_locked(
+    spark: SparkSession, path: str, fold_tombstones: bool, lease: dict
+) -> int:
     recover_compaction(path)
     adir = os.path.join(path, "appends")
     if not os.path.isdir(adir):
         if fold_tombstones:
-            _fold_tombstone_set(spark, path)
+            _fold_tombstone_set(spark, path, lease)
         return 0
     batches = sorted(n for n in os.listdir(adir) if n.startswith("batch="))
     if not batches:
         if fold_tombstones:
-            _fold_tombstone_set(spark, path)
+            _fold_tombstone_set(spark, path, lease)
         return 0
     base = spark.read.parquet(f"{path}/assignments")
     # basePath pins partition discovery to the appends root so the pinned
@@ -573,21 +686,34 @@ def compact_ivf_appends(
         .partitionBy("centroid_id")
         .parquet(tmp)
     )
-    write_commit_marker(path, _COMPACT_MARKER, {"token": token, "batches": batches})
+    write_commit_marker(
+        path, _COMPACT_MARKER, {"token": token, "batches": batches}, lease=lease
+    )
     recover_compaction(path)  # roll the committed fold forward
     if fold_tombstones:
-        _fold_tombstone_set(spark, path)
+        _fold_tombstone_set(spark, path, lease)
     return len(batches)
 
 
-def _fold_tombstone_set(spark: SparkSession, path: str) -> int:
+def _fold_tombstone_set(
+    spark: SparkSession, path: str, lease: dict | None = None
+) -> int:
     """Drop from the tombstone set every id no longer physically present
     in the compacted assignments (post-takedown that is ALL of them —
     takedown removes rows before tombstoning sticks them). Keeps any id
     that somehow still has live rows (never drop a barrier that is still
     doing filtering work). Same atomic rename swap as ``_tombstone_ids``;
     returns the number of ids dropped. See ``compact_ivf_appends`` for
-    when this is safe to run."""
+    when this is safe to run.
+
+    'Physically present' must include the RAW ``appends/batch=*`` dirs,
+    read WITHOUT the tombstone anti-join: ``compact_ivf_appends``
+    deliberately leaves batches that land after its pinned listing
+    untouched, so a stale in-flight append carrying tombstoned rows (the
+    takedown/in-flight-append race) can sit un-folded while this fold
+    runs — dropping those ids from the set would let the reader's
+    anti-join serve the resurrected vectors and the NEXT compaction fold
+    them into the base permanently."""
     recover_tombstones(path)
     tdir = os.path.join(path, "tombstones")
     if not os.path.isdir(tdir):
@@ -595,6 +721,19 @@ def _fold_tombstone_set(spark: SparkSession, path: str) -> int:
     tomb = spark.read.parquet(tdir)
     id_col = tomb.columns[0]
     live = spark.read.parquet(f"{path}/assignments").select(id_col)
+    adir = os.path.join(path, "appends")
+    if os.path.isdir(adir):
+        raw_batches = [
+            os.path.join(adir, n)
+            for n in os.listdir(adir)
+            if n.startswith("batch=")
+        ]
+        if raw_batches:
+            live = live.unionByName(
+                spark.read.option("basePath", adir)
+                .parquet(*raw_batches)
+                .select(id_col)
+            )
     # one job decides the drop count (the set is maintained distinct, and
     # a semi-join cannot introduce duplicates — no extra count/distinct)
     n_drop = tomb.join(live, id_col, "left_anti").count()
@@ -603,11 +742,71 @@ def _fold_tombstone_set(spark: SparkSession, path: str) -> int:
     kept = tomb.join(live, id_col, "semi")
     tmp = os.path.join(path, f".tombstones-tmp-{uuid.uuid4().hex[:8]}")
     kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if lease is not None:
+        verify_maintainer_lease(lease)  # fencing before the commit renames
     old = os.path.join(path, f".tombstones-old-{uuid.uuid4().hex[:8]}")
     os.rename(tdir, old)
     os.rename(tmp, tdir)
     shutil.rmtree(old, ignore_errors=True)
     return n_drop
+
+
+def ivf_pq_code_health(
+    spark: SparkSession,
+    path: str,
+    max_dead_frac: float = 0.25,
+    max_imbalance: float = 2.0,
+) -> DataFrame:
+    """Per-subspace health of a persisted IVF-PQ index's sub-quantizers —
+    the PQ dual of ``ivf_cell_drift_streamed``, read off the LIVE code
+    table (base + applied appends): codes-in-use, dead codes, the FAISS
+    imbalance factor ``K * sum(n_c^2) / N^2`` (1.0 = perfectly balanced),
+    and a ``retrain_flag`` that trips when dead codes exceed
+    ``max_dead_frac`` of the codebook or the imbalance factor exceeds
+    ``max_imbalance``. A degraded sub-quantizer quantizes new vectors
+    onto few effective codes — ADC scores flatten and recall decays even
+    while the COARSE drift signal stays quiet (cells can be balanced
+    while in-cell codes collapse), which is why the maintenance policy
+    consumes both signals. K is read from the index's own
+    ``pq_codebook``; everything is bounded by codebook x batch size, one
+    scan of the codes column."""
+    pq = spark.read.parquet(f"{path}/pq_codebook")
+    k_per_g = pq.groupBy("g").agg(F.count("*").alias("k"))
+    used = (
+        ivf_assignments_with_appends(spark, path)
+        .select(F.posexplode("codes").alias("g", "code"))
+        .groupBy("g", "code")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = used.groupBy("g").agg(
+        F.sum("n").alias("tn"),
+        F.count("*").cast("bigint").alias("n_codes_used"),
+        F.max("n").alias("max_n"),
+        F.sum(F.col("n") * F.col("n")).alias("sq"),
+    )
+    imb = (F.col("k") * F.col("sq")).cast("double") / (
+        F.col("tn") * F.col("tn")
+    )
+    dead_frac = (F.col("k") - F.col("n_codes_used")).cast("double") / F.col("k")
+    return (
+        k_per_g.join(tot, "g", "left")
+        .na.fill({"tn": 0, "n_codes_used": 0, "max_n": 0, "sq": 0})
+        .select(
+            F.col("g").alias("subspace"),
+            "n_codes_used",
+            (F.col("k") - F.col("n_codes_used")).cast("bigint").alias("n_dead_codes"),
+            F.round(
+                F.when(F.col("tn") > 0, F.col("max_n").cast("double") / F.col("tn")),
+                6,
+            ).alias("max_code_frac"),
+            F.round(F.when(F.col("tn") > 0, imb), 6).alias("imbalance_factor"),
+            F.when(dead_frac > max_dead_frac, 1)
+            .when(F.col("tn") > 0, F.when(imb > max_imbalance, 1).otherwise(0))
+            .otherwise(0)
+            .alias("retrain_flag"),
+        )
+        .orderBy("subspace")
+    )
 
 
 def ivf_cell_drift_streamed(
@@ -672,7 +871,9 @@ def run_ivf_append_stream(
     return writer.start()
 
 
-def _tombstone_ids(spark: SparkSession, path: str, ids: DataFrame) -> None:
+def _tombstone_ids(
+    spark: SparkSession, path: str, ids: DataFrame, lease: dict | None = None
+) -> None:
     """Fold ``ids`` into the index's tombstone set: distinct union with
     the existing table, written to a tmp sibling and renamed in (atomic
     on local FS; the old set renamed aside first and removed after).
@@ -691,6 +892,8 @@ def _tombstone_ids(spark: SparkSession, path: str, ids: DataFrame) -> None:
         merged = ids.distinct()
     tmp = os.path.join(path, f".tombstones-tmp-{uuid.uuid4().hex[:8]}")
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if lease is not None:
+        verify_maintainer_lease(lease)  # fencing before the commit renames
     if os.path.isdir(tdir):
         old = os.path.join(path, f".tombstones-old-{uuid.uuid4().hex[:8]}")
         os.rename(tdir, old)
@@ -705,6 +908,7 @@ def remove_from_ivf_index(
     path: str,
     takedown: DataFrame,
     id_col: str = "vec_id",
+    lease: dict | None = None,
 ) -> int:
     """Takedown over a persisted IVF index — the GDPR/right-to-be-forgotten
     path for the ANN side, completing the release-side
@@ -730,7 +934,20 @@ def remove_from_ivf_index(
     to AQE; the rewrite is one anti-join + one centroid-partitioned
     write, shuffle keyed on centroid_id."""
     path = _require_local_path(path, spark)
-    compact_ivf_appends(spark, path)
+    with maintainer_lease(path, lease, owner="ivf-takedown") as lease:
+        return _remove_from_ivf_index_locked(
+            spark, path, takedown, id_col, lease
+        )
+
+
+def _remove_from_ivf_index_locked(
+    spark: SparkSession,
+    path: str,
+    takedown: DataFrame,
+    id_col: str,
+    lease: dict,
+) -> int:
+    compact_ivf_appends(spark, path, lease=lease)
     base = spark.read.parquet(f"{path}/assignments")
     ids = takedown.select(F.col(id_col).alias("_td_id")).distinct()
     # tombstone the ids FIRST: a takedown must STICK — without this, a
@@ -746,7 +963,9 @@ def remove_from_ivf_index(
     # grow forever and every future append pays the read — the small-
     # files problem compact_ivf_appends exists to fix, avoided here by
     # construction. Idempotent re-runs add nothing and skip the write.
-    _tombstone_ids(spark, path, ids.select(F.col("_td_id").alias(id_col)))
+    _tombstone_ids(
+        spark, path, ids.select(F.col("_td_id").alias(id_col)), lease=lease
+    )
     # one partition-pruned semi count decides the no-op AND the return
     # value — no full-table count just to detect an empty takedown.
     # No forced broadcast: a legal list auto-broadcasts under the 10 MB
@@ -771,6 +990,8 @@ def remove_from_ivf_index(
         # as a plain empty table (schema'd part file, centroid_id as a
         # normal column) so every reader keeps working on the empty index
         kept.write.mode("overwrite").parquet(tmp)
-    write_commit_marker(path, _COMPACT_MARKER, {"token": token, "batches": []})
+    write_commit_marker(
+        path, _COMPACT_MARKER, {"token": token, "batches": []}, lease=lease
+    )
     recover_compaction(path)  # roll the committed rewrite forward
     return n_removed

@@ -39,8 +39,17 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ivf_stream import _require_local_path
-from .state_table import recover_marker_commit, write_commit_marker
+from .ivf_stream import (
+    _require_local_path,
+    read_applied_batches,
+    record_applied_batches,
+)
+from .state_table import (
+    maintainer_lease,
+    recover_marker_commit,
+    verify_maintainer_lease,
+    write_commit_marker,
+)
 
 _STATE_NAMES = ("doc_fps", "para_fps", "gram_fps", "v1_docs")
 _REL_MARKER = "release-compact.commit"
@@ -92,7 +101,11 @@ def streamed_watermark(path: str) -> int:
 
 
 def apply_release_batch(
-    spark: SparkSession, path: str, batch: DataFrame, batch_id: int
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    batch_id: int,
+    lease: dict | None = None,
 ) -> None:
     """Fold one ingest micro-batch into the release state (idempotent).
 
@@ -104,16 +117,28 @@ def apply_release_batch(
     state (its keeper is an earlier doc) OR an intra-batch duplicate gram
     in a non-keeper doc. The batch's delta — ALL its doc fingerprints,
     its newly-introduced paragraph/gram fingerprints, and its released
-    docs — lands in one atomically-renamed ``batch=<id>`` dir."""
+    docs — lands in one atomically-renamed ``batch=<id>`` dir. Runs
+    under the state's maintainer lease (acquired per micro-batch unless
+    the caller threads one) — the fold is a mutator, and a concurrent
+    compaction/backfill/takedown must raise instead of racing it."""
+    path = _require_local_path(path, spark)
+    with maintainer_lease(path, lease, owner="release-append") as lease:
+        _apply_release_batch_locked(spark, path, batch, batch_id, lease)
+
+
+def _apply_release_batch_locked(
+    spark: SparkSession, path: str, batch: DataFrame, batch_id: int, lease: dict
+) -> None:
     from ..plans.training_data import (
         fold_batch_released,
         guard_append_only,
         write_ingest_watermark,
     )
 
-    path = _require_local_path(path, spark)
-    # roll committed work forward only: a takedown-triggered compaction
-    # may be building its .release-tmp-* concurrently with the stream
+    # roll committed work forward only: the reader form stays correct
+    # even though the lease now excludes a concurrent compactor — the
+    # recovery here may run while OUR OWN marker from a previous crashed
+    # tick still exists
     recover_release_compaction(path, sweep_orphans=False)
     if batch.isEmpty():
         # an empty batch must not land a delta dir: its four relation
@@ -124,8 +149,10 @@ def apply_release_batch(
     bdir = os.path.join(path, "batches")
     os.makedirs(bdir, exist_ok=True)
     final_dir = os.path.join(bdir, f"batch={batch_id}")
-    if os.path.isdir(final_dir):
-        # the dir proves SOME batch with this id folded — not that THIS
+    if os.path.isdir(final_dir) or batch_id in read_applied_batches(path):
+        # the dir (or the folded-away ledger entry — compaction deletes
+        # delta dirs but records their ids, same discipline as the IVF
+        # appends) proves SOME batch with this id folded — not that THIS
         # delivery's content did. A fresh-checkpoint restart coalesces
         # newly dropped docs into the replayed batch id; skipping them
         # silently would mark them consumed without ever folding them.
@@ -194,6 +221,7 @@ def apply_release_batch(
     )
     final_new.write.parquet(f"{tmp}/v1_docs")
     write_ingest_watermark(tmp, batch_hi)  # rides the batch's atomic rename
+    verify_maintainer_lease(lease)  # fencing: a superseded folder aborts
     os.rename(tmp, final_dir)  # commit point
 
 
@@ -236,14 +264,24 @@ def recover_release_compaction(path: str, sweep_orphans: bool = True) -> None:
     )
 
 
-def compact_release_state(spark: SparkSession, path: str) -> int:
+def compact_release_state(
+    spark: SparkSession, path: str, lease: dict | None = None
+) -> int:
     """Fold committed ``batches/batch=*`` deltas into the four base state
     relations. Returns the number of batch dirs folded. Same crash
     protocol as the IVF compaction: merged tables under one
     ``.release-tmp-<token>``, marker written via tmp + ``os.replace`` as
     the commit point, then the recovery routine swaps live and deletes
-    the folded dirs — idempotent under crash at any step."""
+    the folded dirs — idempotent under crash at any step. Runs under the
+    maintainer lease (acquired here unless threaded)."""
     path = _require_local_path(path, spark)
+    with maintainer_lease(path, lease, owner="release-compact") as lease:
+        return _compact_release_state_locked(spark, path, lease)
+
+
+def _compact_release_state_locked(
+    spark: SparkSession, path: str, lease: dict
+) -> int:
     recover_release_compaction(path)
     bdir = os.path.join(path, "batches")
     if not os.path.isdir(bdir):
@@ -281,13 +319,24 @@ def compact_release_state(spark: SparkSession, path: str) -> int:
     from ..plans.training_data import write_ingest_watermark
 
     write_ingest_watermark(path, streamed_watermark(path))
-    write_commit_marker(path, _REL_MARKER, {"token": token, "batches": batches})
+    # ledger the folded batch ids BEFORE the commit that deletes their
+    # dirs (the redelivery guard and the cross-artifact reconciliation
+    # both need an applied-batch witness that survives the dirs);
+    # conservative under a crash here — dir still present, presence
+    # guard covers it
+    record_applied_batches(path, batches)
+    write_commit_marker(
+        path, _REL_MARKER, {"token": token, "batches": batches}, lease=lease
+    )
     recover_release_compaction(path)
     return len(batches)
 
 
 def apply_takedown_to_release_state(
-    spark: SparkSession, path: str, takedown_ids: DataFrame
+    spark: SparkSession,
+    path: str,
+    takedown_ids: DataFrame,
+    lease: dict | None = None,
 ) -> int:
     """Takedown over the PERSISTED release state — without this, a doc
     removed from the shipped shard files (``apply_takedown_to_shards``)
@@ -304,25 +353,31 @@ def apply_takedown_to_release_state(
     through a later batch — the takedown must stick. Idempotent: a
     re-run removes 0 rows."""
     path = _require_local_path(path, spark)
-    compact_release_state(spark, path)  # one relation to rewrite
-    base = spark.read.parquet(f"{path}/v1_docs")
-    ids = takedown_ids.select(F.col("doc_id").cast("bigint")).distinct()
-    n_removed = base.join(ids, "doc_id", "semi").count()
-    if n_removed == 0:
-        return 0
-    kept = base.join(ids, "doc_id", "left_anti")
-    token = uuid.uuid4().hex[:12]
-    tmp_root = os.path.join(path, f".release-tmp-{token}")
-    kept.write.mode("overwrite").parquet(os.path.join(tmp_root, "v1_docs"))
-    # marker commit: recover walks all four names but only v1_docs has a
-    # tmp — the other three relations are untouched by existence guard
-    write_commit_marker(path, _REL_MARKER, {"token": token, "batches": []})
-    recover_release_compaction(path)
-    return n_removed
+    with maintainer_lease(path, lease, owner="release-takedown") as lease:
+        compact_release_state(spark, path, lease=lease)  # one relation to rewrite
+        base = spark.read.parquet(f"{path}/v1_docs")
+        ids = takedown_ids.select(F.col("doc_id").cast("bigint")).distinct()
+        n_removed = base.join(ids, "doc_id", "semi").count()
+        if n_removed == 0:
+            return 0
+        kept = base.join(ids, "doc_id", "left_anti")
+        token = uuid.uuid4().hex[:12]
+        tmp_root = os.path.join(path, f".release-tmp-{token}")
+        kept.write.mode("overwrite").parquet(os.path.join(tmp_root, "v1_docs"))
+        # marker commit: recover walks all four names but only v1_docs has a
+        # tmp — the other three relations are untouched by existence guard
+        write_commit_marker(
+            path, _REL_MARKER, {"token": token, "batches": []}, lease=lease
+        )
+        recover_release_compaction(path)
+        return n_removed
 
 
 def apply_backfill_to_release_state(
-    spark: SparkSession, path: str, corrected: DataFrame
+    spark: SparkSession,
+    path: str,
+    corrected: DataFrame,
+    lease: dict | None = None,
 ) -> None:
     """Rebase the persisted release state onto the CORRECTED corpus — the
     state-side half of executing a backfill revision (the file-side half
@@ -345,6 +400,15 @@ def apply_backfill_to_release_state(
     from ..plans.training_data import _state_rels, write_ingest_watermark
 
     path = _require_local_path(path, spark)
+    with maintainer_lease(path, lease, owner="release-backfill") as lease:
+        _apply_backfill_to_release_state_locked(spark, path, corrected, lease)
+
+
+def _apply_backfill_to_release_state_locked(
+    spark: SparkSession, path: str, corrected: DataFrame, lease: dict
+) -> None:
+    from ..plans.training_data import _state_rels, write_ingest_watermark
+
     recover_release_compaction(path)
     # ENFORCE the completeness contract (the rebuild_ivf_index
     # discipline): every doc fingerprint the state has ever ingested
@@ -379,7 +443,13 @@ def apply_backfill_to_release_state(
     write_ingest_watermark(
         path, max(streamed_watermark(path), -1 if mx is None else int(mx))
     )
-    write_commit_marker(path, _REL_MARKER, {"token": token, "batches": batches})
+    # the rebase supersedes the delta dirs it deletes — ledger their ids
+    # so a post-rebase redelivery still skips (and reconciliation still
+    # sees them as applied)
+    record_applied_batches(path, batches)
+    write_commit_marker(
+        path, _REL_MARKER, {"token": token, "batches": batches}, lease=lease
+    )
     recover_release_compaction(path)
 
 

@@ -22,9 +22,11 @@ partitions by a coarse time key so a batch rewrites only dirty partitions.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import time
 import uuid
 from collections.abc import Callable, Iterable, Sequence
 
@@ -32,6 +34,213 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _BATCH_ID_FILE = "_last_batch_id"  # underscore-prefixed: parquet readers skip it
+
+
+# ---------------------------------------------------------------------------
+# Maintainer lease + fencing tokens.
+#
+# Every mutator of a persisted artifact in this package (IVF compaction /
+# rebuild / takedown / appends, release-state compaction / backfill /
+# takedown, shard rewrites) documents single-maintainer discipline — one
+# process runs maintenance for an artifact at a time — and the recovery
+# sweeps DEPEND on it: to a maintainer, any markerless tmp sibling is
+# crash debris, so a second live maintainer's in-flight build would be
+# swept and its late commit would corrupt state silently. That was the one
+# uncovered failure class in the crash story; this primitive ENFORCES the
+# discipline instead of assuming it.
+#
+# Mechanics (driver-local, like every commit protocol here):
+#   * The lease is a SIBLING file `<artifact>.maintainer-lease` — sibling,
+#     not inside the dir, because rebuild/backfill swap the whole artifact
+#     tree and the lease must survive the swap. Creation is O_CREAT|O_EXCL
+#     (atomic on POSIX): exactly one process wins.
+#   * A live holder re-touches the file (`heartbeat_maintainer_lease`);
+#     a lease whose mtime is older than `stale_after_s` is presumed dead
+#     and may be TAKEN OVER: the contender renames the stale file aside
+#     (exactly one racer wins the rename), bumps the fencing counter in
+#     `<artifact>.maintainer-fence`, and creates a fresh lease.
+#   * Fencing: every commit checkpoint calls `verify_maintainer_lease`
+#     immediately before its rename — a zombie whose lease was taken over
+#     sees a different token and raises `MaintainerFencedError` INSTEAD of
+#     renaming half-built state live. `write_commit_marker` embeds the
+#     holder's fence number in the marker payload so post-mortems can
+#     attribute every commit to a lease generation.
+#
+# The takeover default is deliberately generous (10 min): maintenance
+# mutators here run minutes at most, and a false takeover (declaring a
+# slow-but-alive maintainer dead) is the dangerous direction — fencing
+# bounds the damage (the zombie's commits are rejected), but its partial
+# tmp work is wasted. Long-running holders heartbeat between phases.
+# ---------------------------------------------------------------------------
+
+
+class MaintainerLeaseHeldError(RuntimeError):
+    """Another live maintainer holds the artifact's lease."""
+
+
+class MaintainerFencedError(RuntimeError):
+    """This process's lease was taken over (stale-lease takeover) — its
+    pending commit must be abandoned, not retried: a newer maintainer owns
+    the artifact and a late rename would corrupt its state."""
+
+
+def _lease_file(path: str) -> str:
+    return path.rstrip("/") + ".maintainer-lease"
+
+
+def _fence_file(path: str) -> str:
+    return path.rstrip("/") + ".maintainer-fence"
+
+
+def read_maintainer_fence(path: str) -> int:
+    """Current fencing generation for the artifact at ``path`` (0 before
+    any lease was ever acquired)."""
+    try:
+        with open(_fence_file(path), encoding="ascii") as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return 0
+
+
+def acquire_maintainer_lease(
+    path: str, stale_after_s: float = 600.0, owner: str = "maintainer"
+) -> dict:
+    """Acquire the single-maintainer lease for the artifact at ``path``.
+
+    Returns the lease dict (carries the fencing ``token``/``fence``);
+    raises ``MaintainerLeaseHeldError`` when a live (heartbeat younger
+    than ``stale_after_s``) holder exists. A stale lease is taken over:
+    the fencing counter bumps so the presumed-dead holder's late commits
+    are rejected at their ``verify_maintainer_lease`` checkpoints."""
+    lf = _lease_file(path)
+    for _ in range(16):
+        try:
+            fd = os.open(lf, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                age = time.time() - os.stat(lf).st_mtime
+                with open(lf, encoding="ascii") as f:
+                    holder = json.load(f)
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue  # released or half-written this instant: retry
+            if age <= stale_after_s:
+                raise MaintainerLeaseHeldError(
+                    f"artifact {path!r} is being maintained by "
+                    f"pid {holder.get('pid')} (owner "
+                    f"{holder.get('owner')!r}, lease age {age:.0f}s <= "
+                    f"stale_after {stale_after_s:.0f}s). Single-maintainer "
+                    f"discipline: one process runs append/compact/rebuild/"
+                    f"takedown/backfill for an artifact at a time — a "
+                    f"second mutator's in-flight tmp dirs read as crash "
+                    f"debris to the first and state would corrupt "
+                    f"silently. Wait for the holder (or, if it is truly "
+                    f"dead, its lease goes stale and is taken over)."
+                )
+            # stale: exactly one contender wins this rename
+            stale_aside = f"{lf}.stale-{uuid.uuid4().hex[:8]}"
+            try:
+                os.rename(lf, stale_aside)
+            except FileNotFoundError:
+                continue  # another contender won; retry the create
+            os.remove(stale_aside)
+            continue
+        # created: we hold the lease — bump the fence while holding it
+        fence = read_maintainer_fence(path) + 1
+        ftmp = f"{_fence_file(path)}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(ftmp, "w", encoding="ascii") as f:
+            f.write(str(fence))
+        os.replace(ftmp, _fence_file(path))
+        lease = {
+            "path": path,
+            "lease_file": lf,
+            "token": uuid.uuid4().hex,
+            "fence": fence,
+            "pid": os.getpid(),
+            "owner": owner,
+            "acquired_at": time.time(),
+        }
+        os.write(fd, json.dumps(lease).encode("ascii"))
+        os.close(fd)
+        return lease
+    raise MaintainerLeaseHeldError(
+        f"could not acquire maintainer lease for {path!r}: the lease file "
+        f"kept churning across 16 attempts (heavy contention — more than "
+        f"one maintainer is being run against this artifact)."
+    )
+
+
+def verify_maintainer_lease(lease: dict) -> None:
+    """Assert ``lease`` is still the artifact's LIVE lease — called at
+    every commit checkpoint immediately before the rename, so a zombie
+    maintainer (taken over after stalling past ``stale_after_s``) raises
+    here instead of renaming its stale build over the new holder's
+    state."""
+    try:
+        with open(lease["lease_file"], encoding="ascii") as f:
+            cur = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        raise MaintainerFencedError(
+            f"maintainer lease for {lease['path']!r} (fence "
+            f"{lease['fence']}) is gone — released or taken over; this "
+            f"mutation must be abandoned, a late commit would corrupt "
+            f"the current maintainer's state."
+        ) from None
+    if cur.get("token") != lease["token"]:
+        raise MaintainerFencedError(
+            f"fenced out: maintainer lease for {lease['path']!r} is now "
+            f"held by pid {cur.get('pid')} at fence {cur.get('fence')} "
+            f"(this process held fence {lease['fence']}). This process "
+            f"was presumed dead and superseded; abandon the mutation — "
+            f"its tmp work is void and a late rename would corrupt the "
+            f"new maintainer's state."
+        )
+
+
+def heartbeat_maintainer_lease(lease: dict) -> None:
+    """Refresh the lease's liveness (mtime) — long-running maintainers
+    call this between phases so they are not presumed dead. Verifies
+    first: heartbeating a taken-over lease must fail loudly, not
+    resurrect it."""
+    verify_maintainer_lease(lease)
+    os.utime(lease["lease_file"])
+
+
+def release_maintainer_lease(lease: dict) -> None:
+    """Release the lease if this process still holds it (no-op after a
+    takeover — there is nothing of ours left to release)."""
+    try:
+        with open(lease["lease_file"], encoding="ascii") as f:
+            cur = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return
+    if cur.get("token") == lease["token"]:
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(lease["lease_file"])
+
+
+@contextlib.contextmanager
+def maintainer_lease(
+    path: str,
+    lease: dict | None = None,
+    stale_after_s: float = 600.0,
+    owner: str = "maintainer",
+):
+    """Scope a mutation under the artifact's maintainer lease.
+
+    Passing an already-held ``lease`` makes the scope REENTRANT (the
+    composed mutators — e.g. ``maintain_ivf_index`` calling
+    ``compact_ivf_appends`` then ``rebuild_ivf_index`` — acquire once at
+    the top and thread the lease down); it is verified on entry and NOT
+    released on exit (the owner releases)."""
+    if lease is not None:
+        verify_maintainer_lease(lease)
+        yield lease
+        return
+    held = acquire_maintainer_lease(path, stale_after_s, owner)
+    try:
+        yield held
+    finally:
+        release_maintainer_lease(held)
 
 
 def read_watermark(file_path: str) -> int:
@@ -98,13 +307,23 @@ def guard_append_only(
 # ---------------------------------------------------------------------------
 
 
-def write_commit_marker(path: str, marker: str, payload: dict) -> None:
+def write_commit_marker(
+    path: str, marker: str, payload: dict, lease: dict | None = None
+) -> None:
     """Atomically commit ``payload`` (must carry ``token``) as the marker
     file ``<path>/<marker>``. The tmp name embeds the token so an
-    orphaned half-written marker tmp is sweepable by prefix."""
+    orphaned half-written marker tmp is sweepable by prefix. With a
+    ``lease``, the holder is re-verified immediately before the
+    ``os.replace`` commit point (a zombie maintainer raises
+    ``MaintainerFencedError`` instead of committing) and the lease's
+    fence generation is embedded in the marker for attribution."""
+    if lease is not None:
+        payload = {**payload, "fence": lease["fence"]}
     marker_tmp = os.path.join(path, f".{marker}-{payload['token']}")
     with open(marker_tmp, "w") as f:
         json.dump(payload, f)
+    if lease is not None:
+        verify_maintainer_lease(lease)  # fencing: reject a zombie's commit
     os.replace(marker_tmp, os.path.join(path, marker))  # commit point
 
 

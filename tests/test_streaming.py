@@ -3585,3 +3585,521 @@ def test_paragraph_dedup_stream_replay_tolerant_after_resplit(spark, tmp_path):
     q.awaitTermination(120)
     assert spark.read.parquet(state).count() > n_state
     assert read_watermark(f"{state}.max_doc_id") == 30
+
+
+def test_fold_tombstones_keeps_ids_live_in_unfolded_appends(spark, tmp_path):
+    """ADVICE r10: a stale in-flight append carrying tombstoned rows can
+    sit in an un-folded appends/batch=* dir while fold_tombstones runs
+    (compact_ivf_appends folds only its pinned listing — batches landing
+    after it are untouched). The fold must treat RAW append rows as
+    'physically present' and KEEP those ids: dropping them would let the
+    reader's anti-join serve the resurrected vectors and the next
+    compaction fold them into the base permanently."""
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        index_batch_rows,
+    )
+    from date_warehouse___airline_project_spark.streaming.ivf_stream import (
+        _fold_tombstone_set,
+        compact_ivf_appends,
+        ivf_assignments_with_appends,
+        remove_from_ivf_index,
+    )
+
+    e, path, new = _ivf_fixture(spark, tmp_path, "ivf_foldrace")
+    victims = [
+        r["vec_id"]
+        for r in spark.read.parquet(f"{path}/assignments")
+        .filter("vec_id % 5 = 2")
+        .limit(3)
+        .collect()
+    ]
+    # assemble the in-flight batch BEFORE the takedown (pre-takedown
+    # tombstone view), land it AFTER — the exact race the reader guards
+    stale_rows = index_batch_rows(
+        spark, path, e.filter(F.col("vec_id").isin(victims))
+    ).collect()
+    td = spark.createDataFrame([(v,) for v in victims], "vec_id long")
+    assert remove_from_ivf_index(spark, path, td) == len(victims)
+    sdf = spark.createDataFrame(
+        stale_rows, ivf_assignments_with_appends(spark, path).schema
+    )
+    (
+        sdf.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/appends/batch=9")
+    )
+    # the fold runs with the stale batch dir present (landed after the
+    # compaction's listing): it must DROP nothing — every tombstoned id
+    # still has physical rows in the raw appends
+    assert _fold_tombstone_set(spark, path) == 0
+    tombs = {r["vec_id"] for r in spark.read.parquet(f"{path}/tombstones").collect()}
+    assert tombs == set(victims)
+    # reader still filters the resurrected rows
+    rel = ivf_assignments_with_appends(spark, path)
+    assert rel.filter(F.col("vec_id").isin(victims)).count() == 0
+    # a real compaction drops them physically; only THEN may the fold run
+    assert compact_ivf_appends(spark, path, fold_tombstones=True) == 1
+    assert spark.read.parquet(f"{path}/tombstones").count() == 0
+    base = spark.read.parquet(f"{path}/assignments")
+    assert base.filter(F.col("vec_id").isin(victims)).count() == 0
+
+
+def test_append_batch_preserves_inflight_tombstone_tmp(spark, tmp_path):
+    """ADVICE r10: apply_ivf_append_batch deliberately runs reader-form
+    recovery (sweep_orphans=False) so a concurrent takedown's in-flight
+    .tombstones-tmp-* survives — and index_batch_rows' internal recovery
+    must thread the same form instead of sweeping what the caller
+    preserved (a swept tmp turns the takedown's commit rename into a
+    FileNotFoundError)."""
+    import os
+
+    from date_warehouse___airline_project_spark.streaming.ivf_stream import (
+        apply_ivf_append_batch,
+    )
+
+    e, path, new = _ivf_fixture(spark, tmp_path, "ivf_tmppreserve")
+    inflight = os.path.join(path, ".tombstones-tmp-inflight1")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-00000.parquet"), "wb") as f:
+        f.write(b"stub")
+    apply_ivf_append_batch(spark, path, new.limit(4), batch_id=0)
+    # the append landed AND the takedown's in-flight write survived
+    assert os.path.isdir(f"{path}/appends/batch=0")
+    assert os.path.isdir(inflight)
+
+
+def test_paragraph_dedup_replay_tolerates_empty_doc(spark, tmp_path):
+    """ADVICE r10: a pure re-split replay batch containing an empty /
+    whitespace-only doc (zero paragraph fingerprints) must still pass
+    the ALL-paragraphs-processed witness — zero-paragraph docs
+    contribute nothing to any fold and count as processed; excluding
+    them wedged the stream on the out-of-order error forever. A genuine
+    sub-watermark backfill whose paragraphs byte-duplicate folded
+    content still raises (keeper attribution: lower doc_id would be
+    crowned by a batch recompute)."""
+    from date_warehouse___airline_project_spark.streaming.dedup_stream import (
+        run_incremental_paragraph_dedup_stream,
+    )
+    from date_warehouse___airline_project_spark.streaming.state_table import (
+        read_watermark,
+    )
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    t1 = " ".join(f"alpha{i}" for i in range(40))
+    (input_dir / "b1.jsonl").write_text(json.dumps({"doc_id": 10, "text": t1}))
+    (input_dir / "b2.jsonl").write_text(json.dumps({"doc_id": 20, "text": "   "}))
+    q = run_incremental_paragraph_dedup_stream(
+        spark, str(input_dir), state, out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert read_watermark(f"{state}.max_doc_id") == 20
+    n_state = spark.read.parquet(state).count()
+    # checkpoint reset + per-file batches: the empty doc arrives alone
+    # under a new batch id with doc_id == watermark — pure replay, must
+    # skip cleanly instead of failing the ALL-paragraphs witness
+    q = run_incremental_paragraph_dedup_stream(
+        spark, str(input_dir), state, out, str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(state).count() == n_state
+    # novel content keeps flowing on the same checkpoint
+    t3 = " ".join(f"gamma{i}" for i in range(40))
+    (input_dir / "b3.jsonl").write_text(json.dumps({"doc_id": 30, "text": t3}))
+    q = run_incremental_paragraph_dedup_stream(
+        spark, str(input_dir), state, out, str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    assert read_watermark(f"{state}.max_doc_id") == 30
+    # a genuine backfill duplicating doc 10's paragraphs at a LOWER id is
+    # NOT a replay — keeper attribution rejects it loudly
+    (input_dir / "b4.jsonl").write_text(json.dumps({"doc_id": 5, "text": t1}))
+    q = run_incremental_paragraph_dedup_stream(
+        spark, str(input_dir), state, out, str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    with pytest.raises(Exception, match="out-of-order ingest batch"):
+        q.awaitTermination(120)
+
+
+def test_dedup_stream_backfill_duplicating_content_raises(spark, tmp_path):
+    """ADVICE r10: the replay-tolerance witness must be (doc_id, fp)
+    attribution, not content alone — a genuine sub-watermark backfill
+    whose doc byte-duplicates already-folded content would be crowned
+    keeper by a keep-min batch recompute (lower doc_id), so silently
+    skipping it diverges stream from recompute. With keeper doc_ids
+    recovered from the per-batch output dirs, such a backfill raises;
+    true replays (keeper itself or deduped-away higher ids) still skip
+    (covered by the re-split tolerance test)."""
+    from date_warehouse___airline_project_spark.streaming.dedup_stream import (
+        run_incremental_dedup_stream,
+    )
+    from date_warehouse___airline_project_spark.streaming.state_table import (
+        read_watermark,
+    )
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    (input_dir / "b1.jsonl").write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": t})
+            for i, t in [(10, "alpha beta"), (20, "gamma delta")]
+        )
+    )
+    q = run_incremental_dedup_stream(
+        spark, str(input_dir), state, out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert read_watermark(f"{state}.max_doc_id") == 20
+    # doc 5 byte-duplicates folded content at a LOWER doc_id: a keep-min
+    # recompute would crown 5 as keeper — this must raise, not skip
+    (input_dir / "b2.jsonl").write_text(
+        json.dumps({"doc_id": 5, "text": "gamma delta"})
+    )
+    q = run_incremental_dedup_stream(
+        spark, str(input_dir), state, out, str(tmp_path / "ckpt")
+    )
+    with pytest.raises(Exception, match="out-of-order ingest batch"):
+        q.awaitTermination(120)
+    # state unchanged — the divergent backfill folded nothing
+    assert spark.read.parquet(state).count() == 2
+
+
+def test_second_maintainer_raises_while_lease_held(spark, tmp_path):
+    """r11: single-maintainer discipline is ENFORCED, not assumed — every
+    mutator of a persisted artifact acquires the sibling maintainer
+    lease, so a concurrently-running second mutator raises
+    MaintainerLeaseHeldError instead of having its in-flight tmp dirs
+    read as crash debris (silent state corruption, the one failure class
+    the crash protocol could not cover)."""
+    import os
+
+    from date_warehouse___airline_project_spark.streaming.ivf_stream import (
+        apply_ivf_append_batch,
+        compact_ivf_appends,
+        maintain_ivf_index,
+        rebuild_ivf_index,
+        remove_from_ivf_index,
+    )
+    from date_warehouse___airline_project_spark.streaming.state_table import (
+        MaintainerLeaseHeldError,
+        acquire_maintainer_lease,
+        release_maintainer_lease,
+    )
+
+    e, path, new = _ivf_fixture(spark, tmp_path, "ivf_lease")
+    holder = acquire_maintainer_lease(path, owner="maintainer-A")
+    td = spark.createDataFrame([(1,)], "vec_id long")
+    for mutate in (
+        lambda: compact_ivf_appends(spark, path),
+        lambda: remove_from_ivf_index(spark, path, td),
+        lambda: apply_ivf_append_batch(spark, path, new.limit(2), 0),
+        lambda: rebuild_ivf_index(spark, path, e),
+        lambda: maintain_ivf_index(spark, path, e),
+    ):
+        with pytest.raises(MaintainerLeaseHeldError, match="maintained by"):
+            mutate()
+    # the holder itself can mutate (reentrant threading of its lease) ...
+    assert compact_ivf_appends(spark, path, lease=holder) == 0
+    release_maintainer_lease(holder)
+    # ... and after release any process may acquire again
+    apply_ivf_append_batch(spark, path, new.limit(2), 0)
+    assert os.path.isdir(f"{path}/appends/batch=0")
+    # the lease is a SIBLING file: a whole-tree rebuild swap must not
+    # drop an in-flight holder's lease
+    holder = acquire_maintainer_lease(path, owner="maintainer-A")
+    rebuild_ivf_index(
+        spark,
+        path,
+        e.select("vec_id", "embedding").unionByName(new.limit(2)),
+        lease=holder,
+    )
+    assert os.path.exists(path.rstrip("/") + ".maintainer-lease")
+    release_maintainer_lease(holder)
+
+
+def test_stale_lease_takeover_fences_zombie(spark, tmp_path):
+    """r11: a maintainer that stops heartbeating past stale_after_s is
+    presumed dead and taken over (fence bump); if it was merely stalled,
+    every one of its commit checkpoints re-verifies the lease and raises
+    MaintainerFencedError instead of renaming stale state live."""
+    import json
+    import os
+    import time
+
+    from date_warehouse___airline_project_spark.streaming.state_table import (
+        MaintainerFencedError,
+        acquire_maintainer_lease,
+        heartbeat_maintainer_lease,
+        read_maintainer_fence,
+        release_maintainer_lease,
+        verify_maintainer_lease,
+        write_commit_marker,
+    )
+
+    art = str(tmp_path / "artifact")
+    os.makedirs(art)
+    zombie = acquire_maintainer_lease(art, owner="zombie")
+    f0 = read_maintainer_fence(art)
+    assert zombie["fence"] == f0
+    # a LIVE lease cannot be taken over ...
+    from date_warehouse___airline_project_spark.streaming.state_table import (
+        MaintainerLeaseHeldError,
+    )
+
+    with pytest.raises(MaintainerLeaseHeldError):
+        acquire_maintainer_lease(art, owner="contender")
+    # ... heartbeats keep it live
+    heartbeat_maintainer_lease(zombie)
+    # now it goes stale (tiny stale_after for the test) and is taken over
+    time.sleep(0.2)
+    new = acquire_maintainer_lease(art, stale_after_s=0.1, owner="successor")
+    assert new["fence"] == f0 + 1
+    # the zombie is fenced at every checkpoint:
+    with pytest.raises(MaintainerFencedError, match="fenced out"):
+        verify_maintainer_lease(zombie)
+    with pytest.raises(MaintainerFencedError):
+        heartbeat_maintainer_lease(zombie)
+    with pytest.raises(MaintainerFencedError):
+        write_commit_marker(art, "x.commit", {"token": "t1"}, lease=zombie)
+    assert not os.path.exists(os.path.join(art, "x.commit"))
+    # zombie release is a no-op — the successor's lease survives
+    release_maintainer_lease(zombie)
+    verify_maintainer_lease(new)
+    # the successor's commits carry its fence generation in the marker
+    write_commit_marker(art, "x.commit", {"token": "t2"}, lease=new)
+    with open(os.path.join(art, "x.commit")) as f:
+        assert json.load(f)["fence"] == new["fence"]
+    release_maintainer_lease(new)
+
+
+def test_release_state_mutators_respect_lease(spark, tmp_path):
+    """r11: the release-state artifact's mutators (stream fold,
+    compaction, takedown, backfill) and the shard rewriters acquire the
+    same per-artifact lease."""
+    from date_warehouse___airline_project_spark.plans.training_data import (
+        write_release_state,
+    )
+    from date_warehouse___airline_project_spark.sources.catalog import load_table
+    from date_warehouse___airline_project_spark.streaming.release_stream import (
+        apply_release_batch,
+        apply_takedown_to_release_state,
+        compact_release_state,
+    )
+    from date_warehouse___airline_project_spark.streaming.state_table import (
+        MaintainerLeaseHeldError,
+        acquire_maintainer_lease,
+        release_maintainer_lease,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    old = docs.filter("doc_id % 3 != 2")
+    path = str(tmp_path / "relstate")
+    write_release_state(old, path)
+    holder = acquire_maintainer_lease(path, owner="maintainer-A")
+    batch = docs.filter("doc_id % 3 = 2").limit(5)
+    td = spark.createDataFrame([(1,)], "doc_id long")
+    for mutate in (
+        lambda: compact_release_state(spark, path),
+        lambda: apply_takedown_to_release_state(spark, path, td),
+        lambda: apply_release_batch(spark, path, batch, 0),
+    ):
+        with pytest.raises(MaintainerLeaseHeldError, match="maintained by"):
+            mutate()
+    # reads stay lease-free: a held lease never blocks a reader
+    from date_warehouse___airline_project_spark.streaming.release_stream import (
+        release_state_rel,
+    )
+
+    assert release_state_rel(spark, path, "v1_docs").count() > 0
+    release_maintainer_lease(holder)
+    assert compact_release_state(spark, path) == 0
+
+
+def test_maintain_ivf_index_pq_health_policy(spark, tmp_path):
+    """r11: the PQ quantizer-health signal finally has a consumer — the
+    coarse-drift dual. Below both thresholds maintain_ivf_index is a
+    no-op; when a subspace degrades (here: a takedown strands most of
+    the codebook dead), the rebuild retrains the sub-quantizers and the
+    swapped-in index is bit-equal to a fresh save_ivfpq_index over the
+    current rows with the same deterministic training; the next tick
+    reads the reset signal and does nothing."""
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        save_ivfpq_index,
+        train_pq_cents,
+    )
+    from date_warehouse___airline_project_spark.streaming.ivf_stream import (
+        ivf_pq_code_health,
+        maintain_ivf_index,
+        remove_from_ivf_index,
+    )
+
+    e2 = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    path = str(tmp_path / "pq_idx")
+    cents0 = train_pq_cents(e2, n_sub=8, sub_dim=8, n_codes=16)
+    save_ivfpq_index(e2, path, cents0, centroid_mod=25, sample_mod=4, iters=1)
+    policy = dict(
+        retrain_threshold=1e9,  # isolate the PQ signal from coarse drift
+        centroid_mod=25,
+        sample_mod=4,
+        iters=1,
+        pq_max_dead_frac=0.25,
+        pq_max_imbalance=1e9,
+        pq_sample_mod=4,
+        pq_iters=1,
+    )
+    # healthy: freshly trained SQs over their own corpus — no rebuild
+    assert maintain_ivf_index(spark, path, e2, **policy) is False
+    # degrade: take down all but 20 vectors — most codes go dead
+    remove_from_ivf_index(spark, path, e2.filter("vec_id >= 8"))
+    health = ivf_pq_code_health(spark, path, max_dead_frac=0.25)
+    assert health.filter("retrain_flag = 1").count() > 0
+    # the policy consumes the signal: rebuild with RETRAINED SQs
+    assert maintain_ivf_index(spark, path, e2, **policy) is True
+    # bit-equality: the maintained index == a fresh save over current rows
+    cur = e2.filter("vec_id < 8")
+    fresh = str(tmp_path / "pq_fresh")
+    save_ivfpq_index(
+        cur,
+        fresh,
+        train_pq_cents(cur, n_sub=8, sub_dim=8, n_codes=16),
+        centroid_mod=25,
+        sample_mod=4,
+        iters=1,
+    )
+    for rel in ("assignments", "pq_codebook", "codebook", "cell_stats"):
+        a = spark.read.parquet(f"{path}/{rel}")
+        b = spark.read.parquet(f"{fresh}/{rel}").select(*a.columns)
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), rel
+    # signal reset: the retrained codebook has no dead codes — next tick idles
+    assert ivf_pq_code_health(spark, path, max_dead_frac=0.25).filter(
+        "retrain_flag = 1"
+    ).isEmpty()
+    assert maintain_ivf_index(spark, path, e2, **policy) is False
+
+
+def test_cross_artifact_reconciliation_and_heal(spark, tmp_path):
+    """r11: one ingest feed fans into two persisted artifacts (release
+    state, ANN index); a crash BETWEEN their folds leaves them silently
+    divergent while every per-artifact invariant holds. The
+    reconciliation report must flag each divergence class and the heal
+    tick must drive the report back to zero."""
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        append_to_ivf_index,
+        save_ivf_index,
+    )
+    from date_warehouse___airline_project_spark.plans.training_data import (
+        write_release_state,
+    )
+    from date_warehouse___airline_project_spark.sources.catalog import load_table
+    from date_warehouse___airline_project_spark.streaming.ivf_stream import (
+        ivf_assignments_with_appends,
+        remove_from_ivf_index,
+    )
+    from date_warehouse___airline_project_spark.streaming.reconcile import (
+        heal_release_index,
+        reconcile_release_index,
+    )
+    from date_warehouse___airline_project_spark.streaming.release_stream import (
+        apply_release_batch,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    e2 = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    rpath = str(tmp_path / "relstate")
+    ipath = str(tmp_path / "annidx")
+    write_release_state(docs.filter("doc_id < 400"), rpath)
+    released = spark.read.parquet(f"{rpath}/v1_docs").select("doc_id")
+    # the index serves the released corpus: one feed, two artifacts
+    save_ivf_index(
+        e2.join(released, e2.vec_id == released.doc_id, "semi"), ipath
+    )
+
+    def report() -> dict:
+        return {
+            r["check"]: r["n"]
+            for r in reconcile_release_index(spark, rpath, ipath).collect()
+        }
+
+    base = report()
+    for check in (
+        "batches_release_only", "batches_index_only", "released_not_indexed",
+        "indexed_not_released", "index_ahead_of_release",
+        "release_ahead_of_index", "takedown_skew",
+    ):
+        assert base[check] == 0, (check, base)
+    assert base["release_watermark"] == 399
+    # --- crash A: release folds micro-batch 0, index append is lost ---
+    apply_release_batch(spark, rpath, docs.filter("doc_id >= 400"), 0)
+    # --- crash B: a takedown reached the index, not the release ---
+    victims = [r["doc_id"] for r in released.limit(3).collect()]
+    remove_from_ivf_index(
+        spark, ipath, spark.createDataFrame([(v,) for v in victims], "vec_id long")
+    )
+    # --- crash C: the index ingested a doc the release deduped away ---
+    dropped = (
+        docs.filter("doc_id < 400")
+        .join(released, "doc_id", "left_anti")
+        .limit(1)
+        .collect()
+    )
+    assert dropped, "funnel dropped no doc < 400 — pick another prefix"
+    extra_id = dropped[0]["doc_id"]
+    append_to_ivf_index(e2.filter(F.col("vec_id") == extra_id), ipath)
+
+    diverged = report()
+    assert diverged["batches_release_only"] == 1
+    assert diverged["release_ahead_of_index"] > 0  # batch-0 released docs
+    assert diverged["takedown_skew"] == 3
+    assert diverged["indexed_not_released"] == 1
+    # --- the maintenance tick heals every definitive divergence ---
+    healed = heal_release_index(spark, rpath, ipath, e2)
+    assert healed["released_not_indexed"] > 0
+    assert healed["takedown_skew"] == 3
+    assert healed["indexed_not_released"] == 1
+    assert healed["batches_release_only"] == 1
+    after = report()
+    for check in (
+        "batches_release_only", "batches_index_only", "released_not_indexed",
+        "indexed_not_released", "index_ahead_of_release",
+        "release_ahead_of_index", "takedown_skew",
+    ):
+        assert after[check] == 0, (check, after)
+    # spot-check the content: batch-0 releases are live in the index,
+    # the takedown victims are gone from the release, the dedup-dropped
+    # doc is out of the index (and tombstoned against replay)
+    live = ivf_assignments_with_appends(spark, ipath)
+    new_released = _released_over(spark, rpath).filter("id >= 400")
+    assert (
+        new_released.join(live, new_released.id == live.vec_id, "left_anti")
+        .isEmpty()
+    )
+    assert live.filter(F.col("vec_id") == extra_id).isEmpty()
+    assert (
+        spark.read.parquet(f"{rpath}/v1_docs")
+        .filter(F.col("doc_id").isin(victims))
+        .isEmpty()
+    )
+    # idempotent: a second tick heals nothing
+    assert all(v == 0 for v in heal_release_index(spark, rpath, ipath, e2).values())
+
+
+def _released_over(spark, rpath):
+    from date_warehouse___airline_project_spark.streaming.reconcile import (
+        _released_ids,
+    )
+
+    return _released_ids(spark, rpath)
