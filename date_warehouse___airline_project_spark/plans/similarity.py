@@ -3183,3 +3183,69 @@ def emb_pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subspace")
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ quantizer-health FLAGS: the maintenance policy's input, oracle-checked
+# ---------------------------------------------------------------------------
+
+_PQ_HEALTH_ORACLE = f"""
+    WITH {_PQT_CENTS0},
+    kpg AS (SELECT g, COUNT(*) AS k FROM c1 GROUP BY g),
+    subsh AS (
+      SELECT e.vec_id, g.g,
+             list_slice(CAST(e.embedding AS DOUBLE[]),
+                        g.g * {_PQ_D} + 1, (g.g + 1) * {_PQ_D}) AS svec
+      FROM embeddings e CROSS JOIN groups g),
+    ah AS (
+      SELECT vec_id, g, code FROM (
+        SELECT s.vec_id, s.g, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.g
+                   ORDER BY list_dot_product(s.svec, s.svec)
+                          - 2 * list_dot_product(s.svec, c.cvec)
+                          + list_dot_product(c.cvec, c.cvec), c.code) AS rn
+        FROM subsh s JOIN c1 c ON c.g = s.g) WHERE rn = 1),
+    cnt AS (SELECT g, code, COUNT(*) AS n FROM ah GROUP BY g, code),
+    tot AS (SELECT g, SUM(n) AS tn FROM cnt GROUP BY g),
+    agg AS (
+      SELECT c.g AS subspace,
+             CAST(COUNT(*) AS BIGINT) AS n_codes_used,
+             CAST(k.k - COUNT(*) AS BIGINT) AS n_dead_codes,
+             CAST(MAX(c.n) AS DOUBLE) / t.tn AS max_raw,
+             CAST(k.k * SUM(c.n * c.n) AS DOUBLE) / (t.tn * t.tn) AS imb_raw,
+             CAST(k.k - COUNT(*) AS DOUBLE) / k.k AS dead_frac,
+             t.tn AS tn
+      FROM cnt c JOIN tot t USING (g) JOIN kpg k USING (g)
+      GROUP BY c.g, t.tn, k.k)
+    SELECT subspace, n_codes_used, n_dead_codes,
+           ROUND(max_raw, 6) AS max_code_frac,
+           ROUND(imb_raw, 6) AS imbalance_factor,
+           CASE WHEN tn > 0 AND (dead_frac > 0.25 OR imb_raw > 2.0)
+                THEN 1 ELSE 0 END AS retrain_flag
+    FROM agg ORDER BY subspace
+"""
+
+
+@query(
+    "emb_pq_code_health_flags",
+    oracle=_PQ_HEALTH_ORACLE,
+    doc="PQ quantizer-health FLAGS off the persisted index "
+    "(streaming/ivf_stream.py::ivf_pq_code_health) — the exact relation "
+    "maintain_ivf_index consumes to decide a sub-quantizer retrain "
+    "(r11 policy loop): per subspace the live code usage, dead codes "
+    "against the index's OWN codebook row count (trained codebooks drop "
+    "memberless codes, so K is read from pq_codebook, not assumed), the "
+    "FAISS imbalance factor, and the retrain_flag at the default "
+    "thresholds (dead_frac > 0.25 or imbalance > 2.0; tn == 0 never "
+    "flags — an emptied index has nothing to retrain from). The oracle "
+    "replays the sub-quantizer training and full-corpus encoding from "
+    "scratch, so the certified claim covers both the stored codes AND "
+    "the policy arithmetic. Bounded by codebook size at any corpus "
+    "scale; one scan of the codes column.",
+)
+def emb_pq_code_health_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ivf_stream import ivf_pq_code_health
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = _session_ivfpq_index(spark, sf_dir, e)
+    return ivf_pq_code_health(spark, path, max_dead_frac=0.25, max_imbalance=2.0)

@@ -123,12 +123,16 @@ def read_applied_batches(path: str) -> set[int]:
         return {int(x) for x in f.read().split()}
 
 
-def record_applied_batches(path: str, batch_names) -> None:
+def record_applied_batches(path: str, batch_names, lease: dict | None = None) -> None:
     """Fold ``batch_names`` (``batch=<id>`` dir names) into the applied
     ledger, atomically (tmp + ``os.replace``). Written BEFORE the commit
     that deletes the dirs — conservative: a crash leaves ids ledgered
     whose dirs still exist, and the dir-presence guard already skips
-    those."""
+    those. The ledger is a read-modify-write, so a FENCED caller must
+    verify its lease immediately before the replace — a zombie
+    maintainer merging its stale view over the new holder's ledger would
+    drop ids whose dirs are already deleted, re-admitting their
+    redeliveries as duplicate appends."""
     ids = read_applied_batches(path) | {
         int(b.split("=", 1)[1]) for b in batch_names
     }
@@ -137,6 +141,8 @@ def record_applied_batches(path: str, batch_names) -> None:
     tmp = os.path.join(path, f".{_APPLIED_BATCHES_FILE}-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w", encoding="ascii") as f:
         f.write("\n".join(str(i) for i in sorted(ids)))
+    if lease is not None:
+        verify_maintainer_lease(lease)
     os.replace(tmp, os.path.join(path, _APPLIED_BATCHES_FILE))
 
 
@@ -464,6 +470,7 @@ def _rebuild_ivf_index_locked(
         [n for n in os.listdir(adir) if n.startswith("batch=")]
         if os.path.isdir(adir)
         else [],
+        lease=lease,
     )
     if os.path.exists(os.path.join(path, _APPLIED_BATCHES_FILE)):
         shutil.copy2(
@@ -676,7 +683,7 @@ def _compact_ivf_appends_locked(
     # dirs: the redelivery guard must survive the dirs (see
     # read_applied_batches); conservative under a crash here (dir still
     # present -> presence guard covers it)
-    record_applied_batches(path, batches)
+    record_applied_batches(path, batches, lease=lease)
     token = uuid.uuid4().hex[:12]
     tmp = os.path.join(path, f".compact-tmp-{token}")
     (
@@ -800,8 +807,15 @@ def ivf_pq_code_health(
                 6,
             ).alias("max_code_frac"),
             F.round(F.when(F.col("tn") > 0, imb), 6).alias("imbalance_factor"),
-            F.when(dead_frac > max_dead_frac, 1)
-            .when(F.col("tn") > 0, F.when(imb > max_imbalance, 1).otherwise(0))
+            # tn == 0 (no live rows in the subspace — e.g. an emptied
+            # index) never flags: every code reads as dead, but there is
+            # nothing to retrain FROM and a triggered rebuild would wedge
+            # on the empty corpus; drift/appends re-populate first
+            F.when(
+                (F.col("tn") > 0)
+                & ((dead_frac > max_dead_frac) | (imb > max_imbalance)),
+                1,
+            )
             .otherwise(0)
             .alias("retrain_flag"),
         )

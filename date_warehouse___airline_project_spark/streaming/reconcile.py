@@ -287,7 +287,9 @@ def heal_release_index(
         )
         if rel_only:
             record_applied_batches(
-                index_path, [f"batch={b}" for b in sorted(rel_only)]
+                index_path,
+                [f"batch={b}" for b in sorted(rel_only)],
+                lease=idx_lease,
             )
         healed["batches_release_only"] = len(rel_only)
     # release-side heal under ITS lease (the takedown acquires it
@@ -322,3 +324,82 @@ def heal_release_index(
                 spark.createDataFrame(td_rows, "doc_id bigint"),
             )
     return healed
+
+
+def apply_dual_batch(
+    spark: SparkSession,
+    release_path: str,
+    index_path: str,
+    batch: DataFrame,
+    batch_id: int,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold ONE ingest micro-batch into BOTH artifacts, release first:
+    the release fold decides corpus membership (dedup/funnel), then the
+    batch's RELEASED ids' vectors are appended to the ANN index — the
+    index serves the release, so unreleased (deduped-away) docs are
+    never indexed and nothing needs removing later.
+
+    Each fold is individually idempotent under its own guard (delta-dir/
+    ledger presence + content witness), so the crash-BETWEEN-folds
+    window needs no extra protocol when driven from a checkpointed
+    stream: the checkpoint commits only after both folds return, a crash
+    between them redelivers the whole batch, the release side skips
+    (byte-for-byte redelivery) and the index side applies — the
+    in-flight lag ``reconcile_release_index`` reports heals by
+    redelivery alone. Only a divergence that outlives its redelivery
+    (source retention expired, checkpoint reset) needs
+    ``heal_release_index``. The released-id witness reads the release
+    state (base + deltas), not this delivery's plan, so a redelivered
+    batch indexes exactly what the original fold released."""
+    from . import ivf_stream
+    from .release_stream import apply_release_batch
+
+    apply_release_batch(
+        spark, release_path, batch.drop(vec_col), batch_id
+    )
+    released = _released_ids(spark, release_path)
+    vecs = batch.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col)
+    ).join(released.select(F.col("id").alias("vec_id")), "vec_id", "semi")
+    ivf_stream.apply_ivf_append_batch(
+        spark, index_path, vecs, batch_id, id_col="vec_id", vec_col=vec_col
+    )
+
+
+def run_dual_maintenance_stream(
+    new_docs: DataFrame,
+    release_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+):
+    """Maintain BOTH persisted artifacts off one stream of new documents
+    carrying their vectors (``doc_id/source/text`` + an embedding
+    column). Returns the StreamingQuery. See ``apply_dual_batch`` for
+    the crash-between-folds story this wrapper completes."""
+    release_path = _require_local_path(release_path, new_docs.sparkSession)
+    index_path = _require_local_path(index_path, new_docs.sparkSession)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_dual_batch(
+            batch_df.sparkSession,
+            release_path,
+            index_path,
+            batch_df,
+            batch_id,
+            id_col,
+            vec_col,
+        )
+
+    writer = (
+        new_docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -324,7 +324,7 @@ def _compact_release_state_locked(
     # both need an applied-batch witness that survives the dirs);
     # conservative under a crash here — dir still present, presence
     # guard covers it
-    record_applied_batches(path, batches)
+    record_applied_batches(path, batches, lease=lease)
     write_commit_marker(
         path, _REL_MARKER, {"token": token, "batches": batches}, lease=lease
     )
@@ -446,7 +446,7 @@ def _apply_backfill_to_release_state_locked(
     # the rebase supersedes the delta dirs it deletes — ledger their ids
     # so a post-rebase redelivery still skips (and reconciliation still
     # sees them as applied)
-    record_applied_batches(path, batches)
+    record_applied_batches(path, batches, lease=lease)
     write_commit_marker(
         path, _REL_MARKER, {"token": token, "batches": batches}, lease=lease
     )

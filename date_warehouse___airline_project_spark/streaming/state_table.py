@@ -119,10 +119,19 @@ def acquire_maintainer_lease(
         except FileExistsError:
             try:
                 age = time.time() - os.stat(lf).st_mtime
+            except FileNotFoundError:
+                continue  # released this instant: retry the create
+            try:
                 with open(lf, encoding="ascii") as f:
                     holder = json.load(f)
-            except (FileNotFoundError, json.JSONDecodeError):
-                continue  # released or half-written this instant: retry
+            except FileNotFoundError:
+                continue
+            except json.JSONDecodeError:
+                # half-written lease (acquirer crashed between create and
+                # write): unreadable, but it must still go STALE and be
+                # taken over below — treating it as retry-forever would
+                # wedge acquisition permanently on one crashed acquirer
+                holder = {}
             if age <= stale_after_s:
                 raise MaintainerLeaseHeldError(
                     f"artifact {path!r} is being maintained by "

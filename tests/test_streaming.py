@@ -4103,3 +4103,214 @@ def _released_over(spark, rpath):
     )
 
     return _released_ids(spark, rpath)
+
+
+def test_lease_crash_mid_acquire_is_taken_over(spark, tmp_path):
+    """r11 self-review: an acquirer that crashes between the O_EXCL create
+    and the json write leaves an unreadable lease file — it must still go
+    STALE and be taken over, not wedge acquisition forever."""
+    import os
+    import time
+
+    from date_warehouse___airline_project_spark.streaming.state_table import (
+        MaintainerLeaseHeldError,
+        acquire_maintainer_lease,
+        release_maintainer_lease,
+    )
+
+    art = str(tmp_path / "artifact")
+    os.makedirs(art)
+    lf = art + ".maintainer-lease"
+    with open(lf, "w", encoding="ascii"):
+        pass  # the half-written (empty) lease of a crashed acquirer
+    # while young it blocks (holder unknown — conservative) ...
+    with pytest.raises(MaintainerLeaseHeldError):
+        acquire_maintainer_lease(art, stale_after_s=600)
+    # ... but once stale it is taken over like any dead holder's lease
+    past = time.time() - 60
+    os.utime(lf, (past, past))
+    lease = acquire_maintainer_lease(art, stale_after_s=1.0)
+    assert lease["fence"] >= 1
+    release_maintainer_lease(lease)
+
+
+def test_applied_batches_ledger_is_fenced(spark, tmp_path):
+    """r11 self-review: the applied-batches ledger is a read-modify-write;
+    a fenced zombie's merge would clobber the new holder's entries (ids
+    with deleted dirs drop out -> duplicate re-appends on redelivery).
+    With a lease passed, the replace is verified and the zombie raises."""
+    import os
+    import time
+
+    from date_warehouse___airline_project_spark.streaming.ivf_stream import (
+        read_applied_batches,
+        record_applied_batches,
+    )
+    from date_warehouse___airline_project_spark.streaming.state_table import (
+        MaintainerFencedError,
+        acquire_maintainer_lease,
+        release_maintainer_lease,
+    )
+
+    art = str(tmp_path / "artifact")
+    os.makedirs(art)
+    zombie = acquire_maintainer_lease(art, owner="zombie")
+    time.sleep(0.2)
+    new = acquire_maintainer_lease(art, stale_after_s=0.1, owner="successor")
+    record_applied_batches(art, ["batch=7"], lease=new)
+    with pytest.raises(MaintainerFencedError):
+        record_applied_batches(art, ["batch=9"], lease=zombie)
+    assert read_applied_batches(art) == {7}
+    release_maintainer_lease(new)
+
+
+def test_pq_health_never_flags_an_empty_index(spark, tmp_path):
+    """r11 self-review: an emptied index reads every code as dead, but
+    there is nothing to retrain from — flagging it would send
+    maintain_ivf_index into a rebuild that wedges on the empty corpus."""
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        save_ivfpq_index,
+        train_pq_cents,
+    )
+    from date_warehouse___airline_project_spark.streaming.ivf_stream import (
+        ivf_pq_code_health,
+        maintain_ivf_index,
+        remove_from_ivf_index,
+    )
+
+    e2 = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    path = str(tmp_path / "pq_idx")
+    save_ivfpq_index(
+        e2, path, train_pq_cents(e2, 8, 8, 16), centroid_mod=25, sample_mod=4,
+        iters=1,
+    )
+    remove_from_ivf_index(spark, path, e2.select("vec_id"))
+    health = ivf_pq_code_health(spark, path, max_dead_frac=0.01)
+    assert health.filter("retrain_flag = 1").isEmpty()
+    assert (
+        maintain_ivf_index(
+            spark, path, e2, retrain_threshold=1e9, pq_max_dead_frac=0.01
+        )
+        is False
+    )
+
+
+def test_dual_stream_crash_between_folds_heals_by_redelivery(
+    spark, tmp_path, monkeypatch
+):
+    """r11: the dual-artifact ingest stream folds each micro-batch into
+    the release state THEN the ANN index; the checkpoint commits only
+    after both, so a crash between the folds redelivers the whole batch —
+    the release side skips (byte-for-byte redelivery) and the index side
+    applies. The in-flight divergence the reconciliation report shows
+    after the crash heals by redelivery alone, no heal tick needed."""
+    import json as _json
+
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        save_ivf_index,
+    )
+    from date_warehouse___airline_project_spark.plans.training_data import (
+        write_release_state,
+    )
+    from date_warehouse___airline_project_spark.sources.catalog import load_table
+    from date_warehouse___airline_project_spark.streaming import ivf_stream
+    from date_warehouse___airline_project_spark.streaming.ivf_stream import (
+        ivf_assignments_with_appends,
+    )
+    from date_warehouse___airline_project_spark.streaming.reconcile import (
+        reconcile_release_index,
+        run_dual_maintenance_stream,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    e2 = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    rpath = str(tmp_path / "relstate")
+    ipath = str(tmp_path / "annidx")
+    write_release_state(docs.filter("doc_id < 400"), rpath)
+    released0 = spark.read.parquet(f"{rpath}/v1_docs").select("doc_id")
+    save_ivf_index(
+        e2.join(released0, e2.vec_id == released0.doc_id, "semi"), ipath
+    )
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    feed = (
+        docs.filter("doc_id >= 400 AND doc_id < 410")
+        .join(e2, docs.doc_id == e2.vec_id)
+        .select("doc_id", "source", "text", "embedding")
+        .collect()
+    )
+    (input_dir / "b1.jsonl").write_text(
+        "\n".join(
+            _json.dumps(
+                {
+                    "doc_id": r["doc_id"],
+                    "source": r["source"],
+                    "text": r["text"],
+                    "embedding": [float(x) for x in r["embedding"]],
+                }
+            )
+            for r in feed
+        )
+    )
+    schema = "doc_id LONG, source STRING, text STRING, embedding ARRAY<FLOAT>"
+    raw = (
+        spark.readStream.format("text")
+        .load(str(input_dir))
+        .select(F.from_json("value", schema).alias("_r"))
+        .select("_r.doc_id", "_r.source", "_r.text", "_r.embedding")
+        .where(F.col("doc_id").isNotNull())
+    )
+
+    # crash INJECTED between the two folds: release folds, index does not
+    real_append = ivf_stream.apply_ivf_append_batch
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash between the artifact folds")
+
+    monkeypatch.setattr(ivf_stream, "apply_ivf_append_batch", boom)
+    q = run_dual_maintenance_stream(
+        raw, rpath, ipath, str(tmp_path / "ckpt")
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+
+    def report() -> dict:
+        return {
+            r["check"]: r["n"]
+            for r in reconcile_release_index(spark, rpath, ipath).collect()
+        }
+
+    mid = report()
+    assert mid["batches_release_only"] == 1
+    assert mid["release_ahead_of_index"] > 0  # in-flight, not loss
+    assert mid["released_not_indexed"] == 0
+
+    # restart WITHOUT the fault on the SAME checkpoint: the batch
+    # redelivers, the release fold skips, the index fold applies
+    monkeypatch.setattr(ivf_stream, "apply_ivf_append_batch", real_append)
+    q = run_dual_maintenance_stream(
+        raw, rpath, ipath, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    after = report()
+    assert after["batches_release_only"] == 0
+    assert after["release_ahead_of_index"] == 0
+    assert after["released_not_indexed"] == 0
+    assert after["indexed_not_released"] == 0
+    # the batch's released docs are live in the index; unreleased
+    # (deduped-away) batch docs were never indexed
+    from date_warehouse___airline_project_spark.streaming.reconcile import (
+        _released_ids,
+    )
+
+    n_new_released = _released_ids(spark, rpath).filter("id >= 400").count()
+    assert n_new_released > 0
+    live = ivf_assignments_with_appends(spark, ipath)
+    assert live.filter("vec_id >= 400").count() == n_new_released
