@@ -2447,17 +2447,31 @@ def doc_release_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _state_rels(docs: DataFrame) -> dict[str, DataFrame]:
+def _state_rels(
+    docs: DataFrame, persisted: list | None = None
+) -> dict[str, DataFrame]:
     """The four release-state relations over ``docs`` — ONE definition
     shared by the initial state write and the backfill rebase
     (``streaming/release_stream.py::apply_backfill_to_release_state``),
     so the two cannot drift. The kept paragraphs carry the identical
     distinct fingerprint set as ALL paragraphs (every fingerprint's first
     occurrence is kept), so para_fps reuses kp instead of a second
-    paragraph pass."""
+    paragraph pass.
+
+    Pass ``persisted`` (a list the CALLER unpersists after its writes)
+    to persist the shared cascade legs: the four relations are written
+    as four separate jobs, and without caching each job re-executes the
+    funnel from scratch (kept paragraphs three times, the gram stream
+    twice) — the dominant cost of the once-per-corpus state write."""
     k1 = _exact_survivors(docs)
     kp = _kept_paragraphs(k1)
+    if persisted is not None:
+        kp = kp.persist()
+        persisted.append(kp)
     rtok, grams = _token_grams(_rewrite(kp))
+    if persisted is not None:
+        grams = grams.persist()
+        persisted.append(grams)
     v1 = (
         _assemble(rtok, _extents(_dup_span_hits(grams)))
         .join(docs.select("doc_id", "source"), "doc_id")
@@ -2488,8 +2502,13 @@ def write_release_state(old: DataFrame, path: str) -> None:
     old+new gram collision keeps the old doc as keeper). At 100 TB the
     state is fingerprint-sized (hashes, not text) except v1_docs — which
     IS the release, already materialized by the shard writer."""
-    for name, rel in _state_rels(old).items():
-        rel.write.mode("overwrite").parquet(f"{path}/{name}")
+    persisted: list = []
+    try:
+        for name, rel in _state_rels(old, persisted).items():
+            rel.write.mode("overwrite").parquet(f"{path}/{name}")
+    finally:
+        for df in persisted:
+            df.unpersist()
     # ingest watermark: the append-only doc_id invariant the keep-min fold
     # DEPENDS on is recorded so later folds can enforce it instead of
     # assuming it (a backfilled lower doc_id would silently ship the

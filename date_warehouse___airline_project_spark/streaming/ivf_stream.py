@@ -12,8 +12,8 @@ APPEND is not idempotent, so each micro-batch lands in its own
 ``<path>/appends/batch=<id>`` directory — written to a ``.tmp-*`` sibling
 and RENAMED live, so a batch directory either fully exists (applied;
 redelivery is a no-op by presence check) or not at all. A crash mid-write
-leaves only a ``.tmp-*`` orphan, swept by ``recover_appends`` at stream
-start — never a partial batch visible to readers. This is the
+leaves only a ``.tmp-*`` orphan, swept by ``recover_appends`` from the
+next LEASED batch apply — never a partial batch visible to readers. This is the
 directory-per-transaction emulation of a transactional format's
 ``txnAppId``/``txnVersion`` idempotent append (``state_table.py`` has the
 same note for folded state).
@@ -211,6 +211,11 @@ def _apply_ivf_append_batch_locked(
 ) -> None:
     from ..operators.similarity import index_batch_rows
 
+    # sweep orphaned .tmp-* batch writes (a previous appender's crash
+    # between write and rename) — HERE, under the lease, not at unleased
+    # stream start: the lease excludes every other mutator, so the sweep
+    # can only ever hit dead debris
+    recover_appends(path)
     bdir = f"{path}/appends/batch={batch_id}"
     if os.path.exists(bdir) or batch_id in read_applied_batches(path):
         _guard_replayed_novel_ids(spark, path, batch_df, batch_id, id_col)
@@ -477,8 +482,14 @@ def _rebuild_ivf_index_locked(
             os.path.join(path, _APPLIED_BATCHES_FILE),
             os.path.join(tmp, _APPLIED_BATCHES_FILE),
         )
+    from .state_table import heartbeat_maintainer_lease
+
     old = f"{path}.rebuild-old-{token}"
-    verify_maintainer_lease(lease)  # fencing: a superseded rebuild aborts
+    # the save above is the tick's longest phase: refresh liveness AND
+    # fence (heartbeat verifies first) immediately before the swap — a
+    # superseded rebuild aborts HERE, before any rename touches the live
+    # tree
+    heartbeat_maintainer_lease(lease)
     os.rename(path, old)
     os.rename(tmp, path)  # commit point (recover_rebuild repairs between)
     shutil.rmtree(old, ignore_errors=True)
@@ -865,10 +876,16 @@ def run_ivf_append_stream(
     available_now: bool = True,
 ):
     """Maintain a persisted IVF index off a stream of new vectors.
-    Returns the StreamingQuery."""
+    Returns the StreamingQuery. Start-time recovery is READER-form
+    (roll committed work forward, sweep nothing): the stream does not
+    hold the maintainer lease here — each micro-batch acquires it inside
+    ``apply_ivf_append_batch`` — and a maintainer-form sweep from an
+    unleased stream restart could delete a live compactor's in-flight
+    tmp (the permanent-state-loss interleaving the reader-form recovery
+    exists to prevent). Orphaned ``.tmp-*`` batch writes from this
+    stream's own crashes are swept by the next leased compaction."""
     path = _require_local_path(path, new_vectors.sparkSession)
-    recover_appends(path)
-    recover_compaction(path)
+    recover_compaction(path, sweep_orphans=False)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         apply_ivf_append_batch(

@@ -437,8 +437,13 @@ def _apply_backfill_to_release_state_locked(
     )
     token = uuid.uuid4().hex[:12]
     tmp_root = os.path.join(path, f".release-tmp-{token}")
-    for name, rel in _state_rels(corrected).items():
-        rel.write.mode("overwrite").parquet(os.path.join(tmp_root, name))
+    persisted: list = []
+    try:
+        for name, rel in _state_rels(corrected, persisted).items():
+            rel.write.mode("overwrite").parquet(os.path.join(tmp_root, name))
+    finally:
+        for df in persisted:
+            df.unpersist()
     mx = corrected.agg(F.max("doc_id").alias("m")).collect()[0]["m"]  # 1-row fold
     write_ingest_watermark(
         path, max(streamed_watermark(path), -1 if mx is None else int(mx))
@@ -462,9 +467,14 @@ def run_release_maintenance_stream(
     """Maintain a persisted corpus release off a stream of new documents.
     Micro-batches must respect the append-only doc_id invariant (ingest
     ids are monotone across batches — the property real ingest pipelines
-    get from sequence-assigned ids). Returns the StreamingQuery."""
+    get from sequence-assigned ids). Returns the StreamingQuery.
+    Start-time recovery is READER-form: the stream holds no lease here
+    (each micro-batch acquires it inside ``apply_release_batch``), and
+    an unleased maintainer-form sweep could delete a live compactor's
+    in-flight ``.release-tmp-*`` build — see ``run_ivf_append_stream``
+    for the full rationale."""
     path = _require_local_path(path, new_docs.sparkSession)
-    recover_release_compaction(path)
+    recover_release_compaction(path, sweep_orphans=False)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         apply_release_batch(batch_df.sparkSession, path, batch_df, batch_id)

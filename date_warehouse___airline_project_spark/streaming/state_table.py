@@ -239,10 +239,12 @@ def maintainer_lease(
     Passing an already-held ``lease`` makes the scope REENTRANT (the
     composed mutators — e.g. ``maintain_ivf_index`` calling
     ``compact_ivf_appends`` then ``rebuild_ivf_index`` — acquire once at
-    the top and thread the lease down); it is verified on entry and NOT
-    released on exit (the owner releases)."""
+    the top and thread the lease down); it is verified AND heartbeaten
+    on entry (each phase of a long composed tick refreshes liveness, so
+    a slow-but-alive maintainer is not presumed dead between phases) and
+    NOT released on exit (the owner releases)."""
     if lease is not None:
-        verify_maintainer_lease(lease)
+        heartbeat_maintainer_lease(lease)  # verify + refresh liveness
         yield lease
         return
     held = acquire_maintainer_lease(path, stale_after_s, owner)

@@ -89,8 +89,11 @@ def test_compare_flags_int_vs_float_dtype_class(duck):
 
 def test_window_composition_is_mechanical():
     """Ordering invariants of the derived (not hand-maintained) window:
-    re-certs lead, never-certified queries follow in registry order, and
-    every uncertified query sits inside the driver's 50-query window."""
+    re-certs lead, never-certified queries follow in registry order,
+    every uncertified query sits inside the driver's 50-query window,
+    and the certified remainder rotates OLDEST-GREEN-FIRST (bounded
+    certification age — the window's spare slots re-oracle the stalest
+    greens each round)."""
     import __spark_entry__ as m
 
     names = set(m.plans.REGISTRY)
@@ -98,7 +101,8 @@ def test_window_composition_is_mechanical():
     assert all(n in names for n in recert), "recert_list has unknown names"
     ordered = list(m.queries())
     assert ordered[: len(recert)] == recert
-    certified = (m._driver_green() - set(recert)) & names
+    green_rounds = m._driver_green_rounds()
+    certified = (set(green_rounds) - set(recert)) & names
     uncert = [n for n in ordered if n not in certified]
     # uncertified queries form a contiguous prefix ...
     assert ordered[: len(uncert)] == uncert
@@ -108,6 +112,9 @@ def test_window_composition_is_mechanical():
         f"{len(uncert)} uncertified queries overflow the 50-query window: "
         f"{uncert[50:]}"
     )
+    # certified tail is monotone in last-green round (oldest first)
+    tail_rounds = [green_rounds[n] for n in ordered[len(uncert):]]
+    assert tail_rounds == sorted(tail_rounds)
 
 
 def test_recert_diff_flags_doctored_fingerprint():
