@@ -4314,3 +4314,161 @@ def test_dual_stream_crash_between_folds_heals_by_redelivery(
     assert n_new_released > 0
     live = ivf_assignments_with_appends(spark, ipath)
     assert live.filter("vec_id >= 400").count() == n_new_released
+
+
+def test_lease_state_machine_properties(spark, tmp_path):
+    """r11: property test over random acquire/heartbeat/stale-takeover/
+    release interleavings — invariants: at most ONE lease verifies at any
+    instant; the fencing counter is strictly monotone across takeovers
+    and re-acquisitions; a superseded lease never verifies again."""
+    import os
+    import random
+    import time
+
+    from date_warehouse___airline_project_spark.streaming.state_table import (
+        MaintainerFencedError,
+        MaintainerLeaseHeldError,
+        acquire_maintainer_lease,
+        heartbeat_maintainer_lease,
+        read_maintainer_fence,
+        release_maintainer_lease,
+        verify_maintainer_lease,
+    )
+
+    rng = random.Random(11)
+    art = str(tmp_path / "artifact")
+    os.makedirs(art)
+    live: list = []  # leases this test believes COULD be live (<= 1)
+    dead: list = []  # superseded/released leases — must never verify
+    fences: list = [read_maintainer_fence(art)]
+    for _ in range(60):
+        op = rng.choice(("acquire", "takeover", "heartbeat", "release"))
+        if op == "acquire":
+            try:
+                lease = acquire_maintainer_lease(art, stale_after_s=600)
+                live.append(lease)
+                fences.append(lease["fence"])
+            except MaintainerLeaseHeldError:
+                assert live, "acquire blocked with no live holder"
+        elif op == "takeover":
+            # the current holder (if any) stops heartbeating and goes
+            # stale; a contender takes over
+            time.sleep(0.15)
+            lease = acquire_maintainer_lease(art, stale_after_s=0.1)
+            dead.extend(live)
+            live = [lease]
+            fences.append(lease["fence"])
+        elif op == "heartbeat" and live:
+            heartbeat_maintainer_lease(live[0])
+        elif op == "release" and live:
+            release_maintainer_lease(live.pop())
+        # invariants after every step
+        assert len(live) <= 1
+        if live:
+            verify_maintainer_lease(live[0])
+        for z in dead:
+            with pytest.raises(MaintainerFencedError):
+                verify_maintainer_lease(z)
+        assert fences == sorted(fences), "fence regressed"
+    assert read_maintainer_fence(art) == fences[-1]
+
+
+def test_dual_stream_crash_after_both_folds_redelivers_cleanly(
+    spark, tmp_path, monkeypatch
+):
+    """r11: the third crash position — BOTH folds applied, checkpoint
+    commit lost (fault injected after the index fold). The redelivered
+    batch must no-op on both sides (release dir guard + index dir/ledger
+    guard), leaving a zero reconciliation report and no duplicates."""
+    import json as _json
+
+    from date_warehouse___airline_project_spark.operators.similarity import (
+        save_ivf_index,
+    )
+    from date_warehouse___airline_project_spark.plans.training_data import (
+        write_release_state,
+    )
+    from date_warehouse___airline_project_spark.sources.catalog import load_table
+    from date_warehouse___airline_project_spark.streaming import ivf_stream
+    from date_warehouse___airline_project_spark.streaming.ivf_stream import (
+        ivf_assignments_with_appends,
+    )
+    from date_warehouse___airline_project_spark.streaming.reconcile import (
+        _released_ids,
+        reconcile_release_index,
+        run_dual_maintenance_stream,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    e2 = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    rpath = str(tmp_path / "relstate")
+    ipath = str(tmp_path / "annidx")
+    write_release_state(docs.filter("doc_id < 400"), rpath)
+    released0 = spark.read.parquet(f"{rpath}/v1_docs").select("doc_id")
+    save_ivf_index(
+        e2.join(released0, e2.vec_id == released0.doc_id, "semi"), ipath
+    )
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    feed = (
+        docs.filter("doc_id >= 400 AND doc_id < 406")
+        .join(e2, docs.doc_id == e2.vec_id)
+        .select("doc_id", "source", "text", "embedding")
+        .collect()
+    )
+    (input_dir / "b1.jsonl").write_text(
+        "\n".join(
+            _json.dumps(
+                {
+                    "doc_id": r["doc_id"],
+                    "source": r["source"],
+                    "text": r["text"],
+                    "embedding": [float(x) for x in r["embedding"]],
+                }
+            )
+            for r in feed
+        )
+    )
+    schema = "doc_id LONG, source STRING, text STRING, embedding ARRAY<FLOAT>"
+    raw = (
+        spark.readStream.format("text")
+        .load(str(input_dir))
+        .select(F.from_json("value", schema).alias("_r"))
+        .select("_r.doc_id", "_r.source", "_r.text", "_r.embedding")
+        .where(F.col("doc_id").isNotNull())
+    )
+    # crash AFTER both folds (checkpoint never commits)
+    real_append = ivf_stream.apply_ivf_append_batch
+
+    def late_boom(*a, **kw):
+        real_append(*a, **kw)
+        raise RuntimeError("injected crash after both folds")
+
+    monkeypatch.setattr(ivf_stream, "apply_ivf_append_batch", late_boom)
+    q = run_dual_maintenance_stream(raw, rpath, ipath, str(tmp_path / "ckpt"))
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    monkeypatch.setattr(ivf_stream, "apply_ivf_append_batch", real_append)
+    q = run_dual_maintenance_stream(raw, rpath, ipath, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    rep = {
+        r["check"]: r["n"]
+        for r in reconcile_release_index(spark, rpath, ipath).collect()
+    }
+    for check in (
+        "batches_release_only", "batches_index_only", "released_not_indexed",
+        "indexed_not_released", "index_ahead_of_release",
+        "release_ahead_of_index", "takedown_skew",
+    ):
+        assert rep[check] == 0, (check, rep)
+    # no duplicates: exactly one assignment row per released batch id
+    n_new = _released_ids(spark, rpath).filter("id >= 400").count()
+    live = ivf_assignments_with_appends(spark, ipath)
+    assert live.filter("vec_id >= 400").count() == n_new
+    assert (
+        live.filter("vec_id >= 400").groupBy("vec_id").count()
+        .filter("count > 1").isEmpty()
+    )
