@@ -30,3 +30,4 @@ def load_all() -> None:
     from . import sketches  # noqa: F401
     from . import mining  # noqa: F401
     from . import layout  # noqa: F401
+    from . import connectors  # noqa: F401

@@ -133,6 +133,65 @@ def kafka_messages_source(
     )
 
 
+def kafka_log_messages_source(
+    spark: SparkSession,
+    log_root: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """The Kafka consumer PLAN, executable in this container: identical
+    option names (``subscribe``, ``startingOffsets``), identical output
+    schema, identical downstream ``value`` cast — served by the in-repo
+    Kafka-semantics log source (``sources/kafka_log.py``, public Python
+    Data Source API) instead of the absent connector jar. Swapping in a
+    real broker changes ONLY ``format`` + ``kafka.bootstrap.servers``;
+    everything from the ``.select`` down is the same bytes. This is the
+    execution test the option-contract pin could not give: offsets,
+    checkpoint resume, and at-least-once replay all actually run."""
+    from ..sources.kafka_log import register_kafka_log_source
+
+    register_kafka_log_source(spark)
+    return (
+        spark.readStream.format("kafkalog")
+        .option("path", log_root)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+        .select(F.col("value").cast("string").alias("value"))
+    )
+
+
+def kafka_log_results_sink(
+    results: DataFrame, log_root: str, topic: str, checkpoint_dir: str
+):
+    """Producer side against the log-backed topic: each result row
+    becomes one JSON-envelope message (same ``to_json(struct(*))`` value
+    shape as ``kafka_results_sink``), sent keyed on passenger_id so a
+    partition preserves per-passenger order — Kafka's keyed-ordering
+    contract. foreachBatch + driver-side send is the stand-in's
+    transport (results are verdict-sized); the real sink is the
+    ``format("kafka")`` writer with the same value column."""
+    from ..sources.kafka_log import KafkaLogProducer
+
+    def send_batch(batch_df: DataFrame, batch_id: int) -> None:
+        producer = KafkaLogProducer(log_root)
+        rows = (
+            batch_df.select(
+                F.col("passenger_id"),
+                F.to_json(F.struct(*batch_df.columns)).alias("value"),
+            )
+            .orderBy("passenger_id")
+            .collect()
+        )
+        for r in rows:
+            producer.send(topic, r["value"], key=r["passenger_id"])
+
+    return (
+        results.writeStream.foreachBatch(send_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
 def kafka_results_sink(
     results: DataFrame, bootstrap_servers: str, topic: str, checkpoint_dir: str
 ):

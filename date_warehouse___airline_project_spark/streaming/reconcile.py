@@ -156,7 +156,15 @@ def reconcile_release_index(
     never corpus-content-scale); the batch-ledger checks are driver-side
     set math over directory listings. Read-only — safe to run
     concurrently with maintainers (reader-form recovery inside the
-    assignment reader)."""
+    assignment reader).
+
+    The batch-ledger checks assume ONE feed with a SHARED batch-id space
+    (the ``run_dual_maintenance_stream`` shape — both artifacts see the
+    same checkpoint's batch ids). When the two artifacts are fed by
+    INDEPENDENT streams with unrelated checkpoints, their batch-id
+    spaces do not correspond; read only the watermark and id-set checks
+    there (they are feed-agnostic) and ignore the two ``batches_*``
+    rows."""
     from .release_stream import streamed_watermark
 
     release_path = _require_local_path(release_path, spark)

@@ -227,6 +227,36 @@ def release_maintainer_lease(lease: dict) -> None:
             os.remove(lease["lease_file"])
 
 
+def _start_heartbeat_thread(lease: dict, interval_s: float):
+    """Best-effort background liveness: a daemon thread re-touching the
+    lease file every ``interval_s`` while the owning scope is open. The
+    DRIVER loop cannot heartbeat during a long Spark job (it is blocked
+    inside the action), so without this a slow-but-alive maintainer's
+    mtime ages past ``stale_after_s`` mid-write and a contender presumes
+    it dead — fencing then correctly voids the work at the commit
+    checkpoint, but the whole phase was wasted. The thread touches ONLY
+    while the token still matches (never resurrects a taken-over lease)
+    and swallows races with release/takeover — liveness is best-effort;
+    CORRECTNESS always rests on the commit-point verification, never on
+    the heartbeat."""
+    import threading
+
+    stop = threading.Event()
+
+    def beat() -> None:
+        while not stop.wait(interval_s):
+            try:
+                with open(lease["lease_file"], encoding="ascii") as f:
+                    if json.load(f).get("token") != lease["token"]:
+                        return  # superseded: stop silently, commit will fence
+                os.utime(lease["lease_file"])
+            except (OSError, json.JSONDecodeError):
+                return
+    t = threading.Thread(target=beat, daemon=True, name="maintainer-heartbeat")
+    t.start()
+    return stop
+
+
 @contextlib.contextmanager
 def maintainer_lease(
     path: str,
@@ -242,15 +272,20 @@ def maintainer_lease(
     the top and thread the lease down); it is verified AND heartbeaten
     on entry (each phase of a long composed tick refreshes liveness, so
     a slow-but-alive maintainer is not presumed dead between phases) and
-    NOT released on exit (the owner releases)."""
+    NOT released on exit (the owner releases). The OWNING scope also
+    runs a background heartbeat thread (``_start_heartbeat_thread``) for
+    the duration — the driver loop is blocked inside Spark actions and
+    cannot heartbeat itself through a long write."""
     if lease is not None:
         heartbeat_maintainer_lease(lease)  # verify + refresh liveness
         yield lease
         return
     held = acquire_maintainer_lease(path, stale_after_s, owner)
+    stop = _start_heartbeat_thread(held, max(1.0, stale_after_s / 3.0))
     try:
         yield held
     finally:
+        stop.set()
         release_maintainer_lease(held)
 
 

@@ -4472,3 +4472,150 @@ def test_dual_stream_crash_after_both_folds_redelivers_cleanly(
         live.filter("vec_id >= 400").groupBy("vec_id").count()
         .filter("count > 1").isEmpty()
     )
+
+
+def test_owning_scope_heartbeats_through_long_phase(spark, tmp_path):
+    """r11: the owning maintainer_lease scope runs a background heartbeat
+    thread — the driver loop is blocked inside Spark actions during a
+    long phase and cannot heartbeat itself, and without the thread a
+    slow-but-alive maintainer's mtime would age past a contender's
+    stale_after mid-write (wasted work even though fencing voids it)."""
+    import os
+    import time
+
+    from date_warehouse___airline_project_spark.streaming.state_table import (
+        MaintainerLeaseHeldError,
+        acquire_maintainer_lease,
+        maintainer_lease,
+        release_maintainer_lease,
+        verify_maintainer_lease,
+    )
+
+    art = str(tmp_path / "artifact")
+    os.makedirs(art)
+    with maintainer_lease(art, stale_after_s=3.0) as lease:
+        time.sleep(2.5)  # "long phase": > a 2.0 s stale bound, no manual beat
+        with pytest.raises(MaintainerLeaseHeldError):
+            acquire_maintainer_lease(art, stale_after_s=2.0)
+        verify_maintainer_lease(lease)  # still ours, never taken over
+    # scope exit stops the thread and releases — acquirable again
+    l2 = acquire_maintainer_lease(art, stale_after_s=2.0)
+    release_maintainer_lease(l2)
+
+
+def test_kafka_log_batch_roundtrip(spark, tmp_path):
+    """r11: the Kafka-semantics log source (public Python Data Source
+    API) — producer round-trip through the batch reader with the REAL
+    source's schema: key/value binary, per-partition monotone offsets,
+    keyed messages stay on one partition (Kafka's per-key ordering)."""
+    from date_warehouse___airline_project_spark.sources.kafka_log import (
+        KafkaLogProducer,
+        register_kafka_log_source,
+    )
+
+    root = str(tmp_path / "log")
+    prod = KafkaLogProducer(root, n_partitions=2)
+    for i in range(6):
+        prod.send("requests", json.dumps({"i": i}), key=f"K{i % 3}")
+    register_kafka_log_source(spark)
+    df = (
+        spark.read.format("kafkalog")
+        .option("path", root)
+        .option("subscribe", "requests")
+        .load()
+    )
+    assert [f.name for f in df.schema.fields] == [
+        "key", "value", "topic", "partition", "offset", "timestamp",
+        "timestampType",
+    ]
+    rows = df.collect()
+    assert len(rows) == 6
+    assert {bytes(r["key"]).decode() for r in rows} == {"K0", "K1", "K2"}
+    # per-partition offsets are 0..n-1 (monotone, gapless)
+    by_p: dict = {}
+    for r in rows:
+        by_p.setdefault(r["partition"], []).append(r["offset"])
+    for offs in by_p.values():
+        assert sorted(offs) == list(range(len(offs)))
+    # keyed ordering: one key never spans partitions
+    keyed: dict = {}
+    for r in rows:
+        keyed.setdefault(bytes(r["key"]).decode(), set()).add(r["partition"])
+    assert all(len(ps) == 1 for ps in keyed.values())
+
+
+def test_eligibility_stream_over_kafka_log_source(spark, tmp_path, flights_df):
+    """r11: S10 EXECUTED — the eligibility worker pipeline consumes a
+    Kafka-shaped topic end-to-end (subscribe/startingOffsets options,
+    offset checkpointing, at-least-once resume) via the log-backed
+    source; the downstream plan is byte-identical to the real
+    connector's. A second run on the same checkpoint after producing
+    more messages consumes ONLY the new offsets; the results round-trip
+    back onto a response topic through the keyed producer sink."""
+    from date_warehouse___airline_project_spark.sources.kafka_log import (
+        KafkaLogProducer,
+        register_kafka_log_source,
+    )
+    from date_warehouse___airline_project_spark.streaming.eligibility_stream import (
+        kafka_log_messages_source,
+        kafka_log_results_sink,
+        run_eligibility_stream,
+    )
+
+    root = str(tmp_path / "log")
+    audit, results, ckpt = (
+        str(tmp_path / d) for d in ("audit", "results", "ckpt")
+    )
+    prod = KafkaLogProducer(root, n_partitions=2)
+    prod.send("requests", _msg("eligibility_check", "P1", "AA100"), key="P1")
+    prod.send("requests", _msg("eligibility_check", "P2", "BB200"), key="P2")
+    prod.send("requests", _msg("other_event", "P6", "AA100"), key="P6")
+    src = kafka_log_messages_source(spark, root, "requests")
+    q = run_eligibility_stream(
+        spark, "unused", flights_df, audit, results, ckpt, source=src
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(audit).count() == 3
+    res = {r.passenger_id: r for r in spark.read.parquet(results).collect()}
+    assert set(res) == {"P1", "P2"}
+    assert res["P1"].eligible and res["P1"].reason == "delay_threshold_met"
+
+    # produce MORE, resume the SAME checkpoint: only new offsets consumed
+    prod.send("requests", _msg("eligibility_check", "P5", "ZZ999"), key="P5")
+    src = kafka_log_messages_source(spark, root, "requests")
+    q = run_eligibility_stream(
+        spark, "unused", flights_df, audit, results, ckpt, source=src
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(audit).count() == 4  # +1, no re-reads
+    res = {r.passenger_id: r for r in spark.read.parquet(results).collect()}
+    assert set(res) == {"P1", "P2", "P5"}
+    assert res["P5"].reason == "flight_not_found"
+
+    # producer side (S9 executed): stream the stored results back onto a
+    # response topic through the keyed sink, then consume the topic
+    res_df = spark.read.parquet(results)
+    res_stream = spark.readStream.schema(res_df.schema).parquet(results)
+    qs = (
+        kafka_log_results_sink(
+            res_stream, root, "responses", str(tmp_path / "sink_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    qs.awaitTermination(120)
+    register_kafka_log_source(spark)
+    echoed = (
+        spark.read.format("kafkalog")
+        .option("path", root)
+        .option("subscribe", "responses")
+        .load()
+        .select(
+            F.col("key").cast("string").alias("k"),
+            F.col("value").cast("string").alias("v"),
+        )
+        .collect()
+    )
+    assert len(echoed) == 3
+    for r in echoed:
+        assert json.loads(r["v"])["passenger_id"] == r["k"] and r["k"] in res
