@@ -243,3 +243,32 @@ class KafkaLogDataSource(DataSource):
 def register_kafka_log_source(spark) -> None:
     """Idempotent registration of the ``kafkalog`` format on a session."""
     spark.dataSource.register(KafkaLogDataSource)
+
+
+def kafka_log_values_sink(
+    values,
+    log_root: str,
+    topic: str,
+    checkpoint_dir: str,
+    key_col: str | None = None,
+):
+    """Producer sink for a streaming relation carrying a ``value`` column
+    (+ optionally ``key_col``): each micro-batch's rows are sent to
+    ``topic`` in a deterministic order, keyed when a key column is given
+    (per-key partition ordering, Kafka's contract). foreachBatch +
+    driver-side send is this stand-in's transport — the real sink is
+    ``format("kafka")`` over the same value column — so it suits
+    message-sized relations (outbox envelopes, verdicts), not corpus
+    rewrites. Returns the DataStreamWriter (caller ``.start()``s)."""
+
+    def send_batch(batch_df, batch_id: int) -> None:
+        producer = KafkaLogProducer(log_root)
+        cols = ["value"] + ([key_col] if key_col else [])
+        for r in batch_df.select(*cols).orderBy(*cols).collect():
+            producer.send(
+                topic, r["value"], key=r[key_col] if key_col else None
+            )
+
+    return values.writeStream.foreachBatch(send_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )

@@ -171,24 +171,14 @@ def kafka_log_results_sink(
     contract. foreachBatch + driver-side send is the stand-in's
     transport (results are verdict-sized); the real sink is the
     ``format("kafka")`` writer with the same value column."""
-    from ..sources.kafka_log import KafkaLogProducer
+    from ..sources.kafka_log import kafka_log_values_sink
 
-    def send_batch(batch_df: DataFrame, batch_id: int) -> None:
-        producer = KafkaLogProducer(log_root)
-        rows = (
-            batch_df.select(
-                F.col("passenger_id"),
-                F.to_json(F.struct(*batch_df.columns)).alias("value"),
-            )
-            .orderBy("passenger_id")
-            .collect()
-        )
-        for r in rows:
-            producer.send(topic, r["value"], key=r["passenger_id"])
-
-    return (
-        results.writeStream.foreachBatch(send_batch)
-        .option("checkpointLocation", checkpoint_dir)
+    vals = results.select(
+        F.col("passenger_id"),
+        F.to_json(F.struct(*results.columns)).alias("value"),
+    )
+    return kafka_log_values_sink(
+        vals, log_root, topic, checkpoint_dir, key_col="passenger_id"
     )
 
 
