@@ -147,6 +147,9 @@ def main() -> None:
         # timed run reads the manifest off the written files
         "state_growth_accounting",  # r10: builds its own takedown'd index
         # copy (tombstone set) once; the timed run is five 1-row folds
+        "kafka_log_topic_stats",  # r11: produces the session topic once
+        # (bounded driver-side append loop); the timed run is the
+        # distributed kafkalog read + per-partition aggregate
     ):
         if name in qs:
             t0 = time.perf_counter()
