@@ -63,6 +63,7 @@ def _session_topic(spark: SparkSession, sf_dir: str) -> str:
                 _TOPIC,
                 json.dumps({"doc_id": r["doc_id"], "n_chars": r["n_chars"]}),
             )
+        producer.close()
         _KLOG_MEMO[key] = root
     return root
 

@@ -957,48 +957,100 @@ def lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(d, "doc_id", "text", n=3, k=_K)
-    out = None
+    # A config's candidates are pairs agreeing on ALL r hashes of some
+    # aligned band — which implies agreeing on each single hash in it, so
+    # every coarser config's candidate set is a SUBSET of the bands=_K
+    # (rows=1) set. Build that superset ONCE (one band self-join instead
+    # of four), attach both signatures ONCE (two joins instead of eight),
+    # derive per-config membership from the per-hash equality bits, and
+    # aggregate all four configs in one grouped pass (optimization guide
+    # §2.4: shared exchanges / duplicate subtrees removed). Results are
+    # identical: band buckets key on md5 of the comma-joined values — an
+    # injective encoding, so bucket equality IS value-tuple equality.
+    banded = band_rows(sig, _K, _K)
+    left = banded.select(F.col("_id").alias("doc_a"), "_band_idx", "_band_hash")
+    right = banded.select(F.col("_id").alias("doc_b"), "_band_idx", "_band_hash")
+    cand = (
+        left.join(right, ["_band_idx", "_band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sig.select(
+        F.col("_id").alias("doc_a"), *[F.col(f"_mh{i}").alias(f"a{i}") for i in range(_K)]
+    )
+    sb = sig.select(
+        F.col("_id").alias("doc_b"), *[F.col(f"_mh{i}").alias(f"b{i}") for i in range(_K)]
+    )
+    eq = [F.col(f"a{i}") == F.col(f"b{i}") for i in range(_K)]
+    n_agree = sum(F.when(eq[i], 1).otherwise(0) for i in range(_K))
+
+    def member(bands: int):
+        rows = _K // bands
+        block = None
+        for b in range(bands):
+            conj = eq[b * rows]
+            for r in range(1, rows):
+                conj = conj & eq[b * rows + r]
+            block = conj if block is None else block | conj
+        return block
+
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            n_agree.alias("n_agree"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bands).alias("bands"),
+                            member(bands).alias("m"),
+                        )
+                        for bands in (16, 8, 4, 2)
+                    ]
+                )
+            ).alias("cfg"),
+        )
+        .filter(F.col("cfg.m"))
+        .select(F.col("cfg.bands").alias("bands"), "n_agree")
+    )
+    grouped = pairs.groupBy("bands").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cnt"),
+        F.sum("n_agree").alias("_sum_agree"),
+        F.sum(F.when(F.col("n_agree") * 2 >= _K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("_ge_half"),
+    )
+    # 4-row config spine (same literal expressions as before, so the
+    # s_threshold doubles round identically); left join keeps a config
+    # with zero candidates as (0, NULL, NULL) — the empty-input global
+    # aggregate's row in the previous per-config form
+    spine = None
     for bands in (16, 8, 4, 2):
         rows = _K // bands
-        banded = band_rows(sig, _K, bands)
-        left = banded.select(F.col("_id").alias("doc_a"), "_band_idx", "_band_hash")
-        right = banded.select(F.col("_id").alias("doc_b"), "_band_idx", "_band_hash")
-        cand = (
-            left.join(right, ["_band_idx", "_band_hash"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .dropDuplicates(["doc_a", "doc_b"])
+        row = spark.range(1).select(
+            F.lit(bands).alias("bands"),
+            F.lit(rows).alias("rows_per_band"),
+            F.round(F.pow(F.lit(1.0 / bands), 1.0 / rows), 4).alias("s_threshold"),
         )
-        sa = sig.select(
-            F.col("_id").alias("doc_a"), *[F.col(f"_mh{i}").alias(f"a{i}") for i in range(_K)]
+        spine = row if spine is None else spine.unionByName(row)
+    return (
+        spine.join(F.broadcast(grouped), "bands", "left")
+        .select(
+            "bands",
+            "rows_per_band",
+            "s_threshold",
+            F.coalesce(F.col("_cnt"), F.lit(0).cast("bigint")).alias(
+                "n_candidates"
+            ),
+            F.round(
+                F.col("_sum_agree").cast("double") / (_K * F.col("_cnt")), 6
+            ).alias("mean_est_jaccard"),
+            F.col("_ge_half").alias("n_est_ge_half"),
         )
-        sb = sig.select(
-            F.col("_id").alias("doc_b"), *[F.col(f"_mh{i}").alias(f"b{i}") for i in range(_K)]
-        )
-        n_agree = sum(
-            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(_K)
-        )
-        cfg = (
-            cand.join(sa, "doc_a")
-            .join(sb, "doc_b")
-            .select(n_agree.alias("n_agree"))
-            .agg(
-                F.lit(bands).alias("bands"),
-                F.lit(rows).alias("rows_per_band"),
-                F.round(F.pow(F.lit(1.0 / bands), 1.0 / rows), 4).alias(
-                    "s_threshold"
-                ),
-                F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
-                F.round(
-                    F.sum("n_agree").cast("double") / (_K * F.count(F.lit(1))), 6
-                ).alias("mean_est_jaccard"),
-                F.sum(F.when(F.col("n_agree") * 2 >= _K, 1).otherwise(0))
-                .cast("bigint")
-                .alias("n_est_ge_half"),
-            )
-        )
-        out = cfg if out is None else out.unionByName(cfg)
-    return out.orderBy(F.desc("bands"))
+        .orderBy(F.desc("bands"))
+    )
 
 
 # ---------------------------------------------------------------------------

