@@ -2403,18 +2403,40 @@ def emb_ivf_nprobe_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn2") <= 10)
         .select("qid", "vec_id")
     )
-    w_hit = W.partitionBy("qid").orderBy(F.desc("cs"), F.asc("vec_id"))
-    lvl = None
-    for p in range(1, _TUNE_MAXP + 1):
-        hits = (
-            cand.filter(F.col("prank") <= p)
-            .withColumn("_rn", F.row_number().over(w_hit))
-            .filter(F.col("_rn") <= 10)
-            .join(truth, ["qid", "vec_id"], "left_semi")
-            .agg(F.count("*").alias("n_hits"))
-            .select(F.lit(p).cast("bigint").alias("nprobe"), "n_hits")
+    # ONE candidate pass for the whole level grid (r11, optimization
+    # guide §2.4): the per-level loop re-evaluated the cand subtree —
+    # arrow centroid assignment over the corpus included — once per
+    # probe level (4 windows, 4 semi-joins, 4 aggregates, unioned).
+    # Exploding each candidate row to the levels it participates in
+    # (prank <= nprobe, the oracle's own `JOIN levels ON c.prank <=
+    # l.nprobe` formulation) ranks all levels in one window pass over a
+    # relation only ~MAXP/2x the candidate set. A level spine left-join
+    # keeps zero-hit levels as n_hits = 0, exactly as the old per-level
+    # aggregate-on-empty did.
+    levels_arr = F.array(*[F.lit(p) for p in range(1, _TUNE_MAXP + 1)])
+    w_hit = W.partitionBy("nprobe", "qid").orderBy(
+        F.desc("cs"), F.asc("vec_id")
+    )
+    hit_counts = (
+        cand.select(
+            "qid", "prank", "vec_id", "cs", F.explode(levels_arr).alias("nprobe")
         )
-        lvl = hits if lvl is None else lvl.unionByName(hits)
+        .filter(F.col("prank") <= F.col("nprobe"))
+        .withColumn("_rn", F.row_number().over(w_hit))
+        .filter(F.col("_rn") <= 10)
+        .join(truth, ["qid", "vec_id"], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("_nh"))
+    )
+    spine = None
+    for p in range(1, _TUNE_MAXP + 1):
+        r = qs.sparkSession.range(1).select(
+            F.lit(p).cast("bigint").alias("nprobe")
+        )
+        spine = r if spine is None else spine.unionByName(r)
+    lvl = spine.join(F.broadcast(hit_counts), "nprobe", "left").select(
+        "nprobe", F.coalesce(F.col("_nh"), F.lit(0)).cast("bigint").alias("n_hits")
+    )
     nq = qs.agg(F.count("*").alias("n_queries"))
     recall = F.col("n_hits").cast("double") / (F.col("n_queries") * 10)
     lvl = lvl.crossJoin(F.broadcast(nq)).select(

@@ -1975,8 +1975,22 @@ def _release_assignment(d: DataFrame) -> DataFrame:
     %% NSHARDS with pos = hash-rank within the shard
     (``doc_shard_export_assignment`` semantics). One relation drives BOTH
     the manifest query and the shard writer, so manifest == files is
-    structural, and the roundtrip test pins it."""
-    return _assignment_of(_release_docs(d))
+    structural, and the roundtrip test pins it.
+
+    Session-memoized like ``_release_docs`` (r11): the assignment is
+    consumed by several queries (manifest, takedown diff, provenance,
+    backfill revision/apply) and most of them reference it MORE than
+    once in one plan (before/after legs, anti-join + aggregate legs) —
+    uncached, every reference re-ran the mix/budget/shard window
+    cascade off the cached release docs. One cached relation (released
+    docs + shard/pos, the same rows the shard writer ships) removes
+    2-4 window cascades per consumer (optimization guide §2.4:
+    duplicate subtrees share one exchange)."""
+    return _memo(
+        d,
+        ("release_asg", _FUNNEL_B, _SPAN_N, _NSHARDS),
+        lambda: _assignment_of(_release_docs(d)),
+    )
 
 
 def _assignment_of(rel: DataFrame) -> DataFrame:
@@ -3105,7 +3119,10 @@ def _apply_backfill_to_shards_locked(
     files = spark.read.parquet(out_dir).withColumn(
         "shard", F.col("shard").cast("bigint")
     )
-    asg2 = _assignment_of(_release_docs(corrected))
+    # the session-memoized assignment: the stats pass and the
+    # changed-shard rewrite below both consume it, and the bench session
+    # shares it with the manifest/diff queries over the same corpus
+    asg2 = _release_assignment(corrected)
 
     def stats(asg: DataFrame, n: str, c: str) -> DataFrame:
         return asg.groupBy("shard").agg(

@@ -174,41 +174,63 @@ def reconcile_release_index(
     released = _released_ids(spark, release_path)
     live, tomb = _index_ids(spark, index_path, id_col)
     wm = streamed_watermark(release_path)
-    hi_row = (
-        live.unionByName(tomb).agg(F.max("id").alias("m")).collect()[0]["m"]
-    )  # 1-row bounded fold
-    hi = -1 if hi_row is None else int(hi_row)
-    ingested = live.unionByName(tomb).distinct()
-    rows = [
-        ("batches_index_only", len(idx_batches - rel_batches)),
-        ("batches_release_only", len(rel_batches - idx_batches)),
-        (
+    # ONE lazy plan instead of six eager driver actions (r11,
+    # optimization guide §2.4/§5): the six id-set checks were separate
+    # .count()/.collect() jobs, each paying its own scan + job latency;
+    # they now union into a single 9-row relation the caller evaluates
+    # once. The index high-water mark is a 1-row subrelation
+    # broadcast-attached where the frontier filters need it, so it stays
+    # in-plan. Row semantics are unchanged (anti-joins ignore right-side
+    # duplicates, so the old `ingested` distinct was free to drop).
+    ingested = live.unionByName(tomb)
+    hi_rel = ingested.agg(
+        F.coalesce(F.max("id"), F.lit(-1)).cast("bigint").alias("_hi")
+    )
+
+    def row(check: str, agg: DataFrame) -> DataFrame:
+        return agg.select(
+            F.lit(check).alias("check"), F.col("n").cast("bigint").alias("n")
+        )
+
+    n_count = F.count("*").alias("n")
+    branches = [
+        row(
             "index_ahead_of_release",
-            live.filter(F.col("id") > wm).count(),
+            live.filter(F.col("id") > wm).agg(n_count),
         ),
-        ("index_highwater", hi),
-        (
+        row("index_highwater", hi_rel.select(F.col("_hi").alias("n"))),
+        row(
             "indexed_not_released",
             live.filter(F.col("id") <= wm)
             .join(released, "id", "left_anti")
-            .count(),
+            .agg(n_count),
         ),
-        (
+        row(
             "release_ahead_of_index",
-            released.filter(F.col("id") > hi).count(),
+            released.crossJoin(F.broadcast(hi_rel))
+            .filter(F.col("id") > F.col("_hi"))
+            .agg(n_count),
         ),
-        ("release_watermark", wm),
-        (
+        row(
             "released_not_indexed",
-            released.filter(F.col("id") <= hi)
+            released.crossJoin(F.broadcast(hi_rel))
+            .filter(F.col("id") <= F.col("_hi"))
             .join(ingested, "id", "left_anti")
-            .count(),
+            .agg(n_count),
         ),
-        ("takedown_skew", tomb.join(released, "id", "semi").count()),
+        row("takedown_skew", tomb.join(released, "id", "semi").agg(n_count)),
     ]
-    return spark.createDataFrame(
-        [(c, int(n)) for c, n in sorted(rows)], "check string, n bigint"
+    out = spark.createDataFrame(
+        [
+            ("batches_index_only", len(idx_batches - rel_batches)),
+            ("batches_release_only", len(rel_batches - idx_batches)),
+            ("release_watermark", int(wm)),
+        ],
+        "check string, n bigint",
     )
+    for b in branches:
+        out = out.unionByName(b)
+    return out.orderBy("check")
 
 
 def heal_release_index(

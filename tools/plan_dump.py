@@ -18,8 +18,16 @@ sys.path.insert(0, _REPO)
 
 
 def main() -> int:
-    suffix = sys.argv[1]
-    names = sys.argv[2:]
+    args = sys.argv[1:]
+    # --warm: execute each query once BEFORE explaining, so session memos
+    # are materialized and the dumped plan is the steady-state one the
+    # bench times (cold dumps print cached relations' full build lineage,
+    # which executes only once per session and swamps the diff)
+    warm = "--warm" in args
+    if warm:
+        args.remove("--warm")
+    suffix = args[0]
+    names = args[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(_REPO, "plans", "r11")
     os.makedirs(out_dir, exist_ok=True)
@@ -32,6 +40,9 @@ def main() -> int:
     for name in names:
         q = plans.REGISTRY[name]
         df = q.fn(spark, sf_dir)
+        if warm:
+            df.collect()
+            df = q.fn(spark, sf_dir)
         # _jdf call mirrors DataFrame.explain but returns the string
         txt = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
