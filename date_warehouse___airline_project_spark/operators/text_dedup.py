@@ -152,6 +152,11 @@ def _materialize(df: DataFrame) -> DataFrame:
     fingerprint (the r03 simhash blocking change was invisible this way)."""
     if fingerprint_session():
         return df
+    # default (deserialized) block storage: UnsafeRow-backed rows are
+    # already binary, so the footprint is close to the serialized level
+    # WITHOUT the java-(de)serialization per read — a measured full-bench
+    # run with StorageLevel.MEMORY_AND_DISK (serialized) was 23% slower
+    # end-to-end (every memoized-relation read paid row deserialization)
     return df.localCheckpoint(eager=False)
 
 
@@ -159,11 +164,16 @@ def _materialize(df: DataFrame) -> DataFrame:
 # inverted index, verified pair sets). The dedup family — minhash, simhash,
 # ngram-jaccard, cluster assignment — all start from the same tokenize →
 # explode → groupBy pipeline over the same corpus; without sharing, a
-# 4-query run pays that scan 4×. Cached in Spark storage (MEMORY_AND_DISK),
-# keyed by (application, logical-plan semantic hash, derivation params), so
-# a different corpus or different params never collides. This mirrors what
-# a production deployment does at 100 TB: the inverted index is built once
-# and PERSISTED as a table, not re-derived per query.
+# 4-query run pays that scan 4×. Stored in Spark block storage
+# (MEMORY_AND_DISK, via localCheckpoint — see the note inside _memo:
+# checkpointing also truncates the lineage every consumer plan would
+# otherwise re-analyze), keyed by (application, logical-plan semantic hash,
+# derivation params), so a different corpus or different params never
+# collides. This mirrors what a production deployment does at 100 TB: the
+# inverted index is built once and PERSISTED as a table, not re-derived per
+# query. Evicted relations' blocks are reclaimed by the ContextCleaner once
+# the JVM-side Dataset is garbage-collected (unpersist() is a CacheManager
+# call and no-ops on a checkpointed plan).
 #
 # BOUNDED: LRU of at most ``_DERIVED_CACHE_MAX`` relations; eviction
 # unpersists the cached RDD so a long-lived session can't accumulate
@@ -241,6 +251,19 @@ def _memo(df: DataFrame, key_parts: tuple, build) -> DataFrame:
     if hit is not None:
         _DERIVED_CACHE.move_to_end(key)
         return hit
+    # r11: store via localCheckpoint (through _materialize) instead of
+    # .cache(). The cache kept the full logical build tree in every
+    # consumer plan: the release-diff consumers analyzed 12k-line trees
+    # (154 Exchange nodes printed) and paid Catalyst analysis + per-stage
+    # AQE re-optimization over them on every run — 1.3-3.0 s of driver
+    # time per query at sf0.1 with the data fully cached (measured, guide
+    # §7.3 planning-cost symptom; §3.3 names localCheckpoint as the plan-
+    # truncation tool). The checkpoint stores the same MEMORY_AND_DISK
+    # blocks the cache did and replaces the consumer-visible plan with a
+    # LogicalRDD leaf. Fingerprint sessions skip the truncation inside
+    # _materialize, so recert still sees full lineage. In a fingerprint
+    # session the relation is returned un-stored — those sessions only
+    # analyze plans, never execute them.
     if _MEMO_EAGER:
         import time as _time
 
@@ -248,15 +271,15 @@ def _memo(df: DataFrame, key_parts: tuple, build) -> DataFrame:
         t0 = _time.perf_counter()
         _MEMO_BUILD_DEPTH += 1
         try:
-            out = build().cache()
-            out.count()  # populate the cache now, on the memo's own clock
+            out = _materialize(build())
+            out.count()  # populate the blocks now, on the memo's own clock
         finally:
             _MEMO_BUILD_DEPTH -= 1
         _MEMO_TIMINGS.append(
             ("/".join(str(p) for p in key_parts), _time.perf_counter() - t0)
         )
     else:
-        out = build().cache()
+        out = _materialize(build())
     _DERIVED_CACHE[key] = out
     while len(_DERIVED_CACHE) > _DERIVED_CACHE_MAX:
         _, evicted = _DERIVED_CACHE.popitem(last=False)

@@ -1713,7 +1713,7 @@ _FUNNEL_ORACLE = f"""
     "passes at any scale.",
 )
 def doc_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.text_dedup import paragraph_stream, token_stream
+    from ..operators.text_dedup import token_stream
 
     d = _docs(spark, sf_dir)
     tok = token_stream(d, "doc_id", "text")
@@ -1736,13 +1736,12 @@ def doc_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = k1.join(ntok, "doc_id", "left").na.fill({"n_toks": 0}).agg(
         F.count("*").alias("n_docs"), F.sum("n_toks").alias("toks")
     )
-    # stage 2: paragraph dedup over the exact-surviving docs
-    paras = paragraph_stream(k1, "doc_id", "text", block_tokens=_FUNNEL_B)
-    w_p = W.partitionBy(F.md5("_ptxt")).orderBy("_id", "_para_idx")
-    kp = (
-        paras.withColumn("_rn", F.row_number().over(w_p))
-        .filter(F.col("_rn") == 1)
-        .select("_id", "_para_idx", "_ptxt", F.size(F.split("_ptxt", " ")).alias("_ntok"))
+    # stage 2: paragraph dedup over the exact-surviving docs — the
+    # session-memoized full-funnel kept-paragraph relation (shared with
+    # the release build and the state writer), plus the ledger's token
+    # count per kept paragraph
+    kp = _funnel_kp(d).withColumn(
+        "_ntok", F.size(F.split("_ptxt", " "))
     )
     s2 = kp.agg(
         F.count_distinct("_id").alias("n_docs"), F.sum("_ntok").alias("toks")
@@ -1938,6 +1937,32 @@ def _assemble(rtok: DataFrame, ext: DataFrame) -> DataFrame:
     )
 
 
+def _funnel_kp(d: DataFrame) -> DataFrame:
+    """Session-memoized kept-paragraph relation of the FULL-corpus funnel
+    (exact keep-min -> paragraph keep-first): (_id, _para_idx, _ptxt).
+    Shared by the release-docs build, the funnel ledger, and the
+    release-state derivation (r11): each previously re-ran the two
+    window cascades from the raw corpus (guide §2.4 — duplicated
+    subtrees share one exchange through the cache)."""
+    return _memo(
+        d,
+        ("funnel_kp", _FUNNEL_B),
+        lambda: _kept_paragraphs(_exact_survivors(d)),
+    )
+
+
+def _funnel_grams(d: DataFrame) -> DataFrame:
+    """Session-memoized 8-gram stream over the paragraph-rewritten
+    full corpus: (doc_id, _pos, _g). Consumed by the span-removal stage
+    of the release build AND (filtered to the v1 prefix) by the
+    release-state writer — one tokenize + lead cascade per session."""
+    return _memo(
+        d,
+        ("funnel_grams", _FUNNEL_B, _SPAN_N),
+        lambda: _token_grams(_rewrite(_funnel_kp(d)))[1],
+    )
+
+
 def _release_docs(d: DataFrame) -> DataFrame:
     """The RELEASED corpus: (doc_id, source, n_tok, text) for every doc
     surviving the full dedup funnel, with ``text`` the actual post-funnel
@@ -1955,9 +1980,9 @@ def _release_docs(d: DataFrame) -> DataFrame:
     windows and collects all partition by doc_id, never global."""
 
     def build() -> DataFrame:
-        rw = _rewrite(_kept_paragraphs(_exact_survivors(d)))
-        rtok, grams = _token_grams(rw)
-        final = _assemble(rtok, _extents(_dup_span_hits(grams)))
+        rw = _rewrite(_funnel_kp(d))
+        rtok, _ = _token_grams(rw)
+        final = _assemble(rtok, _extents(_dup_span_hits(_funnel_grams(d))))
         return final.join(
             d.select("doc_id", "source"), "doc_id"
         ).select("doc_id", "source", "n_tok", "text")
@@ -2643,7 +2668,34 @@ def _release_state_path(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     fold (documented pattern), itself memoized so warm runs pay zero
     corpus scans; the state write is the once-per-corpus lifecycle cost,
     shared by the incremental-update and version-diff queries and paid
-    on the bench's warm-build clock."""
+    on the bench's warm-build clock.
+
+    r11: the four state relations are DERIVED from the session's
+    full-corpus cascade memos instead of re-running the funnel on the
+    prefix (``write_release_state`` stays the from-scratch lifecycle
+    writer for arbitrary corpora — the derivation is valid only here,
+    where the v1 corpus is a DOWNWARD-CLOSED doc_id prefix). Why the
+    filter is exact: every funnel decision for doc X is keep-min /
+    keep-first, i.e. a function ONLY of docs with ids <= X — the exact
+    keeper (min id of X's fp group is <= X < t, hence in the prefix),
+    the kept paragraph (every earlier occurrence has _id <= X), and the
+    span hit (X is hit iff some doc with a SMALLER id carries the gram;
+    docs >= t never un-hit or hit a prefix doc, they only ever lose to
+    it). So prefix-funnel == full-funnel restricted to doc_id < t,
+    relation by relation:
+
+      * ``doc_fps``   distinct over the raw prefix — a plain filter;
+      * ``para_fps``  ``_funnel_kp`` filtered to _id < t;
+      * ``gram_fps``  ``_funnel_grams`` filtered to doc_id < t;
+      * ``v1_docs``   ``_release_docs`` filtered to doc_id < t.
+
+    The equality is pinned by tests/test_plans.py::
+    test_release_state_derivation_equals_from_scratch (all four
+    relations + watermark vs a verbatim ``write_release_state`` run)
+    and re-certified by the incremental-update / version-diff oracles,
+    which replay the state roundtrip end-to-end. Cost: the prefix
+    cascade (the dominant term of the old 14.7 s warm build) is gone;
+    the full cascade was already paid by the manifest family."""
 
     d = _docs(spark, sf_dir)
     tkey = (spark.sparkContext.applicationId, sf_dir, "split")
@@ -2656,7 +2708,31 @@ def _release_state_path(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     path = _REL_STATE_MEMO.get(key)
     if path is None:
         path = session_tmpdir("spark_graft_release_state_")
-        write_release_state(d.filter(F.col("doc_id") < t), path)
+        pre = F.col("doc_id") < t
+        rels = {
+            "doc_fps": d.filter(pre)
+            .select(F.md5(F.lower("text")).alias("fp"))
+            .distinct(),
+            "para_fps": _funnel_kp(d)
+            .filter(F.col("_id") < t)
+            .select(F.md5("_ptxt").alias("pfp"))
+            .distinct(),
+            "gram_fps": _funnel_grams(d)
+            .filter(pre)
+            .select(F.md5("_g").alias("gfp"))
+            .distinct(),
+            "v1_docs": _release_docs(d).filter(pre),
+        }
+        # sequential writes, in dependency order: doc_fps is a raw scan,
+        # para_fps materializes the kp leg, gram_fps the grams leg, and
+        # v1_docs then assembles off the already-stored blocks. (A
+        # ThreadPool overlap was measured SLOWER here: concurrent first
+        # materialization of the shared lazy legs serializes on per-block
+        # write locks while oversubscribing the cores.)
+        for name, rel in rels.items():
+            rel.write.mode("overwrite").parquet(f"{path}/{name}")
+        mx = d.filter(pre).agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+        write_ingest_watermark(path, -1 if mx is None else int(mx))
         _REL_STATE_MEMO[key] = path
     return path, t
 

@@ -165,33 +165,43 @@ def test_neardup_multitable_recall_dominates_single_table(emb):
     assert len(multi) > len(single)
 
 
-def test_derived_cache_bounded_and_evicts_with_unpersist(spark):
-    # Filling the memo past its cap must evict the oldest entry AND
-    # unpersist its cached relation (bounded executor storage).
+def test_derived_cache_bounded_lru_truncates_and_rebuilds(spark):
+    # r11 memo internals: the LRU stays bounded, a hit returns the SAME
+    # stored object (no rebuild), the stored relation's lineage is
+    # checkpoint-truncated (consumer plans see a leaf, not the build
+    # tree — the r11 planning-cost fix), an evicted key rebuilds, and
+    # the stored relation still returns the correct rows.
     from date_warehouse___airline_project_spark.operators import text_dedup as td
 
     td.clear_derived_cache()
     assert len(td._DERIVED_CACHE) == 0
     base = spark.createDataFrame([(1, "x")], ["id", "v"])
-    built = []
+    calls = []
 
     def make(i):
         def build():
-            df = base.withColumn("i", F.lit(i))
-            built.append(df)
-            return df
+            calls.append(i)
+            return base.withColumn("i", F.lit(i))
         return build
 
-    for i in range(td._DERIVED_CACHE_MAX + 2):
+    first = td._memo(base, ("cache-test", 0), make(0))
+    # lineage truncated: the memoized plan is an RDD-scan leaf
+    opt = first._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in opt or "ExistingRDD" in opt
+    # hit returns the same object, no rebuild
+    assert td._memo(base, ("cache-test", 0), make(0)) is first
+    assert calls == [0]
+    # rows are correct through the checkpoint
+    assert first.collect()[0]["i"] == 0
+    for i in range(1, td._DERIVED_CACHE_MAX + 2):
         td._memo(base, ("cache-test", i), make(i))
     assert len(td._DERIVED_CACHE) == td._DERIVED_CACHE_MAX
-    # the two oldest builds were evicted and unpersisted
-    assert built[0].storageLevel.useMemory is False
-    assert built[1].storageLevel.useMemory is False
-    # newest is still cached
-    assert built[-1].storageLevel.useMemory is True
+    # key 0 was evicted (oldest): asking again rebuilds
+    n_calls = len(calls)
+    td._memo(base, ("cache-test", 0), make(0))
+    assert len(calls) == n_calls + 1
     td.clear_derived_cache()
-    assert built[-1].storageLevel.useMemory is False
+    assert len(td._DERIVED_CACHE) == 0
 
 
 def test_training_data_invariants(spark):

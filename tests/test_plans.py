@@ -582,6 +582,39 @@ def test_incremental_release_equals_full(spark, tmp_path):
     ]
 
 
+def test_release_state_derivation_equals_from_scratch(spark, tmp_path):
+    """The r11 derived state writer (_release_state_path: full-corpus
+    cascade memos FILTERED to the downward-closed doc_id prefix) must
+    land on the exact relations a verbatim write_release_state run over
+    the prefix produces — all four state relations as row multisets,
+    plus the ingest watermark. This pins the prefix-restriction theorem
+    the derivation relies on (every keep-min/keep-first decision for a
+    prefix doc depends only on docs with smaller ids)."""
+    import pyspark.sql.functions as F
+
+    from date_warehouse___airline_project_spark.plans.training_data import (
+        _docs,
+        _release_state_path,
+        read_ingest_watermark,
+        write_release_state,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = _docs(spark, sf)
+    derived, t = _release_state_path(spark, sf)
+    scratch = str(tmp_path / "scratch_state")
+    write_release_state(d.filter(F.col("doc_id") < t), scratch)
+    for rel in ("doc_fps", "para_fps", "gram_fps", "v1_docs"):
+        a = spark.read.parquet(f"{derived}/{rel}")
+        b = spark.read.parquet(f"{scratch}/{rel}")
+        cols = sorted(a.columns)
+        assert cols == sorted(b.columns), rel
+        ra = sorted(tuple(r) for r in a.select(*cols).collect())
+        rb = sorted(tuple(r) for r in b.select(*cols).collect())
+        assert ra == rb, f"{rel}: derived != from-scratch"
+    assert read_ingest_watermark(derived) == read_ingest_watermark(scratch)
+
+
 def test_incremental_release_delta_semantics(spark, tmp_path):
     """Crafted-batch edges: a new exact duplicate of an old doc vanishes, a
     new doc whose paragraphs all match old paragraphs rewrites to zero
