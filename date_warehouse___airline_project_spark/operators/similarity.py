@@ -752,31 +752,36 @@ def save_ivf_index(
         id_col,
         vec_col,
         impl="arrow",
-    )
-    (
-        # co-locate each cell before the partitioned write: without this,
-        # every compute task writes a sliver file into every centroid dir
-        # (tasks x cells small files); with it, each cell is one file and
-        # the probe-side partition-pruned scan stays one-file-per-cell.
-        # At 100 TB the same exchange bounds files to shuffle-partitions
-        # per cell instead of input-tasks per cell.
-        assigned.select(id_col, "centroid_id")
-        .repartition("centroid_id")
-        .write.mode("overwrite")
-        .partitionBy("centroid_id")
-        .parquet(f"{path}/assignments")
-    )
-    # training-time cell populations — the baseline the drift monitor
-    # (ivf_cell_drift) compares live cell counts against to signal retrain
-    spark = emb.sparkSession
-    (
-        spark.read.parquet(f"{path}/assignments")
-        .groupBy("centroid_id")
-        .agg(F.count("*").alias("n_train"))
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}/cell_stats")
-    )
+    ).select(id_col, "centroid_id").persist()
+    try:
+        (
+            # co-locate each cell before the partitioned write: without
+            # this, every compute task writes a sliver file into every
+            # centroid dir (tasks x cells small files); with it, each cell
+            # is one file and the probe-side partition-pruned scan stays
+            # one-file-per-cell. At 100 TB the same exchange bounds files
+            # to shuffle-partitions per cell instead of input-tasks per
+            # cell.
+            assigned.repartition("centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(f"{path}/assignments")
+        )
+        # training-time cell populations — the baseline the drift monitor
+        # (ivf_cell_drift) compares live cell counts against to signal
+        # retrain. Folded off the SAME cached relation the write ships
+        # (not a read-back of the partitioned layout — r11, see
+        # save_ivfpq_index); centroid_id cast to INT to keep the on-disk
+        # schema identical to what partition discovery used to infer.
+        (
+            assigned.groupBy(F.col("centroid_id").cast("int").alias("centroid_id"))
+            .agg(F.count("*").alias("n_train"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/cell_stats")
+        )
+    finally:
+        assigned.unpersist()
     # codebook stays persisted: it is shared via the kmeans_lloyd memo
 
 
@@ -948,12 +953,26 @@ def save_ivfpq_index(
     cents = kmeans_lloyd(emb, id_col, vec_col, centroid_mod, sample_mod, iters)
     cents.write.mode("overwrite").parquet(f"{path}/codebook")
     pq_cents.write.mode("overwrite").parquet(f"{path}/pq_codebook")
-    meta = pq_cents.agg(
+    # 1-row fold FIRST, then write the meta row as a literal — the old
+    # write-then-read-back paid a second job + footer read for the same
+    # two ints (r11, guide §1.2 per-item constants)
+    mrow = pq_cents.agg(
         F.countDistinct("g").cast("int").alias("n_sub"),
         F.max(F.size("cvec")).cast("int").alias("sub_dim"),
+    ).collect()[0]
+    (
+        # range(1)+lit: a pure-JVM 1-row literal — createDataFrame of a
+        # local row pays the Python->Arrow conversion machinery (~6 s on
+        # first use in a session, measured)
+        spark.range(1)
+        .select(
+            F.lit(int(mrow["n_sub"])).cast("int").alias("n_sub"),
+            F.lit(int(mrow["sub_dim"])).cast("int").alias("sub_dim"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/pq_meta")
     )
-    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_meta")
-    mrow = spark.read.parquet(f"{path}/pq_meta").collect()[0]  # 1-row fold
     assigned = assign_to_centroids(
         emb.repartition(spark.sparkContext.defaultParallelism),
         cents,
@@ -970,23 +989,35 @@ def save_ivfpq_index(
         vec_col,
         carry=tuple(payload_cols),
     )
-    (
+    # cache the final rows so cell_stats folds off the SAME relation the
+    # write ships, without re-reading the 25-partition-dir layout back
+    # (the read-back was 2.4 s of the 13 s build: partition discovery +
+    # footer opens over ncells small files — guide §6 small-files cost).
+    # centroid_id is cast to INT in cell_stats to match what partition-
+    # column discovery used to infer on the read-back path, so the
+    # on-disk cell_stats schema is byte-identical to the old layout.
+    rows = (
         assigned.select(id_col, "centroid_id")
         .join(codes, id_col)
         .select(id_col, *payload_cols, "codes", "centroid_id")
-        .repartition("centroid_id")
-        .write.mode("overwrite")
-        .partitionBy("centroid_id")
-        .parquet(f"{path}/assignments")
+        .persist()
     )
-    (
-        spark.read.parquet(f"{path}/assignments")
-        .groupBy("centroid_id")
-        .agg(F.count("*").alias("n_train"))
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}/cell_stats")
-    )
+    try:
+        (
+            rows.repartition("centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(f"{path}/assignments")
+        )
+        (
+            rows.groupBy(F.col("centroid_id").cast("int").alias("centroid_id"))
+            .agg(F.count("*").alias("n_train"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/cell_stats")
+        )
+    finally:
+        rows.unpersist()
 
 
 def ivfpq_topk_indexed(
