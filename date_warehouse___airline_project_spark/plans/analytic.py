@@ -139,7 +139,17 @@ def percentile_totalprice_by_priority(spark: SparkSession, sf_dir: str) -> DataF
     "full grouping-sets surface (ROLLUP is covered separately).",
 )
 def cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    from ..sources.catalog import rebalance_compute
+
+    # cube Expand multiplies every row 4x BEFORE the aggregate partials,
+    # all inside the scan stage; single-file scans plan one task
+    # (measured 2.4 s -> 1.4 s at sf0.1/32 cores; no-op when the scan
+    # parallelizes on its own)
+    li = rebalance_compute(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus", "l_extendedprice"
+        )
+    )
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(

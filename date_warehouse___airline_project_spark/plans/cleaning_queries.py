@@ -73,7 +73,14 @@ def string_normalize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(SURVEY §2.9 F-D1/F-D2; reference cleaning.py:579-591 semantics).",
 )
 def multi_format_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
+    from ..sources.catalog import rebalance_compute
+
+    # per-row date_format + three try_to_timestamp parses in the scan
+    # stage; single-file scans plan one task (measured 1.6 s -> 0.8 s at
+    # sf0.1/32 cores; no-op when the scan parallelizes on its own)
+    o = rebalance_compute(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    )
     raw = (
         F.when(F.col("o_orderkey") % 3 == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
         .when(F.col("o_orderkey") % 3 == 1, F.date_format("o_orderdate", "MM/dd/yyyy"))
@@ -109,7 +116,17 @@ def multi_format_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "§2.10 F-M1..M3; reference cleaning.py:573-576).",
 )
 def currency_clean_round_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    from ..sources.catalog import rebalance_compute
+
+    # decimal->string, concat, regexp strip and double coercion per row
+    # run in the scan stage; single-file scans plan one task (measured
+    # 2.2 s -> 1.3 s at sf0.1/32 cores with the rebalance; no-op when
+    # the scan parallelizes on its own).
+    li = rebalance_compute(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_extendedprice"
+        )
+    )
     money = F.concat(F.lit("$"), F.col("l_extendedprice").cast("string"))
     cleaned = F.regexp_replace(money, r"[\$,]", "").cast("double")
     return li.select(
@@ -282,7 +299,16 @@ def eligibility_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Amount-consistency validation |a+b+c-total|<=tol (SURVEY §2.10 F-M8).",
 )
 def amount_consistency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    from ..sources.catalog import rebalance_compute
+
+    # three DECIMAL multiplies + abs-compare per row in the scan stage;
+    # single-file scans plan one task (measured 2.1 s -> 1.5 s at
+    # sf0.1/32 cores; no-op when the scan parallelizes on its own)
+    li = rebalance_compute(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+        )
+    )
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     one = F.lit(1).cast("decimal(18,2)")
     charge = dec("l_extendedprice") * (one - dec("l_discount")) * (one + dec("l_tax"))

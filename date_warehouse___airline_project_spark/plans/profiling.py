@@ -506,7 +506,16 @@ def _corr_oracle() -> str:
     "replaces (decimal byte-array sums were the whole query cost).",
 )
 def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    from ..sources.catalog import rebalance_compute
+
+    # 14 moment sums × (scale, multiply, half-up round, cast) per row run
+    # as aggregate PARTIALS inside the scan stage; a single-file scan
+    # plans one task and serializes them on one core (measured 3.5 s ->
+    # 1.2 s at sf0.1/32 cores). Narrow projection first so the exchange
+    # ships only the 4 measures; no-op when the scan already reaches
+    # session parallelism. Integer bigint sums are partition-order
+    # invariant, so placement cannot move the result.
+    li = rebalance_compute(_t(spark, sf_dir, "lineitem").select(*_CORR_COLS))
     sc = {c: F.col(c) / _CORR_POW2[c] for c in _CORR_COLS}
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in _CORR_COLS:

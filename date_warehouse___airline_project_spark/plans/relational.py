@@ -486,7 +486,17 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per year (CASE inside SUM — one pass, no self-join).",
 )
 def brand_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    from ..sources.catalog import rebalance_compute
+
+    # the broadcast part-join probe + DECIMAL revenue terms evaluate in
+    # the lineitem scan stage; single-file scans plan one task (measured
+    # 1.6 s -> 1.3 s at sf0.1/32 cores; no-op when the scan
+    # parallelizes on its own)
+    li = rebalance_compute(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+        )
+    )
     o = _t(spark, sf_dir, "orders")
     p = _t(spark, sf_dir, "part")
     price = F.col("l_extendedprice").cast(DEC)

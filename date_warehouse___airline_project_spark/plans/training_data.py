@@ -693,8 +693,15 @@ _FH_ORACLE = f"""
     f"the usual bucketed sum of bucket sizes squared, never all-pairs.",
 )
 def doc_hashed_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import rebalance_compute
+
     d = _docs(spark, sf_dir)
-    tok = d.select(F.col("doc_id"), F.explode(tokens("text")).alias("tok"))
+    # tokenizer regex + (doc, tok) count partials run in the scan stage;
+    # a single-file scan plans one task and serializes them on one core
+    # (no-op when the scan parallelizes on its own — guide §2)
+    tok = rebalance_compute(d.select("doc_id", "text")).select(
+        F.col("doc_id"), F.explode(tokens("text")).alias("tok")
+    )
     # Hash the VOCABULARY, not the token stream: (dim, sgn) are per-token
     # constants, so collapse repeated tokens first (map-side-combined
     # count) and join the distinct-token relation carrying the two md5

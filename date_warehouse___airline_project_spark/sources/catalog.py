@@ -59,6 +59,36 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in use}
 
 
+def rebalance_compute(df: DataFrame) -> DataFrame:
+    """Spread a CPU-heavy derivation across the cluster when the upstream
+    scan cannot (guide §2: parallelize the compute, §6: input split size).
+
+    A single-file, single-row-group parquet input — the local test
+    fixtures — plans as ONE scan task no matter how many cores the
+    session has, so every map-side expression downstream of the scan
+    (hash cascades, regexes, wide aggregate partials) serializes on one
+    core. Round-robin repartition to ``defaultParallelism`` fixes that —
+    but only when the planned scan parallelism is actually below it: at
+    production scale a large table arrives as ≥ cores splits and this
+    returns the input unchanged, so no shuffle is ever added where the
+    scan already parallelizes (the check costs a physical plan, not a
+    job). Call it on a NARROW projection (keys + the columns the
+    derivation needs) so the exchange ships metadata, not payloads
+    (guide §2.3). Use only where per-row compute dominates — measured
+    at the call site — never blanket: the exchange costs ~0.1-0.3 s.
+
+    Aggregation results are partition-order independent (integer/exact
+    sums discipline repo-wide), and every consumer that needs an order
+    states it explicitly, so round-robin placement never changes a
+    declared query's result.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so plans can be written in SQL."""
     for n in TABLES:
