@@ -320,12 +320,19 @@ def fuzzy_wratio_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit("QQQQQQQQ"))
     )
-    dirty = c.select("c_custkey", dirty_val.alias("dirty_seg"))
+    # carry the original dirty value THROUGH the correction join instead
+    # of re-deriving it in a second scan + re-join on c_custkey (r11,
+    # guide §2.4: fuzzy_correct left-joins a broadcast correction map
+    # onto its input, so extra columns ride along for free — the old
+    # shape paid a 150k x 150k equi-join and a second customer scan just
+    # to recover a value this row already computed)
+    dirty = c.select(
+        "c_custkey", dirty_val.alias("dirty_seg"), dirty_val.alias("dirty_orig")
+    )
     dims = c.select("c_mktsegment").distinct()
     fixed = fuzzy_correct(dirty, "dirty_seg", dims, "c_mktsegment", threshold=85.0, scorer="wratio")
-    redirty = c.select("c_custkey", dirty_val.alias("dirty_orig"))
     return (
-        fixed.join(redirty, "c_custkey")
+        fixed
         .select(
             "c_custkey",
             F.col("dirty_orig").alias("dirty_seg"),
@@ -349,24 +356,20 @@ def fuzzy_code_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     seg, key = F.col("c_mktsegment"), F.col("c_custkey")
     cut = 1 + key % (F.length(seg) - 1)  # delete char at position cut+1
+    dirty_expr = F.concat(
+        F.substring(seg, F.lit(1), cut), F.substring(seg, cut + 2, F.lit(100))
+    )
+    # carry the original dirty value THROUGH the correction join (r11,
+    # guide §2.4 — see fuzzy_wratio_correction): fuzzy_correct left-joins
+    # a broadcast correction map onto its input, so the extra column
+    # rides along instead of paying a second scan + equi-join
     dirty = c.select(
-        "c_custkey",
-        F.concat(
-            F.substring(seg, F.lit(1), cut), F.substring(seg, cut + 2, F.lit(100))
-        ).alias("dirty_seg"),
+        "c_custkey", dirty_expr.alias("dirty_seg"), dirty_expr.alias("dirty_orig")
     )
     dims = c.select("c_mktsegment").distinct()
     fixed = fuzzy_correct(dirty, "dirty_seg", dims, "c_mktsegment", threshold=85.0)
-    # fuzzy_correct overwrites the column in place; re-derive the dirty value
-    # for the report (deterministic recomputation, no extra shuffle)
-    redirty = c.select(
-        "c_custkey",
-        F.concat(
-            F.substring(seg, F.lit(1), cut), F.substring(seg, cut + 2, F.lit(100))
-        ).alias("dirty_orig"),
-    )
     return (
-        fixed.join(redirty, "c_custkey")
+        fixed
         .select(
             "c_custkey",
             F.col("dirty_orig").alias("dirty_seg"),
