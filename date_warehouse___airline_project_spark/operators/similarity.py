@@ -951,8 +951,6 @@ def save_ivfpq_index(
     → ADC → exact re-rank of the shortlist only)."""
     spark = emb.sparkSession
     cents = kmeans_lloyd(emb, id_col, vec_col, centroid_mod, sample_mod, iters)
-    cents.write.mode("overwrite").parquet(f"{path}/codebook")
-    pq_cents.write.mode("overwrite").parquet(f"{path}/pq_codebook")
     # 1-row fold FIRST, then write the meta row as a literal — the old
     # write-then-read-back paid a second job + footer read for the same
     # two ints (r11, guide §1.2 per-item constants)
@@ -960,19 +958,43 @@ def save_ivfpq_index(
         F.countDistinct("g").cast("int").alias("n_sub"),
         F.max(F.size("cvec")).cast("int").alias("sub_dim"),
     ).collect()[0]
-    (
-        # range(1)+lit: a pure-JVM 1-row literal — createDataFrame of a
-        # local row pays the Python->Arrow conversion machinery (~6 s on
-        # first use in a session, measured)
-        spark.range(1)
-        .select(
-            F.lit(int(mrow["n_sub"])).cast("int").alias("n_sub"),
-            F.lit(int(mrow["sub_dim"])).cast("int").alias("sub_dim"),
+
+    def _write_codebook() -> None:
+        cents.write.mode("overwrite").parquet(f"{path}/codebook")
+
+    def _write_pq_codebook() -> None:
+        pq_cents.write.mode("overwrite").parquet(f"{path}/pq_codebook")
+
+    def _write_pq_meta() -> None:
+        (
+            # range(1)+lit: a pure-JVM 1-row literal — createDataFrame of
+            # a local row pays the Python->Arrow conversion machinery
+            # (~6 s on first use in a session, measured)
+            spark.range(1)
+            .select(
+                F.lit(int(mrow["n_sub"])).cast("int").alias("n_sub"),
+                F.lit(int(mrow["sub_dim"])).cast("int").alias("sub_dim"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/pq_meta")
         )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}/pq_meta")
-    )
+
+    # the three tiny side-table writes target DISTINCT dirs and depend
+    # only on already-materialized memos, so they overlap the expensive
+    # assignment+codes build below on driver threads (guide §2.6); the
+    # futures are joined before the final cell_stats fold so the index
+    # dir is always complete when this function returns. Fingerprint
+    # sessions never reach here (index builds are execution-only).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    _pool = ThreadPoolExecutor(max_workers=3)
+    _futs = [
+        _pool.submit(inheritable_thread_target(f))
+        for f in (_write_codebook, _write_pq_codebook, _write_pq_meta)
+    ]
     assigned = assign_to_centroids(
         emb.repartition(spark.sparkContext.defaultParallelism),
         cents,
@@ -1017,7 +1039,12 @@ def save_ivfpq_index(
             .parquet(f"{path}/cell_stats")
         )
     finally:
+        # join the side-table writers WITHOUT raising here — a result()
+        # inside finally would mask an assignments-write failure
         rows.unpersist()
+        _pool.shutdown(wait=True)
+    for _f in _futs:
+        _f.result()  # surface any side-table write failure loudly
 
 
 def ivfpq_topk_indexed(

@@ -687,6 +687,85 @@ def ngram_jaccard_pairs(
     )
 
 
+def prewarm_pair_memos(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    nbits: int = 48,
+    max_hamming: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 20,
+) -> None:
+    """Materialize the three dedup pair memos (MinHash-LSH, SimHash,
+    n-gram jaccard) for one corpus, overlapping the three INDEPENDENT
+    builds on driver threads (optimization guide §2.6: actions are only
+    sequential because the driver calls them sequentially — the
+    scheduler back-fills one build's stage tail with the next build's
+    tasks). The legs the three builds share (token stream, shingle
+    index, minhash signatures) are materialized FIRST, sequentially:
+    concurrent first materialization of a shared lazy leg serializes on
+    per-block write locks while oversubscribing the cores (measured on
+    the release-state writer, r11). Measured at sf0.1/32 cores: the
+    cold trio 17.5 s sequential → 9.3 s (4.9 s shared legs + 4.5 s
+    overlapped builds).
+
+    No-op when all three memos are already cached (consumers call it
+    unconditionally) and in fingerprint sessions (plans only, nothing
+    may execute). The three builds insert DISTINCT memo keys, so the
+    lock-free ``_DERIVED_CACHE`` stays correct under the overlap — the
+    worst interleaving wastes a rebuild, it cannot serve a wrong
+    relation. With memo instrumentation on, the three builds' timing
+    rows overlap in wall time (the drained sum exceeds the true wall);
+    the bench never hits that path — its warm phase runs before
+    instrumentation is enabled — and micro_bench reports the rows
+    per-build, which remains the honest per-relation cost."""
+    if fingerprint_session():
+        return
+    try:
+        app = df.sparkSession.sparkContext.applicationId
+        h = df.semanticHash()
+    except Exception:  # pragma: no cover - semanticHash unavailable
+        return
+    keys = [
+        (app, h, "minhash_pairs", id_col, text_col, n, k, bands),
+        (app, h, "simhash_pairs", id_col, text_col, nbits, max_hamming),
+        (app, h, "ngram_pairs", id_col, text_col, n, threshold, max_doc_freq),
+    ]
+    if all(key in _DERIVED_CACHE for key in keys):
+        return
+    # shared legs, sequentially (each is itself memoized)
+    token_stream(df, id_col, text_col).count()
+    shingle_index(df, id_col, text_col, n).count()
+    minhash_signatures(df, id_col, text_col, n, k).count()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def _mh() -> int:
+        return minhash_lsh_pairs(
+            df, id_col, text_col, n=n, k=k, bands=bands, threshold=threshold
+        ).count()
+
+    def _sh() -> int:
+        return simhash_pairs(
+            df, id_col, text_col, nbits=nbits, max_hamming=max_hamming
+        ).count()
+
+    def _ng() -> int:
+        return ngram_jaccard_pairs(
+            df, id_col, text_col, n=n, threshold=threshold, max_doc_freq=max_doc_freq
+        ).count()
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [pool.submit(inheritable_thread_target(f)) for f in (_mh, _sh, _ng)]
+        for fut in futures:
+            fut.result()
+
+
 def _ngram_jaccard_pairs_build(
     df: DataFrame,
     id_col: str,

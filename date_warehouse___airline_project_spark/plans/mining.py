@@ -37,7 +37,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def _order_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _order_brands(spark: SparkSession, sf_dir: str, memo: bool = True) -> DataFrame:
     """Distinct (basket, item) pairs: order → brand via the part dim.
 
     The part dim is broadcast (small). Session-memoized (r11): BOTH
@@ -60,10 +60,12 @@ def _order_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
+    if not memo:
+        return build()
     return _memo(li, ("order_brands",), build)
 
 
-def _brand_pair_support(ob: DataFrame) -> DataFrame:
+def _brand_pair_support(ob: DataFrame, memo: bool = True) -> DataFrame:
     """(brand_a, brand_b, supp_ab) pair supports over the basket
     relation — session-memoized (r11, same re-measurement as
     ``_order_brands``): the self-join + pair aggregate is identical in
@@ -88,6 +90,8 @@ def _brand_pair_support(ob: DataFrame) -> DataFrame:
             .agg(F.count("*").cast("bigint").alias("supp_ab"))
         )
 
+    if not memo:
+        return build()
     return _memo(ob, ("brand_pair_support",), build)
 
 

@@ -209,10 +209,33 @@ def _session_ivfpq_index(spark: SparkSession, sf_dir: str, e: DataFrame) -> str:
     key = (spark.sparkContext.applicationId, sf_dir, 25, 4, 2, "ivfpq")
     path = _IVF_INDEX_MEMO.get(key)
     if path is None:
-        from ..operators.similarity import save_ivfpq_index
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        from ..operators.similarity import kmeans_lloyd, save_ivfpq_index
+        from ..operators.text_dedup import fingerprint_session
 
         path = session_tmpdir("spark_graft_ivfpq_index_")
-        save_ivfpq_index(e, path, _pq_cents_trained(e), payload_cols=("label",))
+        pq = _pq_cents_trained(e)
+        if not fingerprint_session():
+            # the coarse Lloyd training and the PQ sub-quantizer training
+            # are INDEPENDENT jobs (fixed seed codebooks, disjoint
+            # relations); overlap them on driver threads (guide §2.6) so
+            # the session index build pays max(3.0, 1.6) s instead of
+            # their sum. Both land in session memos; save_ivfpq_index
+            # then consumes the warm results. Skipped in fingerprint
+            # sessions (plans only, nothing may execute).
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fk = pool.submit(
+                    inheritable_thread_target(
+                        lambda: kmeans_lloyd(e, "vec_id", "embedding", 25, 4, 2)
+                    )
+                )
+                fp = pool.submit(inheritable_thread_target(lambda: pq.count()))
+                fk.result()
+                fp.result()
+        save_ivfpq_index(e, path, pq, payload_cols=("label",))
         _IVF_INDEX_MEMO[key] = path
     return path
 

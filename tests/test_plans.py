@@ -395,11 +395,24 @@ def test_mining_plans_scale_shapes(spark):
     equi-joins only (the explode formulation must not regress to a
     range/NLJ join); the unigram filter broadcasts the vocabulary-sized
     frequency relation."""
-    plan = plan_of(spark, "basket_brand_pairs")
-    assert "BroadcastHashJoin" in plan  # part dim build side
-    assert "CartesianProduct" not in plan
+    # r11: the basket relation and pair supports are session-memoized, so
+    # the CONSUMER plan reads ExistingRDD leaves — the scale shape to pin
+    # lives in the BUILD plan (memo=False exposes it verbatim)
+    from date_warehouse___airline_project_spark.plans.mining import (
+        _brand_pair_support,
+        _order_brands,
+    )
+
+    ob = _order_brands(spark, SF, memo=False)
+    pairs = _brand_pair_support(ob, memo=False)
+    pairs.collect()
+    build_plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in build_plan  # part dim build side
+    assert "CartesianProduct" not in build_plan
     # pair generation is an equi-join on the basket key
-    assert "l_orderkey" in plan
+    assert "l_orderkey" in build_plan
+    plan = plan_of(spark, "basket_brand_pairs")
+    assert "CartesianProduct" not in plan
 
     plan = plan_of(spark, "part_name_levenshtein_join")
     assert "CartesianProduct" not in plan

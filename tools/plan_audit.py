@@ -30,6 +30,10 @@ import sys
 #       distinct-dirty-values x dim candidate generation).
 ALLOW = {
     "range_join_inflight_shipments": {"NESTED-LOOP"},  # (b) broadcast month grid
+    "cross_artifact_reconciliation": {"NESTED-LOOP"},  # (a) 1-row index
+    # high-water-mark scalar (streaming/reconcile.py hi_rel) broadcast-
+    # attached to the released-ids frontier filters — new r11 query,
+    # first audited this round
     "asof_purchase_before_error": {"NESTED-LOOP"},  # (b) broadcast asof probe set
     "emb_cosine_topk": {"NESTED-LOOP"},  # (a) 1-row query vector
     "emb_ivf_topk": {"NESTED-LOOP"},  # (a) 1-row query vector
