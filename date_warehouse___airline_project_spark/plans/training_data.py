@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..operators.text_dedup import _memo, shingle_index, tokens
+from ..operators.text_dedup import _materialize, _memo, shingle_index, tokens
 from ..session import session_tmpdir
 from ..sources.catalog import load_table
 from .registry import query
@@ -1859,9 +1859,17 @@ def _token_grams(rw: DataFrame) -> tuple[DataFrame, DataFrame]:
     rtok = token_stream(rw, "doc_id", "text", memo=False).withColumnRenamed(
         "_id", "doc_id"
     )
+    return rtok, _grams_of(rtok)
+
+
+def _grams_of(rtok: DataFrame) -> DataFrame:
+    """The 8-gram stream derived from an existing (doc_id, _pos, _tok)
+    token stream — split out of ``_token_grams`` so the truncated delta
+    fold can derive grams from the MATERIALIZED token relation instead of
+    re-nesting the tokenize chain (identical expressions either way)."""
     w_lead = W.partitionBy("doc_id").orderBy("_pos")
     leads = [F.lead("_tok", j).over(w_lead) for j in range(1, _SPAN_N)]
-    grams = (
+    return (
         rtok.select(
             "doc_id",
             F.col("_pos"),
@@ -1871,7 +1879,6 @@ def _token_grams(rw: DataFrame) -> tuple[DataFrame, DataFrame]:
         .where(F.col("_last").isNotNull())
         .select("doc_id", "_pos", "_g")
     )
-    return rtok, grams
 
 
 def _dup_span_hits(grams: DataFrame) -> DataFrame:
@@ -2598,6 +2605,7 @@ def fold_batch_released(
     doc_fps: DataFrame,
     para_fps: DataFrame,
     gram_fps: DataFrame,
+    truncate: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The delta fold: one ingest batch against fingerprint state relations
     (doc_fps(fp), para_fps(pfp), gram_fps(gfp)) -> (kept paragraphs, batch
@@ -2610,7 +2618,20 @@ def fold_batch_released(
     state paragraph fingerprints; span removal where a hit is EITHER a
     gram known to the state (its keeper is an earlier doc by the
     append-only invariant) OR an intra-batch duplicate gram outside its
-    batch keeper. Every join is sized by the batch probing the state."""
+    batch keeper. Every join is sized by the batch probing the state.
+
+    ``truncate=True`` (r12, guide §3.3/§7.3) localCheckpoints the two
+    internally-shared legs — the rewritten token stream (consumed by the
+    gram derivation AND the final assembly) and the gram stream (consumed
+    by BOTH hit legs) — so each is computed once and every consumer plan
+    sees a LogicalRDD leaf instead of re-nesting the whole ~25-stage delta
+    tree (the r11-measured cost was stage-by-stage AQE replanning over
+    that tree, plus the legs literally executing 2-3x). Row semantics are
+    unchanged (localCheckpoint only cuts lineage), and fingerprint
+    sessions skip it inside ``_materialize``. Default OFF: the streaming
+    maintenance loop folds many small micro-batches per session, where
+    per-batch checkpoint blocks would churn executor storage for no
+    reuse."""
     k1n = _exact_survivors(new).join(
         doc_fps,
         F.md5(F.lower("text")) == F.col("fp"),
@@ -2619,7 +2640,17 @@ def fold_batch_released(
     kpn = _kept_paragraphs(k1n).join(
         para_fps, F.md5("_ptxt") == F.col("pfp"), "left_anti"
     )
-    rtokn, gramsn = _token_grams(_rewrite(kpn))
+    if truncate:
+        # checkpoint each cascade stage so the NEXT stage's checkpoint
+        # plans over a LogicalRDD leaf instead of the whole upstream tree
+        # (lazy localCheckpoint still pays analysis+physical planning of
+        # its own subtree at construction — nesting them keeps each
+        # planning pass small)
+        kpn = _materialize(kpn)
+        rtokn = _materialize(_token_grams(_rewrite(kpn))[0])
+        gramsn = _materialize(_grams_of(rtokn))
+    else:
+        rtokn, gramsn = _token_grams(_rewrite(kpn))
     hits_old = gramsn.join(
         gram_fps, F.md5("_g") == F.col("gfp"), "semi"
     ).select(
@@ -2654,7 +2685,15 @@ def incremental_release_assignment(
         spark.read.parquet(f"{path}/doc_fps"),
         spark.read.parquet(f"{path}/para_fps"),
         spark.read.parquet(f"{path}/gram_fps"),
+        truncate=True,
     )
+    # r12 (guide §3.3): _assignment_of references its input 2-3x (the
+    # source-sum leg, the cumulative-budget leg, the shard window), and
+    # without materialization EACH reference re-executed the whole delta
+    # fold. localCheckpoint computes the fold once; batch-only path (the
+    # streaming loop calls fold_batch_released directly), no-op in
+    # fingerprint sessions. Same rows, same consumers.
+    final_new = _materialize(final_new)
     rel2 = spark.read.parquet(f"{path}/v1_docs").unionByName(final_new)
     return _assignment_of(rel2)
 

@@ -1,10 +1,11 @@
-"""Dump .explain('formatted') output for named queries to plans/r11/.
+"""Dump .explain('formatted') output for named queries to plans/<round>/.
 
-Usage: python tools/plan_dump.py <suffix> <query> [query ...]
+Usage: python tools/plan_dump.py [--round rNN] <suffix> <query> [query ...]
        python tools/plan_dump.py before lsh_band_tuning emb_ivf_topk
 
-Writes plans/r11/<query>_<suffix>.txt — the optimization-round evidence
-files the judge diffs against OPTIMIZATION_r11.md's plan claims.
+Writes plans/<round>/<query>_<suffix>.txt (default round: r12) — the
+optimization-round evidence files the judge diffs against
+OPTIMIZATION_r12.md's plan claims.
 """
 
 from __future__ import annotations
@@ -26,10 +27,15 @@ def main() -> int:
     warm = "--warm" in args
     if warm:
         args.remove("--warm")
+    rnd = "r12"
+    if "--round" in args:
+        i = args.index("--round")
+        rnd = args[i + 1]
+        del args[i : i + 2]
     suffix = args[0]
     names = args[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(_REPO, "plans", "r11")
+    out_dir = os.path.join(_REPO, "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
 
     from date_warehouse___airline_project_spark.session import get_spark
