@@ -120,7 +120,11 @@ def main() -> None:
 
     # warmup: JVM + parquet footer caches, plus one tiny Arrow/Python-UDF
     # round-trip so measured queries see warm Python workers (worker spawn
-    # is a fixed per-session cost, not a per-query one)
+    # is a fixed per-session cost, not a per-query one). The whole span is
+    # timed and reported as warmup_seconds in the detail (r12, per the r11
+    # verdict: warmup is the one bucket outside value/all_in, so it must
+    # be auditable — any future addition here shows up in that number).
+    _warm_t0 = time.perf_counter()
     entry_mod.plans.REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).collect()
     spark.range(64).repartition(32).mapInPandas(
         lambda it: it, "id long"
@@ -151,6 +155,7 @@ def main() -> None:
         .load()
         .count()
     )
+    warmup_seconds = round(time.perf_counter() - _warm_t0, 3)
 
     # Lifecycle queries build session-shared memoized artifacts (the three
     # dedup pair pipelines, the partitioned IVF index): run them ONCE
@@ -272,6 +277,7 @@ def main() -> None:
         "memo_builds": memo_builds,
         "memo_build_seconds": memo_total,
         "warm_build_seconds": warm_build,
+        "warmup_seconds": warmup_seconds,
         "headline_reps": headline_runs,
         "headline_median": headline_median,
         "headline_spread": headline_spread,

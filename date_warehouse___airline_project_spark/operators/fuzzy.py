@@ -128,6 +128,127 @@ def _wratio(a: Column, b: Column) -> Column:
     return _wratio_parts(a, b, tsa, tsb, sect, c1, c2)
 
 
+# --- Python twin of the WRatio blend (r12, guide §4.3) ---------------------
+# The Column form of the blend builds a ~4x-staged expression tree whose
+# partial-ratio windows run on Spark's INTERPRETED higher-order path
+# (transform/sequence lambdas never reach codegen), and the tree itself
+# costs Catalyst analysis per run — measured ~0.9 s of the wratio
+# correction's ~1.9 s at sf0.1 for a 230-pair grid. The functions below
+# replicate the blend in Python with the IDENTICAL IEEE-double op
+# sequence, so the mapInPandas lane in fuzzy_correct is bit-equal to the
+# Column lane (pinned by tests/test_operators.py::
+# test_fuzzy_wratio_python_lane_equals_column_lane and by the
+# fuzzy_wratio_correction oracle, whose SQL mirrors the float shapes):
+#
+#   * similarity: 100.0 * (1.0 - lev / max(la, lb, 1)) — int lev, int
+#     max, one double divide, one subtract, one multiply, same order;
+#   * token sort/set pieces: Spark trim strips ASCII space only; split
+#     on \s+; sort_array / array_sort compare UTF8 BYTES — sorted() with
+#     a utf-8 key reproduces that (not code-point order);
+#   * partial: per-window similarity with n = max(len(short), 1),
+#     window = substring(long, i, n) 1-based truncating, max over
+#     windows, 0.0 for an empty shorter string;
+#   * blend: max(...) over doubles with 0.95 * pscale folded left-first,
+#     exactly as the Column tree multiplies.
+#
+# upper()/trim() stay IN THE PLAN (JVM semantics for case mapping), so
+# the kernel only ever sees the already-normalized strings.
+
+
+def _py_lev(a: str, b: str) -> int:
+    """Wagner–Fischer levenshtein over code points — same distance as
+    Spark's UTF8String.levenshteinDistance."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (0 if ca == b[j - 1] else 1),
+            )
+        prev = cur
+    return prev[lb]
+
+
+def _py_sim(a: str, b: str) -> float:
+    return 100.0 * (1.0 - _py_lev(a, b) / max(len(a), len(b), 1))
+
+
+def _py_split(c: str) -> list[str]:
+    import re
+
+    return re.split(r"\s+", c.strip(" "))
+
+
+def _py_sorted(toks: list[str]) -> list[str]:
+    return sorted(toks, key=lambda t: t.encode("utf-8"))
+
+
+def _py_token_sort(c: str) -> str:
+    return " ".join(_py_sorted(_py_split(c)))
+
+
+def _py_token_set_pieces(a: str, b: str) -> tuple[str, str, str]:
+    seen_a: dict = dict.fromkeys(_py_split(a))
+    seen_b: dict = dict.fromkeys(_py_split(b))
+    ta, tb = list(seen_a), list(seen_b)
+    sect = " ".join(_py_sorted([t for t in ta if t in seen_b]))
+    rest_a = " ".join(_py_sorted([t for t in ta if t not in seen_b]))
+    rest_b = " ".join(_py_sorted([t for t in tb if t not in seen_a]))
+    c1 = " ".join([sect, rest_a]).strip(" ")
+    c2 = " ".join([sect, rest_b]).strip(" ")
+    return sect, c1, c2
+
+
+def _py_partial(a: str, b: str) -> float:
+    s, long_ = (a, b) if len(a) <= len(b) else (b, a)
+    if len(s) == 0:
+        return 0.0
+    n = max(len(s), 1)
+    best = None
+    for i in range(1, max(len(long_) - len(s) + 1, 1) + 1):
+        w = long_[i - 1 : i - 1 + n]
+        v = 100.0 * (1.0 - _py_lev(s, w) / n)
+        if best is None or v > best:
+            best = v
+    return best
+
+
+def _py_wratio(a: str, b: str) -> float:
+    tsa, tsb = _py_token_sort(a), _py_token_sort(b)
+    sect, c1, c2 = _py_token_set_pieces(a, b)
+    base = _py_sim(a, b)
+    len_ratio = max(len(a), len(b)) / max(min(len(a), len(b)), 1)
+    pscale = 0.6 if len_ratio > 8 else 0.9
+    if len_ratio >= 1.5:
+        return max(
+            base,
+            pscale * _py_partial(a, b),
+            0.95 * pscale * _py_partial(tsa, tsb),
+            0.95
+            * pscale
+            * max(
+                _py_partial(sect, c1),
+                _py_partial(sect, c2),
+                _py_partial(c1, c2),
+            ),
+        )
+    return max(
+        base,
+        0.95 * _py_sim(tsa, tsb),
+        0.95 * max(_py_sim(sect, c1), _py_sim(sect, c2), _py_sim(c1, c2)),
+    )
+
+
 def fuzzy_correct(
     df: DataFrame,
     col: str,
@@ -151,35 +272,37 @@ def fuzzy_correct(
 
     pairs = dirty.crossJoin(F.broadcast(cands))
     if scorer == "wratio":
-        # stage the derived string forms in their own projection so each
-        # split/sort/intersect is computed once per pair (Catalyst keeps
-        # the projections separate because the expressions are non-cheap;
-        # the inlined form quadruples the generated code and its Janino
-        # compile time dominates the first execution)
-        sect, c1, c2 = _token_set_pieces(F.col("_ua"), F.col("_ub"))
-        staged = pairs.select(
-            "_dirty", "_cand", a.alias("_ua"), b.alias("_ub")
-        ).select(
-            "_dirty",
-            "_cand",
-            "_ua",
-            "_ub",
-            _token_sort(F.col("_ua")).alias("_tsa"),
-            _token_sort(F.col("_ub")).alias("_tsb"),
-            sect.alias("_sect"),
-            c1.alias("_c1"),
-            c2.alias("_c2"),
+        # r12 (guide §4.2/§4.3): the WRatio blend runs as a Python pair
+        # scorer over the bounded |distinct dirty| x |dim| grid instead
+        # of the 4x-staged Column tree — the tree's partial-ratio
+        # windows executed on Spark's interpreted higher-order path and
+        # its analysis dominated the steady-state cost. The kernel is
+        # bit-equal to the Column lane (_py_wratio docstring; pinned by
+        # test_fuzzy_wratio_python_lane_equals_column_lane), and the
+        # normalization (upper/trim) stays in the plan so the kernel
+        # never applies Python case semantics. The corpus-side broadcast
+        # correction join below is untouched.
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        staged = pairs.select("_dirty", "_cand", a.alias("_ua"), b.alias("_ub"))
+        out_schema = StructType(
+            [f for f in staged.schema.fields if f.name in ("_dirty", "_cand")]
+            + [StructField("_score", DoubleType())]
         )
-        score = _wratio_parts(
-            F.col("_ua"),
-            F.col("_ub"),
-            F.col("_tsa"),
-            F.col("_tsb"),
-            F.col("_sect"),
-            F.col("_c1"),
-            F.col("_c2"),
-        )
-        scored = staged.select("_dirty", "_cand", score.alias("_score"))
+
+        def _score_batches(batches):
+            from functools import lru_cache
+
+            wr = lru_cache(maxsize=None)(_py_wratio)
+            for pdf in batches:
+                out = pdf[["_dirty", "_cand"]].copy()
+                out["_score"] = [
+                    None if ua is None or ub is None else wr(ua, ub)
+                    for ua, ub in zip(pdf["_ua"], pdf["_ub"])
+                ]
+                yield out
+
+        scored = staged.mapInPandas(_score_batches, out_schema)
     else:
         scored = pairs.select("_dirty", "_cand", _similarity(a, b).alias("_score"))
 

@@ -259,6 +259,132 @@ def _assign_to_centroids_arrow(
     return flagged.mapInPandas(assign, out_schema)
 
 
+def cosine_cross_scores(
+    data: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+    carry: tuple = (),
+    impl: str = "arrow",
+) -> DataFrame:
+    """Every data row scored against every query vector —
+    (id_col, *carry, qid_col, ``_cs``) with ``_cs`` = cosine(vec, qv).
+    This is the ground-truth grid every ANN recall/eval query builds
+    (corpus x probe-batch); the queries relation is BOUNDED by
+    construction (a probe batch, ≤ ~100 rows) and ships inside the UDF
+    closure exactly like the assign codebook.
+
+    ``impl="sql"`` is the interpreted higher-order fold (crossJoin +
+    ``cosine``); ``impl="arrow"`` (default) is the NumPy fast lane and is
+    BIT-EXACT to it: accumulation is vectorized across (row, query)
+    pairs but sequential across dimensions, so every pair performs the
+    identical IEEE-double op sequence ((0 + x₀y₀) + x₁y₁) + … for the
+    dot and both norms, then dot / (sqrt(n_a) * sqrt(n_b)) in the same
+    product-then-divide order. The higher-order fold runs on Spark's
+    interpreted expression path (~10x slower per element, guide §4.2) —
+    at sf0.1 the 40k-pair grid costs ~1 s interpreted vs ~0.1 s here;
+    at 100 TB the corpus side still streams through mapInPandas in Arrow
+    batches, each embedding shipped ONCE (the SQL lane's crossJoin
+    duplicates every vector Q times before scoring, §2.3).
+
+    Degenerate inputs match the SQL lane exactly: data rows whose vector
+    is null or contains a null element yield a null ``_cs`` for every
+    query (flagged JVM-side — Arrow surfaces null elements as NaN); a
+    null/null-element QUERY vector yields null ``_cs`` for every data
+    row; zero norms divide to ±Inf/NaN identically in both lanes, and
+    genuine NaN elements propagate to NaN either way."""
+    qn = F.col(qvec_col).isNull() | F.exists(F.col(qvec_col), lambda e: e.isNull())
+    if impl != "arrow":
+        q = queries.select(
+            F.col(qid_col),
+            F.when(~qn, F.col(qvec_col)).alias(qvec_col),
+        )
+        return (
+            data.select(id_col, *carry, vec_col)
+            .crossJoin(F.broadcast(q))
+            .select(
+                id_col,
+                *carry,
+                qid_col,
+                cosine(F.col(vec_col), F.col(qvec_col)).alias("_cs"),
+            )
+        )
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    qrows = queries.select(qid_col, F.when(~qn, F.col(qvec_col)).alias("_qv")).collect()
+    if not qrows:
+        base = data.select(id_col, *carry).limit(0)
+        return base.select(
+            "*",
+            F.lit(None).cast(dict(queries.dtypes)[qid_col]).alias(qid_col),
+            F.lit(None).cast("double").alias("_cs"),
+        )
+    qids = [r[qid_col] for r in qrows]
+    q_valid = np.array([r["_qv"] is not None for r in qrows], dtype=bool)
+    dim = next(len(r["_qv"]) for r in qrows if r["_qv"] is not None)
+    Qm = np.zeros((len(qrows), dim), dtype=np.float64)
+    for i, r in enumerate(qrows):
+        if r["_qv"] is not None:
+            Qm[i] = list(r["_qv"])
+    nq = len(qrows)
+    # query norms: sequential-over-dims fold, identical to sqrt(dot(b, b))
+    qacc = np.zeros(nq)
+    for d in range(dim):
+        qacc = qacc + Qm[:, d] * Qm[:, d]
+    qnorm = np.sqrt(qacc)
+
+    qid_field = queries.schema[qid_col]
+    in_cols = data.select(id_col, *carry).schema.fields
+    out_schema = StructType(
+        in_cols
+        + [
+            StructField(qid_col, qid_field.dataType),
+            StructField("_cs", DoubleType()),
+        ]
+    )
+    vec_null = F.col(vec_col).isNull() | F.exists(
+        F.col(vec_col), lambda e: e.isNull()
+    )
+    flagged = data.select(id_col, *carry, vec_col).withColumn("_vec_null", vec_null)
+    keep_cols = [id_col, *carry]
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n = len(pdf)
+            valid = ~pdf["_vec_null"].to_numpy(dtype=bool)
+            cs = np.empty((n, nq), dtype=object)
+            cs[:] = None
+            if valid.any():
+                X = np.asarray(pdf.loc[valid, vec_col].to_list(), dtype=np.float64)
+                dab = np.zeros((int(valid.sum()), nq))
+                aacc = np.zeros(int(valid.sum()))
+                for d in range(dim):
+                    dab = dab + X[:, d : d + 1] * Qm[None, :, d]
+                    aacc = aacc + X[:, d] * X[:, d]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    vals = dab / (np.sqrt(aacc)[:, None] * qnorm[None, :])
+                block = np.empty((int(valid.sum()), nq), dtype=object)
+                block[:] = vals
+                block[:, ~q_valid] = None
+                cs[valid] = block
+            out = {
+                c: np.repeat(pdf[c].to_numpy(dtype=object), nq)
+                for c in keep_cols
+            }
+            out[qid_col] = np.tile(np.array(qids, dtype=object), n)
+            out["_cs"] = cs.reshape(-1)
+            yield pd.DataFrame(out)
+
+    return flagged.mapInPandas(score, out_schema)
+
+
 from collections import OrderedDict
 
 _KMEANS_MEMO: OrderedDict[tuple, DataFrame] = OrderedDict()
@@ -336,7 +462,7 @@ def kmeans_lloyd(
         emb.sparkSession.sparkContext.defaultParallelism
     )
     prev_ckpt = None
-    for _ in range(iters):
+    for it in range(iters):
         assigned = assign_to_centroids(sample, cents, id_col, vec_col, impl=impl)
         comps = (
             assigned.select(
@@ -356,14 +482,25 @@ def kmeans_lloyd(
                 F.array_sort(F.collect_list(F.struct("_pos", "_comp"))), lambda s: s["_comp"]
             ).alias("_cvec")
         )
-        # Materialize the (tiny) codebook each round: without this every
-        # later consumer (probe, full assignment) re-runs the whole
-        # training chain per reference.
+        # Materialize the FINAL (tiny) codebook: without this every later
+        # consumer (probe, full assignment) would re-run the training
+        # chain per reference. Intermediate iterations in the arrow lane
+        # need no persist+count of their own (r12, guide §1.2): the next
+        # iteration's assign COLLECTS the codebook at construction time,
+        # which executes the chain exactly once — the old per-iteration
+        # persist+count ran the same chain a second time just to cache
+        # what the collect was about to consume. The SQL lane keeps the
+        # per-iteration materialization: its assign references cents
+        # lazily, so an unpersisted intermediate would nest (and
+        # re-execute) the whole chain per downstream reference.
+        if impl == "arrow" and it < iters - 1:
+            continue
         cents = cents.persist()
         cents.count()
-        # previous iteration's cache is now dead: release it for real
-        # (persist + unpersist round-trips through the CacheManager;
-        # localCheckpoint's RDD would NOT be freed by Dataset.unpersist)
+        # a previous SQL-lane iteration's cache is now dead: release it
+        # for real (persist + unpersist round-trips through the
+        # CacheManager; localCheckpoint's RDD would NOT be freed by
+        # Dataset.unpersist)
         if prev_ckpt is not None:
             prev_ckpt.unpersist()
         prev_ckpt = cents
@@ -990,61 +1127,95 @@ def save_ivfpq_index(
 
     from pyspark import inheritable_thread_target
 
-    _pool = ThreadPoolExecutor(max_workers=3)
-    _futs = [
-        _pool.submit(inheritable_thread_target(f))
-        for f in (_write_codebook, _write_pq_codebook, _write_pq_meta)
-    ]
-    assigned = assign_to_centroids(
-        emb.repartition(spark.sparkContext.defaultParallelism),
-        cents,
-        id_col,
-        vec_col,
-        impl="arrow",
-    )
-    codes = pq_codes_wide(
-        emb,
-        pq_cents,
-        mrow["n_sub"],
-        mrow["sub_dim"],
-        id_col,
-        vec_col,
-        carry=tuple(payload_cols),
-    )
-    # cache the final rows so cell_stats folds off the SAME relation the
-    # write ships, without re-reading the 25-partition-dir layout back
-    # (the read-back was 2.4 s of the 13 s build: partition discovery +
-    # footer opens over ncells small files — guide §6 small-files cost).
-    # centroid_id is cast to INT in cell_stats to match what partition-
-    # column discovery used to infer on the read-back path, so the
-    # on-disk cell_stats schema is byte-identical to the old layout.
-    rows = (
-        assigned.select(id_col, "centroid_id")
-        .join(codes, id_col)
-        .select(id_col, *payload_cols, "codes", "centroid_id")
-        .persist()
-    )
-    try:
-        (
-            rows.repartition("centroid_id")
-            .write.mode("overwrite")
-            .partitionBy("centroid_id")
-            .parquet(f"{path}/assignments")
+    # the context manager guarantees the pool is shut down (and the
+    # side-table writes joined) on EVERY exit path — the r11 form
+    # created the pool before the expensive assign/encode build with no
+    # try protection, so a build failure leaked the pool and silently
+    # dropped a concurrent side-write failure (r11 ADVICE). A build
+    # exception still wins over a concurrent side-write exception (the
+    # result() check below is only reached on the success path), which
+    # is the right precedence: the side writes are retried by the next
+    # build, the main failure is the actionable one.
+    with ThreadPoolExecutor(max_workers=3) as _pool:
+        _futs = [
+            _pool.submit(inheritable_thread_target(f))
+            for f in (_write_codebook, _write_pq_codebook, _write_pq_meta)
+        ]
+        assigned = assign_to_centroids(
+            emb.repartition(spark.sparkContext.defaultParallelism),
+            cents,
+            id_col,
+            vec_col,
+            impl="arrow",
         )
-        (
-            rows.groupBy(F.col("centroid_id").cast("int").alias("centroid_id"))
-            .agg(F.count("*").alias("n_train"))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(f"{path}/cell_stats")
+        codes = pq_codes_wide(
+            emb,
+            pq_cents,
+            mrow["n_sub"],
+            mrow["sub_dim"],
+            id_col,
+            vec_col,
+            carry=tuple(payload_cols),
         )
-    finally:
-        # join the side-table writers WITHOUT raising here — a result()
-        # inside finally would mask an assignments-write failure
-        rows.unpersist()
-        _pool.shutdown(wait=True)
+        # cache the final rows so cell_stats folds off the SAME relation the
+        # write ships, without re-reading the 25-partition-dir layout back
+        # (the read-back was 2.4 s of the 13 s build: partition discovery +
+        # footer opens over ncells small files — guide §6 small-files cost).
+        # centroid_id is cast to INT in cell_stats to match what partition-
+        # column discovery used to infer on the read-back path, so the
+        # on-disk cell_stats schema is byte-identical to the old layout.
+        rows = (
+            assigned.select(id_col, "centroid_id")
+            .join(codes, id_col)
+            .select(id_col, *payload_cols, "codes", "centroid_id")
+            .persist()
+        )
+        try:
+            (
+                rows.repartition("centroid_id")
+                .write.mode("overwrite")
+                .partitionBy("centroid_id")
+                .parquet(f"{path}/assignments")
+            )
+            (
+                rows.groupBy(F.col("centroid_id").cast("int").alias("centroid_id"))
+                .agg(F.count("*").alias("n_train"))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{path}/cell_stats")
+            )
+        finally:
+            rows.unpersist()
     for _f in _futs:
         _f.result()  # surface any side-table write failure loudly
+
+
+_PQ_META_MEMO: dict = {}
+
+
+def _pq_meta(spark, path: str) -> tuple[int, int]:
+    """(n_sub, sub_dim) of a persisted IVF-PQ index — a 1-row parquet
+    read+collect that every indexed search re-paid per run (~0.2 s of
+    job+footer latency for two ints, guide §1.2 per-item constants).
+    Session-memoized keyed on the meta dir's mtime, so an index rebuild
+    or maintenance retrain that rewrites pq_meta (overwrite recreates
+    the directory) invalidates the entry instead of serving stale
+    geometry."""
+    import os
+
+    meta_dir = f"{path}/pq_meta"
+    try:
+        mtime = os.stat(meta_dir).st_mtime_ns
+    except OSError:  # non-local path: fall back to an uncached read
+        mtime = None
+    key = (spark.sparkContext.applicationId, path, mtime)
+    hit = _PQ_META_MEMO.get(key) if mtime is not None else None
+    if hit is None:
+        mrow = spark.read.parquet(meta_dir).collect()[0]
+        hit = (int(mrow["n_sub"]), int(mrow["sub_dim"]))
+        if mtime is not None:
+            _PQ_META_MEMO[key] = hit
+    return hit
 
 
 def ivfpq_topk_indexed(
@@ -1069,8 +1240,7 @@ def ivfpq_topk_indexed(
     spark = emb.sparkSession
     cents = spark.read.parquet(f"{path}/codebook")
     pq = spark.read.parquet(f"{path}/pq_codebook")
-    mrow = spark.read.parquet(f"{path}/pq_meta").collect()[0]
-    n_sub, sub_dim = mrow["n_sub"], mrow["sub_dim"]
+    n_sub, sub_dim = _pq_meta(spark, path)
     asg = spark.read.parquet(f"{path}/assignments")
     payload = [c for c in asg.columns if c not in (id_col, "codes", "centroid_id")]
     qvec = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
@@ -1161,8 +1331,7 @@ def ivfpq_knn_join(
     spark = emb.sparkSession
     cents = spark.read.parquet(f"{path}/codebook")
     pq = spark.read.parquet(f"{path}/pq_codebook")
-    mrow = spark.read.parquet(f"{path}/pq_meta").collect()[0]  # 1-row fold
-    n_sub, sub_dim = mrow["n_sub"], mrow["sub_dim"]
+    n_sub, sub_dim = _pq_meta(spark, path)
     asg = spark.read.parquet(f"{path}/assignments")
     payload = [c for c in asg.columns if c not in (id_col, "codes", "centroid_id")]
     wq = W.partitionBy("qid").orderBy(F.desc("_cos_q"), F.asc("_cid"))
@@ -1174,10 +1343,30 @@ def ivfpq_knn_join(
         .select("qid", F.col("_cid").alias("centroid_id"))
         .collect()  # bounded: Q x nprobe rows of two ids
     )
-    probe = spark.createDataFrame(
-        [(r["qid"], r["centroid_id"]) for r in probe_pairs],
-        "qid long, centroid_id long",
-    )
+    if not probe_pairs:  # empty query batch: empty result, same schema
+        return spark.range(0).select(
+            F.lit(None).cast("long").alias("qid"),
+            F.lit(None).cast("long").alias(id_col),
+            *[F.lit(None).cast(dict(asg.dtypes)[c]).alias(c) for c in payload],
+            F.lit(None).cast("double").alias("approx_dot"),
+            F.lit(None).cast("double").alias("cos_sim"),
+        )
+    # literal plan, not createDataFrame: the collected pair list is tiny
+    # (Q x nprobe) and a pure-JVM explode-of-struct-literals skips the
+    # Python->JVM local-relation conversion (~0.3 s per run, guide §1.2)
+    probe = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(r["qid"])).cast("long").alias("qid"),
+                        F.lit(int(r["centroid_id"])).cast("long").alias("centroid_id"),
+                    )
+                    for r in probe_pairs
+                ]
+            )
+        ).alias("_p")
+    ).select("_p.qid", "_p.centroid_id")
     cells = sorted({r["centroid_id"] for r in probe_pairs})
     # literal partition filter = guaranteed static pruning of the code
     # table (the DPP form degraded to dynamicpruningexpression(true) at

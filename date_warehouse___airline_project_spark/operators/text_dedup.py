@@ -171,30 +171,50 @@ def _materialize(df: DataFrame) -> DataFrame:
 # derivation params), so a different corpus or different params never
 # collides. This mirrors what a production deployment does at 100 TB: the
 # inverted index is built once and PERSISTED as a table, not re-derived per
-# query. Evicted relations' blocks are reclaimed by the ContextCleaner once
-# the JVM-side Dataset is garbage-collected (unpersist() is a CacheManager
-# call and no-ops on a checkpointed plan).
+# query.
 #
 # BOUNDED: LRU of at most ``_DERIVED_CACHE_MAX`` relations; eviction
-# unpersists the cached RDD so a long-lived session can't accumulate
-# executor storage. 32 covers every dedup/curation family over a couple
-# of corpora at once (the r5 additions — signature/pair memos — pushed a
-# single-corpus full-registry run past the old cap of 16, which
-# thrashed: an evicted pair set rebuilds at full cost).
+# releases the stored blocks DETERMINISTICALLY via ``_release_blocks``
+# (r12, per the r11 ADVICE: ``Dataset.unpersist()`` is a CacheManager
+# call and no-ops on a checkpointed plan — relying on Python GC → Py4J
+# finalizer → ContextCleaner left the 32-entry bound unable to bound
+# executor storage in a long-lived session), so eviction frees storage
+# again exactly as it did in the cache() era. 32 covers every
+# dedup/curation family over a couple of corpora at once (the r5
+# additions — signature/pair memos — pushed a single-corpus
+# full-registry run past the old cap of 16, which thrashed: an evicted
+# pair set rebuilds at full cost).
 from collections import OrderedDict
 
 _DERIVED_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
 _DERIVED_CACHE_MAX = 32
 
 
+def _release_blocks(df: DataFrame) -> None:
+    """Free the executor storage behind a memoized relation NOW.
+
+    ``Dataset.unpersist()`` only talks to the CacheManager, so for a
+    localCheckpoint-backed relation (a LogicalRDD leaf over a persisted
+    RDD) it is a no-op; the backing RDD is unpersisted directly off the
+    analyzed plan. Blocking=False: release is fire-and-forget, eviction
+    must never stall on executor round-trips."""
+    try:
+        df.unpersist()
+    except Exception:  # pragma: no cover - session already stopped
+        pass
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # pragma: no cover - session already stopped
+        pass
+
+
 def clear_derived_cache() -> None:
     """Unpersist and drop every memoized derived relation."""
     while _DERIVED_CACHE:
         _, df = _DERIVED_CACHE.popitem(last=False)
-        try:
-            df.unpersist()
-        except Exception:  # pragma: no cover - session already stopped
-            pass
+        _release_blocks(df)
 
 
 # --- bench-only memo attribution -------------------------------------------
@@ -283,10 +303,7 @@ def _memo(df: DataFrame, key_parts: tuple, build) -> DataFrame:
     _DERIVED_CACHE[key] = out
     while len(_DERIVED_CACHE) > _DERIVED_CACHE_MAX:
         _, evicted = _DERIVED_CACHE.popitem(last=False)
-        try:
-            evicted.unpersist()
-        except Exception:  # pragma: no cover - session already stopped
-            pass
+        _release_blocks(evicted)
     return out
 
 
@@ -897,6 +914,14 @@ def _greedy_keep_driver(universe: DataFrame, edges: DataFrame, id_col: str) -> D
         kept[node] = not any(kept[s] for s in nbrs.get(node, ()))
     spark = universe.sparkSession
     node_type = dict(universe.select(id_col).dtypes)[id_col]
+    if not kept:
+        return universe.select(id_col).withColumn("kept", F.lit(True))
+    # (r12 probe, kept for the record: shipping this bounded relation
+    # back as a literal plan — per-element struct literals or one
+    # F.lit(list) arrays_zip — was measured SLOWER than createDataFrame
+    # at the ~500-3000-node sizes the driver lane sees: the per-element
+    # form pays thousands of py4j calls, the array-literal form a giant
+    # expression tree. createDataFrame stays.)
     status = spark.createDataFrame(
         [(n, k) for n, k in kept.items()], f"{id_col} {node_type}, kept boolean"
     )

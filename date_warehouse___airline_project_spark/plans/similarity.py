@@ -2406,14 +2406,20 @@ def emb_ivf_nprobe_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ground truth: one exact corpus x batch pass, salted two-phase top-10
     # (the emb_knn_join discipline — the corpus-scale shuffle is never
-    # keyed by qid alone)
+    # keyed by qid alone). r12: the corpus x batch cosine grid runs
+    # through the bit-exact Arrow lane (cosine_cross_scores) instead of
+    # the interpreted higher-order fold — guide §4.2; each embedding
+    # ships into the kernel once instead of being crossJoin-duplicated
+    # per query.
+    from ..operators.similarity import cosine_cross_scores
+
     grid = (
-        e.crossJoin(F.broadcast(qs))
+        cosine_cross_scores(e.select("vec_id", "embedding"), qs)
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
-            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cs"),
+            F.round(F.col("_cs"), 6).alias("cs"),
             F.pmod(F.hash("vec_id"), F.lit(32)).alias("_salt"),
         )
     )
@@ -2447,16 +2453,26 @@ def emb_ivf_nprobe_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prank") <= F.col("nprobe"))
         .withColumn("_rn", F.row_number().over(w_hit))
         .filter(F.col("_rn") <= 10)
-        .join(truth, ["qid", "vec_id"], "left_semi")
+        # truth is Q x 10 rows at ANY corpus scale — broadcast the semi
+        # join (the planner picked a two-exchange SortMergeJoin here)
+        .join(F.broadcast(truth), ["qid", "vec_id"], "left_semi")
         .groupBy("nprobe")
         .agg(F.count("*").alias("_nh"))
     )
-    spine = None
-    for p in range(1, _TUNE_MAXP + 1):
-        r = qs.sparkSession.range(1).select(
-            F.lit(p).cast("bigint").alias("nprobe")
-        )
-        spine = r if spine is None else spine.unionByName(r)
+    # r12 (guide §2.4 duplicate subtrees): the old `sel` (filter + MIN agg
+    # + crossJoin-broadcast back onto lvl) re-nested the ENTIRE lvl chain
+    # — candidates, ground truth, the Arrow assignment included — as a
+    # second plan copy (980-line plan = two copies of the query; 18 jobs /
+    # 29 stages executed). The chosen level is now a global window over
+    # the 4-row lvl relation (bounded at _TUNE_MAXP rows at ANY corpus
+    # scale, so the single-partition window is safe), and the 4-row spine
+    # is one range() leaf instead of four unioned range(1)s. NULL
+    # semantics unchanged: no level meeting the target makes the window
+    # min NULL, and coalesce maps the NULL comparison to FALSE exactly as
+    # the empty-sel crossJoin did.
+    spine = qs.sparkSession.range(1, _TUNE_MAXP + 1).select(
+        F.col("id").cast("bigint").alias("nprobe")
+    )
     lvl = spine.join(F.broadcast(hit_counts), "nprobe", "left").select(
         "nprobe", F.coalesce(F.col("_nh"), F.lit(0)).cast("bigint").alias("n_hits")
     )
@@ -2469,18 +2485,17 @@ def emb_ivf_nprobe_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(recall, 4).alias("mean_recall"),
         (recall >= _TUNE_TARGET).alias("meets_target"),
     )
-    sel = lvl.filter(F.col("meets_target")).agg(F.min("nprobe").alias("_minp"))
+    minp = F.min(F.when(F.col("meets_target"), F.col("nprobe"))).over(
+        W.partitionBy()
+    )
     return (
-        lvl.crossJoin(F.broadcast(sel))
-        .select(
+        lvl.select(
             "nprobe",
             "n_queries",
             "n_hits",
             "mean_recall",
             "meets_target",
-            F.coalesce(F.col("nprobe") == F.col("_minp"), F.lit(False)).alias(
-                "chosen"
-            ),
+            F.coalesce(F.col("nprobe") == minp, F.lit(False)).alias("chosen"),
         )
         .orderBy("nprobe")
     )

@@ -2500,6 +2500,32 @@ def doc_release_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ONE definition of the release-state format, shared by the from-scratch
+# writer (_state_rels / write_release_state) and the derived prefix writer
+# (_release_state_path) — r12, per the r11 ADVICE: the derived writer
+# re-declared the four relations inline, so a format change (a fifth
+# relation, a different fingerprint expression) could silently drift
+# between the two. The names tuple and the three fingerprint projections
+# are now the single source of truth; _release_state_path iterates
+# _STATE_REL_NAMES and fails loudly on a name it has no derivation for.
+_STATE_REL_NAMES = ("doc_fps", "para_fps", "gram_fps", "v1_docs")
+
+
+def _fp_docs(docs: DataFrame) -> DataFrame:
+    """doc_fps: distinct md5(lower(text)) of every doc."""
+    return docs.select(F.md5(F.lower("text")).alias("fp")).distinct()
+
+
+def _fp_paras(kp: DataFrame) -> DataFrame:
+    """para_fps: distinct md5(ptxt) over kept paragraphs."""
+    return kp.select(F.md5("_ptxt").alias("pfp")).distinct()
+
+
+def _fp_grams(grams: DataFrame) -> DataFrame:
+    """gram_fps: distinct md5(8-gram) of the rewritten corpus."""
+    return grams.select(F.md5("_g").alias("gfp")).distinct()
+
+
 def _state_rels(
     docs: DataFrame, persisted: list | None = None
 ) -> dict[str, DataFrame]:
@@ -2530,12 +2556,15 @@ def _state_rels(
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("doc_id", "source", "n_tok", "text")
     )
-    return {
-        "doc_fps": docs.select(F.md5(F.lower("text")).alias("fp")).distinct(),
-        "para_fps": kp.select(F.md5("_ptxt").alias("pfp")).distinct(),
-        "gram_fps": grams.select(F.md5("_g").alias("gfp")).distinct(),
+    rels = {
+        "doc_fps": _fp_docs(docs),
+        "para_fps": _fp_paras(kp),
+        "gram_fps": _fp_grams(grams),
         "v1_docs": v1,
     }
+    if tuple(rels) != _STATE_REL_NAMES:  # real raise: asserts vanish under -O
+        raise RuntimeError("release-state format drifted from _STATE_REL_NAMES")
+    return rels
 
 
 def write_release_state(old: DataFrame, path: str) -> None:
@@ -2755,18 +2784,13 @@ def _release_state_path(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     if path is None:
         path = session_tmpdir("spark_graft_release_state_")
         pre = F.col("doc_id") < t
+        # the prefix-filtered twins of _state_rels' relations, built from
+        # the SAME fingerprint projections (_fp_docs/_fp_paras/_fp_grams)
+        # so the two writers cannot drift (r11 ADVICE)
         rels = {
-            "doc_fps": d.filter(pre)
-            .select(F.md5(F.lower("text")).alias("fp"))
-            .distinct(),
-            "para_fps": _funnel_kp(d)
-            .filter(F.col("_id") < t)
-            .select(F.md5("_ptxt").alias("pfp"))
-            .distinct(),
-            "gram_fps": _funnel_grams(d)
-            .filter(pre)
-            .select(F.md5("_g").alias("gfp"))
-            .distinct(),
+            "doc_fps": _fp_docs(d.filter(pre)),
+            "para_fps": _fp_paras(_funnel_kp(d).filter(F.col("_id") < t)),
+            "gram_fps": _fp_grams(_funnel_grams(d).filter(pre)),
             "v1_docs": _release_docs(d).filter(pre),
         }
         # sequential writes, in dependency order: doc_fps is a raw scan,
@@ -2775,8 +2799,8 @@ def _release_state_path(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
         # ThreadPool overlap was measured SLOWER here: concurrent first
         # materialization of the shared lazy legs serializes on per-block
         # write locks while oversubscribing the cores.)
-        for name, rel in rels.items():
-            rel.write.mode("overwrite").parquet(f"{path}/{name}")
+        for name in _STATE_REL_NAMES:  # loud KeyError on format drift
+            rels[name].write.mode("overwrite").parquet(f"{path}/{name}")
         mx = d.filter(pre).agg(F.max("doc_id").alias("m")).collect()[0]["m"]
         write_ingest_watermark(path, -1 if mx is None else int(mx))
         _REL_STATE_MEMO[key] = path

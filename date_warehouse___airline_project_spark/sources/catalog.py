@@ -84,7 +84,22 @@ def rebalance_compute(df: DataFrame) -> DataFrame:
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    from ..operators.text_dedup import fingerprint_session
+
+    if fingerprint_session():
+        # fingerprint sessions only analyze plans: skip the probe (it
+        # pays a physical-planning pass per call) and always include the
+        # repartition — at the sf0.001 fingerprint SF every fixture scan
+        # plans below defaultParallelism anyway, so the emitted plan
+        # shape (hence the committed hashes) is unchanged, just cheaper
+        # to produce (r12, per the r11 ADVICE; the machine-dependent
+        # Repartition TARGET digit is normalized by recert v4).
+        return df.repartition(target)
+    # probe the PLANNED partitioning off the internal-row RDD: df.rdd
+    # would additionally build the Python-conversion plan on every call
+    # (r11 ADVICE) — toRdd() runs the same physical planning without the
+    # serializer layer.
+    if df._jdf.queryExecution().toRdd().getNumPartitions() >= target:
         return df
     return df.repartition(target)
 

@@ -202,6 +202,26 @@ def test_derived_cache_bounded_lru_truncates_and_rebuilds(spark):
     assert len(calls) == n_calls + 1
     td.clear_derived_cache()
     assert len(td._DERIVED_CACHE) == 0
+    # r12 (per the r11 ADVICE): eviction must RELEASE the checkpointed
+    # blocks, not just drop the Python reference — Dataset.unpersist()
+    # no-ops on a checkpointed plan, so _release_blocks unpersists the
+    # LogicalRDD's backing RDD. Build + materialize a fresh memo, note
+    # the stored RDD ids, clear, and assert every id this memo added is
+    # gone from executor storage.
+    sc = spark.sparkContext
+
+    def stored_ids():
+        return {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
+
+    before = stored_ids()
+    fresh = td._memo(base, ("cache-test-release", 0), make(99))
+    fresh.collect()  # populate the checkpoint blocks
+    added = stored_ids() - before
+    assert added, "memoized relation stored no blocks — test setup broken"
+    td.clear_derived_cache()
+    assert stored_ids() & added == set(), (
+        "evicted memo blocks still in executor storage"
+    )
 
 
 def test_training_data_invariants(spark):

@@ -275,6 +275,31 @@ def test_fuzzy_wratio_threshold_parity_corpus(spark):
     assert not mismatches, f"(pair, public, native): {mismatches}"
 
 
+def test_fuzzy_wratio_python_lane_equals_column_lane(spark):
+    # r12: fuzzy_correct(scorer="wratio") scores pairs in a Python kernel
+    # (_py_wratio) instead of the staged Column tree. The two lanes must
+    # be BIT-equal — the DuckDB oracle mirrors the Column float shapes at
+    # 6 dp, so any drift would flip rounded scores. Checked over the full
+    # parity corpus (exact members, deletions, substitutions, suffix/
+    # prefix noise, both partial regimes, token reorders, whitespace).
+    from date_warehouse___airline_project_spark.operators.fuzzy import (
+        _py_wratio,
+        _wratio,
+    )
+
+    df = spark.createDataFrame(_WRATIO_CORPUS, ["dirty", "cand"])
+    a = F.upper(F.trim(F.col("dirty")))
+    b = F.upper(F.trim(F.col("cand")))
+    rows = df.select("dirty", "cand", a.alias("ua"), b.alias("ub"),
+                     _wratio(a, b).alias("col_score")).collect()
+    diffs = [
+        (r["dirty"], r["cand"], r["col_score"], _py_wratio(r["ua"], r["ub"]))
+        for r in rows
+        if _py_wratio(r["ua"], r["ub"]) != r["col_score"]
+    ]
+    assert not diffs, f"(dirty, cand, column, python): {diffs}"
+
+
 def test_fuzzy_wratio_short_strings_no_partial(spark):
     # Below the 1.5 length-ratio gate WRatio is max(base, 0.95*token_sort):
     # "JFX" vs "JFK" scores 66.7 either way — wratio must not inflate it.

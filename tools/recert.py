@@ -60,10 +60,23 @@ _NORMALIZERS = [
     (re.compile(r"[ \t]+"), " "),
 ]
 
+# v4 (r12, per the r11 ADVICE): Repartition targets come from
+# sparkContext.defaultParallelism (spread(), rebalance_compute), i.e.
+# the fingerprinting MACHINE's core count — a driver with a different
+# core count would flip every such digit and flag the whole text/dedup
+# registry as drifted. Normalized like the other session-varying state.
+# Introduced as an algorithm VERSION so the re-baseline rides the
+# committed migration path (diff with the algorithm that produced the
+# old baseline, re-baseline under the new one) instead of flooding the
+# recert window.
+_REPARTITION_RX = (re.compile(r"\bRepartition \d+"), "Repartition N")
 
-def normalize_plan(plan: str) -> str:
+
+def normalize_plan(plan: str, version: str = "4") -> str:
     for rx, rep in _NORMALIZERS:
         plan = rx.sub(rep, plan)
+    if version not in ("1", "2", "3"):
+        plan = _REPARTITION_RX[0].sub(_REPARTITION_RX[1], plan)
     return plan.strip()
 
 
@@ -72,12 +85,13 @@ _PKG = "date_warehouse___airline_project_spark"
 # Fingerprint ALGORITHM version, stored inside plan_hashes.json under
 # VERSION_KEY. When the algorithm itself changes (e.g. v1's one-level
 # same-module source walk -> v2's transitive cross-module walk -> v3's
-# resolution of function-LOCAL imports), every hash changes for reasons
-# that are NOT behavior drift; the migration in main() diffs the
-# committed baseline with the algorithm that PRODUCED it (so genuine
-# drift is still caught), then re-baselines under the new algorithm —
-# without dumping all 172 queries into the recert window.
-FP_VERSION = "3"
+# resolution of function-LOCAL imports -> v4's Repartition-target
+# normalization), every hash changes for reasons that are NOT behavior
+# drift; the migration in main() diffs the committed baseline with the
+# algorithm that PRODUCED it (so genuine drift is still caught), then
+# re-baselines under the new algorithm — without dumping all 172
+# queries into the recert window.
+FP_VERSION = "4"
 VERSION_KEY = "__fp_version__"
 
 
@@ -229,7 +243,13 @@ def _fn_sources_v1(fn) -> str:
     return "\n".join(srcs)
 
 
-_SOURCE_WALKS = {"1": _fn_sources_v1, "2": _fn_sources_v2, "3": _fn_sources}
+# v4 shares v3's source walk — the algorithm change is normalizer-only
+_SOURCE_WALKS = {
+    "1": _fn_sources_v1,
+    "2": _fn_sources_v2,
+    "3": _fn_sources,
+    "4": _fn_sources,
+}
 
 
 def fingerprint_one(
@@ -245,11 +265,13 @@ def fingerprint_versions(
     construction (the expensive part is building the DataFrame)."""
     df = q.fn(spark, sf_dir)
     plan = df._jdf.queryExecution().analyzed().toString()
-    base = "\0".join([normalize_plan(plan), q.oracle or ""])
-    return {
-        v: hashlib.sha256(f"{base}\0{_SOURCE_WALKS[v](q.fn)}".encode()).hexdigest()
-        for v in versions
-    }
+    out = {}
+    for v in versions:
+        base = "\0".join([normalize_plan(plan, v), q.oracle or ""])
+        out[v] = hashlib.sha256(
+            f"{base}\0{_SOURCE_WALKS[v](q.fn)}".encode()
+        ).hexdigest()
+    return out
 
 
 def compute_fingerprints(versions=(FP_VERSION,)) -> dict[str, dict[str, str]]:
