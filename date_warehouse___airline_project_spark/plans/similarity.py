@@ -971,12 +971,22 @@ def emb_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.similarity import assign_to_centroids, kmeans_lloyd
 
+    from ..operators.text_dedup import _materialize
+
     e = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_lloyd(e, centroid_mod=25, sample_mod=4, iters=2)
     assigned = assign_to_centroids(e, cents, impl="arrow").select(
         "vec_id", "embedding", F.col("centroid_id").alias("cid")
     )
-    ranked = (
+    # r12 (guide §2.4, §1.2): ranked is referenced THREE times below (both
+    # pair sides + the final keep join), and each lazy reference re-ran
+    # the corpus Arrow assignment and the per-cluster window —
+    # localCheckpoint executes it once. The per-row self-norm is hoisted
+    # next to the rank (dot(v,v) does not depend on the pair), so the
+    # pairwise verify folds ONE dot per pair instead of three — the same
+    # float bits, since cosine(p,q) = dot(p,q)/(sqrt(dot(p,p))*sqrt(
+    # dot(q,q))) evaluates the self-dots to identical values either way.
+    ranked = _materialize(
         assigned.join(
             F.broadcast(cents.select(F.col("_cid").alias("cid"), "_cvec")), "cid"
         )
@@ -990,25 +1000,34 @@ def emb_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
-        .select("vec_id", "cid", "embedding", "rnk")
+        .select(
+            "vec_id",
+            "cid",
+            "embedding",
+            "rnk",
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("_norm"),
+        )
     )
     p = ranked.select(
         "cid",
         F.col("vec_id").alias("_pid"),
         F.col("embedding").alias("_pemb"),
         F.col("rnk").alias("_prnk"),
+        F.col("_norm").alias("_pnorm"),
     )
     q = ranked.select(
         "cid",
         F.col("embedding").alias("_qemb"),
         F.col("rnk").alias("_qrnk"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    pair_cos = dot(F.col("_pemb"), F.col("_qemb")) / (
+        F.col("_pnorm") * F.col("_qnorm")
     )
     dropped = (
         p.join(q, "cid")
         .filter(F.col("_qrnk") < F.col("_prnk"))
-        .filter(
-            F.round(cosine(F.col("_pemb"), F.col("_qemb")), 6) >= _SEMDEDUP_TAU
-        )
+        .filter(F.round(pair_cos, 6) >= _SEMDEDUP_TAU)
         .select(F.col("_pid").alias("vec_id"))
         .distinct()
         .withColumn("_dropped", F.lit(1))

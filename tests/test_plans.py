@@ -340,7 +340,17 @@ def test_negative_sampling_bucketed_join_and_bounded_window(spark):
 
 
 def test_semdedup_pairs_equijoin_on_cluster(spark):
-    plan = plan_of(spark, "emb_semdedup_prune")
+    # r12: the ranked relation is localCheckpointed (it feeds three
+    # consumers), which truncates the executed plan at a LogicalRDD leaf
+    # and would hide the window spec — inspect the FULL-lineage plan via
+    # the fingerprint gate _materialize honors (same trick recert uses).
+    import os
+
+    os.environ["SPARK_GRAFT_PLAN_FINGERPRINT"] = str(os.getpid())
+    try:
+        plan = plan_of(spark, "emb_semdedup_prune")
+    finally:
+        del os.environ["SPARK_GRAFT_PLAN_FINGERPRINT"]
     # the pairwise stage joins on cid (Sigma cluster^2) — no cartesian,
     # and both windows are per-cluster / per-vector, never global
     assert "CartesianProduct" not in plan
